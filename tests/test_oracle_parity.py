@@ -1,0 +1,38 @@
+"""The correctness gate, locally: every registered query vs its DuckDB
+oracle at sf0.001 (the driver repeats this at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from udacity_data_engineering_capstone_project_spark.plans.queries import REGISTRY
+from tests.oracle_utils import compare_frames, run_oracle
+
+ORACLE_QUERIES = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
+ROWS_ONLY_QUERIES = sorted(name for name, spec in REGISTRY.items() if not spec.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    spark_df = spec.fn(spark, sf_dir).toPandas()
+    oracle_df = run_oracle(spec.oracle, sf_dir)
+    compare_frames(spark_df, oracle_df, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs_deterministically(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    a = spec.fn(spark, sf_dir)
+    n1 = a.count()
+    n2 = spec.fn(spark, sf_dir).count()
+    assert n1 == n2, f"{name}: nondeterministic row count {n1} != {n2}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()).issubset(set(e.queries()))

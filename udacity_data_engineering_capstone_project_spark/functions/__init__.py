@@ -1,0 +1,29 @@
+from udacity_data_engineering_capstone_project_spark.functions.dates import (
+    sas_date_to_date,
+    with_date_parts,
+)
+from udacity_data_engineering_capstone_project_spark.functions.keys import (
+    add_surrogate_key,
+)
+from udacity_data_engineering_capstone_project_spark.functions.strings import (
+    extract_decimal,
+    printf_round0,
+    split_item,
+)
+from udacity_data_engineering_capstone_project_spark.functions.text import (
+    char_shingles,
+    normalize_text,
+    tokens,
+)
+
+__all__ = [
+    "sas_date_to_date",
+    "with_date_parts",
+    "add_surrogate_key",
+    "extract_decimal",
+    "printf_round0",
+    "split_item",
+    "char_shingles",
+    "normalize_text",
+    "tokens",
+]

@@ -1,0 +1,35 @@
+from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
+    cast_columns,
+    drop_nulls,
+    fill_nulls,
+    normalize_domain,
+)
+from udacity_data_engineering_capstone_project_spark.operators.relational import (
+    argmax_join,
+    avg_of_avgs,
+    star_left_join,
+    top_per_group,
+)
+from udacity_data_engineering_capstone_project_spark.operators.quality import (
+    QualityError,
+    expect_distinct_count,
+    expect_non_null,
+    expect_row_count,
+    expect_schema,
+)
+
+__all__ = [
+    "cast_columns",
+    "drop_nulls",
+    "fill_nulls",
+    "normalize_domain",
+    "argmax_join",
+    "avg_of_avgs",
+    "star_left_join",
+    "top_per_group",
+    "QualityError",
+    "expect_distinct_count",
+    "expect_non_null",
+    "expect_row_count",
+    "expect_schema",
+]

@@ -1,0 +1,340 @@
+"""Deduplication operators (reference: D1-D2, SURVEY.md §2.6, extended
+per the 100 TB training-data north star).
+
+Tiers, cheapest first:
+
+1. Exact row/column dedup — `dropDuplicates` (reference `etl.py:111`).
+2. Exact content dedup — md5 fingerprint group-by (one shuffle on the
+   fingerprint; survivor = min id, deterministic).
+3. Near-dup, exact Jaccard within blocks — for modest blocks / oracles.
+4. MinHash + LSH — the scale path: signatures in one aggregation pass,
+   banding turns O(n^2) pair search into an equi-join on band buckets.
+5. SimHash — 64-bit sketch, hamming-ball candidate search via 16-bit
+   band equi-joins.
+6. Embedding near-dup — cosine over a blocking key.
+
+Everything is built from JVM-side expressions (xxhash64, higher-order
+array functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.functions.text import (
+    char_shingles,
+    normalize_text,
+    tokens,
+)
+from udacity_data_engineering_capstone_project_spark.operators.similarity import cosine
+
+
+def drop_exact_duplicates(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Full-row (or column-subset) exact dedup (reference `etl.py:111`).
+    One hash-shuffle on all/subset columns; AQE coalesces output."""
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def exact_text_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True
+) -> DataFrame:
+    """Exact content dedup via md5 fingerprint: one row per distinct
+    content, survivor = min(id) (deterministic), with copy count.
+
+    Output: (fingerprint string, keep_id, n_copies).
+    """
+    content = normalize_text(text_col) if normalized else F.col(text_col)
+    return (
+        df.select(F.md5(content).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: array<bigint>[num_hashes].
+
+    One explode + one aggregation (single shuffle on id). Each hash
+    family member is xxhash64(shingle, seed_i) — independent 64-bit
+    hashes, all computed JVM-side in the same pass.
+    """
+    shingle_rows = df.select(
+        F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("__shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingle_rows.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band_hash) to produce
+    candidate pairs — the O(n^2) -> O(n) step. Returns distinct
+    (id_a < id_b) pairs with their signatures for verification.
+
+    At cluster scale this is a plain shuffle join on a well-distributed
+    key (band hashes are uniform); skew only arises from genuinely
+    identical content, which AQE's skew-join splitting handles.
+    """
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                    F.lit(b),
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig_df.select(
+        F.col(id_col), F.col("signature"), F.explode(band_entries).alias("bk")
+    ).select(id_col, "signature", "bk.band", "bk.bucket")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """MinHash Jaccard estimate = fraction of agreeing signature slots."""
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    )
+    return agree / F.lit(float(num_hashes))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs: (id_a, id_b, est_jaccard)
+    with est_jaccard >= threshold. bands=16 x rows=4 targets the ~0.5-0.7
+    similarity knee (s-curve threshold ~ (1/16)^(1/4) ~ 0.5)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    est = estimated_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes)
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (block-restricted)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact character-k-gram Jaccard for pairs sharing a blocking key.
+
+    Shape: explode distinct shingles -> self-equi-join on
+    (block, shingle) -> count intersections -> join set sizes.
+    Exact but quadratic within a block: use for verification/oracles or
+    tight blocks; the scale path is `minhash_dedup_pairs`.
+
+    Output: (id_a, id_b, jaccard) rounded to 6 dp.
+    """
+    blocks = [F.col(c) for c in block_cols]
+    sh = df.select(
+        *blocks, F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+            + [
+                F.col("a.s") == F.col("b.s"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sa), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum +-1 weighted
+    by token-hash bit, sign -> bit. One explode + one aggregation.
+
+    Output: (id, simhash bigint).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    h = F.xxhash64(F.col("__t"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig_df: DataFrame, id_col: str, max_hamming: int = 8, chunks: int = 4
+) -> DataFrame:
+    """Candidate pairs whose simhash differs in <= max_hamming bits.
+
+    Pigeonhole banding: split 64 bits into ``chunks`` 16-bit chunks; any
+    pair within hamming <= chunks*? must agree on >= 1 chunk when
+    max_hamming < chunks * 1 ... (standard LSH for hamming). Join on
+    (chunk_idx, chunk_value) equality, verify with bit_count(xor).
+    """
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    ch = sig_df.select(F.col(id_col), F.col("simhash"), F.explode(chunk_arr).alias("c")).select(
+        id_col, "simhash", "c.ci", "c.cv"
+    )
+    a, b = ch.alias("a"), ch.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.ci") == F.col("b.ci"),
+                F.col("a.cv") == F.col("b.cv"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Cosine near-dup pairs within a blocking key (cluster/label/LSH
+    bucket). Exact within block; blocks bound the quadratic term.
+
+    Output: (id_a, id_b, cos_sim) rounded to 6 dp, cos_sim >= threshold.
+    """
+    slim = df.select(F.col(block_col).alias("__blk"), F.col(id_col), F.col(vec_col))
+    a, b = slim.alias("a"), slim.alias("b")
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__blk") == F.col("b.__blk"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

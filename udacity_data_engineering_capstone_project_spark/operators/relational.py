@@ -1,0 +1,102 @@
+"""Relational core: joins, argmax/top-k-per-group, nested aggregation
+(reference: J1-J9, A1-A8, SURVEY.md §2.4-2.5).
+
+Scale posture: dim joins take an explicit `broadcast()` hint (all
+reference dims are 52-5.4M rows — broadcast-hash candidates,
+SURVEY.md §4); the argmax is a single window pass instead of the
+reference's two-aggregation + self-join formulation (`etl.py:181-204`),
+halving the shuffles. The join formulation is kept as `argmax_join`
+because its semantics differ (it preserves ties) and it serves as a
+test oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def star_left_join(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Sequence[Column] | Sequence[str] | Column]],
+    select: Sequence[Column | str] | None = None,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Chain left joins fact <- dim_1 <- ... <- dim_n, preserving every
+    fact row (reference fact build, `etl.py:285-293`: "Each entry ...
+    should be preserved").
+
+    ``broadcast_dims`` forces broadcast-hash joins: at fact scale the
+    alternative is n shuffle exchanges of the full fact table.
+    """
+    out = fact
+    for dim, on in dims:
+        d = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(d, on=on, how="left")
+    if select is not None:
+        out = out.select(*select)
+    return out
+
+
+def top_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    n: int = 1,
+    rank_col: str = "rank",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-n rows per group via one window pass (idiomatic replacement
+    for the reference's count->max->self-join argmax, SURVEY.md §4).
+
+    ``order_by`` must be a total order (include a unique tiebreaker) for
+    deterministic output.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    ranked = df.withColumn(rank_col, F.row_number().over(w))
+    out = ranked.filter(F.col(rank_col) <= n)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def argmax_join(
+    df: DataFrame,
+    group_by: Sequence[str],
+    count_col: str,
+    count_name: str = "num",
+) -> DataFrame:
+    """The reference's argmax formulation (`etl.py:181-204`): count per
+    (group, value), max per group, self-join on count == max.
+
+    Unlike `top_per_group` this PRESERVES TIES (all values sharing the
+    max count survive) — exactly the reference's join semantics.
+    """
+    keys = list(group_by)
+    counted = df.groupBy(*keys, count_col).agg(F.count(count_col).alias(count_name))
+    maxed = counted.groupBy(*keys).agg(F.max(count_name).alias("__max_num"))
+    maxed = maxed.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys], F.col("__max_num")
+    )
+    joined = counted.join(
+        F.broadcast(maxed),
+        on=[F.col(k) == F.col(f"__k_{k}") for k in keys]
+        + [F.col(count_name) == F.col("__max_num")],
+        how="inner",
+    )
+    return joined.select(*keys, count_col, count_name)
+
+
+def avg_of_avgs(
+    df: DataFrame,
+    inner_group: Sequence[str],
+    outer_group: Sequence[str],
+    value_col: str,
+    out_name: str = "avg_of_avg",
+) -> DataFrame:
+    """Two-level nested aggregation (reference A3/A4, `etl.py:190-215`):
+    avg per inner group, then avg of those per outer group. Deliberately
+    NOT a weighted mean — replicates the reference as written
+    (SURVEY.md §7 trap (e))."""
+    inner = df.groupBy(*inner_group).agg(F.avg(value_col).alias("__inner_avg"))
+    return inner.groupBy(*outer_group).agg(F.avg("__inner_avg").alias(out_name))

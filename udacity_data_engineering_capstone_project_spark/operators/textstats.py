@@ -1,0 +1,83 @@
+"""Text analysis operators (north-star extension): quality scoring,
+token counting, language ID, document fingerprinting.
+
+All expressions are JVM-side (regexp_count / split / md5) so they run
+inside whole-stage codegen over 100 TB corpora; every output numeric is
+deterministic and DuckDB-oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    normalize_text,
+)
+
+#: Default English stopword list (tiny; callers pass their own).
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _stop_pattern(stopwords: Sequence[str]) -> str:
+    return r"\b(" + "|".join(stopwords) + r")\b"
+
+
+def text_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Per-document stats + a composite quality score.
+
+    Columns: n_chars_calc, n_words, n_stop, stop_ratio (r6),
+    quality_score (r6) = (1 - stop_ratio) * min(n_words/100, 1).
+    """
+    t = F.col(text_col)
+    n_words = F.regexp_count(t, F.lit(r"[A-Za-z]+")).cast("long")
+    n_stop = F.regexp_count(F.lower(t), F.lit(_stop_pattern(stopwords))).cast("long")
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    quality = (F.lit(1.0) - stop_ratio) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish token count per document."""
+    t = F.col(text_col)
+    n_ws = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    n_bpe = F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).cast("long")
+    return df.select(
+        F.col(id_col), n_ws.alias("n_ws_tokens"), n_bpe.alias("n_bpe_tokens")
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic script-based language ID: CJK -> zh, Cyrillic -> ru,
+    Arabic -> ar, Devanagari -> hi, else en. A real system would use
+    character-n-gram models; the operator shape (pure expression CASE
+    over unicode-class probes) is the point — it scales linearly."""
+    t = F.col(text_col)
+    pred = (
+        F.when(t.rlike("[一-鿿]"), F.lit("zh"))
+        .when(t.rlike("[Ѐ-ӿ]"), F.lit("ru"))
+        .when(t.rlike("[؀-ۿ]"), F.lit("ar"))
+        .when(t.rlike("[ऀ-ॿ]"), F.lit("hi"))
+        .otherwise(F.lit("en"))
+    )
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(col))

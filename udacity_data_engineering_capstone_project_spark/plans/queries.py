@@ -1,0 +1,890 @@
+"""Query registry: every operator from SURVEY.md §2 (+ north-star
+extensions) as a named (spark_fn, oracle_sql) pair.
+
+Contract (driver, `__spark_entry__.py`): the Spark callable takes
+(spark, sf_dir) and returns a DataFrame; the oracle is ANSI SQL DuckDB
+runs over the same parquet tables. Column names AND values must match
+(order-insensitive value hash), so:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded (r2/r6) on both sides — Spark and DuckDB
+  both round ties away from zero, and rounding absorbs the last-ulp
+  nondeterminism of distributed float summation;
+- integer-typed derivations are cast to BIGINT on both sides;
+- window functions use total orders (unique tiebreakers).
+
+Queries whose value is NOT SQL-expressible (LSH banding with engine
+hashes, streaming state) carry ``oracle=None`` -> driver records a
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.functions.dates import sas_date_to_date
+from udacity_data_engineering_capstone_project_spark.operators import dedup as dd
+from udacity_data_engineering_capstone_project_spark.operators import multimodal as mm
+from udacity_data_engineering_capstone_project_spark.operators import similarity as sim
+from udacity_data_engineering_capstone_project_spark.operators import textstats as ts
+from udacity_data_engineering_capstone_project_spark.operators.cleaning import normalize_domain
+from udacity_data_engineering_capstone_project_spark.operators.relational import (
+    argmax_join,
+    avg_of_avgs,
+    top_per_group,
+)
+from udacity_data_engineering_capstone_project_spark.plans.star import build_dimension, build_fact
+from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+from udacity_data_engineering_capstone_project_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_memory,
+    windowed_event_counts,
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str):
+    def wrap(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# Relational core (reference parity, SURVEY.md §2)
+# =========================================================================
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 6)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: scan -> filter -> hash agg (reference A1, flagship).",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "filter_project",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+    """,
+    "Projection + equality/range filter pushed to the scan (P1, P5).",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@_register(
+    "normalize_segment",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment IS NULL THEN 'other'
+                WHEN c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY') THEN 'other'
+                ELSE c_mktsegment END AS segment
+    FROM customer
+    """,
+    "Domain normalization: when/~isin/otherwise + fillna (P6-P8, etl.py:108-110).",
+)
+def normalize_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "customer").withColumn("segment", F.col("c_mktsegment"))
+    return normalize_domain(df, "segment", ["BUILDING", "AUTOMOBILE", "MACHINERY"]).select(
+        "c_custkey", "segment"
+    )
+
+
+@_register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1)                       AS name_first,
+           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS BIGINT) AS brand_num,
+           upper(p_type)                                    AS type_upper
+    FROM part
+    """,
+    "split+getItem / regexp_extract / case funcs (F1-F2, etl.py:135-158).",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("name_first"),
+        F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).cast("long").alias("brand_num"),
+        F.upper(F.col("p_type")).alias("type_upper"),
+    )
+
+
+@_register(
+    "sas_date_decode",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 20000 = 1234 THEN NULL
+                ELSE o_orderkey % 20000 END AS sas_days,
+           CASE WHEN o_orderkey % 20000 = 1234 THEN NULL
+                ELSE CAST(DATE '1960-01-01' + INTERVAL (o_orderkey % 20000) DAY AS DATE)
+           END AS decoded_date
+    FROM orders
+    """,
+    "SAS-date decode as native date_add — replaces the reference's only "
+    "Python UDF (F7, etl.py:41-47), null-in -> null-out preserved.",
+)
+def sas_date_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    days = F.col("o_orderkey") % 20000
+    sas_days = F.when(days == 1234, F.lit(None).cast("long")).otherwise(days)
+    return o.select(
+        "o_orderkey",
+        sas_days.alias("sas_days"),
+        sas_date_to_date(sas_days).alias("decoded_date"),
+    )
+
+
+@_register(
+    "date_parts_agg",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT)  AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           count(*)                           AS n_orders,
+           round(sum(o_totalprice), 2)        AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    "Date-part extraction + time-grain aggregation (F6, A6/A7).",
+)
+def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@_register(
+    "distinct_rows",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus,
+                    CAST(year(l_shipdate) AS BIGINT) AS ship_year
+    FROM lineitem
+    """,
+    "Full-row dedup over a projection (D1/D2, etl.py:111,229).",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .dropDuplicates()
+    )
+
+
+@_register(
+    "dim_with_keys",
+    """
+    SELECT c_mktsegment,
+           row_number() OVER (ORDER BY c_mktsegment) AS id_segment
+    FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    """,
+    "Dimension extraction with deterministic surrogate key "
+    "(D2+F8, etl.py:227-230; row_number mode per SURVEY.md §4 item 3).",
+)
+def dim_with_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_dimension(
+        _t(spark, sf_dir, "customer"), ["c_mktsegment"], "id_segment", key_mode="row_number"
+    )
+
+
+@_register(
+    "top1_per_group",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM customer
+    QUALIFY row_number() OVER (
+        PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) = 1
+    """,
+    "Argmax via one window pass — idiomatic replacement for the "
+    "reference's count->max->self-join (SURVEY.md §4).",
+)
+def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_per_group(
+        _t(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal"),
+        partition_by=["c_nationkey"],
+        order_by=[F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+    )
+
+
+@_register(
+    "argmax_ties",
+    """
+    SELECT o_custkey, o_orderpriority, num FROM (
+        SELECT o_custkey, o_orderpriority, count(o_orderpriority) AS num
+        FROM orders GROUP BY o_custkey, o_orderpriority
+    ) QUALIFY num = max(num) OVER (PARTITION BY o_custkey)
+    """,
+    "The reference's tie-preserving argmax formulation "
+    "(J1+A2+A3, etl.py:181-204): count -> max -> self-join.",
+)
+def argmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return argmax_join(
+        _t(spark, sf_dir, "orders"), group_by=["o_custkey"], count_col="o_orderpriority"
+    )
+
+
+@_register(
+    "left_join_preserve",
+    """
+    SELECT o.o_orderkey, c.c_name
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+      ON o.o_custkey = c.c_custkey
+    """,
+    "Row-preserving left dim join with null tolerance (J3-J8, etl.py:285-293).",
+)
+def left_join_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left"
+    ).select("o_orderkey", "c_name")
+
+
+@_register(
+    "star_schema_fact",
+    """
+    WITH base AS (
+        SELECT o.*, c.c_mktsegment FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    dim_segment AS (
+        SELECT c_mktsegment, row_number() OVER (ORDER BY c_mktsegment) AS id_segment
+        FROM (SELECT DISTINCT c_mktsegment FROM base)
+    ),
+    dim_date AS (
+        SELECT o_orderdate, row_number() OVER (ORDER BY o_orderdate) AS id_date
+        FROM (SELECT DISTINCT o_orderdate FROM base)
+    ),
+    dim_priority AS (
+        SELECT o_orderpriority, row_number() OVER (ORDER BY o_orderpriority) AS id_priority
+        FROM (SELECT DISTINCT o_orderpriority FROM base)
+    )
+    SELECT b.o_orderkey, s.id_segment, d.id_date, p.id_priority, b.o_totalprice
+    FROM base b
+    LEFT JOIN dim_segment s ON b.c_mktsegment = s.c_mktsegment
+    LEFT JOIN dim_date d ON b.o_orderdate = d.o_orderdate
+    LEFT JOIN dim_priority p ON b.o_orderpriority = p.o_orderpriority
+    """,
+    "Full star-schema build: dims w/ deterministic keys + row-preserving "
+    "fact assembly (etl.py:221-293 via plans.star).",
+)
+def star_schema_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice", "c_mktsegment"
+    )
+    dim_segment = build_dimension(base, ["c_mktsegment"], "id_segment")
+    dim_date = build_dimension(base, ["o_orderdate"], "id_date")
+    dim_priority = build_dimension(base, ["o_orderpriority"], "id_priority")
+    return build_fact(
+        base,
+        dims=[
+            (dim_segment, "c_mktsegment"),
+            (dim_date, "o_orderdate"),
+            (dim_priority, "o_orderpriority"),
+        ],
+        keep=["o_orderkey", "id_segment", "id_date", "id_priority", "o_totalprice"],
+    )
+
+
+@_register(
+    "avg_of_avgs",
+    """
+    SELECT l_returnflag, round(avg(inner_avg), 6) AS avg_of_avg_qty FROM (
+        SELECT l_returnflag, l_linestatus, avg(l_quantity) AS inner_avg
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ) GROUP BY l_returnflag
+    """,
+    "Nested two-level aggregation, deliberately unweighted "
+    "(A3/A4, etl.py:190-215; SURVEY.md §7 trap (e)).",
+)
+def avg_of_avgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = avg_of_avgs(
+        _t(spark, sf_dir, "lineitem"),
+        inner_group=["l_returnflag", "l_linestatus"],
+        outer_group=["l_returnflag"],
+        value_col="l_quantity",
+        out_name="avg_of_avg_qty",
+    )
+    return out.withColumn("avg_of_avg_qty", F.round(F.col("avg_of_avg_qty"), 6))
+
+
+@_register(
+    "count_distinct_global",
+    """
+    SELECT count(DISTINCT c_mktsegment) AS n_segments,
+           count(DISTINCT c_nationkey)  AS n_nations
+    FROM customer
+    """,
+    "Global distinct-cardinality (A5/Q3, etl.py:353-360).",
+)
+def count_distinct_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@_register(
+    "analyst_top_segments",
+    """
+    SELECT CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           c_mktsegment,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    ORDER BY n_items DESC, o_month ASC, c_mktsegment ASC
+    LIMIT 10
+    """,
+    "The analyst query shape (J9+A8, nb cell 46): fact x fact join, "
+    "group, order by count desc, top-n.",
+)
+def analyst_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        joined.groupBy(
+            F.month("o_orderdate").cast("long").alias("o_month"), F.col("c_mktsegment")
+        )
+        .agg(
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("n_items").desc(), F.col("o_month").asc(), F.col("c_mktsegment").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "bucket_join",
+    """
+    WITH cust AS (
+        SELECT CAST(floor(abs(c_acctbal) / 1000) AS BIGINT) AS bucket,
+               CAST(c_nationkey % 5 AS BIGINT) AS nk,
+               round(avg(c_acctbal), 6) AS avg_cust_bal,
+               count(*) AS n_cust
+        FROM customer GROUP BY 1, 2
+    ),
+    supp AS (
+        SELECT CAST(floor(abs(s_acctbal) / 1000) AS BIGINT) AS bucket,
+               CAST(s_nationkey % 5 AS BIGINT) AS nk,
+               round(avg(s_acctbal), 6) AS avg_supp_bal,
+               count(*) AS n_supp
+        FROM supplier GROUP BY 1, 2
+    )
+    SELECT cust.bucket, cust.nk, avg_cust_bal, n_cust, avg_supp_bal, n_supp
+    FROM cust JOIN supp ON cust.bucket = supp.bucket AND cust.nk = supp.nk
+    """,
+    "Numeric spatial-bucket coarsening + multi-key equi-join — the "
+    "Catalyst-friendly version of the reference's printf('%.0f') "
+    "string-key join (J2, etl.py:135-157 / SURVEY.md §4 item 2).",
+)
+def bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def bucketize(df: DataFrame, bal: str, nk: str, avg_name: str, n_name: str) -> DataFrame:
+        return df.groupBy(
+            F.floor(F.abs(F.col(bal)) / 1000).cast("long").alias("bucket"),
+            (F.col(nk) % 5).cast("long").alias("nk"),
+        ).agg(
+            F.round(F.avg(bal), 6).alias(avg_name),
+            F.count(F.lit(1)).alias(n_name),
+        )
+
+    cust = bucketize(_t(spark, sf_dir, "customer"), "c_acctbal", "c_nationkey", "avg_cust_bal", "n_cust")
+    supp = bucketize(_t(spark, sf_dir, "supplier"), "s_acctbal", "s_nationkey", "avg_supp_bal", "n_supp")
+    return cust.join(F.broadcast(supp), on=["bucket", "nk"]).select(
+        "bucket", "nk", "avg_cust_bal", "n_cust", "avg_supp_bal", "n_supp"
+    )
+
+
+@_register(
+    "quality_counts",
+    """
+    SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    """,
+    "Quality gate: row counts per table in one result (Q1/Q2, etl.py:336-351).",
+)
+def quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        _t(spark, sf_dir, name).agg(
+            F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for name in ("region", "nation", "customer", "orders", "lineitem")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# =========================================================================
+# Event/time-series (streaming-shaped batch + structured streaming)
+# =========================================================================
+
+
+@_register(
+    "sessionize",
+    """
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ),
+    sessions AS (
+        SELECT user_id, us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "Sessionization: 30-min inactivity gap -> session ids via lag + "
+    "running sum (stateful op the reference lacks; batch twin of "
+    "streaming session windows).",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # Wall-clock microseconds since epoch, timezone-independent (matches
+    # DuckDB epoch_us on the ntz column regardless of session tz).
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    flagged = ev.withColumn("prev_us", F.lag("us").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(wsum).cast("long"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+@_register(
+    "hourly_windows",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "Tumbling event-time windows (batch twin of the streaming agg).",
+)
+def hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@_register(
+    "streaming_hourly",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "Structured Streaming: readStream -> watermark -> windowed agg -> "
+    "memory sink, availableNow trigger; result equals the batch twin.",
+)
+def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+# =========================================================================
+# North-star extensions: dedup / similarity / text / multimodal
+# =========================================================================
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    "Exact content dedup: normalized md5 fingerprint, min-id survivor.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_text_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, lang, substr(lower(text), CAST(i AS INTEGER), 3) AS s
+        FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6
+    """,
+    "Exact char-3-gram Jaccard near-dup pairs, lang-blocked "
+    "(verification twin of the MinHash-LSH scale path).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang"],
+        shingle_k=3,
+        threshold=0.6,
+    )
+
+
+@_register(
+    "dedup_minhash_lsh",
+    None,  # engine-hash (xxhash64) based — not SQL-oracle-expressible
+    "MinHash(64) + LSH(16 bands x 4): the O(n) near-dup scale path; "
+    "pairs with estimated Jaccard >= 0.5.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=16,
+        threshold=0.5,
+    )
+
+
+@_register(
+    "dedup_simhash",
+    None,  # engine-hash based
+    "SimHash(64-bit) near-dup candidates within hamming<=8 via 16-bit "
+    "band LSH.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.simhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    pairs = dd.simhash_near_pairs(sigs, "doc_id", max_hamming=8)
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@_register(
+    "dedup_embedding",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+               AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    """,
+    "Embedding near-dup: exact cosine within a blocking key (label).",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        threshold=0.3,
+    )
+
+
+@_register(
+    "ann_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(qv, v) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+                   AS cos_sim
+        FROM e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+           cos_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    "Brute-force cosine top-k ANN baseline (broadcast queries, "
+    "no corpus shuffle).",
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+
+
+@_register(
+    "ann_ivf",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 100 = 0),
+    assign AS (
+        SELECT e.vec_id, e.v, cents.cell,
+               round(list_dot_product(e.v, cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))), 6)
+                   AS csim
+        FROM e CROSS JOIN cents
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY csim DESC, cents.cell ASC) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assign WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               round(list_dot_product(qv, a.v) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))), 6)
+                   AS cos_sim
+        FROM assign a JOIN q ON a.cell = q.cell
+        WHERE a.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+           cos_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    "IVF ANN: deterministic centroids (vec_id % 100 = 0), 1-probe cell "
+    "search — the partition-pruned scale path.",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(
+        emb, queries, centroids, id_col="vec_id", vec_col="embedding", k=10
+    )
+
+
+@_register(
+    "text_stats",
+    r"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+               CAST(length(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS BIGINT) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_words, n_stop,
+           round(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END, 6) AS stop_ratio,
+           round((1.0 - CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END)
+                 * least(n_words / 100.0, 1.0), 6) AS quality_score
+    FROM s
+    """,
+    "Per-document quality stats: char/word/stopword counts, composite "
+    "quality score.",
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_register(
+    "token_counts_by_lang",
+    r"""
+    WITH t AS (
+        SELECT lang,
+               CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+               CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_ws)  AS total_ws_tokens,
+           sum(n_bpe) AS total_bpe_tokens
+    FROM t GROUP BY lang
+    """,
+    "Token counting (whitespace + BPE-ish regex) aggregated per language.",
+)
+def token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = ts.token_counts(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "lang").join(counts, on="doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+    )
+
+
+@_register(
+    "lang_id",
+    r"""
+    SELECT doc_id, lang,
+           CASE WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+                WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
+                WHEN regexp_matches(text, '[\x{0600}-\x{06FF}]') THEN 'ar'
+                WHEN regexp_matches(text, '[\x{0900}-\x{097F}]') THEN 'hi'
+                ELSE 'en' END AS lang_pred
+    FROM documents
+    """,
+    "Script-heuristic language ID (expression-only, linear scale).",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pred = ts.language_id(docs, "doc_id", "text")
+    return docs.select("doc_id", "lang").join(pred, on="doc_id").select(
+        "doc_id", "lang", "lang_pred"
+    )
+
+
+@_register(
+    "fingerprint_by_source",
+    """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_distinct_fp
+    FROM documents
+    GROUP BY source
+    """,
+    "Document fingerprinting rolled up per source (dup-rate probe).",
+)
+def fingerprint_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(ts.fingerprint("text")).alias("n_distinct_fp"),
+    )
+
+
+@_register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(ascii(text) AS BIGINT)  AS first_byte
+    FROM documents
+    """,
+    "Multimodal plumbing: opaque binary payload + Arrow-batched "
+    "mapInPandas metadata extraction (decode stage stand-in).",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = mm.attach_binary(_t(spark, sf_dir, "documents"), "text")
+    return mm.binary_meta(docs, "doc_id")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

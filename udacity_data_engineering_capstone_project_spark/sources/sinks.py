@@ -1,0 +1,54 @@
+"""Sinks (reference: S4, SURVEY.md §2.1).
+
+The reference writes unpartitioned parquet (`etl.py:30-39` — no
+`partitionBy` anywhere, flagged in its own write-up as the thing to fix
+for 100x scale). Here partitioned + bucketed writes are first-class:
+at 100 TB, partition pruning on a date/month column is the difference
+between scanning a day and scanning the lake.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Write parquet with optional hive-style partitioning."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+) -> None:
+    writer = df.write.mode(mode).option("header", "true" if header else "false")
+    writer.csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed managed table: co-locates join keys so repeated
+    large-large joins on ``bucket_cols`` skip the shuffle entirely."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)

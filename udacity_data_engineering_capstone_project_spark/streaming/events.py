@@ -1,0 +1,80 @@
+"""Structured Streaming surface (extension — the reference is batch-only,
+SURVEY.md §2.11; its write-up wished for daily incremental processing).
+
+Shape: `readStream` over a file source -> event-time windowed
+aggregation with watermark -> sink. Tested with `availableNow` triggers
+(bounded replay of existing files), which is also the idiomatic
+incremental-batch deployment mode: each run processes exactly the new
+files since the last checkpoint.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table as a file source (schema from the batch
+    footer — file-stream sources require a declared schema). Nanosecond
+    timestamps arrive as int64 (`nanosAsLong`) and are truncated to
+    microsecond timestamp_ntz, matching the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # File-stream sources need a directory; point at sf_dir and glob the
+    # events file(s) — also the shape of a real landing-zone deployment.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # Instant-typed (watermarks require TIMESTAMP, not NTZ); built
+        # from raw epoch-us, so values are session-timezone-independent.
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            # Epoch-us of the window start: timezone-independent output
+            # (the instant-typed start would render in session tz).
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Run a streaming aggregation to a memory sink with an availableNow
+    trigger (process all available input, then stop) and return the
+    result table as a batch DataFrame."""
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
