@@ -38,6 +38,17 @@ def drop_exact_duplicates(df: DataFrame, subset: Sequence[str] | None = None) ->
     return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
 
 
+def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Spread a narrow input across the cluster before a CPU-heavy
+    explode/aggregate stage. Small single-split files (a 5 MB parquet)
+    otherwise pin the whole stage to one task; at real scale inputs
+    arrive already split and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def exact_text_dedup(
     df: DataFrame, id_col: str, text_col: str, normalized: bool = True
 ) -> DataFrame:
@@ -74,11 +85,14 @@ def minhash_signatures(
     family member is xxhash64(shingle, seed_i) — independent 64-bit
     hashes, all computed JVM-side in the same pass.
     """
-    shingle_rows = df.select(
+    shingle_rows = _ensure_parallelism(df, id_col).select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("__shingle")
-    )
+    ).withColumn("__h", F.xxhash64(F.col("__shingle")))
+    # One string hash per shingle, then 64 fixed-width long re-hashes
+    # (xxhash64 over 8 bytes; wrapping multiply-add would be cheaper
+    # still but Spark's default ANSI mode forbids long overflow).
     mins = [
-        F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"__h{i}")
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
     agg = shingle_rows.groupBy(id_col).agg(*mins)
@@ -154,12 +168,18 @@ def minhash_dedup_pairs(
     text_col: str,
     num_hashes: int = 64,
     shingle_k: int = 3,
-    bands: int = 16,
-    threshold: float = 0.6,
+    bands: int = 8,
+    threshold: float = 0.8,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs: (id_a, id_b, est_jaccard)
-    with est_jaccard >= threshold. bands=16 x rows=4 targets the ~0.5-0.7
-    similarity knee (s-curve threshold ~ (1/16)^(1/4) ~ 0.5)."""
+    with est_jaccard >= threshold.
+
+    Band geometry sets the s-curve knee at ~(1/bands)^(rows/num_hashes
+    per band): the default 8 bands x 8 rows targets ~0.77 — pairs much
+    below threshold rarely collide in any band, keeping the candidate
+    set near-linear even when the corpus has a high ambient similarity
+    floor. Widen to 16x4 only when hunting for ~0.5-similarity pairs.
+    """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
@@ -193,6 +213,7 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) rounded to 6 dp.
     """
     blocks = [F.col(c) for c in block_cols]
+    df = _ensure_parallelism(df, id_col)
     sh = df.select(
         *blocks, F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("s")
     )
@@ -237,7 +258,9 @@ def simhash_signatures(
 
     Output: (id, simhash bigint).
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    tok = _ensure_parallelism(df, id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    )
     h = F.xxhash64(F.col("__t"))
     sums = [
         F.sum(
@@ -256,14 +279,15 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    sig_df: DataFrame, id_col: str, max_hamming: int = 8, chunks: int = 4
+    sig_df: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4
 ) -> DataFrame:
-    """Candidate pairs whose simhash differs in <= max_hamming bits.
+    """Pairs whose simhash differs in <= max_hamming bits.
 
-    Pigeonhole banding: split 64 bits into ``chunks`` 16-bit chunks; any
-    pair within hamming <= chunks*? must agree on >= 1 chunk when
-    max_hamming < chunks * 1 ... (standard LSH for hamming). Join on
-    (chunk_idx, chunk_value) equality, verify with bit_count(xor).
+    Pigeonhole banding: split 64 bits into ``chunks`` equal chunks; a
+    pair with fewer than ``chunks`` differing bits must agree on at
+    least one chunk, so recall is exact for max_hamming <= chunks - 1.
+    Join on (chunk_idx, chunk_value) equality, verify with
+    bit_count(xor).
     """
     width = 64 // chunks
     mask = (1 << width) - 1

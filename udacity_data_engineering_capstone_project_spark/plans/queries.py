@@ -656,8 +656,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_minhash_lsh",
     None,  # engine-hash (xxhash64) based — not SQL-oracle-expressible
-    "MinHash(64) + LSH(16 bands x 4): the O(n) near-dup scale path; "
-    "pairs with estimated Jaccard >= 0.5.",
+    "MinHash(64) + LSH(8 bands x 8): the O(n) near-dup scale path; "
+    "pairs with estimated Jaccard >= 0.8.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_dedup_pairs(
@@ -665,20 +665,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         text_col="text",
         num_hashes=64,
-        bands=16,
-        threshold=0.5,
+        bands=8,
+        threshold=0.8,
     )
 
 
 @_register(
     "dedup_simhash",
     None,  # engine-hash based
-    "SimHash(64-bit) near-dup candidates within hamming<=8 via 16-bit "
-    "band LSH.",
+    "SimHash(64-bit) near-dup pairs within hamming<=3 via 16-bit band "
+    "LSH (pigeonhole-exact recall).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dd.simhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    pairs = dd.simhash_near_pairs(sigs, "doc_id", max_hamming=8)
+    pairs = dd.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
     return pairs.withColumn("hamming", F.col("hamming").cast("long"))
 
 
