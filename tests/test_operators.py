@@ -1,0 +1,220 @@
+"""Per-operator unit tests on tiny in-memory DataFrames (the testing
+layer the reference lacks, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.functions.dates import sas_date_to_date
+from udacity_data_engineering_capstone_project_spark.functions.keys import add_surrogate_key
+from udacity_data_engineering_capstone_project_spark.functions.strings import (
+    extract_decimal,
+    printf_round0,
+    spatial_bucket,
+    split_item,
+)
+from udacity_data_engineering_capstone_project_spark.functions.text import char_shingles, tokens
+from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
+    cast_columns,
+    normalize_domain,
+)
+from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+    exact_text_dedup,
+    minhash_signatures,
+    simhash_signatures,
+)
+from udacity_data_engineering_capstone_project_spark.operators.multimodal import (
+    attach_binary,
+    binary_meta,
+    decode_image_meta,
+    decode_image_pixels,
+)
+from udacity_data_engineering_capstone_project_spark.operators.quality import (
+    QualityError,
+    expect_non_null,
+    expect_schema,
+)
+from udacity_data_engineering_capstone_project_spark.operators.relational import (
+    argmax_join,
+    top_per_group,
+)
+from udacity_data_engineering_capstone_project_spark.operators.similarity import cosine
+
+
+def test_sas_date_decode_nulls_and_values(spark):
+    df = spark.createDataFrame([(20583.0,), (0.0,), (None,)], ["d"])
+    out = [str(r[0]) if r[0] else None for r in df.select(sas_date_to_date("d")).collect()]
+    # 20583 days after 1960-01-01 = 2016-05-09 (reference UDF semantics,
+    # etl.py:41-47); null propagates.
+    assert out == ["2016-05-09", "1960-01-01", None]
+
+
+def test_printf_round0_half_up_parity(spark):
+    # Java %.0f rounds HALF_UP — the reference's coordinate coarsening
+    # (etl.py:135-136). 40.5 -> 41, not banker's 40.
+    df = spark.createDataFrame([(40.5,), (40.4,), (-0.2,)], ["x"])
+    assert [r[0] for r in df.select(printf_round0("x")).collect()] == ["41", "40", "-0"]
+
+
+def test_extract_decimal_and_split(spark):
+    df = spark.createDataFrame([("29.74N", "US-PA", "-80.21, 40.77")], ["lat", "reg", "coord"])
+    row = df.select(
+        extract_decimal("lat").alias("d"),
+        split_item("reg", "-", 1).alias("state"),
+        split_item("coord", ",", 0).cast("double").alias("lon"),
+        spatial_bucket(split_item("coord", ",", 0).cast("double")).alias("b"),
+    ).collect()[0]
+    assert row["d"] == 29.74 and row["state"] == "PA"
+    assert row["lon"] == -80.21 and row["b"] == 80
+
+
+def test_normalize_domain_null_and_invalid(spark):
+    df = spark.createDataFrame([("NY",), ("XX",), (None,)], ["s"])
+    out = [r["s"] for r in normalize_domain(df, "s", ["NY", "CA"]).collect()]
+    assert out == ["NY", "other", "other"]
+
+
+def test_cast_columns(spark):
+    df = spark.createDataFrame([("1.5", "2")], ["a", "b"])
+    out = cast_columns(df, {"a": "double", "b": "int"})
+    assert dict(out.dtypes) == {"a": "double", "b": "int"}
+
+
+def test_surrogate_key_modes(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], ["v"])
+    rn = add_surrogate_key(df, "id", mode="row_number", order_by=["v"])
+    assert {r["v"]: r["id"] for r in rn.collect()} == {"a": 1, "b": 2, "c": 3}
+    h1 = add_surrogate_key(df, "id", mode="hash", natural_key=["v"]).collect()
+    h2 = add_surrogate_key(df, "id", mode="hash", natural_key=["v"]).collect()
+    assert sorted(map(str, h1)) == sorted(map(str, h2))  # deterministic
+    mono = add_surrogate_key(df, "id", mode="monotonic")
+    assert mono.select("id").distinct().count() == 3
+    with pytest.raises(ValueError):
+        add_surrogate_key(df, "id", mode="bogus")
+
+
+def test_top_per_group_and_argmax_ties(spark):
+    df = spark.createDataFrame(
+        [("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "a"), ("g2", "b")],
+        ["g", "v"],
+    )
+    top = top_per_group(
+        df.groupBy("g", "v").count(),
+        partition_by=["g"],
+        order_by=[F.col("count").desc(), F.col("v").asc()],
+    )
+    assert {(r["g"], r["v"]) for r in top.collect()} == {("g1", "x"), ("g2", "a")}
+    # join formulation preserves BOTH tied values for g2
+    am = argmax_join(df, group_by=["g"], count_col="v")
+    assert {(r["g"], r["v"]) for r in am.collect()} == {
+        ("g1", "x"), ("g2", "a"), ("g2", "b")
+    }
+
+
+def test_char_shingles_and_tokens(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",), ("a b",)], ["t"])
+    sh = [r[0] for r in df.select(char_shingles("t", 3)).collect()]
+    assert sh[0] == ["abc", "bcd"]
+    assert sh[1] == []  # shorter than k
+    tok = df.select(tokens("t")).collect()[2][0]
+    assert tok == ["a", "b"]
+
+
+def test_exact_text_dedup_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World"), (2, "hello world!"), (3, "different")], ["id", "t"]
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in exact_text_dedup(df, "id", "t").collect()}
+    assert out == {1: 2, 3: 1}  # normalization unifies 1 and 2; min id kept
+
+
+def test_minhash_identical_docs_agree(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely unrelated text here")],
+        ["id", "t"],
+    )
+    sigs = {r["id"]: r["signature"] for r in minhash_signatures(df, "id", "t", 32).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    assert len(sigs[1]) == 32
+
+
+def test_simhash_close_and_far(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zeta eta theta iota")],
+        ["id", "t"],
+    )
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(df, "id", "t").collect()}
+    assert sigs[1] == sigs[2]
+    assert bin(sigs[1] ^ sigs[3]).count("1") > 0
+
+
+def test_cosine_known_value(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], ["a", "b"])
+    out = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert out[0] == pytest.approx(1.0) and out[1] == pytest.approx(0.0)
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], ["doc_id", "text"])
+    with_bin = attach_binary(df, "text")
+    assert dict(with_bin.dtypes)["payload"] == "binary"
+    meta = {r["doc_id"]: r for r in binary_meta(with_bin, "doc_id").collect()}
+    assert meta[1]["n_bytes"] == 3 and meta[1]["first_byte"] == ord("a")
+    assert meta[2]["n_bytes"] == 0 and meta[2]["first_byte"] == -1
+    dims = {r["doc_id"]: (r["width"], r["height"]) for r in
+            decode_image_meta(with_bin, "doc_id").collect()}
+    assert dims[1][0] >= 16 and dims[2] == (0, 0)
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(with_bin, "doc_id")
+
+
+def test_quality_checks(spark):
+    df = spark.createDataFrame([(1, None), (2, "x")], ["a", "b"])
+    expect_schema(df, [("a", "bigint"), ("b", "string")])
+    with pytest.raises(QualityError):
+        expect_schema(df, [("a", "int"), ("b", "string")])
+    expect_non_null(df, ["a"])
+    with pytest.raises(QualityError):
+        expect_non_null(df, ["b"])
+
+
+def test_sql_and_dataframe_interop(spark, sf_dir):
+    # S6/S7: temp views + spark.sql over the same lineage as DF ops
+    # (reference mixes both, etl.py:171-217).
+    from udacity_data_engineering_capstone_project_spark.sources.readers import load_tables
+
+    tables = load_tables(spark, sf_dir, names=("nation", "region"), register_views=True)
+    joined = spark.sql(
+        "SELECT r_name, count(*) AS n FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    df_side = (
+        tables["nation"]
+        .join(tables["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .count()
+    )
+    assert {(r["r_name"], r["n"]) for r in joined.collect()} == {
+        (r["r_name"], r["count"]) for r in df_side.collect()
+    }
+
+
+def test_partitioned_parquet_roundtrip(spark, tmp_path):
+    # S4 + the reference's acknowledged gap: partitionBy on write.
+    from udacity_data_engineering_capstone_project_spark.sources.sinks import write_parquet
+
+    df = spark.range(100).withColumn("part", (F.col("id") % 4).cast("int"))
+    path = str(tmp_path / "t")
+    write_parquet(df, path, partition_by=["part"])
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    # partition pruning: reading one partition touches 1/4 of the data
+    one = back.filter(F.col("part") == 2)
+    assert one.count() == 25
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.inputFiles()

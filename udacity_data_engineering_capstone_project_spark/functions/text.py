@@ -36,6 +36,10 @@ def char_shingles(col: Column | str, k: int = 3) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     low = F.lower(c)
-    n = F.greatest(F.length(low) - F.lit(k - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), n)  # empty when n == 0
+    n = F.length(low) - F.lit(k - 1)
+    # sequence(1, 0) counts DOWN in Spark — guard short strings to an
+    # explicit empty array instead.
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(F.transform(idx, lambda i: low.substr(i, F.lit(k))))

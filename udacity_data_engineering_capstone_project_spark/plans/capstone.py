@@ -180,11 +180,19 @@ def build_state_temperature(
 
 
 def build_star_schema(
-    immigration: DataFrame, state_temp: DataFrame, key_mode: str = "row_number"
+    immigration: DataFrame,
+    state_temp: DataFrame,
+    key_mode: str = "row_number",
+    persist_dims: bool = True,
 ) -> dict[str, DataFrame]:
     """Dims + facts (reference `create_dim_*`/`create_fact_*`,
     `etl.py:221-293`). Returns the 7 star-schema tables; dims default to
-    deterministic keys so outputs are hash-checkable."""
+    deterministic keys so outputs are hash-checkable.
+
+    ``persist_dims`` caches each dimension (reference C1,
+    `etl.py:311-319`): every dim is consumed at least twice (its own
+    write + the fact join), and without caching each action recomputes
+    the full upstream lineage."""
     dim_state = build_dimension(immigration, ["state"], "id_state", key_mode=key_mode)
     dim_time = build_dimension(
         immigration,
@@ -203,19 +211,41 @@ def build_star_schema(
     dim_ports = build_dimension(immigration, ["i94port"], "id_port", key_mode=key_mode)
     dim_airlines = build_dimension(immigration, ["airline"], "id_airline", key_mode=key_mode)
 
+    if persist_dims:
+        for d in (dim_state, dim_time, dim_ports, dim_airlines):
+            d.persist()
+
+    # Join-side copies with renamed natural keys: the dims derive from
+    # the fact input, so joining on the original columns would be an
+    # ambiguous self-join (same attribute on both sides — Spark 4
+    # rejects the reference's literal formulation, etl.py:287-292).
+    j_time = dim_time.select("date", "id_time")
+    j_air = dim_airlines.withColumnRenamed("airline", "__k_airline")
+    j_ports = dim_ports.withColumnRenamed("i94port", "__k_i94port")
+    j_state = dim_state.withColumnRenamed("state", "__k_state")
+    j_person = dim_person.select(
+        F.col("id_imm").alias("__k_id_imm"), "id_person"
+    )
+    j_temp = state_temp.select(
+        F.col("dayofmonth").alias("__k_dom"),
+        F.col("month").alias("__k_month"),
+        F.col("state").alias("__k_state_t"),
+        "id_temp",
+    )
+
     fact_imm = build_fact(
         immigration,
         dims=[
-            (dim_time, immigration["arrdate_dt"] == dim_time["date"]),
-            (dim_airlines, immigration["airline"] == dim_airlines["airline"]),
-            (dim_ports, immigration["i94port"] == dim_ports["i94port"]),
-            (dim_state, immigration["state"] == dim_state["state"]),
-            (state_temp, [
-                immigration["arrdate_dayofmonth"] == state_temp["dayofmonth"],
-                immigration["arrdate_month"] == state_temp["month"],
-                immigration["state"] == state_temp["state"],
+            (j_time, immigration["arrdate_dt"] == j_time["date"]),
+            (j_air, immigration["airline"] == F.col("__k_airline")),
+            (j_ports, immigration["i94port"] == F.col("__k_i94port")),
+            (j_state, immigration["state"] == F.col("__k_state")),
+            (j_temp, [
+                immigration["arrdate_dayofmonth"] == F.col("__k_dom"),
+                immigration["arrdate_month"] == F.col("__k_month"),
+                immigration["state"] == F.col("__k_state_t"),
             ]),
-            (dim_person, immigration["id_imm"] == dim_person["id_imm"]),
+            (j_person, immigration["id_imm"] == F.col("__k_id_imm")),
         ],
         keep=[
             immigration["id_imm"], "id_state", "id_time", "id_person",
@@ -251,9 +281,7 @@ def run_quality_checks(
 def analyst_query(fact_imm: DataFrame, fact_temp: DataFrame) -> DataFrame:
     """The reference's analyst query (nb cell 46): tourists + average
     temperature per (month, state), busiest first."""
-    joined = fact_imm.join(
-        F.broadcast(fact_temp), fact_imm["id_temp"] == fact_temp["id_temp"]
-    )
+    joined = fact_imm.join(F.broadcast(fact_temp), on="id_temp")
     return (
         joined.groupBy("month", "state")
         .agg(

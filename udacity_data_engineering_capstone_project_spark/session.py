@@ -52,3 +52,39 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def configure_s3(
+    spark: SparkSession,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+) -> None:
+    """Configure the hadoop-aws s3a connector (reference: S5,
+    `etl.py:15-18` sets credentials via env vars before session start;
+    the s3a filesystem also honors these at runtime). Credentials
+    default to the standard AWS env vars / instance profile chain."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if access_key:
+        conf.set("fs.s3a.access.key", access_key)
+    if secret_key:
+        conf.set("fs.s3a.secret.key", secret_key)
+    if endpoint:
+        conf.set("fs.s3a.endpoint", endpoint)
+    conf.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
+
+
+class job_group:
+    """Instrumentation scope (reference: C2, `etl.py:54,94,...` uses
+    sc.setJobGroup('Read'/'Transform'/'DataQuality'/'Analysis'))."""
+
+    def __init__(self, spark: SparkSession, group: str, description: str = ""):
+        self.spark, self.group, self.description = spark, group, description
+
+    def __enter__(self):
+        self.spark.sparkContext.setJobGroup(self.group, self.description)
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.sparkContext.setJobGroup("", "")
+        return False
