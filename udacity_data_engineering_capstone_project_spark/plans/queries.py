@@ -497,6 +497,122 @@ def quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_register(
+    "multi_file_union",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    "Multi-path scan = union-by-position of homogeneous parts "
+    "(S1, etl.py:56: monthly i94 parquet files).",
+)
+def multi_file_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_parquet
+
+    path = f"{sf_dir}/lineitem.parquet"
+    df = read_parquet(spark, [path, path])
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@_register(
+    "rollup_sales",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT)  AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (1, 2)
+    """,
+    "Hierarchical subtotals via ROLLUP (year -> month -> grand total) — "
+    "beyond the reference's flat GROUP BYs.",
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@_register(
+    "set_ops",
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT c_nationkey FROM customer WHERE c_acctbal < -900
+    """,
+    "INTERSECT / EXCEPT set algebra (absent from the reference; "
+    "standard analytics surface).",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    poor = c.filter(F.col("c_acctbal") < -900).select("c_nationkey")
+    return building.intersect(machinery).exceptAll(poor).distinct()
+
+
+@_register(
+    "running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+    "Per-key running aggregation (cumulative window frame).",
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_total"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@_register(
+    "percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Exact interpolated percentiles per group (Spark `percentile` == "
+    "DuckDB `quantile_cont` semantics).",
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
 # =========================================================================
 # Event/time-series (streaming-shaped batch + structured streaming)
 # =========================================================================
@@ -596,6 +712,60 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     return run_stream_to_memory(agg, output_mode="complete")
+
+
+@_register(
+    "streaming_sessionize",
+    """
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ),
+    sessions AS (
+        SELECT user_id, us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id, min(us) AS start_us, max(us) AS end_us, count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    "Stateful streaming sessionization via native session_window "
+    "(30-min gap); oracle is the batch lag+running-sum formulation — "
+    "the two session semantics coincide off the exact-gap boundary.",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        sessionized_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = sessionized_counts(stream, gap="30 minutes", watermark="2 hours")
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@_register(
+    "decay_scores",
+    None,  # sequential per-key recurrence — not SQL-expressible at scale
+    "Custom stateful operator (applyInPandas): per-user exponential "
+    "time-decay activity score replayed over the event history.",
+)
+def decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.stateful import decay_score
+
+    return decay_score(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        half_life_seconds=3600.0,
+    )
 
 
 # =========================================================================

@@ -62,6 +62,33 @@ def windowed_event_counts(
     )
 
 
+def sessionized_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session aggregation with native session windows
+    (`F.session_window`): sessions close after ``gap`` inactivity.
+    The stateful-streaming twin of the batch lag+running-sum
+    sessionizer (plans.queries.sessionize).
+
+    Output: (user_id, start_us, end_us, n_events) — window bounds as
+    epoch-us so results are session-timezone-independent. Note
+    session_window's end is last_event + gap; we report last event
+    time via max(ts) instead for parity with the batch formulation.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+        .select("user_id", "start_us", "end_us", "n_events")
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:
