@@ -66,6 +66,85 @@ def brute_force_topk(
     )
 
 
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) LSH bucket per vector.
+
+    Hyperplane components are deterministic pseudo-random values in
+    [-1, 1) derived JVM-side from xxhash64(plane, dim) — reproducible
+    across runs with no RNG state to ship. Vectors whose cosine is
+    high agree on most plane signs, so bucket equality (all
+    ``num_planes`` signs) is a high-precision candidate filter; at
+    cluster scale the bucket id doubles as a write-partition key,
+    making near-dup search partition-pruned.
+
+    Output: input columns + ``bucket`` (bigint).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    bits = []
+    for p in range(num_planes):
+        # component_j = hash(p, j) scaled to [-1, 1)
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j, p=p: (
+                F.xxhash64(F.lit(p), j).cast("double") / F.lit(float(1 << 63))
+            ),
+        )
+        dot = F.aggregate(
+            F.zip_with(vec, comps, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket.bitwiseOR(b)
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: hyperplane-LSH bucket join ->
+    exact cosine verification. The equi-join on ``bucket`` replaces the
+    all-pairs cross join; recall misses only pairs split by a plane
+    (increase recall with fewer planes or multiple tables)."""
+    b = hyperplane_lsh_buckets(df, id_col, vec_col, num_planes, dim).select(
+        "bucket", F.col(id_col), F.col(vec_col)
+    )
+    l, r = b.alias("l"), b.alias("r")
+    simv = cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(simv, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,

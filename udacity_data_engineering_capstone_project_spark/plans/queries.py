@@ -948,6 +948,77 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_embedding_lsh",
+    None,  # hyperplane signs depend on engine hash — rows-only
+    "Embedding near-dup at scale: 16-hyperplane LSH bucket equi-join "
+    "-> exact cosine verify >= 0.2 (no blocking label needed).",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.2,
+        num_planes=16,
+        dim=64,
+    )
+
+
+@_register(
+    "sql_entrypoint",
+    """
+    WITH seg AS (
+        SELECT c_mktsegment, count(*) AS n_cust,
+               round(avg(c_acctbal), 6) AS avg_bal
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT s.c_mktsegment, s.n_cust, s.avg_bal, count(o.o_orderkey) AS n_orders
+    FROM seg s
+    JOIN customer c ON c.c_mktsegment = s.c_mktsegment
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    GROUP BY s.c_mktsegment, s.n_cust, s.avg_bal
+    """,
+    "Pure spark.sql over registered temp views (reference entry point "
+    "3, etl.py:171-215) — SQL and DataFrame lineages compose.",
+)
+def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.sources.readers import load_tables
+
+    load_tables(spark, sf_dir, names=("customer", "orders"), register_views=True)
+    return spark.sql(
+        """
+        WITH seg AS (
+            SELECT c_mktsegment, count(*) AS n_cust,
+                   round(avg(c_acctbal), 6) AS avg_bal
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT s.c_mktsegment, s.n_cust, s.avg_bal, count(o.o_orderkey) AS n_orders
+        FROM seg s
+        JOIN customer c ON c.c_mktsegment = s.c_mktsegment
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        GROUP BY s.c_mktsegment, s.n_cust, s.avg_bal
+        """
+    )
+
+
+@_register(
+    "streaming_dedup",
+    """
+    SELECT event_type, count(*) AS n_events
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+    "Streaming exact dedup: stateful dropDuplicates on the event id "
+    "inside a streaming query, then aggregate (complete mode).",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream.select("event_id", "event_type").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@_register(
     "text_stats",
     r"""
     WITH s AS (
