@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the scale posture (pushdown,
+broadcast, partial aggregation, shuffle discipline) asserted
+mechanically so a refactor can't silently regress it."""
+
+from __future__ import annotations
+
+import pytest
+
+from udacity_data_engineering_capstone_project_spark.plans.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side combine before the exchange
+    assert "partial_sum" in plan
+    # column pruning: unused columns (l_partkey etc.) never read
+    assert "l_partkey" not in plan
+
+
+def test_star_fact_build_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "star_schema_fact")
+    # every dim join is broadcast-hash; the fact side is never
+    # exchange-partitioned for a join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_left_join_preserve_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "left_join_preserve")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_filter_project_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_project")
+    assert "PushedFilters" in plan
+    # only 4 columns read (3 projected + filter column)
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "o_comment" not in scan_line and "o_custkey" not in scan_line
+
+
+def test_ann_topk_no_corpus_shuffle_before_score(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann_topk")
+    # queries broadcast into a nested-loop join; the only exchange is
+    # the per-query top-k window partitioned by query_id
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_sessionize_single_shuffle_on_user(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sessionize")
+    # lag + running-sum + final group all reuse the user_id partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_signature_stage_is_parallel(spark, sf_dir):
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+
+    sigs = minhash_signatures(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+    # the CPU-heavy hash stage must not run on a single input split
+    assert sigs.rdd.getNumPartitions() > 1
+
+
+@pytest.mark.parametrize(
+    "name", ["pricing_summary", "analyst_top_segments", "date_parts_agg"]
+)
+def test_aggregations_are_codegen(spark, sf_dir, name):
+    # AQE finalizes the plan only on execution; materialize first.
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages in the final plan
+    assert "*(1)" in plan, f"{name}: aggregation fell out of codegen:\n{plan[:800]}"

@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Dims in this workload are small; let Catalyst broadcast generously.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # In local mode driver == executor: size the single JVM for the
+        # host (default 1g OOMs immediately at any real scale). On a
+        # cluster these are overridden by spark-submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
