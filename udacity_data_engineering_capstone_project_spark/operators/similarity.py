@@ -174,6 +174,53 @@ def assign_cells(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Materialize the IVF index: corpus vectors written as parquet
+    partitioned by their cell id. A query then reads only its probed
+    cells' files — partition pruning does the candidate selection, so
+    search cost is O(cell size), independent of corpus size."""
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Search a materialized IVF index. The join on ``cell`` against the
+    partitioned parquet prunes to the probed cells' files only."""
+    index = spark.read.parquet(path)
+    query_cells = assign_cells(queries, centroids, id_col, vec_col)
+    q = query_cells.select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"), F.col("cell")
+    )
+    scored = (
+        index.join(F.broadcast(q), on="cell")
+        .filter(F.col(id_col) != F.col(query_id))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col(id_col).alias("neighbor_id"), "rank", "cos_sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1108,6 +1108,53 @@ def fingerprint_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_prep",
+    r"""
+    WITH fp AS (
+        SELECT doc_id, lang, source, text,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+        FROM documents
+    ),
+    survivors AS (
+        SELECT * FROM fp
+        QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+    ),
+    scored AS (
+        SELECT lang, source,
+               CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+               CAST(length(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS BIGINT) AS n_stop
+        FROM survivors
+    ),
+    kept AS (
+        SELECT lang, source, n_words FROM scored
+        WHERE round((1.0 - CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END)
+                    * least(n_words / 100.0, 1.0), 6) >= 0.1
+    )
+    SELECT lang, source, count(*) AS n_docs_kept, sum(n_words) AS total_words
+    FROM kept GROUP BY lang, source
+    """,
+    "Composite training-data prep pipeline: exact dedup (min-id "
+    "survivor) -> quality filter -> per (lang, source) corpus stats. "
+    "The operators compose as one lazy plan — a single pass shape.",
+)
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.withColumn("f", ts.fingerprint("text"))
+    survivors = top_per_group(
+        fp, partition_by=["f"], order_by=[F.col("doc_id").asc()]
+    )
+    stats = ts.text_stats(survivors, "doc_id", "text")
+    kept = (
+        survivors.select("doc_id", "lang", "source")
+        .join(stats.filter(F.col("quality_score") >= 0.1), on="doc_id")
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
+@_register(
     "multimodal_meta",
     """
     SELECT doc_id,
