@@ -23,6 +23,9 @@ BENCH_QUERIES = [
     # event/time-series
     "sessionize",
     "hourly_windows",
+    "asof_last_click",
+    # composite pipeline
+    "corpus_prep",
     # training-data extensions (scale paths)
     "dedup_exact",
     "dedup_minhash_lsh",

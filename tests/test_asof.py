@@ -1,0 +1,48 @@
+"""Edge cases for the as-of join composition."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from udacity_data_engineering_capstone_project_spark.operators.relational import asof_join
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 200, "l2"), (2, 50, "l3")], ["k", "ts", "lv"]
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 15.0), (2, 60, 99.0)], ["k", "ts", "rv"]
+    )
+    out = {
+        r["lv"]: r["asof_rv"]
+        for r in asof_join(left, right, ["k"], "ts", ["rv"]).collect()
+    }
+    assert out["l1"] == 10.0  # equal ts counts (>= semantics)
+    assert out["l2"] == 15.0  # latest prior, not first
+    assert out["l3"] is None  # no prior right row -> null, row preserved
+
+
+def test_asof_join_plan_single_shuffle(spark):
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("ts")
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("ts"),
+        F.col("id").alias("rv"),
+    )
+    df = asof_join(left, right, ["k"], "ts", ["rv"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    # union + one window shuffle on the key; no join operator at all
+    assert "Join" not in final
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from udacity_data_engineering_capstone_project_spark.plans.queries import REGISTRY
+
+    pdf = REGISTRY["approx_distinct"].fn(spark, sf_dir).toPandas()
+    rel_err = ((pdf.approx_custs - pdf.exact_custs).abs() / pdf.exact_custs).max()
+    assert rel_err < 0.15  # default rsd = 5%, generous bound

@@ -87,6 +87,59 @@ def argmax_join(
     return joined.select(*keys, count_col, count_name)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    right_payload: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right.ts <= left.ts (``backward``) sharing the key — an operator
+    Spark lacks natively, composed scalably from union + window:
+
+    tag both sides, union, sort within key by (ts, tag) so a right row
+    at the same ts precedes the left row, then carry the last non-null
+    right payload forward with `last(..., ignorenulls=True)`. One
+    shuffle on the key, no per-row subquery, no range explosion —
+    survives any data size that sorts within key partitions.
+
+    Left rows with no prior right row keep nulls (left-join
+    semantics). Right payload columns are emitted as ``asof_<name>``.
+    """
+    if direction != "backward":
+        raise NotImplementedError("forward as-of: flip the ordering")
+    keys = list(key_cols)
+    lt = left.withColumn("__tag", F.lit(1))
+    for p in right_payload:
+        lt = lt.withColumn(f"asof_{p}", F.lit(None).cast(dict(right.dtypes)[p]))
+    rt = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("__tag"),
+        *[F.col(p).alias(f"asof_{p}") for p in right_payload],
+    )
+    lt_cols = [c for c in lt.columns if c not in {f"asof_{p}" for p in right_payload}]
+    merged = lt.select(
+        *[F.col(c) for c in lt_cols], *[F.col(f"asof_{p}") for p in right_payload]
+    ).unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        *[c for c in merged.columns if not c.startswith("asof_")],
+        *[
+            F.last(F.col(f"asof_{p}"), ignorenulls=True).over(w).alias(f"asof_{p}")
+            for p in right_payload
+        ],
+    )
+    return carried.filter(F.col("__tag") == 1).drop("__tag")
+
+
 def avg_of_avgs(
     df: DataFrame,
     inner_group: Sequence[str],

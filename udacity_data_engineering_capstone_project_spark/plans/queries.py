@@ -768,6 +768,105 @@ def decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "asof_last_click",
+    """
+    WITH err AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        WHERE event_type = 'error'
+    ),
+    clicks AS (
+        SELECT user_id, event_id AS click_id, value AS click_value,
+               epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT e.user_id, e.event_id, e.ts_us,
+           c.click_id AS asof_click_id, c.click_value AS asof_click_value
+    FROM err e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts_us >= c.ts_us
+    """,
+    "As-of join (operator Spark lacks): each error event paired with "
+    "the user's most recent prior click — union+window composition, "
+    "one shuffle; oracle is DuckDB's native ASOF JOIN.",
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts_us")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        "ts_us",
+    )
+    return asof_join(
+        err, clicks, key_cols=["user_id"], ts_col="ts_us",
+        right_payload=["click_id", "click_value"],
+    ).select("user_id", "event_id", "ts_us", "asof_click_id", "asof_click_value")
+
+
+@_register(
+    "semi_anti_joins",
+    """
+    SELECT 'with_orders' AS segment_kind, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders', count(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "Left-semi / left-anti joins (EXISTS / NOT EXISTS shapes).",
+)
+def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").agg(
+        F.lit("with_orders").alias("segment_kind"), F.count(F.lit(1)).alias("n")
+    )
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").agg(
+        F.lit("without_orders").alias("segment_kind"), F.count(F.lit(1)).alias("n")
+    )
+    return semi.unionByName(anti)
+
+
+@_register(
+    "cube_sales",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE: all grouping-set combinations in one pass.",
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@_register(
+    "approx_distinct",
+    None,  # HLL sketches differ across engines — exactness unit-tested instead
+    "approx_count_distinct (HLL) per segment vs exact — the sketch "
+    "path for 100 TB cardinality estimation.",
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+
+
 # =========================================================================
 # North-star extensions: dedup / similarity / text / multimodal
 # =========================================================================
