@@ -87,6 +87,32 @@ def argmax_join(
     return joined.select(*keys, count_col, count_name)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side and
+    replicate the (smaller) right side across ``salts`` buckets, so one
+    hot key spreads over ``salts`` tasks instead of one straggler.
+
+    The salt is derived deterministically from the left row's
+    partition-internal position hash, not rand() — results are
+    reproducible. AQE's skew-join split handles moderate skew
+    automatically; explicit salting is for the pathological keys AQE
+    can't subdivide (single-key hot spots in a shuffle-hash join).
+    """
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    lt = left.withColumn("__salt", salt_col.cast("int"))
+    rt = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    out = lt.join(rt, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

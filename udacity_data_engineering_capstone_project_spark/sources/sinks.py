@@ -38,6 +38,18 @@ def write_csv(
     writer.csv(path)
 
 
+def materialize(df: DataFrame, path: str, format: str = "parquet") -> DataFrame:
+    """Checkpoint a DataFrame: write + read back, truncating lineage.
+
+    The reference recomputes lineage on every action (counts during
+    read, write, and quality checks each re-trigger the DAG,
+    SURVEY.md §3); materializing before multi-action use pays the scan
+    once. Prefer this over .persist() when the result must survive the
+    session or exceed cluster memory."""
+    df.write.mode("overwrite").format(format).save(path)
+    return df.sparkSession.read.format(format).load(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,
