@@ -751,6 +751,41 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_user_stats",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    "Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running accumulator across micro-batches; with "
+    "availableNow + update mode the final emission per user equals "
+    "the batch aggregate.",
+)
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        running_user_stats,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        running_user_stats(stream, timeout_ms=None), output_mode="update"
+    )
+    # update mode emits one row per user per micro-batch; the last
+    # emission per user is the final total (availableNow = bounded).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    w = Window.partitionBy("user_id").orderBy(SF.col("n_events").desc())
+    return (
+        out.withColumn("__rn", SF.row_number().over(w))
+        .filter(SF.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@_register(
     "decay_scores",
     None,  # sequential per-key recurrence — not SQL-expressible at scale
     "Custom stateful operator (applyInPandas): per-user exponential "

@@ -89,6 +89,82 @@ def sessionized_counts(
     )
 
 
+def running_user_stats(
+    stream: DataFrame,
+    timeout_ms: int | None = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running (count, sum, max) accumulator that survives
+    across micro-batches — state the built-in aggregations can't
+    expose mid-stream (e.g. for per-key online features).
+
+    Emits one row per user per micro-batch with the updated totals.
+    State times out after ``timeout_ms`` of processing-time inactivity
+    (bounded state, the 100 TB requirement). Pass ``timeout_ms=None``
+    for bounded availableNow replays — with a processing-time timeout
+    the query would keep scheduling empty batches until every key's
+    state expires before terminating.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    output_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("m", DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            m = max(m, float(pdf["value"].max()))
+        state.update((n, round(s, 6), m))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)],
+             "max_value": [m]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:
