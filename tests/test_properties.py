@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for operator invariants — the
+corpus-style testing SURVEY.md §5 calls out as missing in the
+reference. Kept to a few examples per property: each example round
+trips through the JVM."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from udacity_data_engineering_capstone_project_spark.operators.relational import asof_join
+from udacity_data_engineering_capstone_project_spark.operators.cleaning import normalize_domain
+
+EXAMPLE_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@settings(**EXAMPLE_SETTINGS)
+def test_asof_join_matches_bruteforce(spark_global, left, right):
+    spark = spark_global
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], ["k", "ts", "lid"]
+    )
+    rdf = (
+        spark.createDataFrame(right, ["k", "ts", "rv"])
+        if right
+        else spark.createDataFrame([], "k long, ts long, rv long")
+    )
+    out = {
+        r["lid"]: r["asof_rv"]
+        for r in asof_join(ldf, rdf, ["k"], "ts", ["rv"]).collect()
+    }
+    # brute force: for each left row, rv of max right.ts <= left.ts in key
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, rv) for (rk, rts, rv) in right if rk == k and rts <= ts]
+        expected = max(cands)[1] if cands else None
+        assert out[i] == expected, (i, k, ts, cands)
+    assert len(out) == len(left)  # every left row preserved
+
+
+@given(
+    values=st.lists(
+        st.one_of(st.none(), st.sampled_from(["A", "B", "C", "zzz", ""])),
+        min_size=1,
+        max_size=10,
+    ),
+    valid=st.sets(st.sampled_from(["A", "B", "C"]), min_size=1),
+)
+@settings(**EXAMPLE_SETTINGS)
+def test_normalize_domain_closure(spark_global, values, valid):
+    spark = spark_global
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = [r["v"] for r in normalize_domain(df, "v", sorted(valid)).collect()]
+    # closure: every output is in valid | {'other'}; membership preserved
+    assert all(o in valid or o == "other" for o in out)
+    assert len(out) == len(values)
+    for inp, o in zip(values, out):
+        assert o == (inp if inp in valid else "other")

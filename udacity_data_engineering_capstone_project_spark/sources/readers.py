@@ -51,13 +51,30 @@ def read_csv(
     header: bool = True,
     schema: StructType | None = None,
     infer_schema: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str | None = None,
 ) -> DataFrame:
     """Read CSV(s); all-string by default (reference parity, `etl.py:67`),
-    or with a declared ``StructType`` / inference when asked."""
+    or with a declared ``StructType`` / inference when asked.
+
+    ``mode``: PERMISSIVE (nulls for malformed fields), DROPMALFORMED,
+    or FAILFAST. With a declared schema, pass ``corrupt_column`` to
+    capture raw malformed records in a side column instead of losing
+    them — at 100 TB you quarantine bad rows, not crash on them.
+    """
     if isinstance(paths, str):
         paths = [paths]
-    reader = spark.read.option("header", "true" if header else "false")
+    reader = spark.read.option("header", "true" if header else "false").option(
+        "mode", mode
+    )
     if schema is not None:
+        if corrupt_column is not None:
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType(
+                list(schema.fields) + [StructField(corrupt_column, StringType())]
+            )
+            reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
         reader = reader.schema(schema)
     elif infer_schema:
         reader = reader.option("inferSchema", "true")
