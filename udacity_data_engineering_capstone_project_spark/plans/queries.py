@@ -1069,7 +1069,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH (pigeonhole-exact recall).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dd.simhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    # persist: the banded self-join consumes the signature lineage twice
+    sigs = dd.simhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).persist()
     pairs = dd.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
     return pairs.withColumn("hamming", F.col("hamming").cast("long"))
 
