@@ -1,0 +1,65 @@
+"""Incremental checkpointed ingestion + ANN recall measurements."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+
+from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+from udacity_data_engineering_capstone_project_spark.streaming.events import (
+    incremental_ingest,
+)
+
+
+def test_incremental_ingest_processes_only_new_files(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    src = "/root/testdata/sf0.001/nation.parquet"
+    shutil.copy(src, landing / "batch1.parquet")
+
+    n1 = incremental_ingest(spark, str(landing), ckpt, out)
+    assert n1 == 25
+    assert spark.read.parquet(out).count() == 25
+
+    # second run with NO new files: nothing processed
+    n2 = incremental_ingest(spark, str(landing), ckpt, out)
+    assert n2 == 0
+
+    # a new file lands: only its rows are processed
+    shutil.copy(src, landing / "batch2.parquet")
+    n3 = incremental_ingest(spark, str(landing), ckpt, out)
+    assert n3 == 25
+    assert spark.read.parquet(out).count() == 50
+
+
+def test_ivf_multiprobe_recall_improves(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        approx = ivf_topk(
+            emb, queries, centroids, "vec_id", "embedding", k=10, nprobe=nprobe
+        )
+        hits = {
+            (r["query_id"], r["neighbor_id"]) for r in approx.collect()
+        } & truth
+        return len(hits) / len(truth)
+
+    r1, r2 = recall(1), recall(3)
+    # multi-probe must not lose recall, and 1-probe must find something
+    assert r2 >= r1 >= 0.05
+    assert r2 > 0.15, f"recall@10 nprobe=3 unexpectedly low: {r2}"

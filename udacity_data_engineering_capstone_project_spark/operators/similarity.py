@@ -151,12 +151,15 @@ def assign_cells(
     id_col: str,
     vec_col: str,
     centroid_id: str = "cell",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid by cosine for every vector.
+    """IVF cell assignment: the ``nprobe`` nearest centroids by cosine
+    for every vector (nprobe=1 for corpus placement; >1 for query-side
+    multi-probe, which recovers recall lost at cell boundaries).
 
     Centroids are broadcast (they are tiny by construction); one
-    row_number window per vector id picks the argmax — deterministic
-    with centroid-id tiebreak.
+    row_number window per vector id ranks them — deterministic with
+    centroid-id tiebreak. Output has one row per (vector, probed cell).
     """
     cents = centroids.select(
         F.col(id_col).alias(centroid_id), F.col(vec_col).alias("__centvec")
@@ -169,7 +172,7 @@ def assign_cells(
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= nprobe)
         .drop("__rn", "__csim", "__centvec")
     )
 
@@ -198,11 +201,12 @@ def search_ivf_index(
     vec_col: str,
     k: int = 10,
     query_id: str = "query_id",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Search a materialized IVF index. The join on ``cell`` against the
     partitioned parquet prunes to the probed cells' files only."""
     index = spark.read.parquet(path)
-    query_cells = assign_cells(queries, centroids, id_col, vec_col)
+    query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
     q = query_cells.select(
         F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"), F.col("cell")
     )
@@ -229,16 +233,16 @@ def ivf_topk(
     vec_col: str,
     k: int = 10,
     query_id: str = "query_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's own IVF cell (1 probe).
-
-    Recall < 1.0 by design near cell boundaries; increase probes by
-    unioning next-nearest cells if needed. At 100 TB the corpus-side
+    """Approximate top-k: search the query's ``nprobe`` nearest IVF
+    cells. Recall < 1.0 near cell boundaries at nprobe=1; each extra
+    probe unions one more cell's candidates. At 100 TB the corpus-side
     assignment is done once offline and written partitioned by cell, so
-    a query touches only its cell's files (partition pruning).
+    a query touches only its probed cells' files (partition pruning).
     """
     corpus_cells = assign_cells(corpus, centroids, id_col, vec_col)
-    query_cells = assign_cells(queries, centroids, id_col, vec_col)
+    query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
     q = query_cells.select(
         F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"), F.col("cell")
     )

@@ -165,6 +165,44 @@ def running_user_stats(
     )
 
 
+def incremental_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    transform=None,
+) -> int:
+    """Incremental batch ingestion: process only files that appeared in
+    ``landing_dir`` since the last run (availableNow + checkpoint) and
+    append the transformed rows to partitioned parquet.
+
+    This is the reference write-up's 'daily incremental processing'
+    wish implemented on the streaming engine: each invocation is a
+    bounded job; the checkpoint tracks consumed files, so re-running
+    after new files land processes exactly the delta. Returns the
+    number of rows written this run.
+    """
+    schema = spark.read.parquet(landing_dir).schema
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    if transform is not None:
+        stream = transform(stream)
+
+    counter = {"rows": 0}
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counter["rows"] += batch_df.count()
+        batch_df.write.mode("append").parquet(output_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counter["rows"]
+
+
 def run_stream_to_memory(
     agg: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:
