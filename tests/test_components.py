@@ -1,0 +1,41 @@
+"""Connected-components / dedup-representative semantics."""
+
+from __future__ import annotations
+
+from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+    connected_components,
+    dedup_representatives,
+)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3 (transitively one cluster though (1,3) never paired),
+    # pair 10-11, isolated edge-free nodes are absent from edges
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_deep_chain(spark):
+    # a 12-node path exercises multiple propagation iterations
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_dedup_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    out = {
+        r["doc_id"]: (r["representative"], r["is_representative"])
+        for r in dedup_representatives(docs, pairs, "doc_id").collect()
+    }
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True)  # no edges -> self-representative
+    assert out[4] == (4, True) and out[5] == (4, False)

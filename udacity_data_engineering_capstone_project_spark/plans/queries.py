@@ -1170,6 +1170,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_clusters",
+    None,  # builds on engine-hash minhash pairs — rows-only
+    "Iterative connected components over MinHash near-dup pairs: "
+    "every doc mapped to its cluster representative (transitive "
+    "closure the pairwise output can't express).",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    out = dd.dedup_representatives(docs.select("doc_id", "lang"), pairs, "doc_id")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_representative").cast("long")).alias("n_kept"),
+    )
+
+
+@_register(
     "dedup_embedding",
     """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
