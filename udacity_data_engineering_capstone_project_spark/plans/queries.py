@@ -562,6 +562,77 @@ def bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pivot_event_types",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'login')    AS login
+    FROM events
+    GROUP BY 1
+    """,
+    "Pivot: long -> wide event-type counts per user bucket (explicit "
+    "pivot values keep the schema static — mandatory at scale, a "
+    "values-discovery pass is an extra job).",
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase", "error", "login"])
+        .count()
+    )
+    # pivot yields nulls for absent combinations; counts should be 0
+    return out.fillna(0, subset=["click", "view", "purchase", "error", "login"])
+
+
+@_register(
+    "unpivot_measures",
+    """
+    SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    """,
+    "Unpivot (melt): wide columns -> (measure, value) long form.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@_register(
+    "array_agg_sorted",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           count(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Deterministic array aggregation: collect distinct values, sort, "
+    "serialize (collect_set order is partition-dependent — sorting "
+    "restores determinism).",
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
+@_register(
     "json_extract_events",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
