@@ -725,6 +725,55 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "scalar_function_sink",
+    """
+    SELECT o_orderkey,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0')     AS padded_key,
+           left(o_orderpriority, 1)                       AS prio_code,
+           replace(o_orderpriority, '-', '_')             AS prio_snake,
+           translate(o_orderstatus, 'OFP', 'ofp')         AS status_lower,
+           reverse(o_orderstatus)                         AS status_rev,
+           repeat(o_orderstatus, 2)                       AS status_twice,
+           CAST(instr(o_orderpriority, '-') AS BIGINT)    AS dash_pos,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(sign(o_totalprice - 250000) AS DOUBLE)    AS above_mid,
+           round(power(o_totalprice / 100000, 2), 6)      AS price_sq,
+           round(ln(o_totalprice), 6)                     AS price_ln,
+           round(sqrt(o_totalprice), 6)                   AS price_sqrt,
+           greatest(o_totalprice, 100000.0)               AS floored_price,
+           nullif(o_orderstatus, 'O')                     AS non_open_status
+    FROM orders
+    """,
+    "Scalar-function breadth in one pass: string pad/slice/translate/"
+    "repeat, date diff/trunc, sign/power/ln/sqrt, greatest/nullif — "
+    "all JVM expressions inside one codegen stage.",
+)
+def scalar_function_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_snake"),
+        F.translate(F.col("o_orderstatus"), "OFP", "ofp").alias("status_lower"),
+        F.reverse(F.col("o_orderstatus")).alias("status_rev"),
+        F.repeat(F.col("o_orderstatus"), 2).alias("status_twice"),
+        F.instr(F.col("o_orderpriority"), "-").cast("long").alias("dash_pos"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.trunc(F.col("o_orderdate"), "month").alias("order_month"),
+        F.signum(F.col("o_totalprice") - 250000).cast("double").alias("above_mid"),
+        F.round(F.pow(F.col("o_totalprice") / 100000, 2), 6).alias("price_sq"),
+        F.round(F.log(F.col("o_totalprice")), 6).alias("price_ln"),
+        F.round(F.sqrt(F.col("o_totalprice")), 6).alias("price_sqrt"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floored_price"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("non_open_status"),
+    )
+
+
+@_register(
     "quality_counts",
     """
     SELECT 'region' AS table_name, count(*) AS n_rows FROM region
