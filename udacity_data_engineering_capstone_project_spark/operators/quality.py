@@ -45,6 +45,52 @@ def expect_schema(df: DataFrame, expected_fields: Sequence[tuple[str, str]], nam
         raise QualityError(f"{name}: schema mismatch\n expected={list(expected_fields)}\n actual={actual}")
 
 
+def expect_unique_key(
+    df: DataFrame, key_cols: Sequence[str], name: str = "dataframe"
+) -> None:
+    """Assert (composite) key uniqueness — the primary-key constraint
+    the reference's star schema assumes but never checks."""
+    dup = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise QualityError(
+            f"{name}: duplicate key {dict((c, dup[0][c]) for c in key_cols)}"
+        )
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Column profile in one aggregation pass per column, unioned:
+    (column_name, n_rows, n_nulls, n_distinct, min_value, max_value) —
+    min/max rendered as strings so heterogeneous columns stack.
+
+    The profiling sweep a data-quality gate runs before trusting a new
+    drop of 100 TB input.
+    """
+    parts = []
+    for c in columns:
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
+                F.countDistinct(F.col(c)).alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_value"),
+                F.max(F.col(c)).cast("string").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def expect_non_null(df: DataFrame, columns: Sequence[str], name: str = "dataframe") -> None:
     """Assert no nulls in the given columns — one aggregate pass."""
     aggs = [

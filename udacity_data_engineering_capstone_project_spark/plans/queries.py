@@ -774,6 +774,39 @@ def scalar_function_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+    "Column profiling sweep (nulls, distinct cardinality, min/max) — "
+    "the trust-a-new-data-drop quality gate.",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        profile_columns,
+    )
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"), ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
+@_register(
     "quality_counts",
     """
     SELECT 'region' AS table_name, count(*) AS n_rows FROM region
