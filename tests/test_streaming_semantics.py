@@ -1,0 +1,113 @@
+"""Watermark semantics end-to-end: late data beyond the watermark is
+dropped from finalized windows (append mode), on a real multi-batch
+file stream."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path, rows):
+    # flat single parquet FILES (spark writes directories, which the
+    # file-stream source does not recurse into)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    table = pa.table(
+        {
+            # tz-aware so Spark reads TIMESTAMP (watermarks reject NTZ);
+            # test session runs in UTC so rendered times are stable
+            "ts": pa.array([r[0] for r in rows], type=pa.timestamp("us", tz="UTC")),
+            "event_type": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+            "user_id": [r[3] for r in rows],
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    t = lambda s: datetime.fromisoformat(s)
+
+    _write_events(
+        spark,
+        f"{landing}/f1.parquet",
+        [
+            (t("2024-01-01 10:00:30"), "click", 1.0, 1),
+            (t("2024-01-01 10:01:00"), "click", 1.0, 1),
+            (t("2024-01-01 10:30:00"), "click", 1.0, 1),
+        ],
+    )
+    time.sleep(1.2)  # distinct modification times for the file source
+    _write_events(
+        spark,
+        f"{landing}/f2.parquet",
+        [
+            (t("2024-01-01 10:02:00"), "click", 1.0, 1),
+            (t("2024-01-01 11:00:00"), "click", 1.0, 1),
+        ],
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list[tuple[str, int]] = []
+
+    def run_once():
+        # One bounded incremental run; the watermark persists in the
+        # checkpoint between runs (the real incremental-job deployment
+        # shape).
+        schema = spark.read.parquet(f"{landing}/f1.parquet").schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format("w.start", "HH:mm").alias("w_start"), "n_events"
+            )
+        )
+
+        def collect_batch(batch_df, batch_id):
+            emitted.extend(
+                (r["w_start"], r["n_events"]) for r in batch_df.collect()
+            )
+
+        q = (
+            agg.writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")  # append emits only FINALIZED windows
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # processes f1+f2: watermark ends at 11:00 - 10min = 10:50
+    # windows ending <= 10:50 are finalized: 10:00 (3: the 10:02 event
+    # was NOT late within a single batch — watermark only advances
+    # BETWEEN batches) and 10:30 (1).
+    assert dict(emitted) == {"10:00": 3, "10:30": 1}, emitted
+
+    emitted.clear()
+    # a genuinely late event arrives in a LATER run: beyond the
+    # checkpointed 10:50 watermark -> silently dropped, no re-emission
+    _write_events(
+        spark,
+        f"{landing}/f3.parquet",
+        [(t("2024-01-01 10:03:00"), "click", 1.0, 1)],
+    )
+    run_once()
+    assert emitted == [], f"late event must be dropped, got {emitted}"
+
+    emitted.clear()
+    # new on-time data still flows: 12:00 event finalizes the 11:00 window
+    _write_events(
+        spark,
+        f"{landing}/f4.parquet",
+        [(t("2024-01-01 12:00:00"), "click", 1.0, 1)],
+    )
+    run_once()
+    assert dict(emitted) == {"11:00": 1}, emitted
