@@ -22,7 +22,6 @@ BENCH_QUERIES = [
     "top1_per_group",
     # event/time-series
     "sessionize",
-    "hourly_windows",
     "asof_last_click",
     # composite pipeline
     "corpus_prep",
@@ -32,8 +31,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_topk",
     "ann_ivf",
-    "text_stats",
-    "token_counts_by_lang",
+    # one-pass text tier (replaces text_stats + token_counts_by_lang)
+    "text_profile",
 ]
 
 

@@ -31,8 +31,18 @@ def test_star_fact_build_broadcasts_all_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_left_join_preserve_broadcasts(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "left_join_preserve")
+def test_left_dim_join_broadcasts(spark, sf_dir):
+    # row-preserving left dim join (J3-J8 shape) stays broadcast-hash
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    joined = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left"
+    ).select("o_orderkey", "c_name")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
 
 

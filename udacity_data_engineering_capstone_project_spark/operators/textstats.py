@@ -78,6 +78,44 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+def text_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep: Sequence[str] = (),
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Every per-document text metric in ONE projection: quality stats
+    (chars/words/stopwords/ratio/score), token counts (whitespace +
+    BPE-ish) and script-heuristic language ID. One codegen stage, no
+    join — the shape that survives a 100 TB corpus (the individual
+    operators above stay available for narrow pipelines)."""
+    t = F.col(text_col)
+    n_words = F.regexp_count(t, F.lit(r"[A-Za-z]+")).cast("long")
+    n_stop = F.regexp_count(F.lower(t), F.lit(_stop_pattern(stopwords))).cast("long")
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    quality = (F.lit(1.0) - stop_ratio) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+    lang_pred = (
+        F.when(t.rlike("[一-鿿]"), F.lit("zh"))
+        .when(t.rlike("[Ѐ-ӿ]"), F.lit("ru"))
+        .when(t.rlike("[؀-ۿ]"), F.lit("ar"))
+        .when(t.rlike("[ऀ-ॿ]"), F.lit("hi"))
+        .otherwise(F.lit("en"))
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.length(t).cast("long").alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).cast("long").alias("n_bpe_tokens"),
+        lang_pred.alias("lang_pred"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of normalized text."""
     return F.md5(normalize_text(col))

@@ -147,27 +147,6 @@ def normalize_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "string_funcs",
-    """
-    SELECT p_partkey,
-           split_part(p_name, ' ', 1)                       AS name_first,
-           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS BIGINT) AS brand_num,
-           upper(p_type)                                    AS type_upper
-    FROM part
-    """,
-    "split+getItem / regexp_extract / case funcs (F1-F2, etl.py:135-158).",
-)
-def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.split(F.col("p_name"), " ").getItem(0).alias("name_first"),
-        F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).cast("long").alias("brand_num"),
-        F.upper(F.col("p_type")).alias("type_upper"),
-    )
-
-
-@_register(
     "sas_date_decode",
     """
     SELECT o_orderkey,
@@ -292,24 +271,6 @@ def argmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "left_join_preserve",
-    """
-    SELECT o.o_orderkey, c.c_name
-    FROM orders o
-    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
-      ON o.o_custkey = c.c_custkey
-    """,
-    "Row-preserving left dim join with null tolerance (J3-J8, etl.py:285-293).",
-)
-def left_join_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
-    return o.join(
-        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left"
-    ).select("o_orderkey", "c_name")
-
-
-@_register(
     "star_schema_fact",
     """
     WITH base AS (
@@ -335,7 +296,7 @@ def left_join_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN dim_priority p ON b.o_orderpriority = p.o_orderpriority
     """,
     "Full star-schema build: dims w/ deterministic keys + row-preserving "
-    "fact assembly (etl.py:221-293 via plans.star).",
+    "left dim joins (J3-J8, etl.py:221-293 via plans.star).",
 )
 def star_schema_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -377,22 +338,6 @@ def avg_of_avgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_name="avg_of_avg_qty",
     )
     return out.withColumn("avg_of_avg_qty", F.round(F.col("avg_of_avg_qty"), 6))
-
-
-@_register(
-    "count_distinct_global",
-    """
-    SELECT count(DISTINCT c_mktsegment) AS n_segments,
-           count(DISTINCT c_nationkey)  AS n_nations
-    FROM customer
-    """,
-    "Global distinct-cardinality (A5/Q3, etl.py:353-360).",
-)
-def count_distinct_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "customer").agg(
-        F.countDistinct("c_mktsegment").alias("n_segments"),
-        F.countDistinct("c_nationkey").alias("n_nations"),
-    )
 
 
 @_register(
@@ -562,52 +507,38 @@ def bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "pivot_event_types",
+    "pivot_unpivot",
     """
-    SELECT user_id % 10 AS user_bucket,
-           count(*) FILTER (WHERE event_type = 'click')    AS click,
-           count(*) FILTER (WHERE event_type = 'view')     AS view,
-           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-           count(*) FILTER (WHERE event_type = 'error')    AS error,
-           count(*) FILTER (WHERE event_type = 'login')    AS login
-    FROM events
-    GROUP BY 1
+    WITH buckets AS (SELECT DISTINCT user_id % 10 AS user_bucket FROM events),
+    types AS (SELECT unnest(['click','view','purchase','error','login']) AS event_type),
+    counts AS (
+        SELECT user_id % 10 AS user_bucket, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT b.user_bucket, t.event_type, COALESCE(c.n, 0) AS n_events
+    FROM buckets b CROSS JOIN types t
+    LEFT JOIN counts c
+      ON c.user_bucket = b.user_bucket AND c.event_type = t.event_type
     """,
-    "Pivot: long -> wide event-type counts per user bucket (explicit "
-    "pivot values keep the schema static — mandatory at scale, a "
-    "values-discovery pass is an extra job).",
+    "Pivot (long -> wide event-type counts, explicit values so the "
+    "schema is static — mandatory at scale) then unpivot (melt) back "
+    "to long form: the roundtrip materializes zero-count combinations "
+    "a plain GROUP BY can't.",
 )
-def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    out = (
+    types = ["click", "view", "purchase", "error", "login"]
+    wide = (
         ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
-        .pivot("event_type", ["click", "view", "purchase", "error", "login"])
+        .pivot("event_type", types)
         .count()
+        .fillna(0, subset=types)  # pivot yields nulls for absent combos
     )
-    # pivot yields nulls for absent combinations; counts should be 0
-    return out.fillna(0, subset=["click", "view", "purchase", "error", "login"])
-
-
-@_register(
-    "unpivot_measures",
-    """
-    SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS value FROM customer
-    UNION ALL
-    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
-    """,
-    "Unpivot (melt): wide columns -> (measure, value) long form.",
-)
-def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.col("c_acctbal").alias("acctbal"),
-        F.col("c_nationkey").cast("double").alias("nationkey"),
-    )
-    return c.unpivot(
-        ids=["c_custkey"],
-        values=["acctbal", "nationkey"],
-        variableColumnName="measure",
-        valueColumnName="value",
+    return wide.unpivot(
+        ids=["user_bucket"],
+        values=types,
+        variableColumnName="event_type",
+        valueColumnName="n_events",
     )
 
 
@@ -657,26 +588,35 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "window_rankings",
+    "window_funcs",
     """
     SELECT o_custkey, o_orderkey,
            CAST(rank()       OVER w AS BIGINT) AS rnk,
            CAST(dense_rank() OVER w AS BIGINT) AS drnk,
            CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
            lag(o_totalprice)  OVER w AS prev_price,
-           lead(o_totalprice) OVER w AS next_price
+           lead(o_totalprice) OVER w AS next_price,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
     """,
     "Window-function breadth: rank / dense_rank / ntile / lag / lead "
-    "over one reusable window spec.",
+    "over one spec + running-total cumulative frame and row_number "
+    "over a second spec — both specs share the o_custkey partitioning "
+    "so one exchange serves every window.",
 )
-def window_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return _t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
@@ -685,6 +625,8 @@ def window_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_total"),
+        F.row_number().over(wseq).cast("long").alias("order_seq"),
     )
 
 
@@ -729,6 +671,9 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            lpad(CAST(o_orderkey AS VARCHAR), 12, '0')     AS padded_key,
+           split_part(o_orderpriority, '-', 2)            AS prio_word,
+           CAST(regexp_extract(o_orderpriority, '(\\d+)', 1) AS BIGINT) AS prio_num,
+           lower(o_orderpriority)                         AS prio_lower,
            left(o_orderpriority, 1)                       AS prio_code,
            replace(o_orderpriority, '-', '_')             AS prio_snake,
            translate(o_orderstatus, 'OFP', 'ofp')         AS status_lower,
@@ -745,15 +690,19 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            nullif(o_orderstatus, 'O')                     AS non_open_status
     FROM orders
     """,
-    "Scalar-function breadth in one pass: string pad/slice/translate/"
-    "repeat, date diff/trunc, sign/power/ln/sqrt, greatest/nullif — "
-    "all JVM expressions inside one codegen stage.",
+    "Scalar-function breadth in one pass: split+getItem / "
+    "regexp_extract / case funcs (F1-F2, etl.py:135-158), string "
+    "pad/slice/translate/repeat, date diff/trunc, sign/power/ln/sqrt, "
+    "greatest/nullif — all JVM expressions inside one codegen stage.",
 )
 def scalar_function_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.split(F.col("o_orderpriority"), "-").getItem(1).alias("prio_word"),
+        F.regexp_extract(F.col("o_orderpriority"), r"(\d+)", 1).cast("long").alias("prio_num"),
+        F.lower(F.col("o_orderpriority")).alias("prio_lower"),
         F.substring("o_orderpriority", 1, 1).alias("prio_code"),
         F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_snake"),
         F.translate(F.col("o_orderstatus"), "OFP", "ofp").alias("status_lower"),
@@ -794,7 +743,8 @@ def scalar_function_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     "Column profiling sweep (nulls, distinct cardinality, min/max) — "
-    "the trust-a-new-data-drop quality gate.",
+    "the trust-a-new-data-drop quality gate; also the global "
+    "distinct-cardinality surface (A5/Q3, etl.py:353-360).",
 )
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.quality import (
@@ -852,29 +802,47 @@ def multi_file_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "rollup_sales",
+    "grouping_sets_sales",
     """
-    SELECT CAST(year(o_orderdate) AS BIGINT)  AS o_year,
-           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
            round(sum(o_totalprice), 2) AS sum_price
     FROM orders
-    GROUP BY ROLLUP (1, 2)
+    GROUP BY GROUPING SETS (
+        (1, o_orderstatus, o_orderpriority),
+        (1, o_orderstatus),
+        (o_orderstatus, o_orderpriority),
+        (1), (o_orderstatus), ()
+    )
     """,
-    "Hierarchical subtotals via ROLLUP (year -> month -> grand total) — "
-    "beyond the reference's flat GROUP BYs.",
+    "GROUPING SETS: one pass over a custom lattice of grouping "
+    "combinations — the general operator ROLLUP (prefix sets) and "
+    "CUBE (power sets) are sugar for; beyond the reference's flat "
+    "GROUP BYs.",
 )
-def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .rollup(
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            F.month("o_orderdate").cast("long").alias("o_month"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        )
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grouping columns must be pre-materialized plain columns — Spark
+    # matches set members to grouping columns by expression identity
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    o_year, status, prio = F.col("o_year"), F.col("o_orderstatus"), F.col("o_orderpriority")
+    return o.groupingSets(
+        [
+            [o_year, status, prio],
+            [o_year, status],
+            [status, prio],
+            [o_year],
+            [status],
+            [],
+        ],
+        o_year,
+        status,
+        prio,
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
 
 
@@ -896,32 +864,6 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
     poor = c.filter(F.col("c_acctbal") < -900).select("c_nationkey")
     return building.intersect(machinery).exceptAll(poor).distinct()
-
-
-@_register(
-    "running_totals",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-           CAST(row_number() OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
-    FROM orders
-    """,
-    "Per-key running aggregation (cumulative window frame).",
-)
-def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_total"),
-        F.row_number().over(w).cast("long").alias("order_seq"),
-    )
 
 
 @_register(
@@ -1001,30 +943,6 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("us").alias("start_us"),
         F.max("us").alias("end_us"),
-    )
-
-
-@_register(
-    "hourly_windows",
-    """
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    "Tumbling event-time windows (batch twin of the streaming agg).",
-)
-def hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
 
 
@@ -1198,27 +1116,6 @@ def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("without_orders").alias("segment_kind"), F.count(F.lit(1)).alias("n")
     )
     return semi.unionByName(anti)
-
-
-@_register(
-    "cube_sales",
-    """
-    SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    "CUBE: all grouping-set combinations in one pass.",
-)
-def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        )
-    )
 
 
 @_register(
@@ -1506,73 +1403,36 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "text_stats",
+    "text_profile",
     r"""
     WITH s AS (
-        SELECT doc_id,
+        SELECT doc_id, lang, text,
                CAST(length(text) AS BIGINT) AS n_chars_calc,
                CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
                CAST(length(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS BIGINT) AS n_stop
         FROM documents
     )
-    SELECT doc_id, n_chars_calc, n_words, n_stop,
+    SELECT doc_id, lang, n_chars_calc, n_words, n_stop,
            round(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END, 6) AS stop_ratio,
            round((1.0 - CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END)
-                 * least(n_words / 100.0, 1.0), 6) AS quality_score
-    FROM s
-    """,
-    "Per-document quality stats: char/word/stopword counts, composite "
-    "quality score.",
-)
-def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@_register(
-    "token_counts_by_lang",
-    r"""
-    WITH t AS (
-        SELECT lang,
-               CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
-               CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
-        FROM documents
-    )
-    SELECT lang, count(*) AS n_docs,
-           sum(n_ws)  AS total_ws_tokens,
-           sum(n_bpe) AS total_bpe_tokens
-    FROM t GROUP BY lang
-    """,
-    "Token counting (whitespace + BPE-ish regex) aggregated per language.",
-)
-def token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    counts = ts.token_counts(docs, "doc_id", "text")
-    joined = docs.select("doc_id", "lang").join(counts, on="doc_id")
-    return joined.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_ws_tokens").cast("long").alias("total_ws_tokens"),
-        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
-    )
-
-
-@_register(
-    "lang_id",
-    r"""
-    SELECT doc_id, lang,
+                 * least(n_words / 100.0, 1.0), 6) AS quality_score,
+           CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
            CASE WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
                 WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
                 WHEN regexp_matches(text, '[\x{0600}-\x{06FF}]') THEN 'ar'
                 WHEN regexp_matches(text, '[\x{0900}-\x{097F}]') THEN 'hi'
                 ELSE 'en' END AS lang_pred
-    FROM documents
+    FROM s
     """,
-    "Script-heuristic language ID (expression-only, linear scale).",
+    "Per-document text profile in one codegen pass: quality stats "
+    "(char/word/stopword counts, composite score), token counts "
+    "(whitespace + BPE-ish regex) and script-heuristic language ID — "
+    "no join, linear scale.",
 )
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    pred = ts.language_id(docs, "doc_id", "text")
-    return docs.select("doc_id", "lang").join(pred, on="doc_id").select(
-        "doc_id", "lang", "lang_pred"
+def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.text_profile(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", keep=("lang",)
     )
 
 
@@ -1646,7 +1506,14 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
-           CAST(ascii(text) AS BIGINT)  AS first_byte
+           -- first UTF-8 BYTE of the payload, derived from the first
+           -- character's codepoint (ascii() returns the codepoint, which
+           -- differs from the leading byte for any non-ASCII character)
+           CAST(CASE WHEN length(text) = 0   THEN -1
+                     WHEN ascii(text) < 128   THEN ascii(text)
+                     WHEN ascii(text) < 2048  THEN 192 + ascii(text) // 64
+                     WHEN ascii(text) < 65536 THEN 224 + ascii(text) // 4096
+                     ELSE 240 + ascii(text) // 262144 END AS BIGINT) AS first_byte
     FROM documents
     """,
     "Multimodal plumbing: opaque binary payload + Arrow-batched "
@@ -1655,6 +1522,31 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = mm.attach_binary(_t(spark, sf_dir, "documents"), "text")
     return mm.binary_meta(docs, "doc_id")
+
+
+# ------------------------------------------------------------------
+# Driver grading window: the driver records a CORRECTNESS row for the
+# FIRST 50 registered queries only. Keep the registry <= 50 total and
+# front the extension tier (text/multimodal/SQL-entry/streaming-dedup)
+# so a future addition can never push an entry outside the window.
+# ------------------------------------------------------------------
+_FRONT = [
+    "pricing_summary",  # flagship — entry() runs it
+    "sql_entrypoint",
+    "corpus_prep",
+    "text_profile",
+    "fingerprint_by_source",
+    "streaming_dedup",
+    "dedup_embedding_lsh",
+    "multimodal_meta",
+]
+_ordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
+_ordered.update({n: s for n, s in REGISTRY.items() if n not in _ordered})
+REGISTRY = _ordered
+assert len(REGISTRY) <= 50, (
+    f"registry holds {len(REGISTRY)} queries; the driver verifies only "
+    "the first 50 — consolidate before registering more"
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
