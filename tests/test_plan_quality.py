@@ -68,6 +68,38 @@ def test_sessionize_single_shuffle_on_user(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_argmax_join_works_without_broadcast(spark, sf_dir):
+    # argmax_join must not force-broadcast the per-group max table
+    # (one row per group, unbounded at scale). With auto-broadcast
+    # disabled the plan must fall back to a shuffle join AND still
+    # produce the tie-preserving result.
+    thresholds = {
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": None,
+    }
+    for k in thresholds:
+        thresholds[k] = spark.conf.get(k, None)
+        spark.conf.set(k, "-1")
+    try:
+        df = REGISTRY["argmax_ties"].fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        from tests.oracle_utils import compare_frames, run_oracle
+
+        compare_frames(
+            df.toPandas(),
+            run_oracle(REGISTRY["argmax_ties"].oracle, sf_dir),
+            "argmax_ties_no_broadcast",
+        )
+    finally:
+        for k, v in thresholds.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_minhash_signature_stage_is_parallel(spark, sf_dir):
     from udacity_data_engineering_capstone_project_spark.operators.dedup import (
         minhash_signatures,

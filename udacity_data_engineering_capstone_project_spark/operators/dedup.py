@@ -134,8 +134,10 @@ def lsh_candidate_pairs(
     )
     # Bucket join and pair-dedup carry ONLY ids — signatures (8*num_hashes
     # bytes each) would multiply the shuffle volume; they are re-attached
-    # afterwards with broadcast joins (one signature row per doc: tiny
-    # relative to the pair set).
+    # afterwards by id. The re-join deliberately carries NO broadcast
+    # hint: the signature table is O(corpus) (one row per document), so
+    # forcing it executor-resident OOMs at real scale — AQE picks
+    # broadcast-hash on its own whenever the runtime size allows.
     buckets = sig_df.select(
         F.col(id_col), F.explode(band_entries).alias("bk")
     ).select(id_col, "bk.band", "bk.bucket")
@@ -159,7 +161,7 @@ def lsh_candidate_pairs(
     )
     sa = sig_df.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sig_df.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    return pair_ids.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    return pair_ids.join(sa, "id_a").join(sb, "id_b")
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
@@ -247,9 +249,11 @@ def ngram_jaccard_pairs(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    # sizes is per-document (O(corpus)) — no broadcast hint; see
+    # lsh_candidate_pairs.
     return (
-        inter.join(F.broadcast(sa), F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(F.broadcast(sb), F.col("id_b") == F.col(f"sb.{id_col}"))
+        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -428,10 +432,10 @@ def dedup_representatives(
 
     Output: df columns + ``representative`` + ``is_representative``.
     """
+    # comp has one row per clustered node — bounded by the corpus, not
+    # by anything small, so no broadcast hint (AQE decides at runtime).
     comp = connected_components(pairs)
-    joined = df.join(
-        F.broadcast(comp.withColumnRenamed("node", id_col)), on=id_col, how="left"
-    )
+    joined = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
     rep = F.coalesce(F.col("component"), F.col(id_col))
     return joined.select(
         *[F.col(c) for c in df.columns],

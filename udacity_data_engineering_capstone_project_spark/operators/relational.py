@@ -78,8 +78,13 @@ def argmax_join(
     maxed = maxed.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys], F.col("__max_num")
     )
+    # NO broadcast hint on `maxed`: it holds one row per group, and
+    # group cardinality is unbounded (e.g. per-customer argmax at 100x
+    # scale is tens of millions of rows). Both sides already hash on
+    # the group keys, so the join reuses `counted`'s partitioning; AQE
+    # downgrades to broadcast-hash by itself when the side is small.
     joined = counted.join(
-        F.broadcast(maxed),
+        maxed,
         on=[F.col(k) == F.col(f"__k_{k}") for k in keys]
         + [F.col(count_name) == F.col("__max_num")],
         how="inner",
@@ -98,13 +103,27 @@ def salted_join(
     replicate the (smaller) right side across ``salts`` buckets, so one
     hot key spreads over ``salts`` tasks instead of one straggler.
 
-    The salt is derived deterministically from the left row's
-    partition-internal position hash, not rand() — results are
-    reproducible. AQE's skew-join split handles moderate skew
-    automatically; explicit salting is for the pathological keys AQE
-    can't subdivide (single-key hot spots in a shuffle-hash join).
+    The salt is the left row's position (monotonically_increasing_id
+    mod salts) — round-robin within each input partition, so even
+    fully-identical duplicate rows of one hot key spread across all
+    buckets (a value-derived hash would send them to a single salt).
+    Deterministic for a fixed input layout. AQE's skew-join split
+    handles moderate skew automatically; explicit salting is for the
+    pathological keys AQE can't subdivide.
+
+    Replicating the right side across salts is only sound when
+    unmatched RIGHT rows are never emitted, so ``how`` is restricted
+    to inner/left flavors (a right/full outer join would emit each
+    unmatched right row ``salts`` times).
     """
-    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would "
+            "duplicate unmatched right rows across salt buckets"
+        )
+    salt_col = F.pmod(F.monotonically_increasing_id(), F.lit(salts))
     lt = left.withColumn("__salt", salt_col.cast("int"))
     rt = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))

@@ -638,10 +638,12 @@ def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part a JOIN part b
       ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
      AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name != b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name != b.p_name
     """,
     "Fuzzy string matching: edit-distance pairs blocked by first "
-    "letter (levenshtein is JVM-side; blocking bounds the quadratic).",
+    "letter (levenshtein is JVM-side; blocking bounds the quadratic). "
+    "Threshold 3 yields nonzero matches at every test SF — a 0=0 "
+    "oracle comparison would be vacuous.",
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name").withColumn(
@@ -657,7 +659,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.p_partkey") < F.col("b.p_partkey"),
             ],
         )
-        .filter((dist <= 2) & (F.col("a.p_name") != F.col("b.p_name")))
+        .filter((dist <= 3) & (F.col("a.p_name") != F.col("b.p_name")))
         .select(
             F.col("a.p_partkey").alias("id_a"),
             F.col("b.p_partkey").alias("id_b"),
