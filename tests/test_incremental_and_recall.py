@@ -59,7 +59,24 @@ def test_ivf_multiprobe_recall_improves(spark, sf_dir):
         } & truth
         return len(hits) / len(truth)
 
-    r1, r2 = recall(1), recall(3)
-    # multi-probe must not lose recall, and 1-probe must find something
-    assert r2 >= r1 >= 0.05
-    assert r2 > 0.15, f"recall@10 nprobe=3 unexpectedly low: {r2}"
+    r1, r2, r3 = recall(1), recall(2), recall(3)
+    # each extra probe must strictly recover boundary recall on this
+    # corpus (measured 0.25 / 0.40 / 0.515 at sf0.001)
+    assert r3 > r2 > r1 >= 0.05, f"recall not improving: {r1} {r2} {r3}"
+
+
+def test_ivf_corpus_placement_has_no_window(spark, sf_dir):
+    # nprobe=1 placement must be a partial-aggregatable min_by, not a
+    # row_number window over the full n*k scored corpus
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    plan = (
+        assign_cells(emb, centroids, "vec_id", "embedding")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_min_by" in plan

@@ -157,9 +157,15 @@ def assign_cells(
     for every vector (nprobe=1 for corpus placement; >1 for query-side
     multi-probe, which recovers recall lost at cell boundaries).
 
-    Centroids are broadcast (they are tiny by construction); one
-    row_number window per vector id ranks them — deterministic with
-    centroid-id tiebreak. Output has one row per (vector, probed cell).
+    Centroids are broadcast (they are tiny by construction). The
+    nprobe=1 corpus-placement path uses a ``min_by`` aggregation —
+    partial-aggregatable (map-side combine, no sort), so the n*k
+    scored rows never shuffle; only one best-cell row per vector does.
+    The nprobe>1 path (query side, small by construction) ranks with a
+    row_number window. Both tie-break deterministically on the rounded
+    similarity, then the smaller centroid id.
+
+    Output has one row per (vector, probed cell).
     """
     cents = centroids.select(
         F.col(id_col).alias(centroid_id), F.col(vec_col).alias("__centvec")
@@ -167,6 +173,16 @@ def assign_cells(
     scored = vectors.crossJoin(F.broadcast(cents)).withColumn(
         "__csim", F.round(cosine(F.col(vec_col), F.col("__centvec")), 6)
     )
+    if nprobe == 1:
+        payload = F.struct(
+            *[F.col(c) for c in vectors.columns if c != id_col],
+            F.col(centroid_id),
+        )
+        # min of (-csim, cell) == max csim, then min cell — works for
+        # any orderable centroid-id type (no negation of the id needed)
+        order_key = F.struct((-F.col("__csim")).alias("__ncsim"), F.col(centroid_id))
+        best = scored.groupBy(id_col).agg(F.min_by(payload, order_key).alias("__best"))
+        return best.select(F.col(id_col), F.col("__best.*"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("__csim").desc(), F.col(centroid_id).asc()
     )

@@ -1305,13 +1305,22 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY row_number() OVER (PARTITION BY e.vec_id
                                    ORDER BY csim DESC, cents.cell ASC) = 1
     ),
-    q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assign WHERE vec_id < 5),
+    qprobe AS (
+        SELECT e.vec_id AS query_id, e.v AS qv, cents.cell,
+               round(list_dot_product(e.v, cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))), 6)
+                   AS csim
+        FROM e CROSS JOIN cents
+        WHERE e.vec_id < 5
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY csim DESC, cents.cell ASC) <= 2
+    ),
     scored AS (
         SELECT q.query_id, a.vec_id AS neighbor_id,
                round(list_dot_product(qv, a.v) /
                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))), 6)
                    AS cos_sim
-        FROM assign a JOIN q ON a.cell = q.cell
+        FROM assign a JOIN qprobe q ON a.cell = q.cell
         WHERE a.vec_id != q.query_id
     )
     SELECT query_id, neighbor_id,
@@ -1321,15 +1330,18 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     QUALIFY rank <= 10
     """,
-    "IVF ANN: deterministic centroids (vec_id % 100 = 0), 1-probe cell "
-    "search — the partition-pruned scale path.",
+    "IVF ANN: deterministic centroids (vec_id % 100 = 0), 2-probe "
+    "query search over a 1-probe corpus placement — the partition-"
+    "pruned scale path, with multi-probe recovering boundary recall "
+    "(corpus vectors live in exactly one cell, so probed candidate "
+    "sets are disjoint and need no dedup).",
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 100 == 0)
     queries = emb.filter(F.col("vec_id") < 5)
     return sim.ivf_topk(
-        emb, queries, centroids, id_col="vec_id", vec_col="embedding", k=10
+        emb, queries, centroids, id_col="vec_id", vec_col="embedding", k=10, nprobe=2
     )
 
 
