@@ -92,18 +92,20 @@ def minhash_signatures(
     # same shingle minimizes neighboring slots, correlating signature
     # positions and inflating the Jaccard estimate (measured: 1.6k ->
     # 5.4M false near-dup pairs on the sf0.1 corpus).
+    # The per-slot expressions are built as SQL strings (one F.expr =
+    # one py4j round-trip each) rather than nested Column calls: with
+    # 64 slots the Column-API construction alone cost >1 s of driver
+    # time per invocation (measured; execution was 0.35 s) — hundreds
+    # of py4j round-trips, all before Spark saw the plan.
     shingle_rows = _ensure_parallelism(df, id_col).select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("__shingle")
     ).withColumn("__h", F.xxhash64(F.col("__shingle")))
     mins = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__h{i}")
-        for i in range(num_hashes)
+        F.expr(f"min(xxhash64(__h, {i})) AS __h{i}") for i in range(num_hashes)
     ]
     agg = shingle_rows.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("signature"),
-    )
+    arr = ", ".join(f"__h{i}" for i in range(num_hashes))
+    return agg.select(F.col(id_col), F.expr(f"array({arr}) AS signature"))
 
 
 def lsh_candidate_pairs(
@@ -272,24 +274,23 @@ def simhash_signatures(
 
     Output: (id, simhash bigint).
     """
-    tok = _ensure_parallelism(df, id_col).select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    # sum(bit_i) vs n/2 replaces sum(+-1) > 0 (equivalent: the +-1 sum
+    # is 2*ones - n); expressions are SQL strings — see
+    # minhash_signatures for why (py4j construction cost with 64
+    # per-bit Column trees dwarfed the actual execution).
+    tok = (
+        _ensure_parallelism(df, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .withColumn("__h", F.xxhash64(F.col("__t")))
     )
-    h = F.xxhash64(F.col("__t"))
     sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__b{i}")
-        for i in range(bits)
+        F.expr(f"sum(shiftright(__h, {i}) & 1) AS __c{i}") for i in range(bits)
     ]
-    agg = tok.groupBy(id_col).agg(*sums)
-    sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    agg = tok.groupBy(id_col).agg(F.expr("count(*) AS __n"), *sums)
+    sig = " | ".join(
+        f"if(2 * __c{i} > __n, shiftleft(1L, {i}), 0L)" for i in range(bits)
+    )
+    return agg.select(F.col(id_col), F.expr(f"({sig}) AS simhash"))
 
 
 def simhash_near_pairs(
