@@ -146,6 +146,66 @@ def test_full_star_schema_and_quality(spark, staging):
         capstone.run_quality_checks(tables, {"dim_state": 99})
 
 
+def test_incremental_capstone_cross_run(spark, staging, tmp_path):
+    """The write-up's 'daily incremental processing' wish end-to-end:
+    run 1 ingests the initial staging drop, run 2 is a no-op, run 3
+    ingests ONLY the new file's rows and the rebuilt star schema passes
+    the quality gate on the combined totals."""
+    import shutil
+
+    imm, temp, air = staging
+    st = capstone.build_state_temperature(
+        capstone.clean_temperature(temp), capstone.clean_airport_codes(air)
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    stage = str(tmp_path / "staging")
+
+    def land(df, name):
+        outd = tmp_path / f"w_{name}"
+        df.coalesce(1).write.parquet(str(outd))
+        part = next(p for p in outd.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, landing / name)
+
+    land(imm, "batch1.parquet")
+    n1, tables = capstone.incremental_capstone_update(
+        spark, str(landing), ckpt, stage, st
+    )
+    assert n1 == 6  # raw staging rows ingested
+    assert tables["fact_imm"].count() == 4  # dup + business row dropped
+
+    n2, t2 = capstone.incremental_capstone_update(
+        spark, str(landing), ckpt, stage, st
+    )
+    assert n2 == 0 and t2 is None  # nothing new landed
+
+    delta = spark.createDataFrame(
+        [
+            Row(cicid=6.0, i94port="ORD", arrdate=20585.0, i94addr="IL",
+                depdate=None, i94visa=2.0, biryear=1999.0, gender="F",
+                airline="WN"),
+        ],
+        schema=imm.schema,
+    )
+    land(delta, "batch2.parquet")
+    n3, t3 = capstone.incremental_capstone_update(
+        spark, str(landing), ckpt, stage, st
+    )
+    assert n3 == 1  # ONLY the delta was ingested
+    capstone.run_quality_checks(
+        t3,
+        expected_counts={
+            "fact_imm": 5,
+            "dim_person": 5,
+            "dim_state": 4,      # NY, FL, other + new IL
+            "dim_ports": 5,      # + ORD
+            "dim_airlines": 5,   # + WN
+        },
+        expected_distinct_states=4,
+    )
+
+
 def test_analyst_query(spark, staging):
     imm, temp, air = staging
     final = capstone.clean_immigration(imm)

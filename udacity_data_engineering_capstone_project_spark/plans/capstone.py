@@ -278,6 +278,54 @@ def run_quality_checks(
         )
 
 
+def incremental_capstone_update(
+    spark,
+    landing_dir: str,
+    checkpoint_dir: str,
+    staging_dir: str,
+    state_temp: DataFrame,
+    key_mode: str = "row_number",
+) -> tuple[int, dict[str, DataFrame] | None]:
+    """Daily incremental processing — the reference write-up's explicit
+    wish (Capstone_Project.ipynb cell 44: "the data should be updated
+    daily... append the latest data incrementally").
+
+    Each invocation:
+
+    1. ingests ONLY the staging files that landed since the last run
+       (checkpointed availableNow stream; idempotent per-batch output —
+       `streaming.events.incremental_ingest`);
+    2. if anything new arrived, re-derives the star schema over the
+       ACCUMULATED raw staging. The clean + dims must see the full
+       history: a delta can introduce new dimension values and dedup /
+       surrogate keys are defined over the whole table, so dims and
+       facts are recomputed (cheap relative to ingest — they are
+       aggregates of the cleaned staging), while the expensive raw
+       ingest is strictly incremental.
+
+    Returns (rows ingested this run, star-schema tables or None when
+    nothing new landed).
+    """
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        incremental_ingest,
+    )
+
+    n_new = incremental_ingest(spark, landing_dir, checkpoint_dir, staging_dir)
+    if n_new == 0:
+        return 0, None
+    # CRITICAL for cross-run correctness: the previous run persisted
+    # its dims, and Spark's CacheManager serves any plan fragment that
+    # MATCHES a cached plan — a fresh read of the same staging path
+    # would silently resolve to the stale cached dimensions (measured:
+    # dim_state missed a newly-ingested state). refreshByPath evicts
+    # caches + file listings derived from the path.
+    spark.catalog.refreshByPath(staging_dir)
+    raw = spark.read.parquet(staging_dir).drop("batch_id")
+    cleaned = clean_immigration(raw, key_mode="xxhash64")
+    tables = build_star_schema(cleaned, state_temp, key_mode=key_mode)
+    return n_new, tables
+
+
 def analyst_query(fact_imm: DataFrame, fact_temp: DataFrame) -> DataFrame:
     """The reference's analyst query (nb cell 46): tourists + average
     temperature per (month, state), busiest first."""

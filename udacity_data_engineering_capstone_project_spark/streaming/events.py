@@ -181,6 +181,15 @@ def incremental_ingest(
     bounded job; the checkpoint tracks consumed files, so re-running
     after new files land processes exactly the delta. Returns the
     number of rows written this run.
+
+    Exactly-once output: each micro-batch overwrites its own
+    ``batch_id=N`` partition directory. The checkpoint commits a batch
+    only AFTER foreachBatch returns, so a crash between write and
+    commit replays the same batch_id — the overwrite replaces the
+    partial output instead of appending duplicates. (Readers see
+    ``batch_id`` as an ingestion-lineage partition column.) The batch
+    is persisted so the count and the write run one computation, not
+    two.
     """
     schema = spark.read.parquet(landing_dir).schema
     stream = spark.readStream.schema(schema).parquet(landing_dir)
@@ -190,8 +199,14 @@ def incremental_ingest(
     counter = {"rows": 0}
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        counter["rows"] += batch_df.count()
-        batch_df.write.mode("append").parquet(output_dir)
+        batch_df.persist()
+        try:
+            counter["rows"] += batch_df.count()
+            batch_df.write.mode("overwrite").parquet(
+                f"{output_dir}/batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_write_batch)
