@@ -1,0 +1,121 @@
+"""Audio (WAV) support, image resize, TF-IDF / BM25 retrieval scoring
+— the remaining multimodal + text-curation operators."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from udacity_data_engineering_capstone_project_spark.operators.audio import (
+    audio_features,
+    decode_audio_meta,
+    encode_wav,
+    parse_wav_meta,
+)
+from udacity_data_engineering_capstone_project_spark.operators.multimodal import (
+    decode_png_pixels,
+    encode_png,
+    resize_image,
+)
+from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+    bm25_scores,
+    tfidf_top_terms,
+)
+
+
+def test_wav_header_roundtrip():
+    samples = (np.sin(np.linspace(0, 2 * np.pi * 440, 1600)) * 20000).astype(np.int16)
+    wav = encode_wav(samples, sample_rate=16000)
+    assert parse_wav_meta(wav) == (16000, 1, 16, 1600)
+    with pytest.raises(ValueError):
+        parse_wav_meta(b"not audio")
+
+
+def test_audio_meta_and_features(spark):
+    sr = 8000
+    # 1 s of a full-scale 100 Hz square wave: rms=1, peak=1, zcr=200/7999
+    t = np.arange(sr)
+    square = (np.where((t // 40) % 2 == 0, 32767, -32768)).astype(np.int16)
+    silence = np.zeros(sr, dtype=np.int16)
+    rows = [
+        (1, encode_wav(square, sr)),
+        (2, encode_wav(silence, sr)),
+        (3, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    meta = {r["doc_id"]: r for r in decode_audio_meta(df, "doc_id").collect()}
+    assert meta[1]["sample_rate"] == sr and meta[1]["duration_ms"] == 1000
+    assert meta[1]["channels"] == 1 and meta[1]["bits"] == 16
+    assert meta[3]["sample_rate"] is None
+
+    feats = {r["doc_id"]: r for r in audio_features(df, "doc_id").collect()}
+    assert feats[1]["rms"] == pytest.approx(1.0, abs=2e-4)
+    assert feats[1]["peak"] == pytest.approx(1.0, abs=2e-4)
+    assert feats[1]["zero_crossing_rate"] == pytest.approx(199 / 7999, abs=1e-4)
+    assert feats[2]["rms"] == 0.0 and feats[2]["peak"] == 0.0
+    assert feats[3]["rms"] is None
+
+
+def test_resize_image_downsample(spark):
+    # 4x4 RGB: each 2x2 quadrant a solid color -> 2x2 nearest-neighbor
+    # picks the quadrant colors
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = colors[0]
+    img[:2, 2:] = colors[1]
+    img[2:, :2] = colors[2]
+    img[2:, 2:] = colors[3]
+    png = encode_png(4, 4, img.tobytes())
+    df = spark.createDataFrame([(1, png), (2, b"junk")], ["doc_id", "payload"])
+    out = {r["doc_id"]: r for r in resize_image(df, "doc_id", 2, 2).collect()}
+    assert out[1]["width"] == 2 and out[1]["height"] == 2
+    w, h, ch, px = decode_png_pixels(bytes(out[1]["payload"]))
+    got = np.asarray(px, dtype=np.uint8).reshape(2, 2, 3)
+    assert tuple(got[0, 0]) == colors[0] and tuple(got[0, 1]) == colors[1]
+    assert tuple(got[1, 0]) == colors[2] and tuple(got[1, 1]) == colors[3]
+    assert out[2]["payload"] is None
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the cat sat on the mat the cat slept"),
+        (3, "fox and cat are animals the fox hunts"),
+        (4, "numbers 123 and symbols #! are not words"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tfidf_top_terms(spark, corpus):
+    out = tfidf_top_terms(corpus, "doc_id", "text", k=3)
+    rows = [(r["doc_id"], r["rank"], r["term"]) for r in out.collect()]
+    by_doc = {}
+    for d, rank, term in rows:
+        by_doc.setdefault(d, []).append((rank, term))
+    # every doc got <= 3 ranked terms, rank contiguous from 1
+    for d, terms in by_doc.items():
+        ranks = sorted(r for r, _ in terms)
+        assert ranks == list(range(1, len(ranks) + 1))
+    # 'cat' (tf=2, df=2) is in doc 2's top-3 with the exact smoothed
+    # score 2*(ln(5/3)+1)
+    assert "cat" in [t for _, t in by_doc[2]]
+    cat = next(r for r in out.collect() if r["doc_id"] == 2 and r["term"] == "cat")
+    assert cat["tfidf"] == pytest.approx(2 * (math.log(5 / 3) + 1), abs=1e-6)
+    assert cat["doc_freq"] == 2 and cat["tf"] == 2
+
+
+def test_bm25_scores(spark, corpus):
+    out = {r["doc_id"]: r["bm25"] for r in
+           bm25_scores(corpus, "doc_id", "text", ["fox", "cat"]).collect()}
+    # doc 4 mentions neither term
+    assert set(out) == {1, 2, 3}
+    # doc 3 has both terms (fox twice) -> highest score
+    assert out[3] > out[1] and out[3] > out[2]
+    # hand-check doc 1 ('fox' once): N=4, df(fox)=2, dl=9,
+    # avgdl=(9+9+8+6)/4=8
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    expected = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 9 / 8))
+    assert out[1] == pytest.approx(expected, abs=1e-6)

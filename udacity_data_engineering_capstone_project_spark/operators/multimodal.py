@@ -259,6 +259,57 @@ def decode_image_meta(df: DataFrame, id_col: str, payload_col: str = "payload") 
     return df.select(id_col, payload_col).mapInPandas(_decode, schema)
 
 
+def resize_image(
+    df: DataFrame,
+    id_col: str,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode, per row inside
+    Arrow batches (the standard image-normalization stage before a
+    vision training pipeline). numpy fancy-indexing does the resample —
+    no per-pixel Python. Non-PNG payloads yield nulls.
+
+    Output: (id, width, height, payload binary) — a valid PNG at the
+    target dimensions.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField(payload_col, BinaryType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, ch, px = decode_png_pixels(bytes(payload))
+                    img = np.asarray(px, dtype=np.uint8).reshape(h, w, ch)
+                    ys = (np.arange(target_h) * h) // target_h
+                    xs = (np.arange(target_w) * w) // target_w
+                    out = img[ys][:, xs]
+                    rows.append(
+                        (int(rid), target_w, target_h,
+                         encode_png(target_w, target_h, out.tobytes(), ch))
+                    )
+                except (ValueError, zlib.error):
+                    rows.append((int(rid), None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", payload_col]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, schema)
+
+
 def decode_image_pixels(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
     """Full PNG pixel decode via Arrow-batched mapInPandas (stdlib
     inflate + unfilter; non-PNG payloads yield nulls). Output:

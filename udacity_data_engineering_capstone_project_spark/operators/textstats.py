@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from udacity_data_engineering_capstone_project_spark.functions.text import (
@@ -119,3 +119,96 @@ def text_profile(
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of normalized text."""
     return F.md5(normalize_text(col))
+
+
+def _term_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) rows: lowercased alphabetic words."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the classic
+    corpus-exploration / keyword-extraction operator.
+
+    All distributed, no driver scalars: term frequencies and document
+    frequencies are aggregations; the corpus size joins in as a 1-row
+    broadcast cross join. idf = ln((N+1)/(df+1)) + 1 (smoothed).
+
+    Output: (id, term, tf, doc_freq, tfidf r6, rank 1..k), rank by
+    tfidf desc then term asc (deterministic).
+    """
+    terms = _term_rows(df, id_col, text_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n_docs") + 1) / (F.col("doc_freq") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "tfidf", "rank")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a bag of query terms —
+    distributed full-corpus ranking (the retrieval scorer for
+    training-data curation, e.g. "find documents about X").
+
+    The term filter is applied BEFORE the tf aggregation so only
+    query-term rows shuffle; corpus stats (N, avgdl) ride a 1-row
+    broadcast. Output: (id, bm25 r6), matching docs only, descending
+    score not imposed (caller orders).
+    """
+    terms = _term_rows(df, id_col, text_col)
+    doclen = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        terms.filter(F.col("term").isin(qt))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    stats = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+        doclen.agg(F.avg("dl").alias("__avgdl"))
+    )
+    idf = F.log(
+        1
+        + (F.col("__n") - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    per_term = (
+        tf.join(dfreq, on="term")
+        .join(doclen, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", idf * F.col("tf") * (k1 + 1) / denom)
+    )
+    return per_term.groupBy(id_col).agg(F.round(F.sum("__s"), 6).alias("bm25"))
