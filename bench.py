@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "ann_topk",
     "ann_ivf",
     # one-pass text tier (replaces text_stats + token_counts_by_lang)
@@ -56,7 +57,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
-        # isolate queries from each other's GC debt
+        # isolate queries from each other: drop persisted lineages the
+        # LSH operators pin (they accumulate across a shared session —
+        # measured 4x swings on dedup_minhash_lsh from cache pressure)
+        # and flush GC debt
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         best, rows = None, 0
         for _ in range(2):  # best-of-2: first run pays codegen compile + GC noise

@@ -66,6 +66,18 @@ def brute_force_topk(
     )
 
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mix (splitmix64) — plane-matrix PRNG with
+    no RNG state to ship and no engine-hash dependence."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str,
@@ -75,40 +87,31 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-cosine) LSH bucket per vector.
 
-    Hyperplane components are deterministic pseudo-random values in
-    [-1, 1) derived JVM-side from xxhash64(plane, dim) — reproducible
-    across runs with no RNG state to ship. Vectors whose cosine is
-    high agree on most plane signs, so bucket equality (all
+    The plane matrix is CONSTANT: components are splitmix64(p*dim+j)
+    scaled to [-1, 1), computed once on the driver and embedded as
+    array literals, so each row pays exactly num_planes zip_with dot
+    products. (The previous formulation derived every component with a
+    per-row xxhash64 lambda — 1024 extra hash evaluations per row,
+    measured 43 s at sf0.1 through the self-join.) Vectors whose
+    cosine is high agree on most plane signs, so bucket equality (all
     ``num_planes`` signs) is a high-precision candidate filter; at
     cluster scale the bucket id doubles as a write-partition key,
     making near-dup search partition-pruned.
 
     Output: input columns + ``bucket`` (bigint).
     """
-    vec = F.col(vec_col).cast("array<double>")
-    bits = []
+    terms = []
     for p in range(num_planes):
-        # component_j = hash(p, j) scaled to [-1, 1)
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j, p=p: (
-                F.xxhash64(F.lit(p), j).cast("double") / F.lit(float(1 << 63))
-            ),
+        comps = ", ".join(
+            repr(_splitmix64(p * dim + j) / float(1 << 63) - 1.0)
+            for j in range(dim)
         )
-        dot = F.aggregate(
-            F.zip_with(vec, comps, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        dot = (
+            f"aggregate(zip_with(cast({vec_col} as array<double>), "
+            f"array({comps}), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
         )
-        bits.append(
-            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket.bitwiseOR(b)
-    return df.withColumn("bucket", bucket)
+        terms.append(f"if({dot} >= 0D, shiftleft(1L, {p}), 0L)")
+    return df.withColumn("bucket", F.expr(" | ".join(terms)))
 
 
 def lsh_near_dup_pairs(
@@ -122,10 +125,14 @@ def lsh_near_dup_pairs(
     """Embedding near-dup pairs at scale: hyperplane-LSH bucket join ->
     exact cosine verification. The equi-join on ``bucket`` replaces the
     all-pairs cross join; recall misses only pairs split by a plane
-    (increase recall with fewer planes or multiple tables)."""
+    (increase recall with fewer planes or multiple tables).
+
+    The bucketed table is persisted: the self-join consumes it twice,
+    and without pinning it the whole bucket computation re-runs per
+    side."""
     b = hyperplane_lsh_buckets(df, id_col, vec_col, num_planes, dim).select(
         "bucket", F.col(id_col), F.col(vec_col)
-    )
+    ).persist()
     l, r = b.alias("l"), b.alias("r")
     simv = cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
     return (
