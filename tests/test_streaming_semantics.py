@@ -111,3 +111,41 @@ def test_watermark_drops_late_events(spark, tmp_path):
     )
     run_once()
     assert dict(emitted) == {"11:00": 1}, emitted
+
+
+def test_rocksdb_state_store_backend(spark, tmp_path):
+    """The production state backend: session windows over RocksDB state
+    must produce exactly the in-memory provider's results (at real
+    scale the default HDFS-backed in-memory store OOMs on large keyed
+    state; RocksDB spills to local disk)."""
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        sessionized_counts,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+
+    def run():
+        agg = sessionized_counts(
+            read_events_stream(spark, sf_dir), gap="30 minutes", watermark="2 hours"
+        )
+        out = run_stream_to_memory(agg, output_mode="complete")
+        return sorted(map(tuple, out.collect()))
+
+    baseline = run()
+    assert len(baseline) > 0
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        assert run() == baseline
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

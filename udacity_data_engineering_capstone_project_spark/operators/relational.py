@@ -185,6 +185,49 @@ def asof_join(
     return carried.filter(F.col("__tag") == 1).drop("__tag")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval join: left rows whose ``point_col`` falls inside a right
+    row's [start_col, end_col] with matching keys — an operator Spark
+    only plans as a broadcast-nested-loop / full theta join natively.
+
+    Bucket-and-prune formulation: each right interval explodes to the
+    fixed-width buckets it overlaps, each left point maps to exactly
+    one bucket, and the match becomes an EQUI-join on (keys, bucket)
+    plus an exact containment filter. Shuffle volume is
+    O(points + intervals * spans) instead of O(points x intervals);
+    pick ``bucket_width`` near the typical interval length so spans
+    stay small. Intervals and points use integral units (epoch-us,
+    days — caller chooses).
+
+    Output: all left columns + all right columns (names must not
+    collide; alias beforehand). Inner-join semantics.
+    """
+    keys = list(key_cols)
+    span = F.sequence(
+        F.floor(F.col(start_col) / bucket_width),
+        F.floor(F.col(end_col) / bucket_width),
+    )
+    rt = right.withColumn("__bucket", F.explode(span))
+    lt = left.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket_width)
+    )
+    out = lt.join(rt, on=keys + ["__bucket"]).filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    # a point matches an interval in exactly one bucket (its own), so
+    # no dedup pass is needed
+    return out.drop("__bucket")
+
+
 def avg_of_avgs(
     df: DataFrame,
     inner_group: Sequence[str],
