@@ -60,3 +60,31 @@ def test_csv_all_string_parity_and_declared_schema(spark, tmp_path):
 
     inferred = read_csv(spark, str(p), header=True, infer_schema=True)
     assert dict(inferred.dtypes)["temp"] == "double"
+
+
+def test_write_clustered_file_ranges_are_tight(spark, sf_dir, tmp_path):
+    """Clustered writes must yield files whose cluster-column min/max
+    bands are (near-)disjoint — that's what lets parquet predicate
+    pushdown skip whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+    from udacity_data_engineering_capstone_project_spark.sources.sinks import write_clustered
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = str(tmp_path / "clustered")
+    write_clustered(ev.repartition(8), out, ["user_id"], num_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) > 1, "expected multiple output files"
+    ranges.sort()
+    # consecutive files overlap at most at a single boundary key
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"

@@ -50,6 +50,42 @@ def materialize(df: DataFrame, path: str, format: str = "parquet") -> DataFrame:
     return df.sparkSession.read.format(format).load(path)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    num_files: int | None = None,
+) -> None:
+    """Cluster data files by ``cluster_cols`` before writing (a
+    Z-order-style layout without an engine extension): range-partition
+    on the cluster keys, sort within each partition, write one tight
+    file per range. Each parquet file then covers a narrow min/max
+    band of the cluster columns, so predicate pushdown on them skips
+    whole files/row-groups instead of scanning the lake — the
+    read-side complement to hive partitioning (use partitioning for
+    the coarse column, clustering for the fine ones).
+
+    ``num_files`` pins the range-partition count (otherwise
+    shuffle.partitions/AQE decide — size so each file lands near the
+    row-group sweet spot, ~128 MB).
+    """
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in cluster_cols]
+    parted = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    out = parted.sortWithinPartitions(*cluster_cols)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,
