@@ -68,6 +68,19 @@ def test_sessionize_single_shuffle_on_user(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_window_funcs_single_exchange(spark, sf_dir):
+    # both window specs partition by o_custkey -> one hash exchange
+    # serves every window function (two sorts, zero extra shuffles)
+    plan = _plan(spark, sf_dir, "window_funcs")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_text_profile_is_shuffle_free(spark, sf_dir):
+    # the merged text tier is a pure projection: no exchange, no join
+    plan = _plan(spark, sf_dir, "text_profile")
+    assert "Exchange" not in plan and "Join" not in plan
+
+
 def test_argmax_join_works_without_broadcast(spark, sf_dir):
     # argmax_join must not force-broadcast the per-group max table
     # (one row per group, unbounded at scale). With auto-broadcast
