@@ -1,0 +1,90 @@
+"""End-to-end training-data curation pipeline over the synthetic
+corpus — the north-star workflow composed from the engine's operators,
+all lazy DataFrame plans until each stage's action:
+
+  documents --(text_profile)--> quality filter
+            --(exact_text_dedup)--> drop exact copies
+            --(minhash LSH + connected components)--> drop near-dups
+            --(join embeddings, IVF index)--> similarity search
+            --(write_clustered by lang,source)--> curated corpus files
+
+Usage: python examples/run_corpus_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark import get_spark
+from udacity_data_engineering_capstone_project_spark.operators import dedup as dd
+from udacity_data_engineering_capstone_project_spark.operators import similarity as sim
+from udacity_data_engineering_capstone_project_spark.operators import textstats as ts
+from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+from udacity_data_engineering_capstone_project_spark.sources.sinks import write_clustered
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="corpus_")
+
+    spark = get_spark(app_name="corpus-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. quality gate: one codegen pass over every text metric
+    profile = ts.text_profile(docs, "doc_id", "text", keep=("lang", "source"))
+    quality_ids = profile.filter(F.col("quality_score") >= 0.1).select("doc_id")
+    docs_q = docs.join(quality_ids, on="doc_id")
+    n_quality = docs_q.count()
+
+    # 2. exact dedup: keep the min-id survivor of each fingerprint
+    survivors = dd.exact_text_dedup(docs_q, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    docs_e = docs_q.join(survivors, on="doc_id")
+    n_exact = docs_e.count()
+
+    # 3. near-dup removal: MinHash-LSH pairs -> connected components ->
+    #    cluster representatives only
+    pairs = dd.minhash_dedup_pairs(docs_e, "doc_id", "text", threshold=0.8)
+    reps = dd.dedup_representatives(docs_e.select("doc_id", "lang", "source"), pairs, "doc_id")
+    keep = reps.filter(F.col("is_representative")).select("doc_id")
+    docs_n = docs_e.join(keep, on="doc_id")
+    n_near = docs_n.count()
+
+    # 4. similarity search over the curated docs' embeddings: build an
+    #    IVF index partitioned by cell, query the first 3 vectors
+    emb = read_table(spark, sf_dir, "embeddings").join(
+        docs_n.select(F.col("doc_id").alias("vec_id")), on="vec_id"
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    index_path = os.path.join(out_dir, "ivf_index")
+    sim.write_ivf_index(emb, centroids, index_path, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3)
+    hits = sim.search_ivf_index(
+        spark, index_path, queries, centroids, "vec_id", "embedding", k=5, nprobe=2
+    )
+    n_hits = hits.count()
+
+    # 5. curated corpus, clustered for read-side pruning
+    write_clustered(
+        docs_n, os.path.join(out_dir, "corpus"), ["lang", "source"], num_files=4
+    )
+
+    print(
+        f"raw={n_raw} -> quality={n_quality} -> exact-dedup={n_exact} "
+        f"-> near-dedup={n_near}; ann hits={n_hits}; corpus at {out_dir}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
