@@ -63,8 +63,12 @@ def main() -> None:
         # and flush GC debt
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+        # one uncounted warm run: the wide generated aggregates (64-slot
+        # LSH signatures) need several executions before C2 JIT settles
+        # (measured: 6.6 -> 3.4 -> 1.6 s across fresh invocations)
+        fn(spark, sf_dir).count()
         best, rows = None, 0
-        for _ in range(2):  # best-of-2: first run pays codegen compile + GC noise
+        for _ in range(2):  # then best-of-2 for steady-state
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
