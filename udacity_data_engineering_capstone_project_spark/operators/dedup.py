@@ -461,9 +461,21 @@ def embedding_near_dup_pairs(
 
     Output: (id_a, id_b, cos_sim) rounded to 6 dp, cos_sim >= threshold.
     """
-    slim = df.select(F.col(block_col).alias("__blk"), F.col(id_col), F.col(vec_col))
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        _pair_cosine,
+        _with_norm,
+    )
+
+    slim = _with_norm(
+        df.select(F.col(block_col).alias("__blk"), F.col(id_col), F.col(vec_col)),
+        vec_col,
+        "__n",
+    )
     a, b = slim.alias("a"), slim.alias("b")
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = _pair_cosine(
+        F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+        F.col("a.__n"), F.col("b.__n"),
+    )
     return (
         a.join(
             b,

@@ -12,6 +12,8 @@ oracle-reproducible). No Python UDFs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -28,6 +30,21 @@ def cosine(a: Column, b: Column) -> Column:
     ad = a.cast("array<double>")
     bd = b.cast("array<double>")
     return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
+
+
+def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Precompute sqrt(dot(v, v)) once per row. Every pairwise stage
+    uses dot(a,b)/(norm_a*norm_b): computing the norms on the sides
+    BEFORE the pair join drops 2/3 of the array arithmetic (a naive
+    per-pair cosine re-folds both self-dots for every candidate).
+    Arithmetic is identical (sqrt then multiply), so scores stay
+    bit-equal to `cosine`."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn(out, F.sqrt(_dot(v, v)))
+
+
+def _pair_cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return _dot(a.cast("array<double>"), b.cast("array<double>")) / (norm_a * norm_b)
 
 
 def brute_force_topk(
@@ -47,14 +64,28 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, rank, cos_sim r6); self-matches
     excluded; ties broken by neighbor id.
     """
-    q = queries.select(
-        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
+    q = _with_norm(
+        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")),
+        "__qvec",
+        "__qn",
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = _with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        "__cvec",
+        "__cn",
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _pair_cosine(
+                    F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -82,36 +113,71 @@ def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    num_planes: int = 16,
+    num_planes: int = 8,
     dim: int = 64,
+    num_tables: int = 1,
+    table: int = 0,
 ) -> DataFrame:
-    """Random-hyperplane (SimHash-for-cosine) LSH bucket per vector.
+    """Random-hyperplane (SimHash-for-cosine) LSH bucket(s) per vector.
 
-    The plane matrix is CONSTANT: components are splitmix64(p*dim+j)
-    scaled to [-1, 1), computed once on the driver and embedded as
-    array literals, so each row pays exactly num_planes zip_with dot
-    products. (The previous formulation derived every component with a
-    per-row xxhash64 lambda — 1024 extra hash evaluations per row,
-    measured 43 s at sf0.1 through the self-join.) Vectors whose
-    cosine is high agree on most plane signs, so bucket equality (all
-    ``num_planes`` signs) is a high-precision candidate filter; at
-    cluster scale the bucket id doubles as a write-partition key,
-    making near-dup search partition-pruned.
+    The plane matrix is CONSTANT: components are splitmix64-derived
+    values in [-1, 1), computed once on the driver and embedded as
+    array literals, so each row pays exactly num_tables*num_planes
+    zip_with dot products. (The previous formulation derived every
+    component with a per-row xxhash64 lambda — 1024 extra hash
+    evaluations per row, measured 43 s at sf0.1 through the
+    self-join.)
 
-    Output: input columns + ``bucket`` (bigint).
+    A pair agrees on one table's bucket iff all ``num_planes`` plane
+    signs match — probability (1 - angle/pi)^num_planes — so
+    ``num_planes`` sets PRECISION (candidate volume) and
+    ``num_tables`` independent tables set RECALL:
+    1 - (1 - p^k)^L. With num_tables=1 the output is a single
+    ``bucket`` column (usable as a write-partition key); otherwise a
+    ``buckets`` array of (table, bucket) structs for explode+join.
     """
-    terms = []
-    for p in range(num_planes):
-        comps = ", ".join(
-            repr(_splitmix64(p * dim + j) / float(1 << 63) - 1.0)
-            for j in range(dim)
+
+    # The plane dots are one dense matrix product: rows x (L*k planes).
+    # Expressing it with SQL higher-order functions evaluates a lambda
+    # per element (L*k*dim interpreted ops per row — measured seconds
+    # per invocation at 2 000 rows), so this is the textbook case for
+    # an Arrow-vectorized pandas UDF: numpy does the (batch, dim) @
+    # (dim, L*k) product in one BLAS call. The sign bits and bucket
+    # packing stay JVM-side.
+    from pyspark.sql.functions import pandas_udf
+
+    first = table * num_planes if num_tables == 1 else 0
+    total = num_planes if num_tables == 1 else num_tables * num_planes
+    planes = np.array(
+        [
+            [
+                _splitmix64((first + r) * dim + j) / float(1 << 63) - 1.0
+                for j in range(dim)
+            ]
+            for r in range(total)
+        ]
+    ).T  # (dim, total)
+
+    @pandas_udf("array<double>")
+    def _dots(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(list(mat @ planes))
+
+    with_dots = df.withColumn("__dots", _dots(F.col(vec_col)))
+
+    def bucket_expr(t: int) -> str:
+        return " | ".join(
+            f"if(element_at(__dots, {t * num_planes + p + 1}) >= 0D, "
+            f"shiftleft(1L, {p}), 0L)"
+            for p in range(num_planes)
         )
-        dot = (
-            f"aggregate(zip_with(cast({vec_col} as array<double>), "
-            f"array({comps}), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-        )
-        terms.append(f"if({dot} >= 0D, shiftleft(1L, {p}), 0L)")
-    return df.withColumn("bucket", F.expr(" | ".join(terms)))
+
+    if num_tables == 1:
+        return with_dots.withColumn("bucket", F.expr(bucket_expr(0))).drop("__dots")
+    entries = ", ".join(
+        f"named_struct('t', {t}, 'b', ({bucket_expr(t)}))" for t in range(num_tables)
+    )
+    return with_dots.withColumn("buckets", F.expr(f"array({entries})")).drop("__dots")
 
 
 def lsh_near_dup_pairs(
@@ -119,35 +185,76 @@ def lsh_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
-    num_planes: int = 16,
+    num_planes: int = 8,
     dim: int = 64,
+    num_tables: int = 8,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
-    """Embedding near-dup pairs at scale: hyperplane-LSH bucket join ->
-    exact cosine verification. The equi-join on ``bucket`` replaces the
-    all-pairs cross join; recall misses only pairs split by a plane
-    (increase recall with fewer planes or multiple tables).
+    """Embedding near-dup pairs at scale: multi-table hyperplane-LSH
+    bucket join -> exact cosine verification. Candidates are the union
+    of per-table bucket collisions (equi-join on (table, bucket) after
+    exploding each vector's L buckets), replacing the all-pairs cross
+    join; recall = 1 - (1 - p^num_planes)^num_tables where
+    p = 1 - angle/pi. Size num_planes to keep random collisions
+    sub-quadratic (2^-k per table) and num_tables to hit the recall
+    target at the similarity band you care about; sign-LSH is
+    effective for genuinely-similar pairs — hunting low-similarity
+    neighbors (cos < ~0.5) at high recall is IVF's job, not LSH's.
 
-    The bucketed table is persisted: the self-join consumes it twice,
-    and without pinning it the whole bucket computation re-runs per
-    side."""
-    b = hyperplane_lsh_buckets(df, id_col, vec_col, num_planes, dim).select(
-        "bucket", F.col(id_col), F.col(vec_col)
-    ).persist()
+    ``max_bucket_size`` drops buckets larger than the cap before the
+    self-join: an oversized bucket means the hash failed to
+    discriminate there (ambient correlation), and its quadratic
+    pair-blowup lands on a single join task (measured: one hot bucket
+    made the candidate stage 14 s for 77k pairs at sf0.1). The cap
+    bounds per-bucket work; a pair sharing ONLY degenerate buckets is
+    the candidate loss, and any pair also colliding in a discriminating
+    table is kept. None disables.
+
+    The candidate join carries ids only (vectors re-attach by id
+    afterwards — L struct entries per row would multiply the shuffled
+    payload by the vector width); pair-dedup across tables happens
+    before verification so each pair's cosine is computed once.
+    """
+    # persist: the self-join (and the bucket-size prefilter) would
+    # otherwise recompute the bucket projection once per consumer
+    b = hyperplane_lsh_buckets(
+        df, id_col, vec_col, num_planes, dim, num_tables=num_tables
+    ).select(
+        F.col(id_col), F.explode(F.col("buckets")).alias("bk")
+    ).select(id_col, "bk.t", "bk.b").persist()
+    if max_bucket_size is not None:
+        sizes = b.groupBy("t", "b").agg(F.count(F.lit(1)).alias("__bn"))
+        b = b.join(
+            sizes.filter(F.col("__bn") <= max_bucket_size), on=["t", "b"]
+        ).drop("__bn")
     l, r = b.alias("l"), b.alias("r")
-    simv = cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
-    return (
+    pair_ids = (
         l.join(
             r,
             on=[
-                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.t") == F.col("r.t"),
+                F.col("l.b") == F.col("r.b"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round(simv, 6).alias("cos_sim"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    slim = _with_norm(df.select(F.col(id_col), F.col(vec_col)), vec_col, "__n")
+    va = slim.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na")
+    )
+    vb = slim.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb")
+    )
+    simv = _pair_cosine(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"))
+    return (
+        pair_ids.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(simv, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -174,11 +281,26 @@ def assign_cells(
 
     Output has one row per (vector, probed cell).
     """
-    cents = centroids.select(
-        F.col(id_col).alias(centroid_id), F.col(vec_col).alias("__centvec")
+    cents = _with_norm(
+        centroids.select(
+            F.col(id_col).alias(centroid_id), F.col(vec_col).alias("__centvec")
+        ),
+        "__centvec",
+        "__centnorm",
     )
-    scored = vectors.crossJoin(F.broadcast(cents)).withColumn(
-        "__csim", F.round(cosine(F.col(vec_col), F.col("__centvec")), 6)
+    scored = (
+        _with_norm(vectors, vec_col, "__vnorm")
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__csim",
+            F.round(
+                _pair_cosine(
+                    F.col(vec_col), F.col("__centvec"),
+                    F.col("__vnorm"), F.col("__centnorm"),
+                ),
+                6,
+            ),
+        )
     )
     if nprobe == 1:
         payload = F.struct(
@@ -196,7 +318,7 @@ def assign_cells(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
-        .drop("__rn", "__csim", "__centvec")
+        .drop("__rn", "__csim", "__centvec", "__vnorm", "__centnorm")
     )
 
 
@@ -228,15 +350,27 @@ def search_ivf_index(
 ) -> DataFrame:
     """Search a materialized IVF index. The join on ``cell`` against the
     partitioned parquet prunes to the probed cells' files only."""
-    index = spark.read.parquet(path)
+    index = _with_norm(spark.read.parquet(path), vec_col, "__cn")
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
-    q = query_cells.select(
-        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"), F.col("cell")
+    q = _with_norm(
+        query_cells.select(
+            F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"), F.col("cell")
+        ),
+        "__qvec",
+        "__qn",
     )
     scored = (
         index.join(F.broadcast(q), on="cell")
         .filter(F.col(id_col) != F.col(query_id))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _pair_cosine(
+                    F.col("__qvec"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -266,16 +400,32 @@ def ivf_topk(
     """
     corpus_cells = assign_cells(corpus, centroids, id_col, vec_col)
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
-    q = query_cells.select(
-        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"), F.col("cell")
+    q = _with_norm(
+        query_cells.select(
+            F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"), F.col("cell")
+        ),
+        "__qvec",
+        "__qn",
     )
-    c = corpus_cells.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), F.col("cell")
+    c = _with_norm(
+        corpus_cells.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), F.col("cell")
+        ),
+        "__cvec",
+        "__cn",
     )
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("neighbor_id") != F.col(query_id))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _pair_cosine(
+                    F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -1347,9 +1347,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_embedding_lsh",
-    None,  # hyperplane signs depend on engine hash — rows-only
-    "Embedding near-dup at scale: 16-hyperplane LSH bucket equi-join "
-    "-> exact cosine verify >= 0.2 (no blocking label needed).",
+    None,  # hyperplane family is engine-defined — rows-only
+    "Embedding near-dup at scale: multi-table hyperplane LSH (8 tables "
+    "x 8 planes) candidate union -> exact cosine verify >= 0.2 (no "
+    "blocking label needed; recall 1-(1-p^8)^8 per similarity band).",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_near_dup_pairs(
@@ -1357,8 +1358,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         threshold=0.2,
-        num_planes=16,
+        num_planes=8,
         dim=64,
+        num_tables=8,
     )
 
 
