@@ -1,0 +1,167 @@
+"""Unit tests for the deterministic-sampling, repetition-signal,
+contamination and audio-synthesis operators (the round-2 additions to
+the LLM-pipeline tier)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.operators.audio import (
+    _pcm16_view,
+    audio_features,
+    decode_audio_meta,
+    synthesize_wav,
+)
+from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+    _threshold_hex,
+    cap_per_group,
+    hash_sample,
+    stratified_hash_sample,
+)
+from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+    ngram_overlap,
+    repetition_signals,
+    word_ngrams,
+)
+
+
+def test_threshold_hex_boundaries():
+    assert _threshold_hex(0.0) == "0000"
+    assert _threshold_hex(1.0) == "10000"  # > every 4-char bucket
+    assert _threshold_hex(0.5) == "8000"
+    assert _threshold_hex(0.25) == "4000"
+    with pytest.raises(ValueError):
+        _threshold_hex(1.5)
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    a = hash_sample(df, "k", 0.25)
+    b = hash_sample(df, "k", 0.25)
+    ra = {r["k"] for r in a.collect()}
+    rb = {r["k"] for r in b.collect()}
+    assert ra == rb  # pure function of the key
+    # md5 is uniform: 25% +- 2% at n=20k
+    assert abs(len(ra) / 20000 - 0.25) < 0.02
+    # rate monotonicity: a smaller sample nests inside a larger one
+    rc = {r["k"] for r in hash_sample(df, "k", 0.5).collect()}
+    assert ra <= rc
+
+
+def test_stratified_hash_sample_rates(spark):
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    out = stratified_hash_sample(df, "k", "s", {"0": 0.1, "1": 0.9}, default_rate=0.5)
+    frac = {
+        r["s"]: r["n"] / 10000
+        for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(frac["0"] - 0.1) < 0.02
+    assert abs(frac["1"] - 0.9) < 0.02
+    assert abs(frac["2"] - 0.5) < 0.02
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    out = cap_per_group(df, ["g"], [F.col("v").desc()], quota=5)
+    rows = out.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"), F.min("v").alias("mn")
+    )
+    for r in rows.collect():
+        assert r["n"] == 5
+        # top-5 of each residue class: max is the global max of the class
+        assert (r["mx"] - r["g"]) % 7 == 0 and r["mx"] > 990
+        assert r["mx"] - r["mn"] == 4 * 7
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "one two three four")], ["id", "t"]
+    )
+    words = F.expr("regexp_extract_all(lower(t), '[a-z]+', 0)")
+    out = df.select("id", word_ngrams(words, 3).alias("g")).collect()
+    by_id = {r["id"]: r["g"] for r in out}
+    assert by_id[1] == []  # 2 words, no trigram — and no phantom from sequence(1,0)
+    assert by_id[2] == ["one two three", "two three four"]
+
+
+def test_repetition_signals_hand_check(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # 1 word type, all trigrams equal
+            (2, "a b c d"),  # no repetition
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 4
+    assert r1["type_token_ratio"] == pytest.approx(0.25)
+    assert r1["top_word_frac"] == pytest.approx(1.0)
+    # trigrams: ["spam spam spam"] x2 -> dup frac = 1 - 1/2
+    assert r1["dup_ngram_frac"] == pytest.approx(0.5)
+    r2 = out[2]
+    assert r2["type_token_ratio"] == pytest.approx(1.0)
+    assert r2["top_word_frac"] == pytest.approx(0.25)
+    assert r2["dup_ngram_frac"] == pytest.approx(0.0)
+
+
+def test_ngram_overlap_hand_check(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares "the quick brown"
+            (2, "totally unrelated words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown cat")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["n_overlap"] for r in
+           ngram_overlap(corpus, bench, "doc_id", "text", 3).collect()}
+    assert out == {1: 1}  # doc 2 contaminated by nothing -> absent
+
+
+def test_synthesize_wav_roundtrip(spark):
+    df = spark.createDataFrame([(0,), (13,), (199,)], ["doc_id"])
+    wav = synthesize_wav(df, "doc_id")
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in wav.collect()}
+    for rid, b in payloads.items():
+        n = 150 + rid % 50
+        amp = 1001 + (rid % 200) * 14
+        s = _pcm16_view(b)
+        assert len(s) == n
+        assert s.max() == amp and s.min() == -amp
+        assert (s[: n // 2] == amp).all() and (s[n // 2:] == -amp).all()
+    meta = {r["doc_id"]: r for r in decode_audio_meta(wav, "doc_id").collect()}
+    assert meta[13]["sample_rate"] == 16000
+    assert meta[13]["n_frames"] == 163
+    feats = {r["doc_id"]: r for r in audio_features(wav, "doc_id").collect()}
+    a13 = 1001 + 13 * 14
+    assert feats[13]["rms"] == pytest.approx(a13 / 32768, abs=1e-6)
+    assert feats[13]["peak"] == feats[13]["rms"]
+    assert feats[13]["zero_crossing_rate"] == pytest.approx(1 / 162, abs=1e-6)
+
+
+def test_audio_closed_form_round_parity_exhaustive():
+    """Every amplitude (200) and frame count (50) the synthesizer can
+    emit: Python round (bankers) of the feature must equal SQL
+    round-half-away — i.e. no value may sit on an exact .5 at the 6th
+    decimal. Guards the oracle of the `audio_features` graded query."""
+    import duckdb
+
+    con = duckdb.connect()
+    for j in range(200):
+        amp = 1001 + j * 14
+        sql = con.sql(f"SELECT round({amp} / 32768.0, 6)").fetchone()[0]
+        assert round(amp / 32768.0, 6) == sql, amp
+    for n in range(150, 200):
+        sql = con.sql(f"SELECT round(1.0 / {n - 1}, 6)").fetchone()[0]
+        assert round(1.0 / (n - 1), 6) == sql, n

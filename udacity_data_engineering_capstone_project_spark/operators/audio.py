@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StructField,
@@ -151,3 +152,41 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str = "payload") -> 
             )
 
     return df.select(id_col, payload_col).mapInPandas(_extract, schema)
+
+
+def synthesize_wav(df: DataFrame, id_col: str, sample_rate: int = 16000) -> DataFrame:
+    """Deterministic per-row WAV synthesis — the audio-corpus generator
+    for end-to-end checks (the audio twin of `multimodal.synthesize_png`).
+
+    Each row becomes a real mono PCM16 WAV whose features have CLOSED
+    FORMS in the row id, so a SQL oracle can verify the full
+    decode/extract path byte-for-byte:
+
+    - n_frames   n = 150 + id % 50
+    - amplitude  A = 1001 + (id % 200) * 14  (odd by construction)
+    - waveform: first n//2 samples +A, the rest -A (one sign crossing)
+
+    Therefore rms = peak = A/32768 (exact in binary: A odd and < 2^12,
+    so the 6-decimal rounding never lands on an exact half — Python's
+    bankers rounding and SQL half-away-from-zero agree), and
+    zero_crossing_rate = 1/(n-1) with n-1 in [149, 198] — a range that
+    excludes every denominator (128, 640, ...) whose reciprocal has an
+    exact 5 in the 7th decimal place.
+    """
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                n = 150 + rid % 50
+                amp = 1001 + (rid % 200) * 14
+                samples = np.full(n, -amp, dtype=np.int16)
+                samples[: n // 2] = amp
+                rows.append((rid, encode_wav(samples, sample_rate)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(_gen, schema)

@@ -63,16 +63,36 @@ def expect_unique_key(
         )
 
 
-def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame,
+    columns: Sequence[str],
+    percentiles: Sequence[float] = (),
+) -> DataFrame:
     """Column profile in one aggregation pass per column, unioned:
-    (column_name, n_rows, n_nulls, n_distinct, min_value, max_value) —
-    min/max rendered as strings so heterogeneous columns stack.
+    (column_name, n_rows, n_nulls, n_distinct, min_value, max_value
+    [, p<q> ...]) — min/max rendered as strings so heterogeneous
+    columns stack; percentile columns (exact interpolated, rounded r6)
+    are computed for numeric columns and null for the rest.
 
     The profiling sweep a data-quality gate runs before trusting a new
     drop of 100 TB input.
     """
+    from pyspark.sql.types import NumericType
+
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
     parts = []
     for c in columns:
+        pct_aggs = []
+        for q in percentiles:
+            name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+            if c in numeric:
+                pct_aggs.append(
+                    F.round(F.percentile(F.col(c), F.lit(q)), 6).alias(name)
+                )
+            else:
+                pct_aggs.append(F.lit(None).cast("double").alias(name))
         parts.append(
             df.agg(
                 F.lit(c).alias("column_name"),
@@ -83,6 +103,7 @@ def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
                 F.countDistinct(F.col(c)).alias("n_distinct"),
                 F.min(F.col(c)).cast("string").alias("min_value"),
                 F.max(F.col(c)).cast("string").alias("max_value"),
+                *pct_aggs,
             )
         )
     out = parts[0]

@@ -84,6 +84,7 @@ def text_profile(
     text_col: str,
     keep: Sequence[str] = (),
     stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+    include_fingerprint: bool = False,
 ) -> DataFrame:
     """Every per-document text metric in ONE projection: quality stats
     (chars/words/stopwords/ratio/score), token counts (whitespace +
@@ -113,6 +114,11 @@ def text_profile(
         F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_ws_tokens"),
         F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).cast("long").alias("n_bpe_tokens"),
         lang_pred.alias("lang_pred"),
+        *(
+            [F.md5(normalize_text(t)).alias("fingerprint")]
+            if include_fingerprint
+            else []
+        ),
     )
 
 
@@ -212,3 +218,116 @@ def bm25_scores(
         .withColumn("__s", idf * F.col("tf") * (k1 + 1) / denom)
     )
     return per_term.groupBy(id_col).agg(F.round(F.sum("__s"), 6).alias("bm25"))
+
+
+def _word_array(text_col: str) -> Column:
+    """Lowercased alphabetic word array (the shared tokenization of the
+    TF-IDF / BM25 / repetition / contamination operators)."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Sliding word n-grams (space-joined) from a word array.
+
+    Documents shorter than n words yield an EMPTY array via an explicit
+    when(): Spark's `sequence(1, 0)` counts DOWN (yielding [1, 0], and
+    slice(start=0) then throws), so the naive `sequence(1,
+    greatest(size-n+1, 0))` is wrong for short documents.
+    """
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, ngram_n: int = 3
+) -> DataFrame:
+    """Gopher-style repetitiousness signals per document — the filters a
+    training-data pipeline runs to drop boilerplate/spam before dedup:
+
+    - ``n_words``: alphabetic word count
+    - ``type_token_ratio``: distinct words / words (low = repetitive)
+    - ``top_word_frac``: occurrences of the most frequent word / words
+      (the "fraction of text in the most common word" rule)
+    - ``dup_ngram_frac``: 1 - distinct n-grams / n-grams (the
+      "duplicate n-gram fraction" rule, default n=3)
+
+    Two partial-aggregatable explode->count passes joined on id; all
+    expressions JVM-side, ratios rounded to 6 so they oracle-compare.
+    Docs with no words are dropped (no signal to compute).
+    """
+    words = _word_array(text_col)
+    tok = df.select(F.col(id_col), F.explode(words).alias("__w"))
+    word_stats = (
+        tok.groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_words"),
+            F.count(F.lit(1)).alias("__n_distinct"),
+            F.max("__c").alias("__top_c"),
+        )
+    )
+    tri = df.select(F.col(id_col), F.explode(word_ngrams(words, ngram_n)).alias("__g"))
+    tri_stats = tri.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_tri"),
+        F.countDistinct("__g").alias("__d_tri"),
+    )
+    return (
+        word_stats.join(tri_stats, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.round(F.col("__n_distinct") / F.col("n_words"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("__top_c") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) - F.col("__d_tri") / F.col("__n_tri"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the
+    number of distinct word n-grams it shares with ANY benchmark
+    document (the n-gram-overlap decontamination step run before
+    training). Returns (id, n_overlap) for contaminated docs only.
+
+    The benchmark side is collapsed to distinct n-grams and broadcast —
+    benchmark suites are bounded (thousands of docs), the corpus is not;
+    the corpus side stays a linear scan + explode with the join key
+    pre-deduplicated per doc, so one shuffle of (doc, gram) pairs at
+    most — and none when the broadcast hash join applies.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(_word_array(text_col), ngram_n)).alias("__g")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(_word_array(text_col), ngram_n))).alias(
+            "__g"
+        ),
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), on="__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

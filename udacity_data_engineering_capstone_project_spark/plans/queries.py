@@ -198,27 +198,6 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "distinct_rows",
-    """
-    SELECT DISTINCT l_returnflag, l_linestatus,
-                    CAST(year(l_shipdate) AS BIGINT) AS ship_year
-    FROM lineitem
-    """,
-    "Full-row dedup over a projection (D1/D2, etl.py:111,229).",
-)
-def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            F.year("l_shipdate").cast("long").alias("ship_year"),
-        )
-        .dropDuplicates()
-    )
-
-
-@_register(
     "dim_with_keys",
     """
     SELECT c_mktsegment,
@@ -543,39 +522,23 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "array_agg_sorted",
-    """
-    SELECT l_returnflag,
-           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
-           count(DISTINCT l_linestatus) AS n_statuses
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    "Deterministic array aggregation: collect distinct values, sort, "
-    "serialize (collect_set order is partition-dependent — sorting "
-    "restores determinism).",
-)
-def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
-        F.countDistinct("l_linestatus").alias("n_statuses"),
-    )
-
-
-@_register(
-    "json_extract_events",
+    "events_json_arrays",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           round(sum(value), 2) AS sum_value,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+           count(DISTINCT event_type) AS n_types
     FROM events
     GROUP BY 1
     """,
-    "Semi-structured JSON column processing: extract a field from the "
-    "props JSON string, bucket, aggregate (get_json_object path).",
+    "Semi-structured JSON column processing (extract a field from the "
+    "props JSON string, bucket, aggregate — get_json_object path) with "
+    "deterministic array aggregation (collect distinct, sort, "
+    "serialize: collect_set order is partition-dependent, sorting "
+    "restores determinism).",
 )
-def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_json_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
@@ -583,6 +546,10 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
+            F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+                "event_types"
+            ),
+            F.countDistinct("event_type").alias("n_types"),
         )
     )
 
@@ -725,82 +692,99 @@ def scalar_function_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "profile_orders",
+    "data_quality_profile",
     """
     SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
            count(*) - count(o_orderkey) AS n_nulls,
            count(DISTINCT o_orderkey) AS n_distinct,
            CAST(min(o_orderkey) AS VARCHAR) AS min_value,
-           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+           round(quantile_cont(o_orderkey, 0.5), 6) AS p50,
+           round(quantile_cont(o_orderkey, 0.95), 6) AS p95,
+           round(quantile_cont(o_orderkey, 0.99), 6) AS p99
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
            count(DISTINCT o_orderstatus),
-           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR),
+           NULL, NULL, NULL
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
            count(DISTINCT o_totalprice),
-           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+           round(quantile_cont(o_totalprice, 0.5), 6),
+           round(quantile_cont(o_totalprice, 0.95), 6),
+           round(quantile_cont(o_totalprice, 0.99), 6)
     FROM orders
+    UNION ALL
+    SELECT 'rows:' || t.name, t.n, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM (
+        SELECT 'region' AS name, count(*) AS n FROM region
+        UNION ALL SELECT 'nation', count(*) FROM nation
+        UNION ALL SELECT 'customer', count(*) FROM customer
+        UNION ALL SELECT 'orders', count(*) FROM orders
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    ) t
     """,
-    "Column profiling sweep (nulls, distinct cardinality, min/max) — "
-    "the trust-a-new-data-drop quality gate; also the global "
-    "distinct-cardinality surface (A5/Q3, etl.py:353-360).",
+    "The quality gate in one relation: column profiling sweep (nulls, "
+    "distinct cardinality, min/max — A5/Q3, etl.py:353-360) with exact "
+    "interpolated percentiles on numeric columns (Spark `percentile` == "
+    "DuckDB `quantile_cont`), plus per-table row counts (Q1/Q2, "
+    "etl.py:336-351) as `rows:<table>` rows.",
 )
-def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.quality import (
         profile_columns,
     )
 
-    return profile_columns(
-        _t(spark, sf_dir, "orders"), ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    prof = profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        percentiles=(0.5, 0.95, 0.99),
     )
-
-
-@_register(
-    "quality_counts",
-    """
-    SELECT 'region' AS table_name, count(*) AS n_rows FROM region
-    UNION ALL SELECT 'nation', count(*) FROM nation
-    UNION ALL SELECT 'customer', count(*) FROM customer
-    UNION ALL SELECT 'orders', count(*) FROM orders
-    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
-    """,
-    "Quality gate: row counts per table in one result (Q1/Q2, etl.py:336-351).",
-)
-def quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = [
+    counts = [
         _t(spark, sf_dir, name).agg(
-            F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+            F.lit(f"rows:{name}").alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(None).cast("long").alias("n_nulls"),
+            F.lit(None).cast("long").alias("n_distinct"),
+            F.lit(None).cast("string").alias("min_value"),
+            F.lit(None).cast("string").alias("max_value"),
+            F.lit(None).cast("double").alias("p50"),
+            F.lit(None).cast("double").alias("p95"),
+            F.lit(None).cast("double").alias("p99"),
         )
         for name in ("region", "nation", "customer", "orders", "lineitem")
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = prof
+    for c in counts:
+        out = out.unionByName(c)
     return out
 
 
 @_register(
-    "multi_file_union",
+    "multi_file_distinct",
     """
-    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    SELECT DISTINCT l_returnflag, l_linestatus,
+                    CAST(year(l_shipdate) AS BIGINT) AS ship_year
     FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
-    GROUP BY l_returnflag
     """,
-    "Multi-path scan = union-by-position of homogeneous parts "
-    "(S1, etl.py:56: monthly i94 parquet files).",
+    "Multi-path scan (union-by-position of homogeneous parts — S1, "
+    "etl.py:56: monthly i94 parquet files) + full-row dedup over a "
+    "projection (D1/D2, etl.py:111,229): the doubled input collapses "
+    "back to the distinct set.",
 )
-def multi_file_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multi_file_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.sources.readers import read_parquet
 
     path = f"{sf_dir}/lineitem.parquet"
     df = read_parquet(spark, [path, path])
-    return df.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-    )
+    return df.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    ).dropDuplicates()
 
 
 @_register(
@@ -849,45 +833,47 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "set_ops",
+    "set_and_semi_joins",
     """
-    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    INTERSECT
-    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
-    EXCEPT
-    SELECT c_nationkey FROM customer WHERE c_acctbal < -900
+    SELECT 'with_orders' AS segment_kind, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders', count(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'building_and_machinery_nations', count(*) FROM (
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        EXCEPT
+        SELECT c_nationkey FROM customer WHERE c_acctbal < -900
+    )
     """,
-    "INTERSECT / EXCEPT set algebra (absent from the reference; "
-    "standard analytics surface).",
+    "Left-semi / left-anti joins (EXISTS / NOT EXISTS shapes) and "
+    "INTERSECT / EXCEPT set algebra, summarized in one relation.",
 )
-def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_and_semi_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").agg(
+        F.lit("with_orders").alias("segment_kind"), F.count(F.lit(1)).alias("n")
+    )
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").agg(
+        F.lit("without_orders").alias("segment_kind"), F.count(F.lit(1)).alias("n")
+    )
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
     machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
     poor = c.filter(F.col("c_acctbal") < -900).select("c_nationkey")
-    return building.intersect(machinery).exceptAll(poor).distinct()
-
-
-@_register(
-    "percentiles",
-    """
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
-           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    "Exact interpolated percentiles per group (Spark `percentile` == "
-    "DuckDB `quantile_cont` semantics).",
-)
-def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+    setcnt = (
+        building.intersect(machinery)
+        .exceptAll(poor)
+        .distinct()
+        .agg(
+            F.lit("building_and_machinery_nations").alias("segment_kind"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
+    return semi.unionByName(anti).unionByName(setcnt)
 
 
 # =========================================================================
@@ -1095,29 +1081,6 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         err, clicks, key_cols=["user_id"], ts_col="ts_us",
         right_payload=["click_id", "click_value"],
     ).select("user_id", "event_id", "ts_us", "asof_click_id", "asof_click_value")
-
-
-@_register(
-    "semi_anti_joins",
-    """
-    SELECT 'with_orders' AS segment_kind, count(*) AS n FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    UNION ALL
-    SELECT 'without_orders', count(*) FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    "Left-semi / left-anti joins (EXISTS / NOT EXISTS shapes).",
-)
-def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
-    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").agg(
-        F.lit("with_orders").alias("segment_kind"), F.count(F.lit(1)).alias("n")
-    )
-    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").agg(
-        F.lit("without_orders").alias("segment_kind"), F.count(F.lit(1)).alias("n")
-    )
-    return semi.unionByName(anti)
 
 
 @_register(
@@ -1438,35 +1401,22 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
                 WHEN regexp_matches(text, '[\x{0600}-\x{06FF}]') THEN 'ar'
                 WHEN regexp_matches(text, '[\x{0900}-\x{097F}]') THEN 'hi'
-                ELSE 'en' END AS lang_pred
+                ELSE 'en' END AS lang_pred,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
     FROM s
     """,
     "Per-document text profile in one codegen pass: quality stats "
     "(char/word/stopword counts, composite score), token counts "
-    "(whitespace + BPE-ish regex) and script-heuristic language ID — "
-    "no join, linear scale.",
+    "(whitespace + BPE-ish regex), script-heuristic language ID and "
+    "the normalized md5 document fingerprint — no join, linear scale.",
 )
 def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.text_profile(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", keep=("lang",)
-    )
-
-
-@_register(
-    "fingerprint_by_source",
-    """
-    SELECT source, count(*) AS n_docs,
-           count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_distinct_fp
-    FROM documents
-    GROUP BY source
-    """,
-    "Document fingerprinting rolled up per source (dup-rate probe).",
-)
-def fingerprint_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(ts.fingerprint("text")).alias("n_distinct_fp"),
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        keep=("lang",),
+        include_fingerprint=True,
     )
 
 
@@ -1552,6 +1502,221 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(png_meta, on="doc_id")
 
 
+@_register(
+    "repetition_signals",
+    """
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+    ws AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct, max(c) AS top_c
+        FROM wc GROUP BY 1
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                     i -> array_to_string(words[i:i+2], ' '))) AS g
+        FROM w
+    ),
+    trs AS (
+        SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS d_tri
+        FROM tri GROUP BY 1
+    )
+    SELECT ws.doc_id, n_words,
+           round(n_distinct * 1.0 / n_words, 6) AS type_token_ratio,
+           round(top_c * 1.0 / n_words, 6) AS top_word_frac,
+           round(coalesce(1.0 - d_tri * 1.0 / n_tri, 0.0), 6) AS dup_ngram_frac
+    FROM ws LEFT JOIN trs ON ws.doc_id = trs.doc_id
+    """,
+    "Gopher-style repetitiousness signals per document (type/token "
+    "ratio, most-common-word fraction, duplicate-trigram fraction) — "
+    "the boilerplate/spam filters a training-data pipeline runs before "
+    "dedup. Two partial-aggregatable explode->count passes joined on "
+    "id; everything JVM-side.",
+)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_register(
+    "contamination_check",
+    """
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                     i -> array_to_string(words[i:i+2], ' '))) AS g
+        FROM w
+    ),
+    bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 97 = 0),
+    corp AS (SELECT DISTINCT doc_id, g FROM tri WHERE doc_id % 97 <> 0)
+    SELECT corp.doc_id, count(*) AS n_overlap
+    FROM corp JOIN bench USING (g)
+    GROUP BY 1
+    """,
+    "Benchmark-contamination check: distinct word-trigram overlap of "
+    "every corpus document against a benchmark set (docs with "
+    "doc_id % 97 = 0 stand in for the eval suite). The benchmark side "
+    "collapses to distinct n-grams and broadcasts (bounded — eval "
+    "suites are small); the corpus side is one scan + explode.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return ts.ngram_overlap(corpus, benchmark, "doc_id", "text", ngram_n=3)
+
+
+@_register(
+    "corpus_sample",
+    """
+    WITH sampled AS (
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+                        ELSE 'c000' END
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM sampled
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) <= 10
+    """,
+    "Deterministic corpus sampling + data mixing: per-language hash "
+    "sampling (keep 50% of en, 25% of de, 75% of the rest — "
+    "membership is a pure function of md5(doc_id), reproducible across "
+    "runs/engines/cluster layouts, no RNG) followed by a per-source "
+    "quota cap (top 10 by length, deterministic tiebreak) so no domain "
+    "dominates the training mix.",
+)
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        cap_per_group,
+        stratified_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_rate=0.75
+    )
+    capped = cap_per_group(
+        sampled,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        quota=10,
+    )
+    return capped.select("doc_id", "lang", "source", "n_chars")
+
+
+@_register(
+    "tfidf_topk",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+    ),
+    tfreq AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS doc_freq FROM tfreq GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, doc_freq,
+               round(tf * (ln((n_docs + 1) * 1.0 / (doc_freq + 1)) + 1), 6) AS tfidf
+        FROM tfreq JOIN dfreq USING (term), n
+    )
+    SELECT doc_id, term, tf, doc_freq, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 5
+    """,
+    "Top-5 characteristic terms per document by smoothed TF-IDF — the "
+    "corpus-exploration / keyword-extraction operator. Distributed "
+    "end-to-end: tf and df are partial-aggregatable counts, corpus "
+    "size rides a 1-row broadcast, rank is a per-doc window with a "
+    "total order (tfidf desc, term asc).",
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ts.tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+@_register(
+    "bm25_retrieval",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    tfq AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('spark', 'join', 'scan') GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS doc_freq FROM tfq GROUP BY 1),
+    stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT avg(dl) FROM dl) AS avgdl
+    )
+    SELECT doc_id,
+           round(sum(ln(1 + (n - doc_freq + 0.5) / (doc_freq + 0.5)) * tf * 2.2
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+    FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    """,
+    "BM25 relevance of every document to the query bag "
+    "{spark, join, scan} (k1=1.2, b=0.75) — the retrieval scorer for "
+    "training-data curation. The term filter lands BEFORE the tf "
+    "aggregation so only query-term rows shuffle; corpus stats (N, "
+    "avgdl) ride a 1-row broadcast.",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.bm25_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ["spark", "join", "scan"]
+    )
+
+
+@_register(
+    "audio_features",
+    """
+    SELECT doc_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(150 + doc_id % 50 AS BIGINT) AS n_frames,
+           CAST((150 + doc_id % 50) * 1000 // 16000 AS BIGINT) AS duration_ms,
+           round((1001 + (doc_id % 200) * 14) / 32768.0, 6) AS rms,
+           round((1001 + (doc_id % 200) * 14) / 32768.0, 6) AS peak,
+           round(1.0 / (149 + doc_id % 50), 6) AS zero_crossing_rate
+    FROM documents
+    """,
+    "Audio tier end-to-end: a real mono PCM16 WAV is synthesized per "
+    "row (amplitude/length closed forms in doc_id), then the RIFF "
+    "header parser and the Arrow-batched PCM16 feature extractor "
+    "(rms/peak/zero-crossing rate) must recover exactly the closed "
+    "forms from the bytes. The amplitude family is odd-valued and the "
+    "frame counts avoid power-of-two denominators so 6-decimal "
+    "rounding parity is exact (see synthesize_wav docstring).",
+)
+def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.audio import (
+        audio_features,
+        decode_audio_meta,
+        synthesize_wav,
+    )
+
+    wav = synthesize_wav(_t(spark, sf_dir, "documents"), "doc_id")
+    meta = decode_audio_meta(wav, "doc_id")
+    feats = audio_features(wav, "doc_id")
+    return meta.join(feats, on="doc_id")
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
@@ -1563,7 +1728,12 @@ _FRONT = [
     "sql_entrypoint",
     "corpus_prep",
     "text_profile",
-    "fingerprint_by_source",
+    "repetition_signals",
+    "contamination_check",
+    "corpus_sample",
+    "tfidf_topk",
+    "bm25_retrieval",
+    "audio_features",
     "streaming_dedup",
     "dedup_embedding_lsh",
     "multimodal_meta",
