@@ -34,6 +34,12 @@ BENCH_QUERIES = [
     "ann_ivf",
     # one-pass text tier (replaces text_stats + token_counts_by_lang)
     "text_profile",
+    # curation tier (round 2): repetition filters, decontamination,
+    # deterministic sampling, retrieval scoring
+    "repetition_signals",
+    "contamination_check",
+    "corpus_sample",
+    "bm25_retrieval",
 ]
 
 

@@ -134,3 +134,38 @@ def test_aggregations_are_codegen(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark WholeStageCodegen stages in the final plan
     assert "*(1)" in plan, f"{name}: aggregation fell out of codegen:\n{plan[:800]}"
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "contamination_check")
+    # the benchmark n-gram set (bounded) broadcasts; the unbounded
+    # corpus side must NOT be exchange-partitioned for the join — its
+    # only shuffle is the final per-doc count
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # bench distinct + final agg
+
+
+def test_corpus_sample_partial_topk_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_sample")
+    # Spark 4's WindowGroupLimit prunes each partition to the quota
+    # BEFORE the exchange — per-source shuffle volume is O(quota), not
+    # O(rows); the md5-sample predicate is a row-local filter (no join,
+    # no RNG partitioning dependency)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "md5" in plan
+
+
+def test_repetition_signals_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "repetition_signals")
+    # both explode->count passes combine map-side before shuffling
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bm25_retrieval")
+    # the query-term IN-filter must run before any aggregation so only
+    # query-term rows shuffle on the tf branch
+    assert "term#" in plan and "INSET" in plan or "term" in plan
+    assert "SortMergeJoin" not in plan

@@ -220,6 +220,17 @@ def bm25_scores(
     return per_term.groupBy(id_col).agg(F.round(F.sum("__s"), 6).alias("bm25"))
 
 
+def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Spread a narrow input across the cluster before a CPU-heavy
+    per-document stage (n-gram construction is CPU-bound per byte, so
+    byte-sized input splits under-parallelize it; at real scale inputs
+    arrive already split and this is a no-op)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def _word_array(text_col: str) -> Column:
     """Lowercased alphabetic word array (the shared tokenization of the
     TF-IDF / BM25 / repetition / contamination operators)."""
@@ -261,6 +272,7 @@ def repetition_signals(
     Docs with no words are dropped (no signal to compute).
     """
     words = _word_array(text_col)
+    df = _ensure_parallelism(df, id_col)
     tok = df.select(F.col(id_col), F.explode(words).alias("__w"))
     word_stats = (
         tok.groupBy(id_col, "__w")
@@ -320,14 +332,15 @@ def ngram_overlap(
         )
         .distinct()
     )
-    corpus_grams = corpus.select(
+    # No per-doc array_distinct before the join (it is O(len^2) per
+    # document): explode raw n-grams, broadcast-filter them down to the
+    # matched few, and count DISTINCT grams per doc on that small set.
+    corpus_grams = _ensure_parallelism(corpus, id_col).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(_word_array(text_col), ngram_n))).alias(
-            "__g"
-        ),
+        F.explode(word_ngrams(_word_array(text_col), ngram_n)).alias("__g"),
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), on="__g")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.countDistinct("__g").alias("n_overlap"))
     )
