@@ -165,3 +165,46 @@ def test_audio_closed_form_round_parity_exhaustive():
     for n in range(150, 200):
         sql = con.sql(f"SELECT round(1.0 / {n - 1}, 6)").fetchone()[0]
         assert round(1.0 / (n - 1), 6) == sql, n
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "short doc")], ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=3)
+    rows = sorted(
+        [(r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in out.collect()]
+    )
+    doc1 = [r for r in rows if r[0] == 1]
+    # n_chunks = 1 + ceil((10-4)/3) = 3: starts 0,3,6 cover all 10
+    # tokens with 1-token overlap — no spurious 4th window
+    assert [r[1] for r in doc1] == [0, 1, 2]
+    assert [r[2] for r in doc1] == [4, 4, 4]
+    assert doc1[0][3] == "w0 w1 w2 w3"
+    assert doc1[1][3] == "w3 w4 w5 w6"
+    assert doc1[2][3] == "w6 w7 w8 w9"
+    # every token appears in some chunk
+    covered = set(" ".join(r[3] for r in doc1).split())
+    assert covered == set(words.split())
+    # short doc: exactly one chunk, no padding
+    doc2 = [r for r in rows if r[0] == 2]
+    assert doc2 == [(2, 0, 2, "short doc")]
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=5)
+
+
+def test_chunk_documents_no_spurious_tail(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    # 8 tokens, chunk 4, stride 4: exactly 2 windows, no empty 3rd
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(8)))], ["doc_id", "text"]
+    )
+    rows = chunk_documents(df, "doc_id", "text", 4, 4).collect()
+    assert sorted(r["chunk_id"] for r in rows) == [0, 1]
+    assert all(r["n_tokens"] == 4 for r in rows)

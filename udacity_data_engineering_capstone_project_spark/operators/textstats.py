@@ -344,3 +344,47 @@ def ngram_overlap(
         .groupBy(id_col)
         .agg(F.countDistinct("__g").alias("n_overlap"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-length preprocessing step of an LLM training pipeline
+    (chunk_tokens per window, advancing by `stride`, so consecutive
+    chunks overlap by chunk_tokens - stride).
+
+    Tokens are whitespace words (swap in a real tokenizer upstream by
+    materializing a token-array column). Row-local expressions only
+    (transform over a start-index sequence + slice), so chunking is a
+    linear, shuffle-free map — it composes with any downstream
+    repartitioning. Output: (id, chunk_id 0.., n_tokens, chunk_text);
+    a document shorter than one window yields exactly one chunk;
+    a final partial window is emitted only if it adds new tokens.
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError(f"need 0 < stride <= chunk_tokens, got {stride}, {chunk_tokens}")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # number of windows: 1 + ceil(max(n - chunk, 0) / stride)
+    n = F.size(words)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(words, i * stride + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(chunks).alias("c"))
+    return exploded.select(
+        F.col(id_col),
+        F.col("c.chunk_id"),
+        F.size("c.toks").cast("long").alias("n_tokens"),
+        F.array_join("c.toks", " ").alias("chunk_text"),
+    )
