@@ -149,3 +149,51 @@ def test_rocksdb_state_store_backend(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_stream_attribution_matches_batch_twin(spark, sf_dir):
+    """Watermarked stream-stream join (purchase <- preceding clicks of
+    the same user within 30 min): the availableNow replay must produce
+    exactly the batch join's pairs, and the plan must be a streaming
+    join with state watermarks on both sides."""
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_stream_attribution,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_attribution(stream, attribution_window="30 minutes")
+    out = run_stream_to_memory(joined, output_mode="append")
+    got = {(r["trigger_id"], r["touch_id"]) for r in out.collect()}
+
+    # batch twin over the same table
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    trig = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("trigger_id"),
+        "user_id",
+        F.col("ts").alias("trigger_ts"),
+    )
+    touch = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("touch_user"),
+        F.col("ts").alias("touch_ts"),
+    )
+    batch = trig.join(
+        touch,
+        on=[
+            trig["user_id"] == touch["touch_user"],
+            touch["touch_ts"] <= trig["trigger_ts"],
+            touch["touch_ts"]
+            >= trig["trigger_ts"] - F.expr("INTERVAL 30 minutes"),
+        ],
+    )
+    want = {(r["trigger_id"], r["touch_id"]) for r in batch.collect()}
+    assert len(want) > 0, "vacuous: no attributable pairs at this sf"
+    assert got == want
+    # lag bounds hold on every emitted row
+    assert out.filter(
+        (F.col("lag_us") < 0) | (F.col("lag_us") > 30 * 60 * 1_000_000)
+    ).count() == 0

@@ -234,3 +234,61 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return agg.sparkSession.table(name)
+
+
+def stream_stream_attribution(
+    events: DataFrame,
+    trigger_type: str = "purchase",
+    touch_type: str = "click",
+    attribution_window: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join — the attribution pattern:
+    pair every `trigger_type` event with the same user's `touch_type`
+    events in the preceding `attribution_window`.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides (touch_ts in [trigger_ts - window, trigger_ts]),
+    so Spark can expire join state — the requirement for an unbounded
+    run; without the time bound, state grows with the stream. The join
+    key includes user_id, so state is also per-key partitioned.
+
+    Output: (trigger_id, touch_id, user_id, trigger_us, touch_us,
+    lag_us) — epoch-us so results are session-timezone-independent.
+    """
+    trig = (
+        events.filter(F.col("event_type") == trigger_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("trigger_id"),
+            F.col("user_id"),
+            F.col("ts").alias("trigger_ts"),
+        )
+    )
+    touch = (
+        events.filter(F.col("event_type") == touch_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("touch_id"),
+            F.col("user_id").alias("touch_user"),
+            F.col("ts").alias("touch_ts"),
+        )
+    )
+    joined = trig.join(
+        touch,
+        on=[
+            trig["user_id"] == touch["touch_user"],
+            touch["touch_ts"] <= trig["trigger_ts"],
+            touch["touch_ts"]
+            >= trig["trigger_ts"] - F.expr(f"INTERVAL {attribution_window}"),
+        ],
+        how="inner",
+    )
+    return joined.select(
+        "trigger_id",
+        "touch_id",
+        "user_id",
+        F.unix_micros("trigger_ts").alias("trigger_us"),
+        F.unix_micros("touch_ts").alias("touch_us"),
+        (F.unix_micros("trigger_ts") - F.unix_micros("touch_ts")).alias("lag_us"),
+    )
