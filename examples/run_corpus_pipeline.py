@@ -3,9 +3,13 @@ corpus — the north-star workflow composed from the engine's operators,
 all lazy DataFrame plans until each stage's action:
 
   documents --(text_profile)--> quality filter
+            --(repetition_signals)--> drop boilerplate
+            --(ngram_overlap)--> drop benchmark-contaminated docs
             --(exact_text_dedup)--> drop exact copies
             --(minhash LSH + connected components)--> drop near-dups
+            --(stratified_hash_sample + cap_per_group)--> mix corpus
             --(join embeddings, IVF index)--> similarity search
+            --(chunk_documents + pack_sequences)--> training windows
             --(write_clustered by lang,source)--> curated corpus files
 
 Usage: python examples/run_corpus_pipeline.py [sf_dir] [out_dir]
@@ -45,6 +49,20 @@ def main() -> None:
     docs_q = docs.join(quality_ids, on="doc_id")
     n_quality = docs_q.count()
 
+    # 1b. boilerplate filter: drop highly repetitive docs, then
+    #     decontaminate against the benchmark slice (doc_id % 97 == 0)
+    signals = ts.repetition_signals(docs_q, "doc_id", "text")
+    keep_rep = signals.filter(
+        (F.col("top_word_frac") < 0.5) & (F.col("dup_ngram_frac") < 0.5)
+    ).select("doc_id")
+    docs_q = docs_q.join(keep_rep, on="doc_id")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    contaminated = ts.ngram_overlap(
+        docs_q, benchmark, "doc_id", "text", ngram_n=3
+    ).filter(F.col("n_overlap") >= 20).select("doc_id")
+    docs_q = docs_q.join(contaminated, on="doc_id", how="left_anti")
+    n_clean = docs_q.count()
+
     # 2. exact dedup: keep the min-id survivor of each fingerprint
     survivors = dd.exact_text_dedup(docs_q, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
@@ -74,14 +92,39 @@ def main() -> None:
     )
     n_hits = hits.count()
 
+    # 4b. deterministic mixing: per-language sampling + per-source cap,
+    #     then chunk into 128-token windows and pack into 512-budget
+    #     training sequences
+    from udacity_data_engineering_capstone_project_spark.operators.packing import pack_sequences
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        cap_per_group,
+        stratified_hash_sample,
+    )
+
+    mixed = stratified_hash_sample(
+        docs_n, "doc_id", "lang", {"en": 0.9, "de": 0.5}, default_rate=0.75
+    )
+    mixed = cap_per_group(
+        mixed, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], quota=50
+    )
+    chunks = ts.chunk_documents(mixed, "doc_id", "text", chunk_tokens=128, stride=96)
+    chunks = chunks.withColumn(
+        "chunk_key", F.col("doc_id") * 10_000 + F.col("chunk_id")
+    )
+    packed = pack_sequences(chunks, "chunk_key", "n_tokens", budget=512)
+    n_packs = packed.select("pack_id").distinct().count()
+    n_chunks = packed.count()
+
     # 5. curated corpus, clustered for read-side pruning
     write_clustered(
         docs_n, os.path.join(out_dir, "corpus"), ["lang", "source"], num_files=4
     )
 
     print(
-        f"raw={n_raw} -> quality={n_quality} -> exact-dedup={n_exact} "
-        f"-> near-dedup={n_near}; ann hits={n_hits}; corpus at {out_dir}"
+        f"raw={n_raw} -> quality={n_quality} -> clean={n_clean} "
+        f"-> exact-dedup={n_exact} -> near-dedup={n_near}; "
+        f"ann hits={n_hits}; {n_chunks} chunks in {n_packs} packs; "
+        f"corpus at {out_dir}"
     )
     spark.stop()
 

@@ -208,3 +208,57 @@ def test_chunk_documents_no_spurious_tail(spark):
     rows = chunk_documents(df, "doc_id", "text", 4, 4).collect()
     assert sorted(r["chunk_id"] for r in rows) == [0, 1]
     assert all(r["n_tokens"] == 4 for r in rows)
+
+
+def test_pack_sequences_budget_and_efficiency(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    # lengths 1..500 cycling, 2000 items, budget 512
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 500 + 1).alias("n_tokens")
+    )
+    out = pack_sequences(df, "id", "n_tokens", budget=512).join(
+        df, on="id"
+    )
+    per_pack = out.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_items")
+    )
+    rows = per_pack.collect()
+    # hard constraint: no pack exceeds the budget
+    assert all(r["total"] <= 512 for r in rows)
+    # every item assigned exactly once
+    assert out.count() == 2000
+    assert out.select("id").distinct().count() == 2000
+    # offsets: within a pack, offsets are distinct and start at 0
+    offsets = out.groupBy("pack_id").agg(
+        F.min("pack_offset").alias("mn"),
+        F.countDistinct("pack_offset").alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert all(r["mn"] == 0 and r["nd"] == r["n"] for r in offsets.collect())
+    # packing efficiency: greedy FFD on this distribution should fill
+    # packs well past naive one-item-per-pack (mean fill > 70%)
+    fill = sum(r["total"] for r in rows) / (512 * len(rows))
+    assert fill > 0.7, f"fill ratio {fill:.2f}"
+
+
+def test_pack_sequences_deterministic_and_oversize(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 900), (3, 100), (4, 50)], ["id", "n_tokens"]
+    )
+    a = {(r["id"], r["pack_id"], r["pack_offset"])
+         for r in pack_sequences(df, "id", "n_tokens", 512).collect()}
+    b = {(r["id"], r["pack_id"], r["pack_offset"])
+         for r in pack_sequences(df, "id", "n_tokens", 512).collect()}
+    assert a == b  # reproducible assignment
+    # the 900-token item still gets a (singleton) pack
+    packs_of_2 = [p for (i, p, _) in a if i == 2]
+    assert len(packs_of_2) == 1
+    others = {i: p for (i, p, _) in a if i != 2}
+    assert packs_of_2[0] not in others.values()
