@@ -80,3 +80,40 @@ def test_ivf_corpus_placement_has_no_window(spark, sf_dir):
     )
     assert "Window" not in plan
     assert "partial_min_by" in plan
+
+
+def test_incremental_dedup_against_persisted_index(spark, tmp_path):
+    """Index a corpus once, then screen a new batch against the stored
+    state: exact copies, near copies (edited tail), and novel docs must
+    each be classified correctly — without touching the corpus rows."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        dedup_against_index,
+        write_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    corpus = spark.createDataFrame(
+        [(i, base * 4 + f"tail number {i} " * 3) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "dedup_index")
+    write_dedup_index(corpus, idx, "doc_id", "text")
+
+    new_batch = spark.createDataFrame(
+        [
+            (100, base * 4 + "tail number 7 " * 3),        # exact copy of doc 7
+            (101, base * 4 + "tail number 7 " * 2 + "x "), # near copy
+            (102, "completely different content about spark and parquet "* 6),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_against_index(
+            spark, idx, new_batch, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert out[100]["is_exact_dup"] and out[100]["dup_of"] == 7
+    assert not out[101]["is_exact_dup"]
+    assert out[101]["dup_of"] == 7 and out[101]["est_jaccard"] >= 0.7
+    assert not out[102]["is_exact_dup"] and out[102]["dup_of"] is None

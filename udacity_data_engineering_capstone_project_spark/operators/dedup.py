@@ -108,6 +108,32 @@ def minhash_signatures(
     return agg.select(F.col(id_col), F.expr(f"array({arr}) AS signature"))
 
 
+def band_buckets(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(id, band, bucket) rows: each signature hashed per band — the
+    join key of LSH candidate generation, and the persisted layout of
+    the incremental dedup index."""
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                    F.lit(b),
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(
+        F.col(id_col), F.explode(band_entries).alias("bk")
+    ).select(id_col, "bk.band", "bk.bucket")
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -122,27 +148,13 @@ def lsh_candidate_pairs(
     key (band hashes are uniform); skew only arises from genuinely
     identical content, which AQE's skew-join splitting handles.
     """
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                    F.lit(b),
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
     # Bucket join and pair-dedup carry ONLY ids — signatures (8*num_hashes
     # bytes each) would multiply the shuffle volume; they are re-attached
     # afterwards by id. The re-join deliberately carries NO broadcast
     # hint: the signature table is O(corpus) (one row per document), so
     # forcing it executor-resident OOMs at real scale — AQE picks
     # broadcast-hash on its own whenever the runtime size allows.
-    buckets = sig_df.select(
-        F.col(id_col), F.explode(band_entries).alias("bk")
-    ).select(id_col, "bk.band", "bk.bucket")
+    buckets = band_buckets(sig_df, id_col, bands, rows_per_band)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -491,3 +503,131 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: persisted index + new-batch screening
+
+
+def write_dedup_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    bands: int = 8,
+) -> None:
+    """Materialize a corpus's dedup state so future batches screen
+    against it WITHOUT re-processing the corpus — the production shape:
+    you LSH 100 TB once, then each daily drop joins against the stored
+    index instead of re-hashing everything.
+
+    Layout under `path`:
+      fingerprints/  (id, fingerprint)            — exact-dup lookups
+      signatures/    (id, signature)              — jaccard verification
+      buckets/       (id, band, bucket)           — LSH candidate joins
+
+    All three are plain parquet: the bucket join key (band, bucket) is
+    uniform, so downstream equi-joins shuffle evenly; no driver-side
+    state of any kind.
+    """
+    rows_per_band = num_hashes // bands
+    df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    ).write.mode("overwrite").parquet(f"{path}/fingerprints")
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
+    try:
+        sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+        band_buckets(sigs, id_col, bands, rows_per_band).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/buckets")
+    finally:
+        sigs.unpersist()
+
+
+def dedup_against_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Screen a new batch against a persisted dedup index: every new
+    document is annotated with whether the EXISTING corpus already
+    contains it exactly or near-exactly.
+
+    Output: (id, is_exact_dup, dup_of, est_jaccard) — dup_of is the
+    smallest matching corpus id (deterministic), null when novel;
+    est_jaccard is null for exact-only matches.
+
+    Cost model at scale: the new batch (small) is hashed once; joins
+    against the index read only the fingerprint/bucket columns, and the
+    signature re-join touches only candidate corpus ids — never the
+    whole stored corpus. The batch side of every join is the small
+    side, so AQE broadcasts it; the index side streams from parquet.
+    """
+    rows_per_band = num_hashes // bands
+    idx_fp = spark.read.parquet(f"{path}/fingerprints").withColumnsRenamed(
+        {id_col: "old_id", "fingerprint": "old_fp"}
+    )
+    new_fp = new_df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    )
+    exact = (
+        new_fp.join(idx_fp, new_fp["fingerprint"] == idx_fp["old_fp"], "left")
+        .groupBy(id_col)
+        .agg(F.min("old_id").alias("exact_dup_of"))
+    )
+
+    new_sigs = minhash_signatures(
+        new_df, id_col, text_col, num_hashes, shingle_k
+    ).persist()
+    try:
+        new_buckets = band_buckets(new_sigs, id_col, bands, rows_per_band)
+        idx_buckets = spark.read.parquet(f"{path}/buckets").withColumnsRenamed(
+            {id_col: "old_id"}
+        )
+        cand = (
+            new_buckets.join(idx_buckets, on=["band", "bucket"])
+            .select(id_col, "old_id")
+            .dropDuplicates([id_col, "old_id"])
+        )
+        idx_sigs = spark.read.parquet(f"{path}/signatures").withColumnsRenamed(
+            {id_col: "old_id", "signature": "old_sig"}
+        )
+        est = estimated_jaccard(F.col("signature"), F.col("old_sig"), num_hashes)
+        near = (
+            cand.join(new_sigs, on=id_col)
+            .join(idx_sigs, on="old_id")
+            .withColumn("est_jaccard", F.round(est, 6))
+            .filter(F.col("est_jaccard") >= threshold)
+            .groupBy(id_col)
+            .agg(
+                # best match = highest jaccard, ties -> smallest old id
+                F.min_by(
+                    "old_id", F.struct(-F.col("est_jaccard"), F.col("old_id"))
+                ).alias("near_dup_of"),
+                F.max("est_jaccard").alias("est_jaccard"),
+            )
+        )
+        out = (
+            new_df.select(id_col)
+            .join(exact, on=id_col, how="left")
+            .join(near, on=id_col, how="left")
+            .select(
+                F.col(id_col),
+                F.col("exact_dup_of").isNotNull().alias("is_exact_dup"),
+                F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+                F.col("est_jaccard"),
+            )
+        )
+        # materialize before unpersist would drop lineage inputs
+        out = out.localCheckpoint(eager=True)
+    finally:
+        new_sigs.unpersist()
+    return out
