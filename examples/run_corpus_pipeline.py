@@ -83,7 +83,9 @@ def main() -> None:
     emb = read_table(spark, sf_dir, "embeddings").join(
         docs_n.select(F.col("doc_id").alias("vec_id")), on="vec_id"
     )
-    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = sim.train_centroids(
+        emb, "vec_id", "embedding", k=8, iters=3
+    ).withColumnRenamed("cell", "vec_id")
     index_path = os.path.join(out_dir, "ivf_index")
     sim.write_ivf_index(emb, centroids, index_path, "vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 3)

@@ -117,3 +117,54 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
     assert not out[101]["is_exact_dup"]
     assert out[101]["dup_of"] == 7 and out[101]["est_jaccard"] >= 0.7
     assert not out[102]["is_exact_dup"] and out[102]["dup_of"] is None
+
+
+def test_train_centroids_recovers_separated_clusters(spark):
+    """Three well-separated gaussian-ish clusters in 8-dim: Lloyd's
+    must place one trained centroid near each true center, and IVF
+    assignment under the trained quantizer must group cluster members
+    together."""
+    import math
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        assign_cells,
+        train_centroids,
+    )
+
+    centers = [
+        [10.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 10.0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 10.0, 0, 0, 0, 0, 0],
+    ]
+    rows = []
+    for i in range(300):
+        c = centers[i % 3]
+        # deterministic jitter, small relative to separation
+        jit = [((i * 31 + j * 17) % 13 - 6) / 10.0 for j in range(8)]
+        rows.append((i, [c[j] + jit[j] for j in range(8)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    trained = train_centroids(df, "vec_id", "embedding", k=3, iters=4)
+    cents = {r["cell"]: r["embedding"] for r in trained.collect()}
+    assert len(cents) == 3
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    # every true center has a trained centroid at cosine > 0.95
+    for c in centers:
+        assert max(cos(c, v) for v in cents.values()) > 0.95
+    # assignment purity: members of one true cluster land in one cell
+    assigned = assign_cells(df, trained.withColumnRenamed("cell", "vec_id"),
+                            "vec_id", "embedding")
+    by_true = {}
+    for r in assigned.collect():
+        by_true.setdefault(r["vec_id"] % 3, set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_true.values())
+    # determinism: same data -> same centroids
+    again = {r["cell"]: r["embedding"] for r in
+             train_centroids(df, "vec_id", "embedding", k=3, iters=4).collect()}
+    assert set(again) == set(cents)
+    for cell, v in cents.items():
+        assert all(abs(a - b) < 1e-9 for a, b in zip(v, again[cell]))

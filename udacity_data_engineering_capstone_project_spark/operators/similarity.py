@@ -435,3 +435,74 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "rank", "cos_sim")
     )
+
+
+def train_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 5,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — trains the
+    IVF coarse quantizer instead of requiring hand-picked centroids.
+
+    Scale shape per iteration (everything partial-aggregatable):
+      1. assign: nearest centroid per vector via the broadcast min_by
+         path of `assign_cells` (no shuffle of scored rows);
+      2. update: new centroid = elementwise mean of its members —
+         posexplode to (cell, pos, value) rows, avg with map-side
+         combine (the shuffle carries only k*dim partial sums per
+         input partition, NOT n*dim rows), re-assemble with sort_array.
+
+    Init is a deterministic pseudo-random sample: the k vectors with
+    the smallest xxhash64(id) (stable across runs and partitionings).
+    A centroid whose cell empties keeps its previous position. The k-row
+    centroid frame is localCheckpoint'ed each round: it truncates the
+    iterative lineage AND keeps the next broadcast from recomputing the
+    whole history. Output: (cell bigint 0..k-1, `vec_col`).
+    """
+    if k <= 0 or iters < 0:
+        raise ValueError(f"need k > 0, iters >= 0, got {k}, {iters}")
+    hash_order = [F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)]
+    # orderBy.limit compiles to TakeOrderedAndProject — a distributed
+    # partial top-k, NOT a global sort; the numbering window then runs
+    # over the k seed rows only.
+    seeds = df.select(F.col(id_col), F.col(vec_col)).orderBy(*hash_order).limit(k)
+    cents = (
+        seeds.withColumn("__rk", F.row_number().over(Window.orderBy(*hash_order)))
+        .select((F.col("__rk") - 1).cast("long").alias("cell"), F.col(vec_col))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = assign_cells(
+            df.select(id_col, vec_col),
+            cents.withColumnRenamed("cell", id_col),
+            id_col,
+            vec_col,
+        )
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("__p", "__v"))
+            .groupBy("cell", "__p")
+            .agg(F.avg("__v").alias("__m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__p"), F.col("__m")))
+                ).alias("__pm")
+            )
+            .select(
+                "cell",
+                F.transform(F.col("__pm"), lambda s: s["__m"]).alias(vec_col),
+            )
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.select("cell", F.col(vec_col).alias("__prev"))
+            .join(means, on="cell", how="left")
+            .select(
+                "cell", F.coalesce(F.col(vec_col), F.col("__prev")).alias(vec_col)
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
