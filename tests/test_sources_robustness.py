@@ -64,3 +64,41 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_read_json_declared_schema_and_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_json
+
+    p = str(tmp_path / "data.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n')
+        f.write('{"id": "NOT_A_NUMBER", "name": "bad"}\n')
+        f.write('{"id": 3, "name": "fine"}\n')
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = read_json(spark, p, schema=schema, corrupt_column="_corrupt").cache()
+    rows = {r["name"]: r for r in df.collect() if r["name"] is not None}
+    assert rows["ok"]["id"] == 1 and rows["ok"]["_corrupt"] is None
+    assert rows["fine"]["id"] == 3
+    # the malformed record is quarantined, not dropped
+    bad = [r for r in df.collect() if r["_corrupt"] is not None]
+    assert len(bad) == 1 and "NOT_A_NUMBER" in bad[0]["_corrupt"]
+    df.unpersist()
+
+
+def test_diagnose_skew_heavy_hitters(spark):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import diagnose_skew
+
+    # key 0 owns half the table, others uniform
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") < 5000, 0).otherwise(F.col("id") % 100 + 1).alias("k")
+    )
+    out = diagnose_skew(df, ["k"], top=3).collect()
+    assert out[0]["k"] == 0 and out[0]["n_rows"] == 5000
+    assert abs(out[0]["row_share"] - 0.5) < 1e-9
+    assert out[0]["n_rows"] > out[1]["n_rows"] >= out[2]["n_rows"]

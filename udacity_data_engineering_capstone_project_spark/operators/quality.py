@@ -121,3 +121,32 @@ def expect_non_null(df: DataFrame, columns: Sequence[str], name: str = "datafram
     bad = {c: row[c] for c in columns if row[c]}
     if bad:
         raise QualityError(f"{name}: null values found: {bad}")
+
+
+def diagnose_skew(
+    df: DataFrame, key_cols: Sequence[str], top: int = 10
+) -> DataFrame:
+    """Heavy-hitter report for a prospective shuffle key: the `top`
+    most frequent key values with their absolute counts and share of
+    all rows — the first thing to look at before a groupBy/join on 100
+    TB ("is this key saltable-uniform or does one value own 40% of the
+    table?").
+
+    One partial-aggregatable count pass + a distributed top-k
+    (orderBy.limit = TakeOrderedAndProject, no global sort). The total
+    rides in as a 1-row broadcast.
+    """
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols])
+        .limit(top)
+        .crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("row_share"),
+        )
+    )

@@ -81,6 +81,39 @@ def read_csv(
     return reader.csv(list(paths))
 
 
+def read_json(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    schema: StructType | None = None,
+    multiline: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str | None = None,
+) -> DataFrame:
+    """Read JSON-lines file(s) (or whole-file documents with
+    ``multiline=True``).
+
+    A declared schema is strongly preferred at scale: inference runs an
+    extra full pass over the input. Same quarantine semantics as
+    `read_csv`: with a declared schema and ``corrupt_column``, malformed
+    records land in a side column instead of being lost.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    reader = spark.read.option("mode", mode)
+    if multiline:
+        reader = reader.option("multiLine", "true")
+    if schema is not None:
+        if corrupt_column is not None:
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType(
+                list(schema.fields) + [StructField(corrupt_column, StringType())]
+            )
+            reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
+        reader = reader.schema(schema)
+    return reader.json(list(paths))
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (``{sf_dir}/{name}.parquet``)."""
     if name == "events":
