@@ -168,3 +168,50 @@ def test_train_centroids_recovers_separated_clusters(spark):
     assert set(again) == set(cents)
     for cell, v in cents.items():
         assert all(abs(a - b) < 1e-9 for a, b in zip(v, again[cell]))
+
+
+def test_int8_quantization_preserves_cosine_ranking(spark):
+    """4x-compressed embeddings must reproduce brute-force top-k almost
+    exactly: dequantized cosine within 1% of the true value, and the
+    top-5 neighbor sets of the first queries essentially unchanged."""
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rt = dequantize_embeddings_int8(
+        quantize_embeddings_int8(emb, "embedding"), "qvec", "deq"
+    ).select("vec_id", F.col("deq").alias("embedding"))
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    true_hits = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    q_hits = brute_force_topk(rt, queries, "vec_id", "embedding", k=5)
+    t = {(r["query_id"], r["neighbor_id"]) for r in true_hits.collect()}
+    q = {(r["query_id"], r["neighbor_id"]) for r in q_hits.collect()}
+    # allow at most one boundary swap across 15 (query, neighbor) pairs
+    assert len(t & q) >= len(t) - 1, (t - q, q - t)
+
+    # component-level error bound: |x - deq(x)| <= scale/2 = max|x|/254
+    err = (
+        dequantize_embeddings_int8(
+            quantize_embeddings_int8(emb, "embedding"), "qvec", "deq"
+        )
+        .select(
+            F.max(
+                F.array_max(
+                    F.zip_with(
+                        "embedding", "deq", lambda a, b: F.abs(a - b)
+                    )
+                )
+                / F.greatest(
+                    F.array_max(F.transform("embedding", lambda x: F.abs(x))),
+                    F.lit(1e-30),
+                )
+            ).alias("rel")
+        )
+        .collect()[0]["rel"]
+    )
+    assert err <= 0.5 / 127 + 1e-9

@@ -506,3 +506,43 @@ def train_centroids(
             .localCheckpoint(eager=True)
         )
     return cents
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str, out_col: str = "qvec"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: 4x smaller
+    embedding storage (the dominant byte cost of a 100 TB vector
+    corpus) with cosine ordering approximately preserved.
+
+    Each vector stores (int8[dim], scale) with scale = max|x|/127;
+    dequantized value = q * scale. Symmetric-per-vector keeps the
+    dot-product algebra simple (q_a . q_b * scale_a * scale_b) and
+    needs no corpus-level calibration pass. Pure higher-order
+    expressions — no Python, no shuffle.
+    """
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    ) / F.lit(127.0)
+    return df.withColumn(
+        out_col,
+        F.struct(
+            F.transform(
+                v, lambda x: F.round(x / scale).cast("tinyint")
+            ).alias("q"),
+            scale.cast("double").alias("scale"),
+        ),
+    )
+
+
+def dequantize_embeddings_int8(
+    df: DataFrame, qvec_col: str, out_col: str
+) -> DataFrame:
+    """Inverse of `quantize_embeddings_int8` (lossy: ~0.4% of max|x|
+    per component)."""
+    q = F.col(qvec_col)
+    return df.withColumn(
+        out_col,
+        F.transform(q["q"], lambda x: x.cast("double") * q["scale"]),
+    )
