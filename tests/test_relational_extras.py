@@ -74,3 +74,61 @@ def test_materialize_truncates_lineage(spark, tmp_path):
     # read-back plan is a plain scan, no upstream lineage
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Range" not in plan and "FileScan" in plan
+
+
+def test_resample_time_series_fills_gaps(spark):
+    from datetime import datetime
+
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        resample_time_series,
+    )
+
+    t = lambda s: datetime.fromisoformat(s)
+    df = spark.createDataFrame(
+        [
+            ("u1", t("2024-01-01 00:10:00"), 1.0),
+            ("u1", t("2024-01-01 00:50:00"), 2.0),
+            # 01:00 and 02:00 silent
+            ("u1", t("2024-01-01 03:20:00"), 4.0),
+            ("u2", t("2024-01-01 05:00:00"), 9.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = resample_time_series(
+        df,
+        ["user_id"],
+        "ts",
+        "1 hour",
+        {"n": F.count(F.lit(1)), "total": F.round(F.sum("value"), 2)},
+        fill={"n": 0, "total": 0.0},
+    )
+    rows = {(r["user_id"], r["bucket_start"].hour): (r["n"], r["total"])
+            for r in out.collect()}
+    # u1 spine: 00..03 inclusive — dense, gaps zero-filled
+    assert {(h) for (u, h) in rows if u == "u1"} == {0, 1, 2, 3}
+    assert rows[("u1", 0)] == (2, 3.0)
+    assert rows[("u1", 1)] == (0, 0.0)
+    assert rows[("u1", 2)] == (0, 0.0)
+    assert rows[("u1", 3)] == (1, 4.0)
+    # u2 active for one bucket: one row only, NOT u1's span
+    assert {(h) for (u, h) in rows if u == "u2"} == {5}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resample_time_series(df, ["user_id"], "ts", "2 hours", {"n": F.count(F.lit(1))})
+
+
+def test_profile_columns_approximate_mode(spark, sf_dir):
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        profile_columns,
+    )
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = {r["column_name"]: r for r in profile_columns(
+        li, ["l_extendedprice"], percentiles=(0.5, 0.95)).collect()}
+    approx = {r["column_name"]: r for r in profile_columns(
+        li, ["l_extendedprice"], percentiles=(0.5, 0.95), approximate=True).collect()}
+    e, a = exact["l_extendedprice"], approx["l_extendedprice"]
+    # GK sketch at accuracy 10k: within 1% relative of the exact value
+    for p in ("p50", "p95"):
+        assert abs(a[p] - e[p]) / e[p] < 0.01, (p, a[p], e[p])

