@@ -122,11 +122,36 @@ def main() -> None:
         docs_n, os.path.join(out_dir, "corpus"), ["lang", "source"], num_files=4
     )
 
+    # 6. persist the dedup index, then screen a simulated next-day
+    #    batch against it WITHOUT re-processing the corpus: one exact
+    #    copy, one edited near-copy, one novel doc
+    idx_path = os.path.join(out_dir, "dedup_index")
+    dd.write_dedup_index(docs_n, idx_path, "doc_id", "text")
+    sample = docs_n.orderBy("doc_id").limit(1).collect()[0]
+    new_batch = spark.createDataFrame(
+        [
+            (1_000_000, sample["text"]),
+            # light edit: stays above the 8x8 LSH banding knee (~0.77
+            # jaccard) — heavier edits are a different retrieval regime
+            (1_000_001, sample["text"] + " edited tail appended"),
+            (1_000_002, "entirely novel content about incremental corpus curation " * 4),
+        ],
+        ["doc_id", "text"],
+    )
+    screened = dd.dedup_against_index(
+        spark, idx_path, new_batch, "doc_id", "text", threshold=0.6
+    )
+    screen_summary = {
+        r["doc_id"]: ("exact" if r["is_exact_dup"]
+                      else "near" if r["dup_of"] is not None else "novel")
+        for r in screened.collect()
+    }
+
     print(
         f"raw={n_raw} -> quality={n_quality} -> clean={n_clean} "
         f"-> exact-dedup={n_exact} -> near-dedup={n_near}; "
         f"ann hits={n_hits}; {n_chunks} chunks in {n_packs} packs; "
-        f"corpus at {out_dir}"
+        f"day-2 screen={screen_summary}; corpus at {out_dir}"
     )
     spark.stop()
 
