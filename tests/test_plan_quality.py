@@ -169,3 +169,11 @@ def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
     # query-term rows shuffle on the tf branch
     assert "term#" in plan and "INSET" in plan or "term" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_profile_is_single_scan_per_table(spark, sf_dir):
+    # profiling 3 orders columns must read orders ONCE for the profile
+    # (plus once for its rows:<table> count) — k-column profiling with
+    # k scans would read 100 TB k times
+    plan = _plan(spark, sf_dir, "data_quality_profile")
+    assert plan.count("orders.parquet") == 2

@@ -69,11 +69,16 @@ def profile_columns(
     percentiles: Sequence[float] = (),
     approximate: bool = False,
 ) -> DataFrame:
-    """Column profile in one aggregation pass per column, unioned:
-    (column_name, n_rows, n_nulls, n_distinct, min_value, max_value
-    [, p<q> ...]) — min/max rendered as strings so heterogeneous
-    columns stack; percentile columns (rounded r6) are computed for
-    numeric columns and null for the rest.
+    """Column profile, one row per column: (column_name, n_rows,
+    n_nulls, n_distinct, min_value, max_value [, p<q> ...]) — min/max
+    rendered as strings so heterogeneous columns stack; percentile
+    columns (rounded r6) are computed for numeric columns and null for
+    the rest.
+
+    ONE aggregation pass over the input no matter how many columns are
+    profiled (every per-column metric is an aggregate of the same scan;
+    profiling k columns with k scans would read 100 TB k times), then a
+    `stack` unpivot of the single metrics row into per-column rows.
 
     ``approximate=True`` swaps exact interpolated percentiles for
     `approx_percentile` (Greenwald-Khanna sketch): the exact aggregate
@@ -91,11 +96,20 @@ def profile_columns(
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }
-    parts = []
+    pct_names = [f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in percentiles]
+
+    aggs = []
     for c in columns:
-        pct_aggs = []
-        for q in percentiles:
-            name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+        aggs.append(F.count(F.lit(1)).alias(f"__{c}__n_rows"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__{c}__n_nulls")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__{c}__n_distinct"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__{c}__max"))
+        for q, name in zip(percentiles, pct_names):
             if c in numeric:
                 if approximate:
                     expr = F.approx_percentile(
@@ -103,26 +117,26 @@ def profile_columns(
                     ).cast("double")
                 else:
                     expr = F.percentile(F.col(c), F.lit(q))
-                pct_aggs.append(F.round(expr, 6).alias(name))
+                aggs.append(F.round(expr, 6).alias(f"__{c}__{name}"))
             else:
-                pct_aggs.append(F.lit(None).cast("double").alias(name))
-        parts.append(
-            df.agg(
-                F.lit(c).alias("column_name"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                .cast("long")
-                .alias("n_nulls"),
-                F.countDistinct(F.col(c)).alias("n_distinct"),
-                F.min(F.col(c)).cast("string").alias("min_value"),
-                F.max(F.col(c)).cast("string").alias("max_value"),
-                *pct_aggs,
-            )
+                aggs.append(
+                    F.lit(None).cast("double").alias(f"__{c}__{name}")
+                )
+    one_row = df.agg(*aggs)
+
+    metric_cols = ["n_rows", "n_nulls", "n_distinct", "min_value", "max_value", *pct_names]
+    groups = ", ".join(
+        f"'{c}', `__{c}__n_rows`, `__{c}__n_nulls`, `__{c}__n_distinct`, "
+        f"`__{c}__min`, `__{c}__max`"
+        + "".join(f", `__{c}__{name}`" for name in pct_names)
+        for c in columns
+    )
+    return one_row.select(
+        F.expr(
+            f"stack({len(columns)}, {groups}) AS "
+            f"(column_name, {', '.join(metric_cols)})"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 def expect_non_null(df: DataFrame, columns: Sequence[str], name: str = "dataframe") -> None:
