@@ -21,7 +21,6 @@ BENCH_QUERIES = [
     "argmax_ties",
     "top1_per_group",
     # event/time-series
-    "sessionize",
     "asof_last_click",
     # composite pipeline
     "corpus_prep",

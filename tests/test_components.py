@@ -39,3 +39,50 @@ def test_dedup_representatives(spark):
     assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
     assert out[3] == (3, True)  # no edges -> self-representative
     assert out[4] == (4, True) and out[5] == (4, False)
+
+
+def test_remove_duplicated_segments_line_mode(spark):
+    import hashlib
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        remove_duplicated_segments,
+    )
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha\n{boiler}\nunique beta"),
+            (2, f"{boiler}\nsomething else entirely"),
+            (3, "no boilerplate at all"),
+            (4, boiler),  # every segment is boilerplate
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicated_segments(
+            docs, "doc_id", "text", delimiter="\n", min_docs=2, joiner="\n"
+        ).collect()
+    }
+    assert len(out) == 4  # all-boilerplate doc 4 still present
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (3, 2)
+    assert out[1]["cleaned_hash"] == hashlib.md5(
+        b"unique alpha\nunique beta"
+    ).hexdigest()
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 1)
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (1, 1)
+    assert (out[4]["n_segments"], out[4]["n_kept"]) == (1, 0)
+    assert out[4]["cleaned_hash"] == hashlib.md5(b"").hexdigest()
+
+
+def test_segment_documents_window_mode_partial_tail(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        segment_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    rows = sorted(
+        (r["seg_pos"], r["segment"])
+        for r in segment_documents(docs, "doc_id", "text", window=3).collect()
+    )
+    assert rows == [(1, "a b c"), (4, "d e f"), (7, "g h")]

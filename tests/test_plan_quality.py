@@ -63,7 +63,11 @@ def test_ann_topk_no_corpus_shuffle_before_score(spark, sf_dir):
 
 
 def test_sessionize_single_shuffle_on_user(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "sessionize")
+    # batch sessionize is unregistered (streaming twin carries the
+    # oracle) but its plan discipline stays pinned here
+    from udacity_data_engineering_capstone_project_spark.plans.queries import sessionize
+
+    plan = sessionize(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     # lag + running-sum + final group all reuse the user_id partitioning
     assert plan.count("Exchange hashpartitioning") == 1
 

@@ -631,3 +631,113 @@ def dedup_against_index(
     finally:
         new_sigs.unpersist()
     return out
+
+
+def segment_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    delimiter: str | None = None,
+    window: int = 6,
+) -> DataFrame:
+    """Split documents into ordered segments: one row per segment,
+    ``(id, seg_pos, segment)``.
+
+    Two segmenters:
+
+    - ``delimiter`` (a Java regex, e.g. ``"\\n"``): each delimited
+      piece is a segment — the C4/CCNet "line" unit for real corpora.
+    - else fixed ``window``-word chunks (last chunk may be shorter):
+      delimiter-free text still gets a stable, alignment-preserving
+      unit for cross-document span dedup.
+
+    ``seg_pos`` is the 1-based offset of the segment's first word
+    (window mode) or the 0-based piece index (delimiter mode); either
+    way it orders segments within a document deterministically.
+    """
+    if delimiter is not None:
+        return df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delimiter, -1)).alias(
+                "seg_pos", "segment"
+            ),
+        )
+    ws = F.split(F.col(text_col), " ", -1)
+    # starts 1, 1+w, ... <= size(ws): every word lands in exactly one
+    # segment; size >= 1 always (split of "" is [""]), so the sequence
+    # never runs start > stop (Spark sequence counts DOWN in that case).
+    starts = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(window))
+    return df.select(
+        F.col(id_col),
+        F.explode(starts).alias("seg_pos"),
+        ws.alias("__ws"),
+    ).select(
+        id_col,
+        "seg_pos",
+        F.array_join(F.slice(F.col("__ws"), F.col("seg_pos"), window), " ").alias(
+            "segment"
+        ),
+    )
+
+
+def remove_duplicated_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    delimiter: str | None = None,
+    window: int = 6,
+    min_docs: int = 2,
+    joiner: str = " ",
+) -> DataFrame:
+    """Cross-document duplicated-segment removal — the C4/CCNet
+    boilerplate-scrub pattern: any segment (line, or ``window``-word
+    chunk) appearing in >= ``min_docs`` DISTINCT documents is dropped
+    from every document; survivors are reassembled in order.
+
+    Output, one row per input document (docs whose every segment was
+    boilerplate still appear, with ``n_kept = 0`` and the hash of the
+    empty string): ``(id, n_segments, n_kept, cleaned_hash)`` where
+    ``cleaned_hash = md5(kept segments joined by ``joiner``)``.
+
+    Shape at scale: the segment explode feeds (a) one partial-agg
+    count-distinct per segment producing the (small — boilerplate is
+    rare by definition) hot set, and (b) an equi-join against that hot
+    set, which AQE broadcasts when it fits; one final groupBy(id)
+    produces every output column in a single pass. No per-document
+    state, no windows, no Python. At 100 TB persist/checkpoint the
+    segment frame (or stage it with ``write_dedup_index``-style
+    two-phase runs) so the explode isn't computed twice.
+    """
+    segs = segment_documents(
+        _ensure_parallelism(df, id_col),
+        id_col,
+        text_col,
+        delimiter=delimiter,
+        window=window,
+    )
+    hot = (
+        segs.groupBy("segment")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("segment", F.lit(True).alias("__hot"))
+    )
+    flagged = segs.join(hot, on="segment", how="left")
+    keep = F.col("__hot").isNull()
+    cleaned = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(keep, F.struct(F.col("seg_pos"), F.col("segment")))
+                )
+            ),
+            lambda x: x["segment"],
+        ),
+        joiner,
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+        F.md5(cleaned).alias("cleaned_hash"),
+    )

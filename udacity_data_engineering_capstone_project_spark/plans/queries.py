@@ -881,34 +881,13 @@ def set_and_semi_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
-@_register(
-    "sessionize",
-    """
-    WITH seq AS (
-        SELECT user_id, epoch_us(ts) AS us,
-               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
-        FROM events
-    ),
-    flagged AS (
-        SELECT user_id, us,
-               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
-        FROM seq
-    ),
-    sessions AS (
-        SELECT user_id, us,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY us
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        FROM flagged
-    )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
-    FROM sessions GROUP BY user_id, session_id
-    """,
-    "Sessionization: 30-min inactivity gap -> session ids via lag + "
-    "running sum (stateful op the reference lacks; batch twin of "
-    "streaming session windows).",
-)
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap -> session ids via lag +
+    running sum. Registry slot ceded to `segment_dedup`: the streaming
+    twin (`streaming_sessionize`) carries the identical oracle, and
+    `tests/test_streaming_semantics.py` pins batch == streaming, so
+    these semantics stay hash-verified; the batch plan is pinned by
+    `test_sessionize_single_shuffle_on_user`."""
     from pyspark.sql import Window
 
     # Wall-clock microseconds since epoch, timezone-independent (matches
@@ -1115,6 +1094,36 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_text_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_register(
+    "segment_dedup",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1, 6)) AS i FROM words),
+    segs AS (SELECT doc_id, i, array_to_string(ws[i : i+5], ' ') AS seg FROM idx),
+    hot AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
+    SELECT s.doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE h.seg IS NULL) AS n_kept,
+           md5(coalesce(string_agg(s.seg, ' ' ORDER BY s.i)
+                        FILTER (WHERE h.seg IS NULL), '')) AS cleaned_hash
+    FROM segs s LEFT JOIN hot h ON s.seg = h.seg
+    GROUP BY s.doc_id
+    """,
+    "Cross-document duplicated-segment removal (C4/CCNet boilerplate "
+    "scrub): 6-word chunks appearing in >=2 distinct docs are dropped "
+    "everywhere, survivors reassembled in order; md5 pins the exact "
+    "cleaned text.",
+)
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.remove_duplicated_segments(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        window=6,
+        min_docs=2,
+    )
 
 
 @_register(
