@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "corpus_prep",
     # training-data extensions (scale paths)
     "dedup_exact",
+    "segment_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",

@@ -5,9 +5,11 @@ all lazy DataFrame plans until each stage's action:
   documents --(text_profile)--> quality filter
             --(repetition_signals)--> drop boilerplate
             --(ngram_overlap)--> drop benchmark-contaminated docs
+            --(redact_pii + remove_duplicated_segments)--> scrub text
             --(exact_text_dedup)--> drop exact copies
             --(minhash LSH + connected components)--> drop near-dups
             --(stratified_hash_sample + cap_per_group)--> mix corpus
+            --(hash_split + deterministic_shuffle)--> train split order
             --(join embeddings, IVF index)--> similarity search
             --(chunk_documents + pack_sequences)--> training windows
             --(write_clustered by lang,source)--> curated corpus files
@@ -63,6 +65,23 @@ def main() -> None:
     docs_q = docs_q.join(contaminated, on="doc_id", how="left_anti")
     n_clean = docs_q.count()
 
+    # 1c. PII scrub (audit counts ride along), then cross-document
+    #     duplicated-segment removal (C4-style boilerplate scrub):
+    #     6-word chunks shared by >= 3 docs vanish everywhere
+    docs_q = ts.redact_pii(docs_q, "text").drop("text").withColumnRenamed(
+        "redacted_text", "text"
+    )
+    scrubbed = dd.remove_duplicated_segments(
+        docs_q, "doc_id", "text", window=6, min_docs=3, keep_text=True
+    )
+    docs_q = (
+        docs_q.drop("text")
+        .join(scrubbed.filter(F.col("n_kept") > 0), on="doc_id")
+        .withColumnRenamed("cleaned_text", "text")
+        .drop("n_segments", "n_kept", "cleaned_hash")
+    )
+    n_scrub = docs_q.count()
+
     # 2. exact dedup: keep the min-id survivor of each fingerprint
     survivors = dd.exact_text_dedup(docs_q, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
@@ -100,6 +119,8 @@ def main() -> None:
     from udacity_data_engineering_capstone_project_spark.operators.packing import pack_sequences
     from udacity_data_engineering_capstone_project_spark.operators.sampling import (
         cap_per_group,
+        deterministic_shuffle,
+        hash_split,
         stratified_hash_sample,
     )
 
@@ -109,7 +130,14 @@ def main() -> None:
     mixed = cap_per_group(
         mixed, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], quota=50
     )
-    chunks = ts.chunk_documents(mixed, "doc_id", "text", chunk_tokens=128, stride=96)
+    # train/val/test assignment + epoch shuffle: both pure functions of
+    # the doc hash, so the export reproduces byte-for-byte on any layout
+    mixed = hash_split(mixed, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    train = deterministic_shuffle(
+        mixed.filter(F.col("split") == "train"), "doc_id", seed=1
+    )
+    n_train = train.count()
+    chunks = ts.chunk_documents(train, "doc_id", "text", chunk_tokens=128, stride=96)
     chunks = chunks.withColumn(
         "chunk_key", F.col("doc_id") * 10_000 + F.col("chunk_id")
     )
@@ -149,8 +177,9 @@ def main() -> None:
 
     print(
         f"raw={n_raw} -> quality={n_quality} -> clean={n_clean} "
-        f"-> exact-dedup={n_exact} -> near-dedup={n_near}; "
-        f"ann hits={n_hits}; {n_chunks} chunks in {n_packs} packs; "
+        f"-> pii+segment-scrub={n_scrub} -> exact-dedup={n_exact} "
+        f"-> near-dedup={n_near}; ann hits={n_hits}; "
+        f"train split={n_train}; {n_chunks} chunks in {n_packs} packs; "
         f"day-2 screen={screen_summary}; corpus at {out_dir}"
     )
     spark.stop()

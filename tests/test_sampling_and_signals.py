@@ -31,7 +31,10 @@ from udacity_data_engineering_capstone_project_spark.operators.textstats import 
 
 def test_threshold_hex_boundaries():
     assert _threshold_hex(0.0) == "0000"
-    assert _threshold_hex(1.0) == "10000"  # > every 4-char bucket
+    assert _threshold_hex(1.0) == "g"  # sorts after every hex bucket
+    # regression: "10000" would sort BEFORE 'a'-'f' buckets and keep ~6%
+    assert "abcd" < _threshold_hex(1.0)
+    assert _threshold_hex(0.9999999) == "g"  # rounding can't overflow to "10000"
     assert _threshold_hex(0.5) == "8000"
     assert _threshold_hex(0.25) == "4000"
     with pytest.raises(ValueError):
@@ -262,3 +265,74 @@ def test_pack_sequences_deterministic_and_oversize(spark):
     assert len(packs_of_2) == 1
     others = {i: p for (i, p, _) in a if i != 2}
     assert packs_of_2[0] not in others.values()
+
+
+def test_hash_split_disjoint_exhaustive_calibrated(spark, sf_dir):
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive, disjoint by construction
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.1)
+    # idempotent: same assignment on recompute
+    again = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select("doc_id", "split").collect()}
+    first = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    assert first == again
+
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_deterministic_shuffle_stable_and_decorrelated(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    o1 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=1).collect()]
+    o2 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=1).collect()]
+    o3 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=2).collect()]
+    assert o1 == o2           # same seed -> byte-stable order
+    assert o1 != o3           # new seed -> new epoch order
+    assert o1 != sorted(o1)   # actually shuffled
+
+
+def test_mix_sources_hits_target_proportions(spark, sf_dir):
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import mix_sources
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    assert len(srcs) >= 2
+    w = {srcs[0]: 0.7, srcs[1]: 0.3}
+    out = mix_sources(docs, "doc_id", "source", w)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {srcs[0], srcs[1]}  # other sources dropped
+    share = counts[srcs[0]] / sum(counts.values())
+    assert share == pytest.approx(0.7, abs=0.12)
+    # the scarcest source is never upsampled
+    orig = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(counts[s] <= orig[s] for s in counts)
+
+    with pytest.raises(ValueError):
+        mix_sources(docs, "doc_id", "source", {"no_such_source": 1.0})
+
+
+def test_redact_pii_spans_and_counts(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "contact bob@example.com or visit https://x.io/a?b=1 now"),
+        (2, "server at 10.0.0.1 called +1-800-555-1234 twice"),
+        (3, "plain text, no pii here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in redact_pii(df, "text").collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_url"] == 1
+    assert out[1]["redacted_text"] == "contact [EMAIL] or visit [URL] now"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_phone"] >= 1
+    assert "[IPV4]" in out[2]["redacted_text"] and "[PHONE]" in out[2]["redacted_text"]
+    assert "555" not in out[2]["redacted_text"]
+    assert out[3]["redacted_text"] == rows[2][1]
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"], out[3]["n_url"]) == (0, 0, 0, 0)

@@ -690,6 +690,7 @@ def remove_duplicated_segments(
     window: int = 6,
     min_docs: int = 2,
     joiner: str = " ",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated-segment removal — the C4/CCNet
     boilerplate-scrub pattern: any segment (line, or ``window``-word
@@ -699,7 +700,9 @@ def remove_duplicated_segments(
     Output, one row per input document (docs whose every segment was
     boilerplate still appear, with ``n_kept = 0`` and the hash of the
     empty string): ``(id, n_segments, n_kept, cleaned_hash)`` where
-    ``cleaned_hash = md5(kept segments joined by ``joiner``)``.
+    ``cleaned_hash = md5(kept segments joined by ``joiner``)``;
+    ``keep_text=True`` appends the reassembled ``cleaned_text`` itself
+    (pipeline use — the hash-only shape is the audit/oracle surface).
 
     Shape at scale: the segment explode feeds (a) one partial-agg
     count-distinct per segment producing the (small — boilerplate is
@@ -736,8 +739,11 @@ def remove_duplicated_segments(
         ),
         joiner,
     )
-    return flagged.groupBy(id_col).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(keep.cast("int")).cast("long").alias("n_kept"),
         F.md5(cleaned).alias("cleaned_hash"),
-    )
+    ]
+    if keep_text:
+        aggs.append(cleaned.alias("cleaned_text"))
+    return flagged.groupBy(id_col).agg(*aggs)

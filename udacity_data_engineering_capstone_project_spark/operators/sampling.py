@@ -33,10 +33,19 @@ def hash_bucket(key: Column | str, digits: int = 4) -> Column:
 
 
 def _threshold_hex(rate: float, digits: int = 4) -> str:
-    """Exclusive upper bound in hex for a keep-rate in [0, 1]."""
+    """Exclusive upper bound in hex for a keep-rate in [0, 1].
+
+    A full-keep rate returns "g", which sorts after every hex char —
+    NOT the numeral string for 16**digits: "10000" starts with '1' and
+    would lexicographically UNDERCUT almost every 4-char bucket,
+    silently keeping ~1/16 of rows.
+    """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(int(round(rate * (16 ** digits))), f"0{digits}x")
+    v = int(round(rate * (16 ** digits)))
+    if v >= 16 ** digits:
+        return "g"
+    return format(v, f"0{digits}x")
 
 
 def hash_sample(
@@ -92,4 +101,87 @@ def cap_per_group(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    digits: int = 4,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a `split` column
+    whose value is a pure function of md5(key), partitioning the hash
+    space into consecutive ranges proportional to `weights` (which must
+    sum to ~1). Row-local expression — no shuffle, no RNG; a row keeps
+    its split across reruns and incremental ingests, and the same
+    ranges reproduce in any engine with md5().
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(key_col, digits)
+    expr: Column | None = None
+    acc = 0.0
+    # deterministic range order; last split absorbs rounding slack
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = bucket < F.lit(_threshold_hex(acc, digits))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str, seed: int = 0) -> DataFrame:
+    """Stable pseudo-random global order for training-data export:
+    sort by xxhash64(key, seed). Same seed -> same order on any cluster
+    layout; a new seed is a fresh epoch-level shuffle. Spark executes
+    this as a range-partitioned sort (one exchange) — the standard way
+    to decorrelate adjacent documents before sequence packing.
+    """
+    return df.orderBy(
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.col(key_col)
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    target_weights: Mapping[str, float],
+    digits: int = 4,
+) -> DataFrame:
+    """Downsample sources to a target mixture (e.g. web 60% / books 20%
+    / code 20%) WITHOUT upsampling: the achievable total is capped by
+    the scarcest source, T = min_s(n_s / w_s); each source then keeps
+    ~w_s*T rows via its deterministic hash rate. Sources absent from
+    `target_weights` are dropped.
+
+    Needs one count-per-source aggregation (#sources rows — a driver
+    scalar, not a data collect) to derive the rates; membership itself
+    stays a row-local hash predicate, so the mix is reproducible and
+    stable under retries.
+    """
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = [s for s in target_weights if s not in counts]
+    if missing:
+        raise ValueError(f"sources absent from data: {missing}")
+    t_max = min(counts[s] / w for s, w in target_weights.items() if w > 0)
+    rates = {
+        s: min(1.0, (w * t_max) / counts[s]) for s, w in target_weights.items()
+    }
+    return stratified_hash_sample(
+        df.filter(F.col(source_col).isin(list(target_weights))),
+        key_col,
+        source_col,
+        rates,
+        default_rate=0.0,
+        digits=digits,
     )

@@ -388,3 +388,44 @@ def chunk_documents(
         F.size("c.toks").cast("long").alias("n_tokens"),
         F.array_join("c.toks", " ").alias("chunk_text"),
     )
+
+
+#: PII patterns (Java regex, RE2-compatible — no backrefs/lookarounds,
+#: so the same patterns run in DuckDB/Hyperscan-class engines too).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}",
+    "url": r"https?://[^\s<>\"']+",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    kinds: Sequence[str] = ("email", "ipv4", "phone", "url"),
+    out_col: str = "redacted_text",
+) -> DataFrame:
+    """Scrub common PII spans from a text column, the pre-training
+    compliance pass: each matched span is replaced by `[KIND]`, and a
+    per-kind match count (`n_<kind>`, counted BEFORE any replacement)
+    is appended for audit/filter downstream.
+
+    Pure chained regexp_count/regexp_replace — whole-stage codegen,
+    no shuffle, no Python. Order matters (url before email would eat
+    mailto-less addresses embedded in URLs); kinds are applied in the
+    caller-given order against the progressively redacted text, while
+    counts are always measured on the original.
+    """
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown} (have {list(PII_PATTERNS)})")
+    out = df
+    for k in kinds:
+        out = out.withColumn(
+            f"n_{k}", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k]))
+        )
+    red = F.col(text_col)
+    for k in kinds:
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
+    return out.withColumn(out_col, red)
