@@ -1,0 +1,116 @@
+"""Video tier: real RIFF/AVI codec roundtrips, header decode, seek-based
+frame sampling into the image tier, and triage features — every decode
+path checked against an exact local recompute of the synthesized
+frames (same discipline as the audio tier in test_media_and_retrieval)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.operators.multimodal import decode_png_pixels
+from udacity_data_engineering_capstone_project_spark.operators.video import (
+    _sample_indices,
+    decode_video_meta,
+    encode_avi,
+    parse_avi_meta,
+    sample_video_frames,
+    synthesize_avi,
+    synthetic_frames,
+    video_features,
+)
+
+
+def test_avi_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(4, 6, 8, 3), dtype=np.uint8)
+    b = encode_avi(frames, fps=25)
+    assert parse_avi_meta(b) == (8, 6, 40_000, 4)
+    from udacity_data_engineering_capstone_project_spark.operators.video import (
+        _dib_to_frame,
+        _frame_chunks,
+    )
+
+    chunks = _frame_chunks(b)
+    assert len(chunks) == 4
+    for i, (off, ln) in enumerate(chunks):
+        np.testing.assert_array_equal(_dib_to_frame(b[off : off + ln], 8, 6), frames[i])
+
+
+def test_avi_odd_width_row_padding():
+    # width 5 -> 15-byte rows padded to 16; the unpadder must strip it
+    frames = (np.arange(2 * 3 * 5 * 3) % 256).astype(np.uint8).reshape(2, 3, 5, 3)
+    b = encode_avi(frames, fps=10)
+    from udacity_data_engineering_capstone_project_spark.operators.video import (
+        _dib_to_frame,
+        _frame_chunks,
+    )
+
+    (off0, ln0), (off1, ln1) = _frame_chunks(b)
+    assert ln0 == 16 * 3  # padded stride x height
+    np.testing.assert_array_equal(_dib_to_frame(b[off1 : off1 + ln1], 5, 3), frames[1])
+
+
+def test_parse_avi_rejects_non_avi():
+    with pytest.raises(ValueError):
+        parse_avi_meta(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        parse_avi_meta(b"\x89PNG")
+
+
+def test_sample_indices_even_and_bounded():
+    assert _sample_indices(1, 4) == [0]
+    assert _sample_indices(9, 3) == [0, 4, 8]
+    assert _sample_indices(3, 8) == [0, 1, 2]  # never more than n_frames
+    assert _sample_indices(0, 4) == []
+
+
+def test_decode_video_meta_matches_generator(spark):
+    ids = spark.range(20)
+    meta = decode_video_meta(synthesize_avi(ids, "id", fps=10), "id")
+    for r in meta.collect():
+        exp = synthetic_frames(r["id"])
+        assert (r["n_frames"], r["height"], r["width"]) == exp.shape[:3]
+        assert r["fps"] == 10.0
+        assert r["duration_ms"] == exp.shape[0] * 100
+
+
+def test_sampled_frames_flow_into_image_tier(spark):
+    """Sampled frames are valid PNGs whose pixels equal the exact
+    source frames — ties the AVI codec to the PNG codec end-to-end."""
+    ids = spark.range(6)
+    sampled = sample_video_frames(synthesize_avi(ids, "id"), "id", n_samples=3)
+    rows = sampled.collect()
+    # every id contributes min(3, n_frames) rows
+    per_id: dict[int, int] = {}
+    for r in rows:
+        per_id[r["id"]] = per_id.get(r["id"], 0) + 1
+        src = synthetic_frames(r["id"])
+        w, h, ch, px = decode_png_pixels(bytes(r["payload"]))
+        assert (w, h, ch) == (src.shape[2], src.shape[1], 3)
+        np.testing.assert_array_equal(
+            np.asarray(px, dtype=np.uint8).reshape(h, w, 3), src[r["frame_index"]]
+        )
+    for rid, cnt in per_id.items():
+        assert cnt == min(3, synthetic_frames(rid).shape[0])
+
+
+def test_video_features_match_local_recompute(spark):
+    ids = spark.range(10)
+    feats = video_features(synthesize_avi(ids, "id"), "id", max_frames=4)
+    for r in feats.collect():
+        src = synthetic_frames(r["id"]).astype(np.float64)
+        idxs = _sample_indices(src.shape[0], 4)
+        sub = src[idxs]
+        assert r["n_frames"] == src.shape[0]
+        assert r["mean_brightness"] == pytest.approx(sub.mean(), abs=1e-6)
+        exp_motion = np.abs(np.diff(sub, axis=0)).mean() if len(sub) > 1 else 0.0
+        assert r["motion"] == pytest.approx(exp_motion, abs=1e-6)
+
+
+def test_video_ops_null_or_skip_on_garbage(spark):
+    df = spark.range(3).withColumn("payload", F.encode(F.lit("not a video"), "UTF-8"))
+    assert sample_video_frames(df, "id").count() == 0
+    feats = video_features(df, "id").collect()
+    assert all(r["n_frames"] is None for r in feats)
