@@ -114,3 +114,68 @@ def test_video_ops_null_or_skip_on_garbage(spark):
     assert sample_video_frames(df, "id").count() == 0
     feats = video_features(df, "id").collect()
     assert all(r["n_frames"] is None for r in feats)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hash (dHash) — lives here with the rest of the
+# binary-payload tier tests.
+
+from udacity_data_engineering_capstone_project_spark.operators.multimodal import (  # noqa: E402
+    encode_png,
+    image_dhash,
+    image_near_dup_pairs,
+)
+
+
+def _gradient_png(width=64, height=64, invert=False, noise_seed=None):
+    x = np.arange(width) * 2
+    if invert:
+        x = 255 - x
+    img = np.tile(x, (height, 1)).astype(np.int64)
+    if noise_seed is not None:
+        rng = np.random.default_rng(noise_seed)
+        img = img + rng.integers(-1, 2, size=img.shape)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    return encode_png(width, height, rgb.tobytes(), 3)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_image_dhash_near_dup_and_far(spark):
+    rows = [
+        (0, _gradient_png()),
+        (1, _gradient_png(noise_seed=3)),        # near-dup of 0
+        (2, _gradient_png(invert=True)),         # visually opposite
+        (3, b"not an image"),                    # undecodable -> null
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    hashes = {r["id"]: r["dhash"] for r in image_dhash(df, "id").collect()}
+    assert hashes[3] is None
+    assert _ham(hashes[0], hashes[1]) <= 3
+    assert _ham(hashes[0], hashes[2]) > 30
+
+    pairs = image_near_dup_pairs(image_dhash(df, "id"), "id", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+def test_image_dhash_deterministic(spark):
+    df = spark.createDataFrame([(7, _gradient_png())], "id long, payload binary")
+    a = image_dhash(df, "id").collect()[0]["dhash"]
+    b = image_dhash(df, "id").collect()[0]["dhash"]
+    assert a == b and isinstance(a, int)
+
+
+def test_video_frames_to_image_dedup_pipeline(spark):
+    """End-to-end multimodal flow: sample frames from videos, then
+    screen the frame images for visual near-dups — consecutive frames
+    of the smooth synthetic videos hash close together."""
+    frames = sample_video_frames(synthesize_avi(spark.range(4), "id"), "id", n_samples=2)
+    keyed = frames.select(
+        (F.col("id") * 1000 + F.col("frame_index")).alias("fid"), "payload"
+    )
+    hashed = image_dhash(keyed, "fid")
+    assert hashed.filter(F.col("dhash").isNull()).count() == 0

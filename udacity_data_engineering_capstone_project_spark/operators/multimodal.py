@@ -310,6 +310,79 @@ def resize_image(
     return df.select(id_col, payload_col).mapInPandas(_resize, schema)
 
 
+def image_dhash(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """64-bit difference hash (dHash) per image — the perceptual
+    fingerprint an image-dedup tier runs: decode, grayscale, box-mean
+    downsample to a 9x8 grid, emit one bit per horizontal gradient
+    sign. Near-identical images (recompression noise, mild brightness
+    shifts) land within a few bits; unrelated images are ~32 bits
+    apart. numpy does the pooling — no per-pixel Python.
+
+    Output: (id, dhash bigint) — null for undecodable payloads. Feed
+    into `image_near_dup_pairs` for the banded hamming join.
+    """
+    import numpy as np
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("dhash", LongType())]
+    )
+    grid_w, grid_h = 9, 8
+
+    def _pool(img: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+        h, w = img.shape
+        ys = (np.arange(out_h + 1) * h) // out_h
+        xs = (np.arange(out_w + 1) * w) // out_w
+        rows = np.add.reduceat(img, ys[:-1], axis=0)
+        cells = np.add.reduceat(rows, xs[:-1], axis=1)
+        area = np.maximum(np.diff(ys)[:, None] * np.diff(xs)[None, :], 1)
+        return cells / area
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, ch, px = decode_png_pixels(bytes(payload))
+                    img = (
+                        np.asarray(px, dtype=np.float64)
+                        .reshape(h, w, ch)
+                        .mean(axis=2)
+                    )
+                    grid = _pool(img, grid_w, grid_h)
+                    bits = (grid[:, 1:] > grid[:, :-1]).ravel()
+                    val = int(
+                        np.packbits(bits).view(">u8")[0].astype(np.uint64)
+                    )
+                    rows.append((int(rid), val - (1 << 64) if val >= 1 << 63 else val))
+                except (ValueError, zlib.error):
+                    rows.append((int(rid), None))
+            yield pd.DataFrame(rows, columns=[id_col, "dhash"])
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, schema)
+
+
+def image_near_dup_pairs(
+    hash_df: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Image pairs whose dHash differs in <= max_hamming bits — the
+    visual near-dup screen for an image corpus. Reuses the SimHash
+    pigeonhole band join (`dedup.simhash_near_pairs`): recall is exact
+    for max_hamming <= chunks - 1, and only (band, value) buckets
+    shuffle — never pixel data.
+
+    Input: (id, dhash) from `image_dhash`. Output: (id_a, id_b,
+    hamming).
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import simhash_near_pairs
+
+    sigs = hash_df.filter(F.col("dhash").isNotNull()).select(
+        F.col(id_col), F.col("dhash").alias("simhash")
+    )
+    return simhash_near_pairs(sigs, id_col, max_hamming=max_hamming, chunks=chunks)
+
+
 def decode_image_pixels(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
     """Full PNG pixel decode via Arrow-batched mapInPandas (stdlib
     inflate + unfilter; non-PNG payloads yield nulls). Output:
