@@ -88,3 +88,72 @@ def test_write_clustered_file_ranges_are_tight(spark, sf_dir, tmp_path):
     # consecutive files overlap at most at a single boundary key
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_write_zordered_skips_on_every_dimension(spark, tmp_path):
+    """Z-order layout must keep per-file min/max bands narrow on BOTH
+    cluster columns (lexicographic clustering only bounds the leading
+    one), so a filter on either column alone can skip most files."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.sinks import write_zordered
+
+    n = 1 << 14
+    grid = 1 << 7  # 128 x 128 grid, x and y independent
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % grid).alias("x"),
+            (F.col("id") / grid).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, ["x", "y"], num_files=16)
+
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ix, iy = names.index("x"), names.index("y")
+        sx = [md.row_group(i).column(ix).statistics for i in range(md.num_row_groups)]
+        sy = [md.row_group(i).column(iy).statistics for i in range(md.num_row_groups)]
+        spans.append(
+            (
+                max(s.max for s in sx) - min(s.min for s in sx),
+                max(s.max for s in sy) - min(s.min for s in sy),
+            )
+        )
+    assert len(spans) >= 8, "expected many output files"
+    # 16 z-curve segments over a 128x128 grid -> each file covers about a
+    # 32x32 block; allow generous slack for range-sampling boundaries but
+    # stay far below the full 127-wide domain a lexicographic sort leaves
+    # on the trailing column.
+    avg_x = sum(s[0] for s in spans) / len(spans)
+    avg_y = sum(s[1] for s in spans) / len(spans)
+    assert avg_x <= 0.55 * (grid - 1), f"x spans too wide: {spans}"
+    assert avg_y <= 0.55 * (grid - 1), f"y spans too wide: {spans}"
+
+    # roundtrip: layout must not change the data
+    assert spark.read.parquet(out).count() == n
+
+
+def test_zorder_key_constant_and_null_columns(spark):
+    """Degenerate inputs must not divide by zero or emit nulls: a
+    constant column contributes zero bits, null values scale to the
+    minimum code."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.sinks import zorder_key
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"),
+        F.lit(7).alias("b"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("c"),
+    )
+    keyed = zorder_key(df, ["a", "b", "c"], bits=8)
+    assert keyed.filter(F.col("__zorder").isNull()).count() == 0
+    assert keyed.count() == 100

@@ -86,6 +86,87 @@ def write_clustered(
     writer.parquet(path)
 
 
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    key_col: str = "__zorder",
+) -> DataFrame:
+    """Attach a Morton (Z-order) key interleaving the bits of the given
+    numeric columns — the multi-dimensional complement to
+    `write_clustered`'s lexicographic layout. Sorting by the key keeps
+    rows close in EVERY listed dimension close in the file order, so
+    per-file parquet min/max stats stay narrow on all of them and a
+    filter on any single column skips files (lexicographic clustering
+    only skips on the leading column).
+
+    Each column is min/max-scaled to ``bits`` bits with one aggregate
+    pass (two scalars per column reach the driver), then the scaled
+    values are bit-interleaved JVM-side via a single generated SQL
+    expression (one py4j round trip regardless of bits — see
+    minhash_signatures for the Column-construction trap). Heavily
+    skewed columns should be pre-transformed (log/bucket) since linear
+    scaling concentrates them in few codes.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs >= 2 columns (use a plain sort for 1)")
+    if bits * n > 62:
+        bits = 62 // n
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn{j}") for j, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"mx{j}") for j, c in enumerate(cols)],
+    ).collect()[0]
+    levels = (1 << bits) - 1
+    scaled = []
+    for j, c in enumerate(cols):
+        mn, mx = stats[f"mn{j}"], stats[f"mx{j}"]
+        span = (mx - mn) if mx is not None and mn is not None and mx > mn else 1.0
+        scaled.append(
+            f"least({levels}L, bigint(floor((coalesce(double(`{c}`), "
+            f"{mn if mn is not None else 0.0}) - {mn if mn is not None else 0.0})"
+            f" * {levels + 1} / {span})))"
+        )
+    exprs = [f"({s}) AS __zs{j}" for j, s in enumerate(scaled)]
+    terms = [
+        f"shiftleft(shiftright(__zs{j}, {i}) & 1, {i * n + j})"
+        for i in range(bits)
+        for j in range(n)
+    ]
+    with_scaled = df.selectExpr("*", *exprs)
+    return with_scaled.selectExpr(
+        *[c for c in df.columns], f"({' | '.join(terms)}) AS {key_col}"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    mode: str = "overwrite",
+    num_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered parquet write: attach the Morton key,
+    range-partition + sort on it, drop it, write. Each output file then
+    covers a narrow min/max band of EVERY cluster column, so data
+    skipping works for filters on any of them — the layout Delta/Iceberg
+    call OPTIMIZE ZORDER BY, built from plain DataFrame ops."""
+    from pyspark.sql import functions as F
+
+    keyed = zorder_key(df, cluster_cols, bits=bits)
+    parted = (
+        keyed.repartitionByRange(num_files, F.col("__zorder"))
+        if num_files
+        else keyed.repartitionByRange(F.col("__zorder"))
+    )
+    parted.sortWithinPartitions("__zorder").drop("__zorder").write.mode(
+        mode
+    ).parquet(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,
