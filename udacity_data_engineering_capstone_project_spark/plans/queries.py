@@ -31,6 +31,7 @@ from udacity_data_engineering_capstone_project_spark.operators import dedup as d
 from udacity_data_engineering_capstone_project_spark.operators import multimodal as mm
 from udacity_data_engineering_capstone_project_spark.operators import similarity as sim
 from udacity_data_engineering_capstone_project_spark.operators import textstats as ts
+from udacity_data_engineering_capstone_project_spark.operators import video as vd
 from udacity_data_engineering_capstone_project_spark.operators.cleaning import normalize_domain
 from udacity_data_engineering_capstone_project_spark.operators.relational import (
     argmax_join,
@@ -1493,14 +1494,25 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- must recover them from the bytes via the header parser
            'png'                                AS format,
            CAST(1 + doc_id % 64 AS BIGINT)      AS width,
-           CAST(1 + (7 * doc_id) % 64 AS BIGINT) AS height
+           CAST(1 + (7 * doc_id) % 64 AS BIGINT) AS height,
+           -- likewise a real RIFF/AVI per row: header decode and the
+           -- seek-table frame sampler must recover these closed forms
+           CAST(8 + doc_id % 5 AS BIGINT)        AS v_width,
+           CAST(6 + (3 * doc_id) % 5 AS BIGINT)  AS v_height,
+           CAST(3 + doc_id % 6 AS BIGINT)        AS v_n_frames,
+           CAST((3 + doc_id % 6) * 100 AS BIGINT) AS v_duration_ms,
+           CAST(3 AS BIGINT)                     AS n_sampled,
+           -- uniform 3-sample over n frames picks {0, (n-1)//2, n-1}
+           CAST((2 + doc_id % 6) // 2 + 2 + doc_id % 6 AS BIGINT)
+                                                 AS sampled_index_sum
     FROM documents
     """,
     "Multimodal tier end-to-end: opaque binary payload + Arrow-batched "
-    "mapInPandas metadata extraction, plus a REAL image decode check — "
-    "a valid PNG is synthesized per row (dims derived from doc_id) and "
-    "the stdlib header parser must recover exactly those dimensions "
-    "from the bytes (oracle checks the closed form).",
+    "mapInPandas metadata extraction, plus REAL media decode checks — "
+    "a valid PNG and a valid RIFF/AVI are synthesized per row (dims/"
+    "frame counts derived from doc_id); the stdlib header parsers and "
+    "the seek-based frame sampler must recover exactly those values "
+    "from the bytes (oracle checks the closed forms).",
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1508,7 +1520,25 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     png_meta = mm.decode_image_meta(
         mm.synthesize_png(docs.select("doc_id"), "doc_id"), "doc_id"
     )
-    return meta.join(png_meta, on="doc_id")
+    avi = vd.synthesize_avi(docs.select("doc_id"), "doc_id")
+    video_meta = vd.decode_video_meta(avi, "doc_id").select(
+        "doc_id",
+        F.col("width").alias("v_width"),
+        F.col("height").alias("v_height"),
+        F.col("n_frames").alias("v_n_frames"),
+        F.col("duration_ms").alias("v_duration_ms"),
+    )
+    sampled = (
+        vd.sample_video_frames(avi, "doc_id", n_samples=3)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("frame_index").alias("sampled_index_sum"),
+        )
+    )
+    return meta.join(png_meta, on="doc_id").join(video_meta, on="doc_id").join(
+        sampled, on="doc_id"
+    )
 
 
 @_register(
