@@ -132,3 +132,84 @@ def test_profile_columns_approximate_mode(spark, sf_dir):
     # GK sketch at accuracy 10k: within 1% relative of the exact value
     for p in ("p50", "p95"):
         assert abs(a[p] - e[p]) / e[p] < 0.01, (p, a[p], e[p])
+
+
+# ---------------------------------------------------------------------------
+# SCD maintenance (operators/scd.py)
+
+
+def test_merge_upsert_last_writer_wins(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.scd import merge_upsert
+
+    cur = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k long, v string, ver long"
+    )
+    chg = spark.createDataFrame(
+        [(2, "B", 20), (4, "d", 20), (2, "bb", 15)], "k long, v string, ver long"
+    )
+    out = {r["k"]: (r["v"], r["ver"]) for r in merge_upsert(cur, chg, ["k"], "ver").collect()}
+    assert out == {1: ("a", 10), 2: ("B", 20), 3: ("c", 10), 4: ("d", 20)}
+    # ties: the change row beats the snapshot row
+    tie = spark.createDataFrame([(1, "A", 10)], "k long, v string, ver long")
+    out2 = {r["k"]: r["v"] for r in merge_upsert(cur, tie, ["k"], "ver").collect()}
+    assert out2[1] == "A"
+
+
+def test_merge_upsert_idempotent(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.scd import merge_upsert
+
+    cur = spark.createDataFrame([(1, "a", 1), (2, "b", 2)], "k long, v string, ver long")
+    chg = spark.createDataFrame([(1, "A", 3)], "k long, v string, ver long")
+    once = merge_upsert(cur, chg, ["k"], "ver")
+    twice = merge_upsert(once, chg, ["k"], "ver")
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_scd2_versions_runs_and_validity(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.scd import (
+        scd2_from_snapshots,
+    )
+
+    # key 1: a,a,b,b,a -> three runs; key 2: constant -> one run;
+    # key 3: null -> value -> null-safe change detection
+    snaps = spark.createDataFrame(
+        [
+            (1, "a", 1), (1, "a", 2), (1, "b", 3), (1, "b", 4), (1, "a", 5),
+            (2, "x", 1), (2, "x", 2),
+            (3, None, 1), (3, "y", 2),
+        ],
+        "k long, attr string, day long",
+    )
+    rows = scd2_from_snapshots(snaps, ["k"], ["attr"], "day").collect()
+    got = {
+        (r["k"], r["valid_from"]): (r["attr"], r["valid_to"], r["is_current"])
+        for r in rows
+    }
+    assert got == {
+        (1, 1): ("a", 3, False),
+        (1, 3): ("b", 5, False),
+        (1, 5): ("a", None, True),
+        (2, 1): ("x", None, True),
+        (3, 1): (None, 2, False),
+        (3, 2): ("y", None, True),
+    }
+    # exactly one current row per key
+    cur = [r for r in rows if r["is_current"]]
+    assert len(cur) == 3
+
+
+def test_scd2_single_shuffle_plan(spark):
+    """Both windows and the aggregate share the key partitioning — the
+    plan must contain exactly one exchange on the business key."""
+    from udacity_data_engineering_capstone_project_spark.operators.scd import (
+        scd2_from_snapshots,
+    )
+
+    snaps = spark.range(100).selectExpr(
+        "id % 10 AS k", "CAST(id % 3 AS STRING) AS attr", "id AS day"
+    )
+    plan = (
+        scd2_from_snapshots(snaps, ["k"], ["attr"], "day")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
