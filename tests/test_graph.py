@@ -1,0 +1,60 @@
+"""PageRank: checked against a local dense power iteration with the
+identical formulation (uniform teleport, dangling redistribution)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from udacity_data_engineering_capstone_project_spark.operators.graph import pagerank
+
+
+def _reference_pagerank(edges, n, damping=0.85, iters=60):
+    M = np.zeros((n, n))
+    for u, v in edges:
+        M[v, u] += 1.0
+    deg = M.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        M = np.where(deg > 0, M / deg, 0.0)
+    dangling = deg == 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - damping) / n + damping * (M @ r + r[dangling].sum() / n)
+    return r
+
+
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 3), (4, 0)]
+# node 5 appears only as a destination; node 4 has one out-edge
+
+
+def test_pagerank_matches_dense_reference(spark):
+    edges = EDGES + [(3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=60, tol=1e-12).collect()}
+    exp = _reference_pagerank(edges, 6)
+    assert set(got) == set(range(6))
+    for i in range(6):
+        assert got[i] == pytest.approx(exp[i], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # 5 is a pure sink: without dangling redistribution ranks leak
+    df = spark.createDataFrame([(0, 5), (1, 5), (2, 5)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=40).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert got[5] > got[0]
+
+
+def test_pagerank_parallel_edges_weighted(spark):
+    # two edges 0->1 and one 0->2: 1 receives twice 2's share from 0
+    df = spark.createDataFrame([(0, 1), (0, 1), (0, 2)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=40).collect()}
+    exp = _reference_pagerank([(0, 1), (0, 1), (0, 2)], 3)
+    for i in range(3):
+        assert got[i] == pytest.approx(exp[i], abs=1e-6)
+
+
+def test_pagerank_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0
