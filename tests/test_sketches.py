@@ -1,0 +1,72 @@
+"""HLL sketch lifecycle: build per batch, persist as binary, merge
+without rescanning — estimates checked against exact distincts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+    distinct_sketch,
+    merge_distinct_sketches,
+)
+
+
+def test_sketch_estimate_close_to_exact(spark):
+    df = spark.range(50_000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 9973).alias("v")
+    )
+    est = {
+        r["g"]: r["n_distinct"]
+        for r in merge_distinct_sketches(
+            distinct_sketch(df, ["g"], "v"), ["g"]
+        ).collect()
+    }
+    exact = {
+        r["g"]: r["x"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("x")).collect()
+    }
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.05, (g, est[g], exact[g])
+
+
+def test_sketch_merge_equals_whole_and_survives_parquet(spark, tmp_path):
+    """Day-1 + day-2 sketches, persisted to parquet and merged later,
+    must estimate the same as sketching the union directly — the
+    incremental pattern (no raw-data rescan)."""
+    day1 = spark.range(0, 30_000).select((F.col("id") % 4).alias("g"), F.col("id").alias("v"))
+    day2 = spark.range(20_000, 60_000).select((F.col("id") % 4).alias("g"), F.col("id").alias("v"))
+
+    p = str(tmp_path / "sketches")
+    distinct_sketch(day1, ["g"], "v").withColumn("day", F.lit(1)).unionByName(
+        distinct_sketch(day2, ["g"], "v").withColumn("day", F.lit(2))
+    ).write.mode("overwrite").parquet(p)
+
+    stored = spark.read.parquet(p)
+    rolled = {
+        r["g"]: r["n_distinct"]
+        for r in merge_distinct_sketches(stored, ["g"]).collect()
+    }
+    direct = {
+        r["g"]: r["n_distinct"]
+        for r in merge_distinct_sketches(
+            distinct_sketch(day1.unionByName(day2), ["g"], "v"), ["g"]
+        ).collect()
+    }
+    assert rolled == direct  # identical sketches -> identical estimates
+    # and the estimate tracks the true overlap-aware distinct count
+    exact = {
+        r["g"]: r["x"]
+        for r in day1.unionByName(day2)
+        .groupBy("g")
+        .agg(F.countDistinct("v").alias("x"))
+        .collect()
+    }
+    for g in exact:
+        assert abs(rolled[g] - exact[g]) / exact[g] < 0.05
+
+
+def test_sketch_global_rollup(spark):
+    df = spark.range(10_000).select((F.col("id") % 5).alias("g"), (F.col("id") % 997).alias("v"))
+    total = merge_distinct_sketches(distinct_sketch(df, ["g"], "v")).collect()
+    assert len(total) == 1
+    assert abs(total[0]["n_distinct"] - 997) / 997 < 0.05

@@ -1,0 +1,58 @@
+"""Mergeable distinct-count sketches (scale extension).
+
+`approx_count_distinct` answers one query on one scan. At 100 TB the
+question is usually incremental — "distinct users per day, and
+all-time, without rescanning the lake" — which needs the SKETCH to be
+a first-class value: computed per partition of arriving data, stored
+as a binary column, and merged later without touching the raw rows.
+Spark ships Apache DataSketches HLL for exactly this
+(`hll_sketch_agg` / `hll_union_agg`); these operators wrap the
+build-store-merge-estimate lifecycle.
+
+Sketch bytes are an opaque, versioned DataSketches format — treat them
+as a binary column in parquet, never parse them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One HLL sketch of ``value_col``'s distinct values per group —
+    the partial to persist alongside each ingested batch/partition.
+    ``lg_k`` trades size for accuracy (2^12 registers ~= 1.6% rel
+    stderr, ~2 KB). Partial-aggregatable: map-side combine happens
+    before the group shuffle.
+
+    Output: (*group_cols, sketch binary).
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame,
+    group_cols: Sequence[str] | None = None,
+    estimate_col: str = "n_distinct",
+) -> DataFrame:
+    """Union stored sketches (optionally re-grouped to a coarser key —
+    e.g. day sketches rolled up to month) and estimate the distinct
+    count. Only sketch bytes shuffle; the raw data is never rescanned.
+
+    Output: (*group_cols, sketch binary, <estimate_col> long).
+    """
+    gb = sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
+    merged = gb.agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
+    return merged.withColumn(
+        estimate_col, F.hll_sketch_estimate(F.col("sketch"))
+    )
