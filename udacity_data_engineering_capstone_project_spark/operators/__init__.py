@@ -7,6 +7,7 @@ from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
 from udacity_data_engineering_capstone_project_spark.operators.relational import (
     argmax_join,
     avg_of_avgs,
+    maybe_broadcast,
     star_left_join,
     top_per_group,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "normalize_domain",
     "argmax_join",
     "avg_of_avgs",
+    "maybe_broadcast",
     "star_left_join",
     "top_per_group",
     "QualityError",

@@ -1,8 +1,9 @@
 """Relational core: joins, argmax/top-k-per-group, nested aggregation
 (reference: J1-J9, A1-A8, SURVEY.md §2.4-2.5).
 
-Scale posture: dim joins take an explicit `broadcast()` hint (all
-reference dims are 52-5.4M rows — broadcast-hash candidates,
+Scale posture: dim joins take a SIZE-GATED broadcast hint
+(`maybe_broadcast` — the reference's 52-622-row dims are hinted, a
+dim_person-scale dim or a 100x-grown input falls back to shuffle/AQE,
 SURVEY.md §4); the argmax is a single window pass instead of the
 reference's two-aggregation + self-join formulation (`etl.py:181-204`),
 halving the shuffles. The join formulation is kept as `argmax_join`
@@ -17,23 +18,65 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Ceiling for a *forced* broadcast hint. Matches the order of magnitude
+# of spark.sql.autoBroadcastJoinThreshold's intent (fit comfortably in
+# every executor), not its conservative 10 MB default: a hint skips the
+# optimizer's own stats check, so the gate lives here instead.
+DEFAULT_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def maybe_broadcast(
+    df: DataFrame, max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """Size-gated broadcast hint: apply ``F.broadcast`` only when the
+    optimizer's own size estimate for ``df``'s plan is at most
+    ``max_bytes``.
+
+    A bare ``F.broadcast(...)`` is a scale landmine: it overrides every
+    stats check, so a table that is broadcast-sized at test SF (e.g.
+    customer = 1/10 of lineitem) becomes a multi-GB forced broadcast
+    into every executor at 100x. This helper keeps the hint's benefit
+    (no shuffle of the big side, no reliance on runtime AQE conversion)
+    while bounding it with the same statistics Catalyst uses for
+    auto-broadcast: `LogicalPlan.stats.sizeInBytes`, which is file-size
+    based for parquet scans (cheap, driver-side, no job) and propagates
+    through filters/projections.
+
+    When the estimate is unavailable (e.g. Spark Connect, where the
+    plan is remote) or too large, the input is returned UNHINTED — the
+    safe default, since AQE still converts to broadcast-hash at runtime
+    from the actual shuffle sizes when the side turns out small.
+    """
+    try:
+        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala BigInt to int when it fits; stringify otherwise
+        est = est if isinstance(est, int) else int(est.toString())
+    except Exception:
+        return df
+    return F.broadcast(df) if est <= max_bytes else df
+
 
 def star_left_join(
     fact: DataFrame,
     dims: Sequence[tuple[DataFrame, Sequence[Column] | Sequence[str] | Column]],
     select: Sequence[Column | str] | None = None,
-    broadcast_dims: bool = True,
+    broadcast_max_bytes: int | None = DEFAULT_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Chain left joins fact <- dim_1 <- ... <- dim_n, preserving every
     fact row (reference fact build, `etl.py:285-293`: "Each entry ...
     should be preserved").
 
-    ``broadcast_dims`` forces broadcast-hash joins: at fact scale the
-    alternative is n shuffle exchanges of the full fact table.
+    Each dim is broadcast-hinted PER DIM via `maybe_broadcast`: the
+    reference's real dims (52-622 rows, `etl.py:221-269`) always get
+    the hint, while a fact-sized dim like dim_person (5.4M rows, 1:1
+    with the fact, `etl.py:242-249`) exceeds the gate and joins via
+    shuffle/AQE instead — at 100x an unconditional hint there would
+    force a 540M-row broadcast. ``broadcast_max_bytes=None`` disables
+    hinting entirely.
     """
     out = fact
     for dim, on in dims:
-        d = F.broadcast(dim) if broadcast_dims else dim
+        d = dim if broadcast_max_bytes is None else maybe_broadcast(dim, broadcast_max_bytes)
         out = out.join(d, on=on, how="left")
     if select is not None:
         out = out.select(*select)

@@ -36,6 +36,7 @@ from udacity_data_engineering_capstone_project_spark.operators.cleaning import n
 from udacity_data_engineering_capstone_project_spark.operators.relational import (
     argmax_join,
     avg_of_avgs,
+    maybe_broadcast,
     top_per_group,
 )
 from udacity_data_engineering_capstone_project_spark.plans.star import build_dimension, build_fact
@@ -281,7 +282,7 @@ def argmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 def star_schema_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+    base = o.join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
         "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice", "c_mktsegment"
     )
     dim_segment = build_dimension(base, ["c_mktsegment"], "id_segment")
@@ -342,7 +343,7 @@ def analyst_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
-        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+        maybe_broadcast(c), o["o_custkey"] == c["c_custkey"]
     )
     return (
         joined.groupBy(
@@ -388,7 +389,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
         .select(
@@ -429,14 +430,14 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            maybe_broadcast(s),
             (li["l_suppkey"] == s["s_suppkey"])
             & (s["s_nationkey"] == c["c_nationkey"]),
         )
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(maybe_broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(maybe_broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg(
             F.round(F.sum(revenue), 2).alias("revenue"),
@@ -481,7 +482,7 @@ def bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = bucketize(_t(spark, sf_dir, "customer"), "c_acctbal", "c_nationkey", "avg_cust_bal", "n_cust")
     supp = bucketize(_t(spark, sf_dir, "supplier"), "s_acctbal", "s_nationkey", "avg_supp_bal", "n_supp")
-    return cust.join(F.broadcast(supp), on=["bucket", "nk"]).select(
+    return cust.join(maybe_broadcast(supp), on=["bucket", "nk"]).select(
         "bucket", "nk", "avg_cust_bal", "n_cust", "avg_supp_bal", "n_supp"
     )
 
@@ -1453,7 +1454,10 @@ def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE round((1.0 - CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END)
                     * least(n_words / 100.0, 1.0), 6) >= 0.1
     )
-    SELECT lang, source, count(*) AS n_docs_kept, sum(n_words) AS total_words
+    -- CAST: DuckDB's sum(BIGINT) returns HUGEINT (int128), which the
+    -- driver's hasher coerces to float64 and mismatches Spark's BIGINT.
+    SELECT lang, source, count(*) AS n_docs_kept,
+           CAST(sum(n_words) AS BIGINT) AS total_words
     FROM kept GROUP BY lang, source
     """,
     "Composite training-data prep pipeline: exact dedup (min-id "

@@ -51,8 +51,16 @@ def build_fact(
     base: DataFrame,
     dims: Sequence[tuple[DataFrame, Sequence[Column] | Sequence[str] | Column]],
     keep: Sequence[Column | str],
-    broadcast_dims: bool = True,
+    broadcast_max_bytes: int | None = None,
 ) -> DataFrame:
     """Assemble a fact table: left-join every dim (row-preserving,
-    reference `etl.py:285-293`), keep the surrogate keys + measures."""
-    return star_left_join(base, dims, select=keep, broadcast_dims=broadcast_dims)
+    reference `etl.py:285-293`), keep the surrogate keys + measures.
+
+    Dims are size-gated per dim (`maybe_broadcast`): real dims get the
+    broadcast hint, a dim_person-scale dim (1:1 with the fact,
+    `etl.py:242-249`) falls back to shuffle/AQE. ``None`` uses the
+    operator default gate."""
+    kwargs = {} if broadcast_max_bytes is None else {
+        "broadcast_max_bytes": broadcast_max_bytes
+    }
+    return star_left_join(base, dims, select=keep, **kwargs)
