@@ -23,6 +23,34 @@ def test_asof_join_semantics(spark):
     assert out["l3"] is None  # no prior right row -> null, row preserved
 
 
+def test_asof_join_forward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 200, "l2"), (2, 50, "l3"), (1, 160, "l4")],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 15.0), (2, 40, 99.0)], ["k", "ts", "rv"]
+    )
+    out = {
+        r["lv"]: r["asof_rv"]
+        for r in asof_join(
+            left, right, ["k"], "ts", ["rv"], direction="forward"
+        ).collect()
+    }
+    assert out["l1"] == 10.0  # equal ts counts (<= semantics, forward)
+    assert out["l4"] is None  # no later right row -> null, row preserved
+    assert out["l2"] is None
+    assert out["l3"] is None  # right at 40 < 50 is NOT a forward match
+
+
+def test_asof_join_bad_direction(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1, "a")], ["k", "ts", "lv"])
+    with pytest.raises(ValueError):
+        asof_join(left, left, ["k"], "ts", ["lv"], direction="sideways")
+
+
 def test_asof_join_plan_single_shuffle(spark):
     left = spark.range(100).select(
         (F.col("id") % 5).alias("k"), F.col("id").alias("ts")

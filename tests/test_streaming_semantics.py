@@ -167,9 +167,17 @@ def test_stream_stream_attribution_matches_batch_twin(spark, sf_dir):
     out = run_stream_to_memory(joined, output_mode="append")
     got = {(r["trigger_id"], r["touch_id"]) for r in out.collect()}
 
-    # batch twin over the same table
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    # batch twin over the same table (NTZ read -> same instant
+    # normalization the stream reader applies)
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
     )
     trig = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("trigger_id"),

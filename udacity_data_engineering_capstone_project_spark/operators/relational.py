@@ -184,20 +184,25 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
-    right.ts <= left.ts (``backward``) sharing the key — an operator
+    right.ts <= left.ts (``backward``) or the earliest right row with
+    right.ts >= left.ts (``forward``) sharing the key — an operator
     Spark lacks natively, composed scalably from union + window:
 
     tag both sides, union, sort within key by (ts, tag) so a right row
     at the same ts precedes the left row, then carry the last non-null
-    right payload forward with `last(..., ignorenulls=True)`. One
-    shuffle on the key, no per-row subquery, no range explosion —
-    survives any data size that sorts within key partitions.
+    right payload forward with `last(..., ignorenulls=True)`. For
+    ``forward`` only the sort flips to ts DESC: walking from the
+    largest ts down, the last right row seen is the smallest right.ts
+    that is still >= left.ts. One shuffle on the key either way, no
+    per-row subquery, no range explosion — survives any data size that
+    sorts within key partitions.
 
-    Left rows with no prior right row keep nulls (left-join
-    semantics). Right payload columns are emitted as ``asof_<name>``.
+    Left rows with no prior (next, for ``forward``) right row keep
+    nulls (left-join semantics). Right payload columns are emitted as
+    ``asof_<name>``. Equal timestamps match in both directions.
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip the ordering")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = list(key_cols)
     lt = left.withColumn("__tag", F.lit(1))
     for p in right_payload:
@@ -213,9 +218,10 @@ def asof_join(
         *[F.col(c) for c in lt_cols], *[F.col(f"asof_{p}") for p in right_payload]
     ).unionByName(rt, allowMissingColumns=True)
 
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
+        .orderBy(ts_order, F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(

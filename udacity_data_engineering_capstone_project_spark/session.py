@@ -52,6 +52,11 @@ def get_spark(
         # Arrow for pandas UDF / toPandas exchange (10-100x over pickle).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics (parquet ntz + window arithmetic).
+        # Parquet INT64-nanos columns read natively as TIMESTAMP_NTZ on
+        # Spark 4.1 (no nanosAsLong legacy flag — it is ignored at
+        # runtime and would desync us from a vanilla driver session);
+        # readers normalize NTZ/bigint to instants where watermarks
+        # require them.
         .config("spark.sql.session.timeZone", "UTC")
         # Dims in this workload are small; let Catalyst broadcast generously.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -124,12 +124,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table, normalizing its nanosecond timestamps.
 
-    Spark 4 rejects parquet TIMESTAMP(NANOS) by default; we read them as
-    raw int64 (`nanosAsLong`) and truncate to microseconds with integer
-    division — exactly DuckDB's ns->us coercion, so oracle comparisons
-    stay bit-exact. Result column ``ts`` is timestamp_ntz.
+    Spark 4.1 reads parquet TIMESTAMP(NANOS) natively as timestamp_ntz
+    truncated to microseconds — exactly DuckDB's ns->us coercion, so
+    oracle comparisons stay bit-exact. Under a session where the
+    legacy `nanosAsLong` flag is active the column instead arrives as
+    raw int64 nanos; that encoding is normalized here (no session conf
+    is mutated — an operator must not side-effect the session).
+    Result column ``ts`` is timestamp_ntz either way.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         # timestampadd on an NTZ literal is pure wall-clock integer

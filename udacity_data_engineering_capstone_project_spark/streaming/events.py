@@ -18,10 +18,16 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table as a file source (schema from the batch
-    footer — file-stream sources require a declared schema). Nanosecond
-    timestamps arrive as int64 (`nanosAsLong`) and are truncated to
-    microsecond timestamp_ntz, matching the batch reader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    footer — file-stream sources require a declared schema).
+
+    Watermarks require an instant-typed TIMESTAMP event-time column, so
+    ``ts`` is normalized from whichever encoding the scan yields:
+    TIMESTAMP_NTZ (Spark 4.1's native read of parquet TIMESTAMP(NANOS),
+    truncated to us) or raw int64 nanos (legacy `nanosAsLong`
+    sessions). Both paths build the instant from the raw wall-clock
+    value, so epoch-us downstream is session-timezone-independent and
+    matches the batch readers (cf. `plans.queries.sessionize`).
+    """
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # File-stream sources need a directory; point at sf_dir and glob the
@@ -31,10 +37,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # Instant-typed (watermarks require TIMESTAMP, not NTZ); built
-        # from raw epoch-us, so values are session-timezone-independent.
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return stream
 
 
