@@ -29,6 +29,23 @@ def test_rows_only_query_runs_deterministically(spark, sf_dir, name):
     assert n1 == n2, f"{name}: nondeterministic row count {n1} != {n2}"
 
 
+# Queries that ceded their registry slot (driver window capped at 50)
+# keep full hash parity here so the semantics never regress silently.
+_UNREGISTERED = {
+    "top1_per_group": "TOP1_PER_GROUP_ORACLE",
+    "streaming_hourly": "STREAMING_HOURLY_ORACLE",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_UNREGISTERED))
+def test_unregistered_query_parity(spark, sf_dir, name):
+    from udacity_data_engineering_capstone_project_spark.plans import queries as q
+
+    spark_df = getattr(q, name)(spark, sf_dir).toPandas()
+    oracle_df = run_oracle(getattr(q, _UNREGISTERED[name]), sf_dir)
+    compare_frames(spark_df, oracle_df, name)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
