@@ -118,6 +118,15 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
     assert out[101]["dup_of"] == 7 and out[101]["est_jaccard"] >= 0.7
     assert not out[102]["is_exact_dup"] and out[102]["dup_of"] is None
 
+    # the index stores its hash parameters; screening with different
+    # ones must raise instead of silently mis-estimating jaccard
+    import pytest
+
+    with pytest.raises(ValueError, match="was built with"):
+        dedup_against_index(
+            spark, idx, new_batch, "doc_id", "text", num_hashes=32, bands=4
+        )
+
 
 def test_train_centroids_recovers_separated_clusters(spark):
     """Three well-separated gaussian-ish clusters in 8-dim: Lloyd's

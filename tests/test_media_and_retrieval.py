@@ -33,6 +33,26 @@ def test_wav_header_roundtrip():
         parse_wav_meta(b"not audio")
 
 
+def test_wav_malformed_payloads_yield_nulls_not_task_failure(spark):
+    """Truncated fmt/data chunks and zeroed fmt fields must surface as
+    the documented ValueError (-> null rows), never struct.error /
+    ZeroDivisionError that would kill the whole task (round-3 advice)."""
+    good = encode_wav(np.ones(100, dtype=np.int16), 8000)
+    truncated_fmt = good[:30]  # fmt chunk header present, fields cut off
+    zero_channels = bytearray(good)
+    zero_channels[22:24] = b"\x00\x00"  # fmt channels = 0
+    for bad in (truncated_fmt, bytes(zero_channels)):
+        with pytest.raises(ValueError):
+            parse_wav_meta(bytes(bad))
+    rows = [(1, good), (2, truncated_fmt), (3, bytes(zero_channels))]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    meta = {r["doc_id"]: r for r in decode_audio_meta(df, "doc_id").collect()}
+    assert meta[1]["sample_rate"] == 8000
+    assert meta[2]["sample_rate"] is None and meta[3]["sample_rate"] is None
+    feats = {r["doc_id"]: r for r in audio_features(df, "doc_id").collect()}
+    assert feats[1]["rms"] is not None and feats[2]["rms"] is None
+
+
 def test_audio_meta_and_features(spark):
     sr = 8000
     # 1 s of a full-scale 100 Hz square wave: rms=1, peak=1, zcr=200/7999

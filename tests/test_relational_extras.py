@@ -117,6 +117,24 @@ def test_resample_time_series_fills_gaps(spark):
         resample_time_series(df, ["user_id"], "ts", "2 hours", {"n": F.count(F.lit(1))})
 
 
+def test_profile_columns_percentile_naming(spark):
+    """q=1.0 and fractional quantiles must produce valid, distinct
+    column names (the old string-munging yielded 'p1.0' and collapsed
+    0.125 with 0.0125); out-of-range quantiles raise."""
+    import pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        profile_columns,
+    )
+
+    df = spark.range(100).selectExpr("cast(id as double) AS v")
+    prof = profile_columns(df, ["v"], percentiles=(0.125, 0.5, 1.0)).collect()[0]
+    assert prof["p12_5"] == 12.375  # exact interpolated 12.5th pctile
+    assert prof["p50"] == 49.5 and prof["p100"] == 99.0
+    with pytest.raises(ValueError, match="outside"):
+        profile_columns(df, ["v"], percentiles=(1.5,)).collect()
+
+
 def test_profile_columns_approximate_mode(spark, sf_dir):
     from udacity_data_engineering_capstone_project_spark.operators.quality import (
         profile_columns,

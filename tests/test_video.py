@@ -116,6 +116,24 @@ def test_video_ops_null_or_skip_on_garbage(spark):
     assert all(r["n_frames"] is None for r in feats)
 
 
+def test_video_ops_survive_truncated_movi(spark):
+    """A payload whose headers parse but whose frame bytes are cut off
+    must skip/null the ROW, not fail the Spark task (round-3 advice)."""
+    from udacity_data_engineering_capstone_project_spark.operators.video import encode_avi
+
+    frames = (np.arange(2 * 4 * 6 * 3, dtype=np.uint8)).reshape(2, 4, 6, 3)
+    good = encode_avi(frames)
+    truncated = good[: len(good) - 10]  # cut into the last frame chunk
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(truncated))], ["id", "payload"]
+    )
+    sampled = sample_video_frames(df, "id", n_samples=2).collect()
+    assert {r["id"] for r in sampled} == {0}  # bad row skipped, good row intact
+    feats = {r["id"]: r for r in video_features(df, "id").collect()}
+    assert feats[0]["n_frames"] == 2
+    assert feats[1]["mean_brightness"] is None
+
+
 # ---------------------------------------------------------------------------
 # Image perceptual hash (dHash) — lives here with the rest of the
 # binary-payload tier tests.

@@ -39,6 +39,11 @@ def parse_wav_meta(b: bytes) -> tuple[int, int, int, int]:
         ctype = b[i : i + 4]
         (length,) = struct.unpack("<I", b[i + 4 : i + 8])
         if ctype == b"fmt ":
+            # a malformed/truncated fmt chunk must surface as the
+            # documented ValueError, not struct.error — one corrupt
+            # payload would otherwise fail the whole Spark task
+            if i + 24 > len(b) or length < 16:
+                raise ValueError("truncated fmt chunk")
             channels, sample_rate = struct.unpack("<HI", b[i + 10 : i + 16])
             (bits,) = struct.unpack("<H", b[i + 22 : i + 24])
         elif ctype == b"data":
@@ -46,6 +51,8 @@ def parse_wav_meta(b: bytes) -> tuple[int, int, int, int]:
         i += 8 + length + (length & 1)  # chunks are word-aligned
     if sample_rate is None or n_data is None:
         raise ValueError("missing fmt/data chunk")
+    if channels == 0 or bits == 0 or bits % 8 or sample_rate == 0:
+        raise ValueError("malformed fmt fields")
     n_frames = n_data // (channels * bits // 8)
     return sample_rate, channels, bits, n_frames
 
@@ -101,7 +108,7 @@ def decode_audio_meta(df: DataFrame, id_col: str, payload_col: str = "payload") 
                 try:
                     sr, ch, bits, nf = parse_wav_meta(bytes(payload))
                     rows.append((int(rid), sr, ch, bits, nf, nf * 1000 // sr))
-                except ValueError:
+                except (ValueError, struct.error, ZeroDivisionError):
                     rows.append((int(rid), None, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -145,7 +152,7 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str = "payload") -> 
                         float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))), 6
                     )
                     rows.append((int(rid), rms, peak, zcr))
-                except ValueError:
+                except (ValueError, struct.error):
                     rows.append((int(rid), None, None, None))
             yield pd.DataFrame(
                 rows, columns=[id_col, "rms", "peak", "zero_crossing_rate"]

@@ -527,12 +527,19 @@ def write_dedup_index(
       fingerprints/  (id, fingerprint)            — exact-dup lookups
       signatures/    (id, signature)              — jaccard verification
       buckets/       (id, band, bucket)           — LSH candidate joins
+      _meta/         (num_hashes, shingle_k, bands) — 1-row parquet
 
     All three are plain parquet: the bucket join key (band, bucket) is
     uniform, so downstream equi-joins shuffle evenly; no driver-side
-    state of any kind.
+    state of any kind. The `_meta` row pins the hash parameters:
+    screening with different parameters would silently produce wrong
+    est_jaccard values / empty candidate sets, so
+    `dedup_against_index` validates against it and raises instead.
     """
     rows_per_band = num_hashes // bands
+    df.sparkSession.createDataFrame(
+        [(num_hashes, shingle_k, bands)], "num_hashes INT, shingle_k INT, bands INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
     df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
     ).write.mode("overwrite").parquet(f"{path}/fingerprints")
@@ -570,7 +577,23 @@ def dedup_against_index(
     signature re-join touches only candidate corpus ids — never the
     whole stored corpus. The batch side of every join is the small
     side, so AQE broadcasts it; the index side streams from parquet.
+
+    Raises ValueError when the index was written with different
+    (num_hashes, shingle_k, bands) — a silent mismatch would yield
+    wrong est_jaccard values or empty candidate sets. Indexes written
+    before `_meta` existed screen unvalidated.
     """
+    try:
+        meta = spark.read.parquet(f"{path}/_meta").collect()
+    except Exception:
+        meta = []  # pre-_meta index layout: nothing to validate against
+    if meta:
+        stored = (meta[0]["num_hashes"], meta[0]["shingle_k"], meta[0]["bands"])
+        if stored != (num_hashes, shingle_k, bands):
+            raise ValueError(
+                f"dedup index at {path} was built with (num_hashes, shingle_k, "
+                f"bands)={stored}; called with {(num_hashes, shingle_k, bands)}"
+            )
     rows_per_band = num_hashes // bands
     idx_fp = spark.read.parquet(f"{path}/fingerprints").withColumnsRenamed(
         {id_col: "old_id", "fingerprint": "old_fp"}

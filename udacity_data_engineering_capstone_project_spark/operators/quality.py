@@ -96,7 +96,21 @@ def profile_columns(
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }
-    pct_names = [f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in percentiles]
+    # numeric-derived names: p05/p50/p99 etc. String munging produced
+    # invalid identifiers for q=1.0 ('p1.0') and collapsed distinct
+    # quantiles ambiguously (0.125 -> 'p125' like 0.125/0.0125), which
+    # broke the stack() expression / mislabeled columns.
+    for q in percentiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"percentile {q} outside (0, 1]")
+    pct_names = [
+        f"p{int(round(q * 100)):02d}"
+        if abs(q * 100 - round(q * 100)) < 1e-9
+        else f"p{str(round(q * 10000) / 100).replace('.', '_')}"
+        for q in percentiles
+    ]
+    if len(set(pct_names)) != len(pct_names):
+        raise ValueError(f"percentiles {percentiles} produce colliding names")
 
     aggs = []
     for c in columns:

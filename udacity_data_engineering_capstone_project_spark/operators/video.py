@@ -258,18 +258,23 @@ def sample_video_frames(
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
+                # the frame decode sits under the same per-row guard as
+                # the header parse: a truncated movi chunk must skip the
+                # row (docstring contract), not kill the Spark task
                 try:
                     w, h, usec, n = parse_avi_meta(b)
-                except ValueError:
+                    chunks = _frame_chunks(b)
+                    row_frames = []
+                    for idx in _sample_indices(min(n, len(chunks)), n_samples):
+                        off, length = chunks[idx]
+                        frame = _dib_to_frame(b[off : off + length], w, h)
+                        row_frames.append(
+                            (int(rid), idx, idx * usec // 1000, w, h,
+                             encode_png(w, h, frame.tobytes(), 3))
+                        )
+                except (ValueError, struct.error):
                     continue
-                chunks = _frame_chunks(b)
-                for idx in _sample_indices(min(n, len(chunks)), n_samples):
-                    off, length = chunks[idx]
-                    frame = _dib_to_frame(b[off : off + length], w, h)
-                    rows.append(
-                        (int(rid), idx, idx * usec // 1000, w, h,
-                         encode_png(w, h, frame.tobytes(), 3))
-                    )
+                rows.extend(row_frames)
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "frame_index", "t_ms", "width", "height",
@@ -308,19 +313,21 @@ def video_features(
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
+                # same per-row guard as sample_video_frames: corrupt
+                # headers OR truncated frame chunks yield a null row
                 try:
                     w, h, _, n = parse_avi_meta(b)
-                except ValueError:
+                    chunks = _frame_chunks(b)
+                    idxs = _sample_indices(min(n, len(chunks)), max_frames)
+                    frames = np.stack(
+                        [
+                            _dib_to_frame(b[off : off + ln], w, h).astype(np.float64)
+                            for off, ln in (chunks[i] for i in idxs)
+                        ]
+                    )
+                except (ValueError, struct.error):
                     rows.append((int(rid), None, None, None))
                     continue
-                chunks = _frame_chunks(b)
-                idxs = _sample_indices(min(n, len(chunks)), max_frames)
-                frames = np.stack(
-                    [
-                        _dib_to_frame(b[off : off + ln], w, h).astype(np.float64)
-                        for off, ln in (chunks[i] for i in idxs)
-                    ]
-                )
                 brightness = round(float(frames.mean()), 6)
                 motion = (
                     round(float(np.abs(np.diff(frames, axis=0)).mean()), 6)
