@@ -257,6 +257,40 @@ def test_png_pixel_roundtrip_and_spark_decode(spark):
     assert out[2]["width"] is None and out[2]["pixels"] is None
 
 
+def test_pil_decode_plug_boundary(spark):
+    """Without PIL (this container) non-PNG payloads null out through
+    the same per-row guard; with PIL installed the same operator
+    decodes JPEGs — the compressed-codec plug is the import, not the
+    Spark plumbing."""
+    from udacity_data_engineering_capstone_project_spark.operators.multimodal import (
+        _pil_decode,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if not has_pil:
+        assert _pil_decode(b"\xff\xd8\xff\xe0 fake jpeg") is None
+        df = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0 fake")], ["doc_id", "payload"])
+        row = decode_image_pixels(df, "doc_id").collect()[0]
+        assert row["width"] is None and row["pixels"] is None
+    else:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (3, 2), (10, 20, 30)).save(buf, format="JPEG")
+        df = spark.createDataFrame([(1, buf.getvalue())], ["doc_id", "payload"])
+        row = decode_image_pixels(df, "doc_id").collect()[0]
+        assert (row["width"], row["height"], row["channels"]) == (3, 2, 3)
+        assert len(row["pixels"]) == 3 * 2 * 3
+
+
 def test_quality_checks(spark):
     df = spark.createDataFrame([(1, None), (2, "x")], ["a", "b"])
     expect_schema(df, [("a", "bigint"), ("b", "string")])

@@ -46,6 +46,19 @@ def test_asof_join_matches_bruteforce(spark_global, left, right):
         assert out[i] == expected, (i, k, ts, cands)
     assert len(out) == len(left)  # every left row preserved
 
+    # forward direction: rv of MIN right.ts >= left.ts in key
+    fwd = {
+        r["lid"]: r["asof_rv"]
+        for r in asof_join(
+            ldf, rdf, ["k"], "ts", ["rv"], direction="forward"
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, rv) for (rk, rts, rv) in right if rk == k and rts >= ts]
+        expected = min(cands)[1] if cands else None
+        assert fwd[i] == expected, (i, k, ts, cands)
+    assert len(fwd) == len(left)
+
 
 @given(
     values=st.lists(

@@ -383,15 +383,42 @@ def image_near_dup_pairs(
     return simhash_near_pairs(sigs, id_col, max_hamming=max_hamming, chunks=chunks)
 
 
+def _pil_decode(b: bytes):
+    """Optional compressed-codec plug: decode JPEG/WebP/anything PIL
+    knows into (w, h, channels, flat pixel list). Returns None when
+    PIL is not installed (this container) — callers fall back to the
+    stdlib PNG path. Raises ValueError for undecodable payloads so
+    per-row guards treat both paths uniformly."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(b))
+        img.load()
+    except Exception as ex:  # PIL raises format-specific errors
+        raise ValueError(f"undecodable image payload: {ex}") from ex
+    if img.mode not in ("RGB", "L"):
+        img = img.convert("RGB")
+    ch = 1 if img.mode == "L" else 3
+    return img.width, img.height, ch, list(img.tobytes())
+
+
 def decode_image_pixels(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
-    """Full PNG pixel decode via Arrow-batched mapInPandas (stdlib
-    inflate + unfilter; non-PNG payloads yield nulls). Output:
-    (id, width, height, channels, pixels array<long> row-major).
+    """Full image pixel decode via Arrow-batched mapInPandas. PNGs
+    decode through the stdlib inflate+unfilter path everywhere; when
+    PIL is installed, non-PNG payloads (baseline/progressive JPEG,
+    GIF, WebP) decode through it too — same schema, same per-row
+    null-on-garbage contract, so installing PIL on the cluster widens
+    codec coverage without touching the Spark plumbing. Undecodable
+    payloads yield nulls. Output: (id, width, height, channels,
+    pixels array<long> row-major).
 
     At 100 TB the per-row Python unfilter loop is the cost center —
-    swap `decode_png_pixels` for a PIL/libpng call when available; the
-    Spark plumbing (schema, batching, partition parallelism) is
-    already the production shape.
+    the PIL branch (libjpeg/zlib in C) is the production decode; the
+    stdlib path keeps the operator dependency-free and oracle-exact.
     """
     schema = StructType(
         [
@@ -407,8 +434,15 @@ def decode_image_pixels(df: DataFrame, id_col: str, payload_col: str = "payload"
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
                 try:
-                    w, h, ch, px = decode_png_pixels(bytes(payload))
+                    if b[:8] == _PNG_SIG:
+                        w, h, ch, px = decode_png_pixels(b)
+                    else:
+                        decoded = _pil_decode(b)
+                        if decoded is None:  # no PIL in this env
+                            raise ValueError("non-PNG payload without PIL")
+                        w, h, ch, px = decoded
                     rows.append((int(rid), w, h, ch, px))
                 except (ValueError, zlib.error):
                     rows.append((int(rid), None, None, None, None))
