@@ -34,6 +34,8 @@ def test_rows_only_query_runs_deterministically(spark, sf_dir, name):
 _UNREGISTERED = {
     "top1_per_group": "TOP1_PER_GROUP_ORACLE",
     "streaming_hourly": "STREAMING_HOURLY_ORACLE",
+    "hashed_classifier": "HASHED_CLASSIFIER_ORACLE",
+    "weighted_sample": "WEIGHTED_SAMPLE_ORACLE",
 }
 
 

@@ -336,3 +336,53 @@ def test_redact_pii_spans_and_counts(spark):
     assert "555" not in out[2]["redacted_text"]
     assert out[3]["redacted_text"] == rows[2][1]
     assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"], out[3]["n_url"]) == (0, 0, 0, 0)
+
+
+def test_weighted_hash_sample_quota_and_bias(spark):
+    """Quota respected per stratum; selection frequency tracks weight
+    (a 10x-weight row family must be strongly over-represented); no
+    RNG: identical output across invocations; non-positive weights
+    never sampled."""
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    rows = [(i, "s", 100.0 if i % 10 == 0 else 10.0) for i in range(1000)]
+    rows += [(2000, "s", 0.0), (2001, "s", -5.0)]
+    df = spark.createDataFrame(rows, ["k", "src", "w"])
+    got = weighted_hash_sample(df, "k", "w", quota=100, strata=["src"]).collect()
+    assert len(got) == 100
+    ids = {r["k"] for r in got}
+    assert 2000 not in ids and 2001 not in ids
+    heavy = sum(1 for i in ids if i % 10 == 0)
+    # heavy rows are 10% of the population at 10x weight: without
+    # weighting E[heavy] = 10; weighted, each heavy row's inclusion
+    # odds dominate — expect a large multiple (observed ~40-60)
+    assert heavy > 25, heavy
+    again = {r["k"] for r in weighted_hash_sample(df, "k", "w", 100, ["src"]).collect()}
+    assert ids == again
+    # global (unstratified) path: top-k without a window
+    topk = weighted_hash_sample(df, "k", "w", quota=7).collect()
+    assert len(topk) == 7
+
+
+def test_hashed_classifier_score_properties(spark):
+    """Empty/short docs score exactly sigmoid(bias/1000); scores are
+    deterministic and within (0, 1); row count is preserved."""
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        hashed_classifier_score,
+    )
+
+    rows = [(1, "alpha beta gamma delta"), (2, ""), (3, "word"), (4, "alpha beta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["clf_score"] for r in
+           hashed_classifier_score(df, "doc_id", "text").collect()}
+    assert len(out) == 4
+    assert out[2] == 0.5 and out[3] == 0.5  # no bigrams -> sigmoid(0)
+    assert 0.0 < out[1] < 1.0
+    out2 = {r["doc_id"]: r["clf_score"] for r in
+            hashed_classifier_score(df, "doc_id", "text").collect()}
+    assert out == out2
+    biased = {r["doc_id"]: r["clf_score"] for r in
+              hashed_classifier_score(df, "doc_id", "text", bias=1000).collect()}
+    assert biased[2] == round(1 / (1 + 2.718281828459045 ** -1.0), 6)

@@ -185,3 +185,44 @@ def mix_sources(
         default_rate=0.0,
         digits=digits,
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    quota: int,
+    strata: Sequence[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-``quota``
+    per stratum, selection probability proportional to ``weight_col``)
+    via the Efraimidis-Spirakis order statistic: each row draws
+    u = hash-uniform(key) in (0, 1) and ranks by -ln(u)/w ascending.
+    No RNG — membership is a pure function of the key, so the sample
+    is reproducible across runs, engines, retries and cluster layouts
+    (the same property as `hash_sample`, extended to weights: a row
+    with twice the weight is twice as likely to make the cut).
+
+    u derives from the first 8 md5 hex digits of the key — portable
+    SQL, uniform on [1, 2^32] / (2^32 + 1). Non-positive weights are
+    rejected rows (never sampled). One WindowGroupLimit-prunable
+    window per stratum; unstratified sampling uses a single global
+    top-k (TakeOrderedAndProject — no full sort).
+
+    Output: the sampled input rows, unchanged.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    key = -F.log(u) / F.col(weight_col)
+    ranked = df.filter(F.col(weight_col) > 0).withColumn("__es", key)
+    if strata:
+        w = Window.partitionBy(*strata).orderBy(F.col("__es").asc(), F.col(key_col).asc())
+        out = ranked.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= quota
+        ).drop("__rn")
+    else:
+        out = ranked.orderBy(F.col("__es").asc(), F.col(key_col).asc()).limit(quota)
+    return out.drop("__es")

@@ -429,3 +429,58 @@ def redact_pii(
     for k in kinds:
         red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
     return out.withColumn(out_col, red)
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 4096,
+    ngram_n: int = 2,
+    bias: int = 0,
+    score_col: str = "clf_score",
+) -> DataFrame:
+    """fastText-style linear text classifier over hashed word n-grams —
+    the quality/toxicity scoring pass a corpus pipeline runs with a
+    trained model's weights. Each n-gram hashes into one of
+    ``num_buckets`` weight slots; the document score is
+    sigmoid((bias + sum of slot weights) / 1000).
+
+    Weights here are a deterministic integer surrogate per bucket,
+    ((bucket * 2654435761) % 2001) - 1000, standing in for a trained
+    table — the shape (explode -> hash -> weight lookup -> per-doc sum)
+    is exactly what a real exported linear model needs, with the weight
+    expression swapped for a broadcast weight-table join. INTEGER
+    weights make the per-doc total exact under any summation order, so
+    the score is bit-reproducible across engines/partitionings (a
+    float weight table would make the final rounding order-dependent).
+
+    The bucket hash is the first 8 md5 hex digits — portable SQL
+    (Spark `conv`, DuckDB hex cast), no engine-specific hash. One
+    explode + one partial-aggregated shuffle on the id; duplicate
+    n-grams count at multiplicity (term frequency), matching fastText.
+    Rows with no n-grams score sigmoid(bias / 1000).
+
+    Output: (id, <score_col> r6).
+    """
+    grams = _ensure_parallelism(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.explode(word_ngrams(_word_array(text_col), ngram_n)).alias("__g"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    )
+    weight = (bucket * F.lit(2654435761)) % 2001 - F.lit(1000)
+    totals = grams.select(F.col(id_col), weight.alias("__w")).groupBy(id_col).agg(
+        F.sum("__w").alias("__t")
+    )
+    logit = (F.lit(bias) + F.coalesce(F.col("__t"), F.lit(0))) / F.lit(1000.0)
+    return (
+        df.select(id_col)
+        .join(totals, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(score_col),
+        )
+    )

@@ -1863,6 +1863,72 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
+# Oracle twin for hashed_classifier — UNREGISTERED (50-slot window is
+# full); hash-pinned by test_unregistered_query_parity. The md5-prefix
+# bucket and integer weights are portable SQL, so DuckDB reproduces
+# the scores bit-exactly.
+HASHED_CLASSIFIER_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                                     i -> array_to_string(words[i:i+1], ' '))) AS g
+        FROM w
+    ),
+    tot AS (
+        SELECT doc_id,
+               sum((CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096)
+                   * 2654435761 % 2001 - 1000) AS t
+        FROM grams GROUP BY 1
+    )
+    SELECT d.doc_id,
+           round(1.0 / (1.0 + exp(-(coalesce(t, 0) / 1000.0))), 6) AS clf_score
+    FROM documents d LEFT JOIN tot USING (doc_id)
+"""
+
+
+def hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-ngram linear scorer over documents
+    (operators/textstats.py:hashed_classifier_score). Unregistered;
+    pinned by `test_unregistered_query_parity[hashed_classifier]`."""
+    return ts.hashed_classifier_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# Oracle twin for weighted_sample — UNREGISTERED, same pattern. The
+# Efraimidis-Spirakis key is order-compared only (never summed), so
+# float parity holds row-by-row.
+WEIGHTED_SAMPLE_ORACLE = """
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 1.0) / 4294967297.0) / n_chars AS es
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars FROM keyed
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY es, doc_id) <= 25
+"""
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, n_chars as
+    the weight, 25 docs per source
+    (operators/sampling.py:weighted_hash_sample). Unregistered;
+    pinned by `test_unregistered_query_parity[weighted_sample]`."""
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_hash_sample(
+        docs, "doc_id", "n_chars", quota=25, strata=["source"]
+    )
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
