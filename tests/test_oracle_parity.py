@@ -36,6 +36,9 @@ _UNREGISTERED = {
     "streaming_hourly": "STREAMING_HOURLY_ORACLE",
     "hashed_classifier": "HASHED_CLASSIFIER_ORACLE",
     "weighted_sample": "WEIGHTED_SAMPLE_ORACLE",
+    "merge_upsert_q": "MERGE_UPSERT_ORACLE",
+    "range_join_q": "RANGE_JOIN_ORACLE",
+    "resample_q": "RESAMPLE_ORACLE",
 }
 
 

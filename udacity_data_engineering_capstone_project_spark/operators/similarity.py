@@ -215,45 +215,41 @@ def lsh_near_dup_pairs(
     payload by the vector width); pair-dedup across tables happens
     before verification so each pair's cosine is computed once.
     """
-    # persist: the self-join (and the bucket-size prefilter) would
-    # otherwise recompute the bucket projection once per consumer. The
-    # handle is released in the finally below — a bare .persist() here
-    # pinned the bucket frame for the session lifetime (and the filter
-    # reassignment shadowed the handle, so it could never be freed).
-    bucketed = hyperplane_lsh_buckets(
+    # localCheckpoint (NOT persist): the self-join and the bucket-size
+    # prefilter consume the bucket projection three times — the
+    # checkpoint computes the pandas-UDF plane matmul once and serves
+    # every consumer from materialized blocks. Unlike the earlier bare
+    # .persist() (whose shadowed handle pinned the frame for the
+    # session lifetime), checkpoint blocks are freed by the
+    # ContextCleaner as soon as the result plan is dropped. Measured
+    # at sf0.1: 1.53 s vs 1.92 s for persist + eager candidate
+    # checkpoint, identical pairs.
+    b = hyperplane_lsh_buckets(
         df, id_col, vec_col, num_planes, dim, num_tables=num_tables
     ).select(
         F.col(id_col), F.explode(F.col("buckets")).alias("bk")
-    ).select(id_col, "bk.t", "bk.b").persist()
-    try:
-        b = bucketed
-        if max_bucket_size is not None:
-            sizes = b.groupBy("t", "b").agg(F.count(F.lit(1)).alias("__bn"))
-            b = b.join(
-                sizes.filter(F.col("__bn") <= max_bucket_size), on=["t", "b"]
-            ).drop("__bn")
-        l, r = b.alias("l"), b.alias("r")
-        # materialize the (id-only, small) candidate set so the bucket
-        # frame can be unpersisted before the cosine verification plan
-        # is even built
-        pair_ids = (
-            l.join(
-                r,
-                on=[
-                    F.col("l.t") == F.col("r.t"),
-                    F.col("l.b") == F.col("r.b"),
-                    F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-                ],
-            )
-            .select(
-                F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
-            .localCheckpoint(eager=True)
+    ).select(id_col, "bk.t", "bk.b").localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        sizes = b.groupBy("t", "b").agg(F.count(F.lit(1)).alias("__bn"))
+        b = b.join(
+            sizes.filter(F.col("__bn") <= max_bucket_size), on=["t", "b"]
+        ).drop("__bn")
+    l, r = b.alias("l"), b.alias("r")
+    pair_ids = (
+        l.join(
+            r,
+            on=[
+                F.col("l.t") == F.col("r.t"),
+                F.col("l.b") == F.col("r.b"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
         )
-    finally:
-        bucketed.unpersist()
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     slim = _with_norm(df.select(F.col(id_col), F.col(vec_col)), vec_col, "__n")
     va = slim.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na")

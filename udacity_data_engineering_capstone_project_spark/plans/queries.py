@@ -1910,22 +1910,158 @@ WEIGHTED_SAMPLE_ORACLE = """
         FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, source, n_chars FROM keyed
-    QUALIFY row_number() OVER (PARTITION BY source ORDER BY es, doc_id) <= 25
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY es, doc_id) <= 10
 """
 
 
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement, n_chars as
-    the weight, 25 docs per source
-    (operators/sampling.py:weighted_hash_sample). Unregistered;
-    pinned by `test_unregistered_query_parity[weighted_sample]`."""
+    the weight, 10 docs per source (quota binds: 20 sources x 25 docs
+    each at sf0.001) (operators/sampling.py:weighted_hash_sample).
+    Unregistered; pinned by
+    `test_unregistered_query_parity[weighted_sample]`."""
     from udacity_data_engineering_capstone_project_spark.operators.sampling import (
         weighted_hash_sample,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return weighted_hash_sample(
-        docs, "doc_id", "n_chars", quota=25, strata=["source"]
+        docs, "doc_id", "n_chars", quota=10, strata=["source"]
+    )
+
+
+# Oracle twin for merge_upsert — UNREGISTERED; last-writer-wins key
+# merge of a changes batch (high-half orders stand in for the batch)
+# into the current snapshot (low half), changes beating ties.
+MERGE_UPSERT_ORACLE = """
+    WITH cur AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, 0 AS src
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    chg AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus, 1 AS src
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM cur UNION ALL SELECT * FROM chg)
+    SELECT o_custkey, o_orderkey, o_orderstatus FROM u
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey DESC, src DESC) = 1
+"""
+
+
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO shape (operators/scd.py:merge_upsert): per business
+    key the row with the highest order column wins, changes beat the
+    snapshot on ties. Unregistered; pinned by
+    `test_unregistered_query_parity[merge_upsert_q]`."""
+    from udacity_data_engineering_capstone_project_spark.operators.scd import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    current = o.filter(F.col("o_orderkey") % 2 == 0)
+    changes = o.filter(F.col("o_orderkey") % 2 == 1)
+    return merge_upsert(current, changes, ["o_custkey"], "o_orderkey")
+
+
+# Oracle twin for range_join — UNREGISTERED; events land in
+# per-customer order-validity intervals. DuckDB plans the theta join
+# directly; our engine's bucket-and-prune must produce identical rows.
+RANGE_JOIN_ORACLE = """
+    WITH iv AS (
+        SELECT o_custkey AS k, o_orderkey AS iv_id,
+               (o_orderkey % 1000) * 10 AS lo,
+               (o_orderkey % 1000) * 10 + 500 AS hi
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    pt AS (
+        SELECT user_id % 50 AS k, event_id AS pt_id, event_id % 10000 AS p
+        FROM events WHERE event_id % 11 = 0
+    )
+    SELECT pt.k, pt_id, p, iv_id, lo, hi
+    FROM pt JOIN iv ON pt.k = iv.k AND p >= lo AND p <= hi
+"""
+
+
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment via bucket-and-prune equi-join
+    (operators/relational.py:range_join) — Spark would otherwise plan
+    a broadcast-nested-loop. Unregistered; pinned by
+    `test_unregistered_query_parity[range_join_q]`."""
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        range_join,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    iv = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("iv_id"),
+        ((F.col("o_orderkey") % 1000) * 10).alias("lo"),
+        ((F.col("o_orderkey") % 1000) * 10 + 500).alias("hi"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    pt = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("user_id") % 50).alias("k"),
+        F.col("event_id").alias("pt_id"),
+        (F.col("event_id") % 10000).alias("p"),
+    )
+    return range_join(pt, iv, ["k"], "p", "lo", "hi", bucket_width=512).select(
+        "k", "pt_id", "p", "iv_id", "lo", "hi"
+    )
+
+
+# Oracle twin for resample_time_series — UNREGISTERED; the per-key
+# dense hourly spine (silent hours as explicit zero rows) via
+# generate_series in DuckDB vs sequence+explode in Spark.
+RESAMPLE_ORACLE = """
+    WITH e AS (
+        SELECT user_id % 20 AS k, time_bucket(INTERVAL '1 hour', ts) AS b, value
+        FROM events
+    ),
+    agg AS (
+        SELECT k, b, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM e GROUP BY 1, 2
+    ),
+    span AS (SELECT k, min(b) AS lo, max(b) AS hi FROM e GROUP BY 1),
+    spine AS (
+        SELECT k, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS b
+        FROM span
+    )
+    SELECT spine.k, epoch_us(spine.b) AS bucket_us,
+           coalesce(n_events, 0) AS n_events, sum_value
+    FROM spine LEFT JOIN agg USING (k, b)
+"""
+
+
+def resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling resample to a dense per-key hourly grid
+    (operators/relational.py:resample_time_series). Unregistered;
+    pinned by `test_unregistered_query_parity[resample_q]`."""
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        resample_time_series,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("k"), "ts", "value"
+    )
+    out = resample_time_series(
+        ev,
+        ["k"],
+        "ts",
+        "1 hour",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 2),
+        },
+        fill={"n_events": 0},
+    )
+    return out.select(
+        "k",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', bucket_start)"
+        ).alias("bucket_us"),
+        "n_events",
+        "sum_value",
     )
 
 
