@@ -1199,12 +1199,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH (pigeonhole-exact recall).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist: the banded self-join consumes the signature lineage twice
+    # persist for intra-job reuse (the banded self-join consumes the
+    # signature lineage twice), eagerly checkpoint the small pair
+    # output, then RELEASE the cache — a bare persist would pin it for
+    # the session lifetime (see minhash_dedup_pairs).
     sigs = dd.simhash_signatures(
         _t(spark, sf_dir, "documents"), "doc_id", "text"
     ).persist()
-    pairs = dd.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
-    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+    try:
+        pairs = dd.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
+        return pairs.withColumn(
+            "hamming", F.col("hamming").cast("long")
+        ).localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
 
 
 @_register(
