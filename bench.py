@@ -79,7 +79,11 @@ def main() -> None:
         # (measured: 6.6 -> 3.4 -> 1.6 s across fresh invocations)
         fn(spark, sf_dir).count()
         best, rows = None, 0
-        for _ in range(2):  # then best-of-2 for steady-state
+        # best-of-3 steady state (round 3; was best-of-2): identical
+        # invocations occasionally hit a multi-second major-GC pause
+        # (measured 0.97 vs 7.15 s on contamination_check) — a third
+        # sample cuts the odds of recording a pause as the query time
+        for _ in range(3):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
