@@ -102,3 +102,76 @@ def test_diagnose_skew_heavy_hitters(spark):
     assert out[0]["k"] == 0 and out[0]["n_rows"] == 5000
     assert abs(out[0]["row_share"] - 0.5) < 1e-9
     assert out[0]["n_rows"] > out[1]["n_rows"] >= out[2]["n_rows"]
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source: exact roundtrip of a TPC-H slice, and the
+    filter reaches the ORC scan (PushedFilters) like parquet."""
+    from udacity_data_engineering_capstone_project_spark.sources.readers import (
+        read_orc,
+        read_table,
+    )
+    from udacity_data_engineering_capstone_project_spark.sources.sinks import write_orc
+
+    nation = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert sorted(back.collect()) == sorted(nation.collect())
+    filtered = back.filter(back["n_regionkey"] == 1).select("n_name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_regionkey" in plan
+
+
+def test_streaming_merge_into_dimension(spark, tmp_path):
+    """Incremental dimension maintenance end-to-end: two change drops
+    land as separate files; each availableNow run merges exactly the
+    new changes into a fresh immutable dimension version, last writer
+    wins per key, and the reader resolves the latest version."""
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        merge_stream_into_dimension,
+        read_dimension,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k LONG, attr STRING, seq LONG"
+
+    def drop(name, rows):
+        # flat single parquet FILES (spark writes directories, which
+        # the file-stream source does not recurse into)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "attr": [r[1] for r in rows],
+                    "seq": pa.array([r[2] for r in rows], type=pa.int64()),
+                }
+            ),
+            str(landing / name),
+        )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(landing))
+        return merge_stream_into_dimension(
+            spark, stream, dim, ckpt, ["k"], "seq"
+        )
+
+    drop("drop1.parquet", [(1, "a0", 1), (2, "b0", 1), (1, "a1", 2)])
+    assert run() == 1
+    snap1 = {r["k"]: r["attr"] for r in read_dimension(spark, dim).collect()}
+    assert snap1 == {1: "a1", 2: "b0"}  # within-batch last-writer-wins
+
+    drop("drop2.parquet", [(2, "b1", 3), (3, "c0", 3)])
+    assert run() == 1  # only the delta is processed
+    snap2 = {r["k"]: r["attr"] for r in read_dimension(spark, dim).collect()}
+    assert snap2 == {1: "a1", 2: "b1", 3: "c0"}
+
+    # no new files -> no new version, reader still resolves latest
+    assert run() == 0
+    assert {r["k"]: r["attr"] for r in read_dimension(spark, dim).collect()} == snap2

@@ -114,6 +114,15 @@ def read_json(
     return reader.json(list(paths))
 
 
+def read_orc(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+    """Read one or many ORC paths into a single DataFrame (columnar
+    alternative to parquet; same pushdown/pruning behavior — Spark's
+    native ORC reader exposes PushedFilters identically)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.orc(*paths)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (``{sf_dir}/{name}.parquet``)."""
     if name == "events":

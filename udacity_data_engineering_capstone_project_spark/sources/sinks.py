@@ -38,6 +38,22 @@ def write_csv(
     writer.csv(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    compression: str = "zlib",
+) -> None:
+    """Write ORC with optional hive-style partitioning (interchange
+    format for Hive/Trino-side consumers; same sink contract as
+    `write_parquet`)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def materialize(df: DataFrame, path: str, format: str = "parquet") -> DataFrame:
     """Checkpoint a DataFrame: write + read back, truncating lineage.
 
