@@ -175,3 +175,63 @@ def test_streaming_merge_into_dimension(spark, tmp_path):
     # no new files -> no new version, reader still resolves latest
     assert run() == 0
     assert {r["k"]: r["attr"] for r in read_dimension(spark, dim).collect()} == snap2
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """64 tiny files compact into the byte-budgeted file count with
+    identical rows; sorted mode restores per-file clustering (footer
+    min/max spans shrink)."""
+    from udacity_data_engineering_capstone_project_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "small")
+    spark.range(10_000).selectExpr(
+        "id", "id % 97 AS k", "md5(cast(id AS string)) AS payload"
+    ).repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 64
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_bytes=256 * 1024)
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) == n and n < 16
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(out).orderBy("id").collect()
+    assert a == b
+
+    out2 = str(tmp_path / "compacted_sorted")
+    compact_parquet(spark, src, out2, target_file_bytes=256 * 1024,
+                    sort_within_by=["k"])
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(f"{out2}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ks = [
+            (md.row_group(i).column(1).statistics.min,
+             md.row_group(i).column(1).statistics.max)
+            for i in range(md.num_row_groups)
+        ]
+        spans.append((min(lo for lo, _ in ks), max(hi for _, hi in ks)))
+    # range-partitioned on k: per-file key spans must not all cover the
+    # whole domain (unsorted compaction would give every file 0..96)
+    assert any(hi - lo < 96 for lo, hi in spans), spans
+
+
+def test_k_anonymity_violations(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        k_anonymity_violations,
+    )
+
+    rows = (
+        [("90210", 1960, "F")] * 10      # safe group
+        + [("10001", 1985, "M")] * 2     # violating group (2 < 5)
+        + [("60601", 1999, "X")]         # singleton
+    )
+    df = spark.createDataFrame(rows, ["zip", "birth_year", "gender"])
+    bad = {
+        (r["zip"], r["n_rows"])
+        for r in k_anonymity_violations(df, ["zip", "birth_year", "gender"], k=5).collect()
+    }
+    assert bad == {("10001", 2), ("60601", 1)}
+    assert k_anonymity_violations(df, ["zip", "birth_year", "gender"], k=1).count() == 0

@@ -191,3 +191,25 @@ def diagnose_skew(
             F.round(F.col("n_rows") / F.col("__total"), 6).alias("row_share"),
         )
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Privacy gate: quasi-identifier combinations shared by FEWER than
+    ``k`` rows — the groups whose members a release would re-identify.
+    An empty result certifies k-anonymity over ``quasi_cols``; the
+    rows name exactly which combinations to generalize or suppress
+    before release (the complement of the PII-redaction pass, which
+    scrubs direct identifiers: `textstats.redact_pii`).
+
+    One partial-aggregated shuffle on the quasi-identifier; output
+    (quasi_cols..., n_rows) sorted nowhere (caller orders).
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+    )

@@ -197,3 +197,40 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction — the maintenance pass every long-lived
+    ingestion path needs: streaming/incremental writers leave thousands
+    of KB-scale files whose per-file open/footer overhead dominates
+    scans at 100 TB. Rewrites ``path`` into ceil(bytes/target) files of
+    ~``target_file_bytes`` each (sized from the files' actual on-disk
+    bytes via the Hadoop FS, not a row-count guess), optionally sorted
+    within files to restore clustering for data skipping.
+
+    Writes to ``out_path`` (default ``<path>__compacted``) rather than
+    in place: an in-place rewrite that fails mid-way destroys the
+    table; callers swap directories after the write commits. Returns
+    the number of output files requested.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-int(total) // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        out = df.repartitionByRange(n_files, *sort_within_by).sortWithinPartitions(
+            *sort_within_by
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_path or f"{path}__compacted")
+    return n_files
