@@ -386,3 +386,45 @@ def test_hashed_classifier_score_properties(spark):
     biased = {r["doc_id"]: r["clf_score"] for r in
               hashed_classifier_score(df, "doc_id", "text", bias=1000).collect()}
     assert biased[2] == round(1 / (1 + 2.718281828459045 ** -1.0), 6)
+
+
+def test_bpe_train_and_tokenize(spark):
+    """BPE end-to-end: the first learned merge is the corpus's most
+    frequent adjacent pair; tokenization round-trips every document
+    (concatenated tokens reproduce the word sequence); token counts
+    shrink monotonically as merges are added; empty docs count 0."""
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        bpe_tokenize,
+        train_bpe_merges,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cats sat"),
+        (3, "thematic the the the"),
+        (4, "12345 !!!"),  # no [a-z]+ words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = train_bpe_merges(df, "text", num_merges=10)
+    assert merges[0] == ("h", "e")  # 'he' occurs in every 'the'
+    assert ("t", "he") in merges
+
+    out = {
+        r["doc_id"]: r
+        for r in bpe_tokenize(df, "doc_id", "text", merges, return_tokens=True).collect()
+    }
+    assert out[4]["n_bpe_tokens"] == 0 and out[4]["bpe_tokens"] == []
+    import re
+
+    for doc_id, text in rows[:3]:
+        words = re.findall(r"[a-z]+", text.lower())
+        joined = "".join(out[doc_id]["bpe_tokens"]).replace("_", " ").strip()
+        assert joined == " ".join(words), (doc_id, out[doc_id]["bpe_tokens"])
+        assert out[doc_id]["n_bpe_tokens"] == len(out[doc_id]["bpe_tokens"])
+
+    # more merges never increase the token count
+    n_few = {r["doc_id"]: r["n_bpe_tokens"]
+             for r in bpe_tokenize(df, "doc_id", "text", merges[:2]).collect()}
+    n_all = {r["doc_id"]: r["n_bpe_tokens"]
+             for r in bpe_tokenize(df, "doc_id", "text", merges).collect()}
+    assert all(n_all[d] <= n_few[d] for d in n_all)

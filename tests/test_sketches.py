@@ -70,3 +70,37 @@ def test_sketch_global_rollup(spark):
     total = merge_distinct_sketches(distinct_sketch(df, ["g"], "v")).collect()
     assert len(total) == 1
     assert abs(total[0]["n_distinct"] - 997) / 997 < 0.05
+
+
+def test_cms_build_merge_estimate(spark, tmp_path):
+    """Count-Min heavy-hitter sketches: per-day sketches persist as
+    binary, merge into a month total without rescanning rows, and the
+    merged estimate equals build-over-everything (same shape/seed).
+    Over-count is bounded by eps*N."""
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        estimate_counts,
+        freq_sketch,
+        merge_freq_sketches,
+    )
+
+    df = spark.range(20_000).selectExpr(
+        "CAST(id % 2 AS INT) AS day",
+        # zipf-ish: value 0 is hot (half the rows), tail uniform
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE id % 1000 END AS v",
+    )
+    per_day = freq_sketch(df, ["day"], "v", eps=0.001, confidence=0.99)
+    path = str(tmp_path / "cms")
+    per_day.write.parquet(path)
+
+    merged = merge_freq_sketches(spark, spark.read.parquet(path))
+    est = estimate_counts(spark, merged, [0, 1, 999, 123456])
+    true0 = df.filter("v = 0").count()
+    assert true0 <= est[0] <= true0 + 0.001 * 20_000  # CMS never undercounts
+    assert est[123456] <= 0.001 * 20_000  # absent item stays near zero
+
+    # merged(day sketches) == one sketch over the union
+    whole = freq_sketch(df, [], "v", eps=0.001, confidence=0.99)
+    whole_b = merge_freq_sketches(spark, whole)
+    assert estimate_counts(spark, whole_b, [0, 1, 999]) == {
+        k: v for k, v in est.items() if k in (0, 1, 999)
+    }

@@ -56,3 +56,59 @@ def merge_distinct_sketches(
     return merged.withColumn(
         estimate_col, F.hll_sketch_estimate(F.col("sketch"))
     )
+
+
+def freq_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """One Count-Min sketch of ``value_col``'s frequencies per group —
+    the heavy-hitter partial to persist alongside each ingested batch
+    (the frequency twin of `distinct_sketch`). Estimates over-count by
+    at most eps * N with the given confidence; size is O(1/eps).
+    Partial-aggregatable: map-side combine before the group shuffle.
+    All batches must share ``eps/confidence/seed`` or the merge is
+    invalid — persist them next to the sketches.
+
+    Output: (*group_cols, sketch binary).
+    """
+    col = f"CAST(`{value_col}` AS STRING)"
+    agg = F.expr(
+        f"count_min_sketch({col}, {eps!r}D, {confidence!r}D, {int(seed)})"
+    ).alias("sketch")
+    return df.groupBy(*group_cols).agg(agg)
+
+
+def merge_freq_sketches(spark, sketches: DataFrame) -> bytes:
+    """Union stored Count-Min sketches into one (e.g. day batches into
+    a month): only sketch BYTES leave the executors — one row per
+    stored sketch, each a few KB — and the raw data is never
+    rescanned. The merge itself runs on the driver via Spark's own
+    `CountMinSketch.mergeInPlace`, which is exact for equally-shaped
+    sketches; with thousands of batch sketches this is KBs x batches,
+    not data-scale work.
+
+    Returns the merged sketch serialized (feed to `estimate_counts`).
+    """
+    rows = sketches.select("sketch").collect()
+    if not rows:
+        raise ValueError("no sketches to merge")
+    CMS = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = CMS.readFrom(bytes(rows[0]["sketch"]))
+    for r in rows[1:]:
+        merged.mergeInPlace(CMS.readFrom(bytes(r["sketch"])))
+    return bytes(merged.toByteArray())
+
+
+def estimate_counts(spark, sketch: bytes, items: Sequence[object]) -> dict:
+    """Frequency estimates for ``items`` from a serialized Count-Min
+    sketch (values were sketched as strings; items are stringified the
+    same way)."""
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch)
+    )
+    return {it: cms.estimateCount(str(it)) for it in items}

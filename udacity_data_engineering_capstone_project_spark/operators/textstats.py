@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -484,3 +485,162 @@ def hashed_classifier_score(
             F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(score_col),
         )
     )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 100,
+    max_token_len: int = 16,
+) -> list:
+    """Learn a BPE merge table from a corpus, Spark-side. The corpus
+    collapses ONCE to the distinct-(word, count) table — the standard
+    trick that makes BPE training tractable at 100 TB: every round
+    then runs on vocabulary-sized data, not corpus-sized. Each round
+    counts adjacent symbol pairs over the current segmentation with a
+    partial-aggregated explode pass, promotes the most frequent pair
+    (count-desc, then lexicographic — deterministic), and re-segments
+    with a JVM aggregate-fold. Driver traffic per round is one
+    (pair, count) row; lineage is truncated per round.
+
+    Words are the shared `_word_array` tokens with an end-of-word
+    marker `_` (safe: words are [a-z]+ only). Stops early when no pair
+    repeats or the next token would exceed ``max_token_len``.
+    Returns the ordered merge list [(left, right), ...].
+    """
+    words = (
+        _ensure_parallelism(df.select(text_col), text_col)
+        .select(F.explode(_word_array(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("syms", F.split(F.concat(F.col("w"), F.lit("_")), ""))
+        .localCheckpoint(eager=True)
+    )
+    merges: list = []
+    cur = words
+    pair_expr = (
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+    )
+    for _ in range(num_merges):
+        top = (
+            cur.filter(F.size("syms") >= 2)
+            .select("n", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        if len(a) + len(b) > max_token_len:
+            break
+        merges.append((a, b))
+        cur = cur.withColumn(
+            "syms", _merge_pair_fold("syms", a, b)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def _merge_pair_fold(syms_col: str, a: str, b: str):
+    """JVM fold replacing each adjacent (a, b) in a symbol array with
+    the concatenated symbol — one pass, leftmost-first, no Python."""
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    ab = q(a + b)
+    return F.expr(
+        f"""
+        aggregate(
+            `{syms_col}`,
+            CAST(array() AS array<string>),
+            (acc, s) -> CASE
+                WHEN size(acc) > 0 AND element_at(acc, -1) = {q(a)} AND s = {q(b)}
+                THEN concat(slice(acc, 1, size(acc) - 1), array({ab}))
+                ELSE concat(acc, array(s)) END
+        )
+        """
+    )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: Sequence[tuple],
+    return_tokens: bool = False,
+) -> DataFrame:
+    """Tokenize a corpus with a learned BPE merge table (see
+    `train_bpe_merges`) — the budgeting step an LLM pipeline runs
+    before packing/mixing, with a REAL subword vocabulary rather than
+    the regex estimate of `token_counts`.
+
+    Python touches only the DISTINCT words (vocabulary-sized,
+    Arrow-batched): each unique word is segmented once, and the corpus
+    maps through the (word -> tokens) table with an equi-join (AQE
+    broadcasts the vocab when small). Per-doc counts come from one
+    aggregation; ``return_tokens=True`` additionally reassembles the
+    full ordered token array per document (sort-by-position flatten).
+
+    Output: (id, n_bpe_tokens [, bpe_tokens]). Documents with no
+    [a-z]+ words count 0.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = list(merges)
+
+    @pandas_udf("array<string>")
+    def _segment(words: pd.Series) -> pd.Series:
+        def seg(w):
+            syms = list(w) + ["_"]
+            for a, b in ranks:
+                i, out = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return words.map(seg)
+
+    exploded = _ensure_parallelism(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.posexplode_outer(_word_array(text_col)).alias("__pos", "__w"),
+    )
+    vocab = (
+        exploded.filter(F.col("__w").isNotNull())
+        .select("__w")
+        .distinct()
+        .withColumn("__toks", _segment(F.col("__w")))
+    )
+    joined = exploded.join(vocab, on="__w", how="left")
+    aggs = [
+        F.sum(
+            F.when(F.col("__toks").isNotNull(), F.size("__toks")).otherwise(0)
+        ).cast("long").alias("n_bpe_tokens")
+    ]
+    if return_tokens:
+        aggs.append(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        # when() -> null for wordless rows: collect_list
+                        # skips nulls, so empty docs yield [] not null
+                        F.collect_list(
+                            F.when(
+                                F.col("__toks").isNotNull(),
+                                F.struct(F.col("__pos"), F.col("__toks")),
+                            )
+                        )
+                    ),
+                    lambda x: x["__toks"],
+                )
+            ).alias("bpe_tokens")
+        )
+    return joined.groupBy(id_col).agg(*aggs)
