@@ -29,8 +29,9 @@ def test_ivf_index_roundtrip_matches_inline(spark, sf_dir, tmp_path):
     path = str(tmp_path / "ivf")
 
     write_ivf_index(emb, centroids, path, "vec_id", "embedding")
+    # centroids=None resolves the quantizer persisted with the index
     from_index = search_ivf_index(
-        spark, path, queries, centroids, "vec_id", "embedding", k=5
+        spark, path, queries, None, "vec_id", "embedding", k=5
     )
     inline = ivf_topk(emb, queries, centroids, "vec_id", "embedding", k=5)
     assert sorted(map(str, from_index.collect())) == sorted(map(str, inline.collect()))
@@ -41,6 +42,37 @@ def test_ivf_index_roundtrip_matches_inline(spark, sf_dir, tmp_path):
     searched.collect()
     plan = searched._jdf.queryExecution().executedPlan().toString()
     assert "cell" in plan  # partition column participates in the join
+
+
+def test_ivf_index_incremental_add(spark, sf_dir, tmp_path):
+    """Appending a batch through the index's own persisted quantizer
+    equals rebuilding the index over the union — and only the new
+    rows' cells are written (no rescan of existing cells)."""
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        add_to_ivf_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    path = str(tmp_path / "ivf_inc")
+    write_ivf_index(first, centroids, path, "vec_id", "embedding")
+    add_to_ivf_index(spark, path, second, "vec_id", "embedding")
+    incremental = search_ivf_index(
+        spark, path, queries, None, "vec_id", "embedding", k=5
+    )
+
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, centroids, full_path, "vec_id", "embedding")
+    rebuilt = search_ivf_index(
+        spark, full_path, queries, None, "vec_id", "embedding", k=5
+    )
+    assert sorted(map(str, incremental.collect())) == sorted(
+        map(str, rebuilt.collect())
+    )
 
 
 def test_csv_all_string_parity_and_declared_schema(spark, tmp_path):

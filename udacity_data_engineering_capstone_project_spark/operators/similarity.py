@@ -337,18 +337,44 @@ def write_ivf_index(
     vec_col: str,
 ) -> None:
     """Materialize the IVF index: corpus vectors written as parquet
-    partitioned by their cell id. A query then reads only its probed
-    cells' files — partition pruning does the candidate selection, so
-    search cost is O(cell size), independent of corpus size."""
+    partitioned by their cell id under ``{path}/cells``, and the
+    quantizer centroids alongside under ``{path}/_centroids`` — the
+    index is self-contained, so search and incremental adds can't
+    silently run with a MISMATCHED quantizer (assignments would be
+    inconsistent and recall would quietly collapse). A query then
+    reads only its probed cells' files — partition pruning does the
+    candidate selection, so search cost is O(cell size), independent
+    of corpus size."""
+    centroids.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_centroids")
     assigned = assign_cells(corpus, centroids, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def add_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Incrementally add a batch of vectors to a materialized IVF
+    index: assign against the index's OWN persisted centroids and
+    append into the per-cell partition layout. No rebuild, no rescan
+    of existing cells — the daily-ingest path for a corpus-scale ANN
+    index (cell balance degrades as the distribution drifts; retrain
+    and rewrite when recall probes say so)."""
+    cents = spark.read.parquet(f"{path}/_centroids")
+    assigned = assign_cells(new_vectors, cents, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
 
 
 def search_ivf_index(
     spark,
     path: str,
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     id_col: str,
     vec_col: str,
     k: int = 10,
@@ -356,8 +382,13 @@ def search_ivf_index(
     nprobe: int = 1,
 ) -> DataFrame:
     """Search a materialized IVF index. The join on ``cell`` against the
-    partitioned parquet prunes to the probed cells' files only."""
-    index = _with_norm(spark.read.parquet(path), vec_col, "__cn")
+    partitioned parquet prunes to the probed cells' files only.
+    ``centroids=None`` reads the quantizer persisted with the index
+    (the safe default — a caller-supplied frame must be the one the
+    index was built with)."""
+    if centroids is None:
+        centroids = spark.read.parquet(f"{path}/_centroids")
+    index = _with_norm(spark.read.parquet(f"{path}/cells"), vec_col, "__cn")
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
     q = _with_norm(
         query_cells.select(
