@@ -39,6 +39,7 @@ _UNREGISTERED = {
     "merge_upsert_q": "MERGE_UPSERT_ORACLE",
     "range_join_q": "RANGE_JOIN_ORACLE",
     "resample_q": "RESAMPLE_ORACLE",
+    "category_drift_q": "CATEGORY_DRIFT_ORACLE",
 }
 
 

@@ -235,3 +235,30 @@ def test_k_anonymity_violations(spark):
     }
     assert bad == {("10001", 2), ("60601", 1)}
     assert k_anonymity_violations(df, ["zip", "birth_year", "gender"], k=1).count() == 0
+
+
+def test_category_drift_psi(spark):
+    """Identical snapshots -> zero PSI everywhere; a category that
+    doubles its share and one that vanishes both surface with positive
+    PSI terms, vanished category largest."""
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        category_drift,
+    )
+
+    base = spark.createDataFrame(
+        [("en",)] * 50 + [("de",)] * 30 + [("fr",)] * 20, ["lang"]
+    )
+    same = {r["category"]: r for r in category_drift(base, base, "lang").collect()}
+    assert all(r["psi"] == 0.0 for r in same.values())
+    assert abs(same["en"]["share_base"] - 0.5) < 1e-9
+
+    new = spark.createDataFrame(
+        [("en",)] * 30 + [("de",)] * 60 + [("zz",)] * 10, ["lang"]
+    )
+    out = {r["category"]: r for r in category_drift(base, new, "lang").collect()}
+    assert set(out) == {"en", "de", "fr", "zz"}
+    assert out["de"]["psi"] > 0 and out["en"]["psi"] > 0
+    assert out["fr"]["psi"] > out["de"]["psi"]  # vanishing beats doubling
+    assert out["zz"]["share_base"] == 1e-6  # absent-side epsilon
+    total_psi = sum(r["psi"] for r in out.values())
+    assert total_psi > 0.25  # this mix shift is action-needed

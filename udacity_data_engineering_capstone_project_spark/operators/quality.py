@@ -213,3 +213,48 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") < k)
     )
+
+
+def category_drift(
+    base: DataFrame,
+    new: DataFrame,
+    col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-stability report between two snapshots of a
+    categorical column — the drift monitor a corpus pipeline runs
+    when a new crawl/batch arrives ("did the language/source mix
+    shift?"). Per category: share in each snapshot and its PSI term
+    (share_new - share_base) * ln(share_new / share_base); the summed
+    PSI reads < 0.1 as stable, 0.1-0.25 as moderate drift, > 0.25 as
+    action-needed (the conventional banking thresholds).
+
+    Categories absent from one side take share ``eps`` so the log is
+    defined (their PSI term is then large — absence IS drift). Each
+    side is one partial-aggregated count pass; totals ride 1-row
+    broadcasts; the category join is a tiny outer join.
+
+    Output: (category, share_base r6, share_new r6, psi r6).
+    """
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("category")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        total = df.agg(F.count(F.lit(1)).alias("__t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "category", (F.col("__n") / F.col("__t")).alias(name)
+        )
+
+    b = shares(base, "__sb")
+    n = shares(new, "__sn")
+    p = F.coalesce(F.col("__sn"), F.lit(eps))
+    q = F.coalesce(F.col("__sb"), F.lit(eps))
+    return (
+        b.join(n, on="category", how="full_outer")
+        .select(
+            "category",
+            F.round(F.coalesce(F.col("__sb"), F.lit(eps)), 6).alias("share_base"),
+            F.round(F.coalesce(F.col("__sn"), F.lit(eps)), 6).alias("share_new"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi"),
+        )
+    )

@@ -2073,6 +2073,44 @@ def resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for category_drift — UNREGISTERED; PSI drift of the
+# language mix between the even- and odd-id halves of the corpus.
+CATEGORY_DRIFT_ORACLE = """
+    WITH b AS (
+        SELECT lang AS category,
+               count(*) / (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS sb
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    n AS (
+        SELECT lang AS category,
+               count(*) / (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS sn
+        FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+    )
+    SELECT category,
+           round(coalesce(sb, 1e-6), 6) AS share_base,
+           round(coalesce(sn, 1e-6), 6) AS share_new,
+           round((coalesce(sn, 1e-6) - coalesce(sb, 1e-6))
+                 * ln(coalesce(sn, 1e-6) / coalesce(sb, 1e-6)), 6) AS psi
+    FROM b FULL OUTER JOIN n USING (category)
+"""
+
+
+def category_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift report of the corpus language mix between snapshot
+    halves (operators/quality.py:category_drift). Unregistered;
+    pinned by `test_unregistered_query_parity[category_drift_q]`."""
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        category_drift,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return category_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
