@@ -40,6 +40,7 @@ _UNREGISTERED = {
     "range_join_q": "RANGE_JOIN_ORACLE",
     "resample_q": "RESAMPLE_ORACLE",
     "category_drift_q": "CATEGORY_DRIFT_ORACLE",
+    "numeric_drift_q": "NUMERIC_DRIFT_ORACLE",
 }
 
 

@@ -262,3 +262,26 @@ def test_category_drift_psi(spark):
     assert out["zz"]["share_base"] == 1e-6  # absent-side epsilon
     total_psi = sum(r["psi"] for r in out.values())
     assert total_psi > 0.25  # this mix shift is action-needed
+
+
+def test_numeric_drift_psi(spark):
+    """Same distribution -> near-zero total PSI with ~uniform base
+    shares; a shifted distribution -> large PSI concentrated in the
+    tail bins."""
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        numeric_drift,
+    )
+
+    base = spark.range(10_000).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
+    same = numeric_drift(base, base, "v", bins=10).collect()
+    assert len(same) == 10
+    assert all(abs(r["share_base"] - 0.1) < 0.02 for r in same)
+    assert sum(r["psi"] for r in same) < 0.001
+
+    shifted = spark.range(10_000).selectExpr(
+        "CAST(id % 1000 AS DOUBLE) + 800 AS v"
+    )
+    out = numeric_drift(base, shifted, "v", bins=10).collect()
+    assert sum(r["psi"] for r in out) > 0.25  # action-needed drift
+    top_bin = max(out, key=lambda r: r["bin"])
+    assert top_bin["share_new"] > top_bin["share_base"]  # mass moved up

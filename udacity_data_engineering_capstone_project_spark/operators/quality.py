@@ -258,3 +258,67 @@ def category_drift(
             F.round((p - q) * F.log(p / q), 6).alias("psi"),
         )
     )
+
+
+def numeric_drift(
+    base: DataFrame,
+    new: DataFrame,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI drift of a numeric column between snapshots: the baseline's
+    interpolated quantiles cut ``bins`` equal-population bins (so every
+    base share is ~1/bins by construction), both snapshots are counted
+    into those FIXED edges, and each bin gets its PSI term — the
+    numeric twin of `category_drift`, same thresholds.
+
+    The bin edges are ``bins - 1`` driver-side scalars (one exact
+    percentile aggregate over the baseline — swap in
+    `approx_percentile` beyond memory scale), rounded to 6 decimals so
+    boundary assignment is engine-deterministic; bin id = number of
+    edges strictly below the value. Each side then pays one
+    partial-aggregated count pass.
+
+    Output: (bin, share_base r6, share_new r6, psi r6), bins present
+    in either snapshot.
+    """
+    qs = [i / bins for i in range(1, bins)]
+    edges_row = base.agg(
+        *[
+            F.round(F.percentile(F.col(col), F.lit(q)), 6).alias(f"e{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    edges = [edges_row[f"e{i}"] for i in range(len(qs))]
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        bin_expr = sum(
+            (F.col(col) > F.lit(e)).cast("long") for e in edges
+        ).alias("bin")
+        counts = (
+            df.filter(F.col(col).isNotNull())
+            .select(bin_expr)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        total = df.filter(F.col(col).isNotNull()).agg(
+            F.count(F.lit(1)).alias("__t")
+        )
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("__n") / F.col("__t")).alias(name)
+        )
+
+    b = shares(base, "__sb")
+    n = shares(new, "__sn")
+    p = F.coalesce(F.col("__sn"), F.lit(eps))
+    q = F.coalesce(F.col("__sb"), F.lit(eps))
+    return (
+        b.join(n, on="bin", how="full_outer")
+        .select(
+            "bin",
+            F.round(F.coalesce(F.col("__sb"), F.lit(eps)), 6).alias("share_base"),
+            F.round(F.coalesce(F.col("__sn"), F.lit(eps)), 6).alias("share_new"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi"),
+        )
+    )

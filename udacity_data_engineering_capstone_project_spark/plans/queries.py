@@ -2111,6 +2111,55 @@ def category_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for numeric_drift — UNREGISTERED; PSI of n_chars between
+# corpus halves over the base half's rounded decile edges. Both
+# engines round the interpolated quantiles to 6 decimals BEFORE bin
+# assignment, so boundary membership is engine-deterministic.
+NUMERIC_DRIFT_ORACLE = """
+    WITH e AS (
+        SELECT list_transform(
+                   quantile_cont(n_chars,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                   q -> round(q, 6)) AS qs
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    b AS (
+        SELECT len(list_filter(e.qs, x -> x < d.n_chars)) AS bin,
+               count(*) / (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS sb
+        FROM documents d, e WHERE d.doc_id % 2 = 0 GROUP BY 1
+    ),
+    n AS (
+        SELECT len(list_filter(e.qs, x -> x < d.n_chars)) AS bin,
+               count(*) / (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS sn
+        FROM documents d, e WHERE d.doc_id % 2 = 1 GROUP BY 1
+    )
+    SELECT bin,
+           round(coalesce(sb, 1e-6), 6) AS share_base,
+           round(coalesce(sn, 1e-6), 6) AS share_new,
+           round((coalesce(sn, 1e-6) - coalesce(sb, 1e-6))
+                 * ln(coalesce(sn, 1e-6) / coalesce(sb, 1e-6)), 6) AS psi
+    FROM b FULL OUTER JOIN n USING (bin)
+"""
+
+
+def numeric_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-bin PSI of document length between snapshot halves
+    (operators/quality.py:numeric_drift). Unregistered; pinned by
+    `test_unregistered_query_parity[numeric_drift_q]`."""
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        numeric_drift,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = numeric_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        bins=10,
+    )
+    return out.withColumn("bin", F.col("bin").cast("long"))
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
