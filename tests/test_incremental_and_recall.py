@@ -224,3 +224,32 @@ def test_int8_quantization_preserves_cosine_ranking(spark):
         .collect()[0]["rel"]
     )
     assert err <= 0.5 / 127 + 1e-9
+
+
+def test_normalize_embeddings_matryoshka(spark):
+    """Truncation keeps the prefix; renormalization yields unit L2
+    norm matching a numpy recompute; zero vectors pass through."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        normalize_embeddings,
+    )
+
+    vecs = [
+        (1, [3.0, 4.0, 0.0, 12.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, -2.0, 2.0, 4.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "vec"])
+    out = {r["vec_id"]: r["n"] for r in
+           normalize_embeddings(df, "vec", dim=2, out_col="n").collect()}
+    for vid, full in vecs:
+        want = np.array(full[:2])
+        nrm = np.linalg.norm(want)
+        want = want / nrm if nrm > 0 else want
+        assert np.allclose(out[vid], want, atol=1e-12), (vid, out[vid])
+    assert out[2] == [0.0, 0.0]
+    # no truncation: unit norms for nonzero vectors
+    full_out = {r["vec_id"]: r["vec"] for r in
+                normalize_embeddings(df, "vec").collect()}
+    assert abs(np.linalg.norm(full_out[1]) - 1.0) < 1e-12

@@ -78,3 +78,82 @@ def test_normalize_domain_closure(spark_global, values, valid):
     assert len(out) == len(values)
     for inp, o in zip(values, out):
         assert o == (inp if inp in valid else "other")
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_wav_parser_total_on_garbage(data):
+    """parse_wav_meta is TOTAL over arbitrary bytes: it returns a
+    4-tuple or raises ValueError — never struct.error /
+    ZeroDivisionError / IndexError (one corrupt payload must not kill
+    a Spark task; round-3 advice)."""
+    from udacity_data_engineering_capstone_project_spark.operators.audio import parse_wav_meta
+
+    try:
+        out = parse_wav_meta(data)
+        assert isinstance(out, tuple) and len(out) == 4
+    except ValueError:
+        pass
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_avi_parser_total_on_garbage(data):
+    from udacity_data_engineering_capstone_project_spark.operators.video import parse_avi_meta
+
+    try:
+        out = parse_avi_meta(data)
+        assert isinstance(out, tuple) and len(out) == 4
+    except ValueError:
+        pass
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_image_parsers_total_on_garbage(data):
+    import zlib
+
+    from udacity_data_engineering_capstone_project_spark.operators.multimodal import (
+        decode_png_pixels,
+        parse_image_meta,
+    )
+
+    try:
+        fmt, w, h = parse_image_meta(data)
+        assert isinstance(fmt, str)
+    except ValueError:
+        pass
+    try:
+        decode_png_pixels(data)
+    except (ValueError, zlib.error):
+        pass
+
+
+@given(
+    header=st.sampled_from([b"RIFF", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff"]),
+    tail=st.binary(min_size=0, max_size=120),
+)
+@settings(max_examples=150, deadline=None)
+def test_parsers_total_on_magic_prefixed_garbage(header, tail):
+    """Adversarial case: payloads that START like a real container but
+    decay into garbage — the chunk walkers must still be total."""
+    import zlib
+
+    from udacity_data_engineering_capstone_project_spark.operators.audio import parse_wav_meta
+    from udacity_data_engineering_capstone_project_spark.operators.multimodal import (
+        decode_png_pixels,
+        parse_image_meta,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.video import parse_avi_meta
+
+    data = header + tail
+    for fn, allowed in (
+        (parse_wav_meta, (ValueError,)),
+        (parse_avi_meta, (ValueError,)),
+        (parse_image_meta, (ValueError,)),
+        (decode_png_pixels, (ValueError, zlib.error)),
+    ):
+        try:
+            fn(data)
+        except allowed:
+            pass

@@ -584,3 +584,29 @@ def dequantize_embeddings_int8(
         out_col,
         F.transform(q["q"], lambda x: x.cast("double") * q["scale"]),
     )
+
+
+def normalize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    dim: int | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Truncate-and-renormalize an embedding column — the
+    matryoshka-representation preparation step (serve a cheaper prefix
+    of a long embedding) and the general L2-normalization every cosine
+    consumer wants done ONCE upstream instead of per-query.
+
+    Pure JVM expressions (slice + aggregate + transform) — no Python,
+    no shuffle, whole-stage codegen over any corpus size. All-zero
+    vectors stay all-zero (no division by zero). ``dim=None`` skips
+    truncation; output replaces ``vec_col`` unless ``out_col`` given.
+    """
+    v = F.col(vec_col)
+    if dim is not None:
+        v = F.slice(v, 1, dim)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    normed = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+    return df.withColumn(out_col or vec_col, normed)
