@@ -285,3 +285,9 @@ def test_numeric_drift_psi(spark):
     assert sum(r["psi"] for r in out) > 0.25  # action-needed drift
     top_bin = max(out, key=lambda r: r["bin"])
     assert top_bin["share_new"] > top_bin["share_base"]  # mass moved up
+
+    # the sketch-edge scale path reaches the same verdict
+    approx = numeric_drift(base, shifted, "v", bins=10, approximate=True).collect()
+    assert sum(r["psi"] for r in approx) > 0.25
+    same_approx = numeric_drift(base, base, "v", bins=10, approximate=True).collect()
+    assert sum(r["psi"] for r in same_approx) < 0.001

@@ -266,6 +266,7 @@ def numeric_drift(
     col: str,
     bins: int = 10,
     eps: float = 1e-6,
+    approximate: bool = False,
 ) -> DataFrame:
     """PSI drift of a numeric column between snapshots: the baseline's
     interpolated quantiles cut ``bins`` equal-population bins (so every
@@ -273,22 +274,33 @@ def numeric_drift(
     into those FIXED edges, and each bin gets its PSI term — the
     numeric twin of `category_drift`, same thresholds.
 
-    The bin edges are ``bins - 1`` driver-side scalars (one exact
-    percentile aggregate over the baseline — swap in
-    `approx_percentile` beyond memory scale), rounded to 6 decimals so
-    boundary assignment is engine-deterministic; bin id = number of
-    edges strictly below the value. Each side then pays one
-    partial-aggregated count pass.
+    The bin edges are ``bins - 1`` driver-side scalars (one percentile
+    aggregate over the baseline), rounded to 6 decimals so boundary
+    assignment is engine-deterministic; bin id = number of edges
+    strictly below the value. Each side then pays one
+    partial-aggregated count pass. ``approximate=True`` swaps the
+    exact interpolated percentiles (which buffer every value of the
+    baseline — fine up to memory scale, and oracle-comparable) for
+    the mergeable Greenwald-Khanna `approx_percentile` sketch — the
+    100 TB path; drift verdicts are insensitive to edge wobble well
+    below a bin width (same trade as `profile_columns`).
 
     Output: (bin, share_base r6, share_new r6, psi r6), bins present
     in either snapshot.
     """
     qs = [i / bins for i in range(1, bins)]
+
+    def edge_expr(q: float, i: int):
+        if approximate:
+            e = F.approx_percentile(F.col(col), F.lit(q), F.lit(10_000)).cast(
+                "double"
+            )
+        else:
+            e = F.percentile(F.col(col), F.lit(q))
+        return F.round(e, 6).alias(f"e{i}")
+
     edges_row = base.agg(
-        *[
-            F.round(F.percentile(F.col(col), F.lit(q)), 6).alias(f"e{i}")
-            for i, q in enumerate(qs)
-        ]
+        *[edge_expr(q, i) for i, q in enumerate(qs)]
     ).collect()[0]
     edges = [edges_row[f"e{i}"] for i in range(len(qs))]
 
