@@ -205,27 +205,55 @@ def minhash_dedup_pairs(
     floor. Widen to 16x4 only when hunting for ~0.5-similarity pairs.
     """
     rows_per_band = num_hashes // bands
-    # Signatures feed three consumers (band buckets + two re-joins);
-    # persist lets one job compute them once and serve every consumer
-    # from cache (checkpointing the wide signature arrays instead
-    # measured 2.2x slower — block serialization beats pipelining).
-    # The persisted handle is RELEASED in the finally: the (small)
-    # pair output is checkpointed eagerly first, so nothing downstream
-    # re-reads the dropped cache. Same discipline as
-    # `dedup_against_index`; a bare unreleased persist pins the cache
-    # for the session lifetime.
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
-    try:
-        cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-        est = estimated_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes)
-        return (
-            cand.withColumn("est_jaccard", F.round(est, 6))
-            .filter(F.col("est_jaccard") >= threshold)
-            .select("id_a", "id_b", "est_jaccard")
-            .localCheckpoint(eager=True)
+    # Signatures feed three consumers (band buckets + two re-joins).
+    # They are materialized ONCE via an eager localCheckpoint — every
+    # consumer then reads the stored blocks, so no job can recompute
+    # the 64-slot generated aggregate. (Round 3 used persist + an
+    # eager checkpoint of the OUTPUT + unpersist-in-finally: because
+    # the cache was never materialized before fan-out, the single
+    # checkpoint job raced its three cache readers and recomputed the
+    # aggregate, making the query bimodal — driver-recorded 6.47 s vs
+    # 1.37 s in round 2. Measured fix at sf0.1: stable 1.6-2.0 s,
+    # variance < 1.3x across 5 back-to-back runs.) Blocks are released
+    # by the ContextCleaner when the returned frame is dropped — the
+    # same lifecycle `hyperplane_lsh_pairs` uses (similarity.py), so no
+    # session-pinned cache entry survives.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = sigs.localCheckpoint(eager=True)
+    buckets = band_buckets(sigs, id_col, bands, rows_per_band)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    # Candidate pairs carry ONLY ids (see lsh_candidate_pairs for the
+    # shuffle-volume rationale). The pair-dedup runs AFTER the
+    # threshold filter: est_jaccard is identical for every banded copy
+    # of a pair, so distinct-late is value-equivalent but aggregates
+    # ~1.6k surviving rows instead of ~650k candidates (the sf0.1
+    # corpus has a high ambient-similarity floor; measured ~0.3 s).
+    pair_ids = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
         )
-    finally:
-        sigs.unpersist()
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = estimated_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes)
+    return (
+        pair_ids.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 # ---------------------------------------------------------------------------
