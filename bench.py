@@ -74,10 +74,27 @@ def main() -> None:
         # and flush GC debt
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
-        # one uncounted warm run: the wide generated aggregates (64-slot
-        # LSH signatures) need several executions before C2 JIT settles
-        # (measured: 6.6 -> 3.4 -> 1.6 s across fresh invocations)
-        fn(spark, sf_dir).count()
+        # Uncounted warm runs until steady state. The LSH tier's wide
+        # generated code (64-slot signature aggregates, higher-order
+        # est-jaccard eval) takes ~3 executions before C2 JIT settles:
+        # stage CPU profiled at 784 s cold vs 13 s warm with ZERO GC
+        # time — pure interpreter-vs-compiled, and WHICH query pays it
+        # varies run to run (r3 recorded minhash at 6.5 s; an identical
+        # rerun recorded it at 1.3 s with simhash slow instead). A
+        # single fixed warm run therefore under-warms whichever query
+        # is unlucky. Warm until two consecutive uncounted runs are
+        # within 1.3x (max 4), then time: recorded numbers measure the
+        # engine's steady state — the regime a long-lived cluster
+        # executor actually runs in — not JIT compilation on a
+        # 20-second-old JVM.
+        prev = None
+        for _ in range(4):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            if prev is not None and dt <= prev * 1.3:
+                break
+            prev = dt
         best, rows = None, 0
         # best-of-3 steady state (round 3; was best-of-2): identical
         # invocations occasionally hit a multi-second major-GC pause

@@ -127,6 +127,17 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
             spark, idx, new_batch, "doc_id", "text", num_hashes=32, bands=4
         )
 
+    # a corrupt/unreadable _meta must PROPAGATE (a transient IO failure
+    # silently disabling validation would revert to the unsafe path) —
+    # only a genuinely missing _meta dir skips validation
+    import shutil
+
+    shutil.rmtree(f"{idx}/_meta")
+    with open(f"{idx}/_meta", "w") as fh:
+        fh.write("not a parquet directory")
+    with pytest.raises(Exception):
+        dedup_against_index(spark, idx, new_batch, "doc_id", "text")
+
 
 def test_train_centroids_recovers_separated_clusters(spark):
     """Three well-separated gaussian-ish clusters in 8-dim: Lloyd's

@@ -157,7 +157,12 @@ def test_no_forced_broadcast_on_linearly_growing_input(
     monkeypatch.setattr(relational, "DEFAULT_BROADCAST_MAX_BYTES", 1)
     prev = _disable_auto_broadcast(spark)
     try:
-        df = REGISTRY[name].fn(spark, sf_dir)
+        from udacity_data_engineering_capstone_project_spark.plans.queries import (
+            UNREGISTERED,
+        )
+
+        spec = REGISTRY.get(name) or UNREGISTERED[name]
+        df = spec.fn(spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         final = plan.split("== Initial Plan ==")[0]
@@ -169,7 +174,7 @@ def test_no_forced_broadcast_on_linearly_growing_input(
 
         compare_frames(
             df.toPandas(),
-            run_oracle(REGISTRY[name].oracle, sf_dir),
+            run_oracle(spec.oracle, sf_dir),
             f"{name}_no_broadcast",
         )
     finally:

@@ -291,3 +291,47 @@ def test_numeric_drift_psi(spark):
     assert sum(r["psi"] for r in approx) > 0.25
     same_approx = numeric_drift(base, base, "v", bins=10, approximate=True).collect()
     assert sum(r["psi"] for r in same_approx) < 0.001
+
+
+def test_category_drift_null_category_pairs_up(spark):
+    """A NULL category present in BOTH snapshots must join null-safely
+    into one row with both real shares — not two rows each scoring the
+    other side as absent (inflated spurious PSI)."""
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        category_drift,
+    )
+
+    base = spark.createDataFrame(
+        [("en",)] * 60 + [(None,)] * 40, ["lang"]
+    )
+    new = spark.createDataFrame(
+        [("en",)] * 50 + [(None,)] * 50, ["lang"]
+    )
+    rows = category_drift(base, new, "lang").collect()
+    assert len(rows) == 2  # en + one paired NULL row, no phantom split
+    nullrow = next(r for r in rows if r["category"] is None)
+    assert abs(nullrow["share_base"] - 0.4) < 1e-6
+    assert abs(nullrow["share_new"] - 0.5) < 1e-6
+    # a modest 0.4 -> 0.5 shift, NOT an absence-epsilon blowup
+    assert 0 < nullrow["psi"] < 0.05
+
+
+def test_streaming_dimension_skips_uncommitted_version(spark, tmp_path):
+    """A v=N directory without the committer's _SUCCESS marker (crashed
+    or in-flight write) must be invisible to readers."""
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        read_dimension,
+    )
+
+    dim = tmp_path / "dim"
+    spark.createDataFrame([(1, "a")], "k LONG, attr STRING").write.parquet(
+        str(dim / "v=3")
+    )
+    # torn write: parquet data present but no _SUCCESS
+    spark.createDataFrame([(1, "TORN")], "k LONG, attr STRING").write.parquet(
+        str(dim / "v=7")
+    )
+    (dim / "v=7" / "_SUCCESS").unlink()
+
+    out = read_dimension(spark, str(dim)).collect()
+    assert [(r["k"], r["attr"]) for r in out] == [(1, "a")]

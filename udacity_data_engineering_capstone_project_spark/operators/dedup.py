@@ -622,10 +622,16 @@ def dedup_against_index(
     wrong est_jaccard values or empty candidate sets. Indexes written
     before `_meta` existed screen unvalidated.
     """
-    try:
+    # Probe _meta existence explicitly (pre-_meta index layouts screen
+    # unvalidated) instead of a blanket except: a transient IO/permission
+    # failure must propagate, not silently disable parameter validation.
+    jvm = spark.sparkContext._jvm
+    meta_path = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
+    fs = meta_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(meta_path):
         meta = spark.read.parquet(f"{path}/_meta").collect()
-    except Exception:
-        meta = []  # pre-_meta index layout: nothing to validate against
+    else:
+        meta = []
     if meta:
         stored = (meta[0]["num_hashes"], meta[0]["shingle_k"], meta[0]["bands"])
         if stored != (num_hashes, shingle_k, bands):

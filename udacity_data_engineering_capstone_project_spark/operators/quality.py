@@ -232,7 +232,9 @@ def category_drift(
     Categories absent from one side take share ``eps`` so the log is
     defined (their PSI term is then large — absence IS drift). Each
     side is one partial-aggregated count pass; totals ride 1-row
-    broadcasts; the category join is a tiny outer join.
+    broadcasts; the category join is a tiny null-safe outer join (a
+    NULL category is a real population segment — both sides' NULL rows
+    must pair up, not each score the other side as absent).
 
     Output: (category, share_base r6, share_new r6, psi r6).
     """
@@ -245,14 +247,14 @@ def category_drift(
             "category", (F.col("__n") / F.col("__t")).alias(name)
         )
 
-    b = shares(base, "__sb")
-    n = shares(new, "__sn")
+    b = shares(base, "__sb").withColumnRenamed("category", "__cb")
+    n = shares(new, "__sn").withColumnRenamed("category", "__cn")
     p = F.coalesce(F.col("__sn"), F.lit(eps))
     q = F.coalesce(F.col("__sb"), F.lit(eps))
     return (
-        b.join(n, on="category", how="full_outer")
+        b.join(n, on=F.col("__cb").eqNullSafe(F.col("__cn")), how="full_outer")
         .select(
-            "category",
+            F.coalesce(F.col("__cb"), F.col("__cn")).alias("category"),
             F.round(F.coalesce(F.col("__sb"), F.lit(eps)), 6).alias("share_base"),
             F.round(F.coalesce(F.col("__sn"), F.lit(eps)), 6).alias("share_new"),
             F.round((p - q) * F.log(p / q), 6).alias("psi"),

@@ -57,10 +57,18 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Queries that ceded their driver slot (the driver grades the first 50
+# registered queries only). They keep a full QuerySpec here so the
+# local parity gate (`tests/test_oracle_parity.py::
+# test_unregistered_query_parity`) pins their DuckDB hash forever;
+# slots rotate between rounds so each eventually gets a hard driver row.
+UNREGISTERED: dict[str, QuerySpec] = {}
 
-def _register(name: str, oracle: str | None, doc: str):
+
+def _register(name: str, oracle: str | None, doc: str, registered: bool = True):
     def wrap(fn):
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        target = REGISTRY if registered else UNREGISTERED
+        target[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
         return fn
 
     return wrap
@@ -227,6 +235,13 @@ TOP1_PER_GROUP_ORACLE = """
 """
 
 
+@_register(
+    "top1_per_group",
+    TOP1_PER_GROUP_ORACLE,
+    "Top-1-per-group via max-join (A2/A3 nested-subquery shape). "
+    "Ceded its driver slot to pagerank in round 3; hash-pinned locally.",
+    registered=False,
+)
 def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax via one window pass — idiomatic replacement for the
     reference's count->max->self-join (SURVEY.md §4). Registry slot
@@ -313,7 +328,10 @@ def star_schema_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) GROUP BY l_returnflag
     """,
     "Nested two-level aggregation, deliberately unweighted "
-    "(A3/A4, etl.py:190-215; SURVEY.md §7 trap (e)).",
+    "(A3/A4, etl.py:190-215; SURVEY.md §7 trap (e)). Ceded its driver "
+    "slot to the warehouse/curation tier in round 4 (A4 overlaps "
+    "date_parts_agg's aggregation shape); hash-pinned locally.",
+    registered=False,
 )
 def avg_of_avgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = avg_of_avgs(
@@ -381,7 +399,10 @@ def analyst_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     "TPC-H Q3 shape: selective 3-way join -> revenue agg -> top-10 "
-    "(filters push to all three scans).",
+    "(filters push to all three scans). Ceded its driver slot in "
+    "round 4 (A8 join+agg+order is graded via analyst_top_segments); "
+    "hash-pinned locally.",
+    registered=False,
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -423,7 +444,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     "TPC-H Q5 shape: 6-way snowflake join (supplier and customer in "
-    "the same nation) with dims broadcast.",
+    "the same nation) with dims broadcast. Ceded its driver slot in "
+    "round 4 (A8 join+agg is graded via analyst_top_segments); "
+    "hash-pinned locally.",
+    registered=False,
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -934,6 +958,14 @@ STREAMING_HOURLY_ORACLE = """
 """
 
 
+@_register(
+    "streaming_hourly",
+    STREAMING_HOURLY_ORACLE,
+    "File-source stream -> watermark -> tumbling hourly window; oracle "
+    "is the batch twin. Ceded its driver slot to scd2_history in "
+    "round 3; hash-pinned locally.",
+    registered=False,
+)
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: readStream -> watermark -> windowed agg ->
     memory sink, availableNow trigger; result equals the batch twin.
@@ -993,7 +1025,10 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Custom stateful streaming operator (applyInPandasWithState): "
     "per-user running accumulator across micro-batches; with "
     "availableNow + update mode the final emission per user equals "
-    "the batch aggregate.",
+    "the batch aggregate. Ceded its driver slot in round 4 (one of "
+    "three graded streaming variants; sessionize + dedup remain); "
+    "hash-pinned locally.",
+    registered=False,
 )
 def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.streaming.events import (
@@ -1898,6 +1933,13 @@ HASHED_CLASSIFIER_ORACLE = """
 """
 
 
+@_register(
+    "hashed_classifier",
+    HASHED_CLASSIFIER_ORACLE,
+    "fastText-style hashed-ngram linear scorer. Unregistered; "
+    "hash-pinned locally.",
+    registered=False,
+)
 def hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-ngram linear scorer over documents
     (operators/textstats.py:hashed_classifier_score). Unregistered;
@@ -1922,6 +1964,14 @@ WEIGHTED_SAMPLE_ORACLE = """
 """
 
 
+@_register(
+    "weighted_sample",
+    WEIGHTED_SAMPLE_ORACLE,
+    "Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis, RNG-free). Unregistered; hash-pinned "
+    "locally.",
+    registered=False,
+)
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement, n_chars as
     the weight, 10 docs per source (quota binds: 20 sources x 25 docs
@@ -1957,6 +2007,13 @@ MERGE_UPSERT_ORACLE = """
 """
 
 
+@_register(
+    "merge_upsert_q",
+    MERGE_UPSERT_ORACLE,
+    "MERGE-INTO shape (operators/scd.py:merge_upsert): per business "
+    "key the row with the highest order column wins, changes beat "
+    "the snapshot on ties. Promoted to a driver slot in round 4.",
+)
 def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-INTO shape (operators/scd.py:merge_upsert): per business
     key the row with the highest order column wins, changes beat the
@@ -1991,6 +2048,14 @@ RANGE_JOIN_ORACLE = """
 """
 
 
+@_register(
+    "range_join_q",
+    RANGE_JOIN_ORACLE,
+    "Interval containment via bucket-and-prune equi-join "
+    "(operators/relational.py:range_join) — Spark would otherwise "
+    "plan a broadcast-nested-loop. Promoted to a driver slot in "
+    "round 4.",
+)
 def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval containment via bucket-and-prune equi-join
     (operators/relational.py:range_join) — Spark would otherwise plan
@@ -2041,6 +2106,13 @@ RESAMPLE_ORACLE = """
 """
 
 
+@_register(
+    "resample_q",
+    RESAMPLE_ORACLE,
+    "Gap-filling resample to a dense per-key hourly grid. "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
 def resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filling resample to a dense per-key hourly grid
     (operators/relational.py:resample_time_series). Unregistered;
@@ -2086,15 +2158,22 @@ CATEGORY_DRIFT_ORACLE = """
                count(*) / (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS sn
         FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
     )
-    SELECT category,
+    SELECT coalesce(b.category, n.category) AS category,
            round(coalesce(sb, 1e-6), 6) AS share_base,
            round(coalesce(sn, 1e-6), 6) AS share_new,
            round((coalesce(sn, 1e-6) - coalesce(sb, 1e-6))
                  * ln(coalesce(sn, 1e-6) / coalesce(sb, 1e-6)), 6) AS psi
-    FROM b FULL OUTER JOIN n USING (category)
+    FROM b FULL OUTER JOIN n ON b.category IS NOT DISTINCT FROM n.category
 """
 
 
+@_register(
+    "category_drift_q",
+    CATEGORY_DRIFT_ORACLE,
+    "PSI drift report of the corpus language mix between snapshot "
+    "halves (operators/quality.py:category_drift). Promoted to a "
+    "driver slot in round 4.",
+)
 def category_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift report of the corpus language mix between snapshot
     halves (operators/quality.py:category_drift). Unregistered;
@@ -2142,6 +2221,13 @@ NUMERIC_DRIFT_ORACLE = """
 """
 
 
+@_register(
+    "numeric_drift_q",
+    NUMERIC_DRIFT_ORACLE,
+    "Decile-bin PSI of document length between snapshot halves "
+    "(operators/quality.py:numeric_drift). Promoted to a driver "
+    "slot in round 4.",
+)
 def numeric_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile-bin PSI of document length between snapshot halves
     (operators/quality.py:numeric_drift). Unregistered; pinned by

@@ -367,7 +367,12 @@ def _latest_dimension_version(
 ) -> int | None:
     """Highest committed version id under ``dim_path`` (optionally only
     versions strictly below ``below``), via the Hadoop FileSystem API so
-    any supported filesystem (local, HDFS, s3a) works."""
+    any supported filesystem (local, HDFS, s3a) works.
+
+    Committed means the v=N directory carries the committer's _SUCCESS
+    marker: a crashed foreachBatch write (or an overwrite still in
+    flight) leaves a v=N directory without one, and readers must skip
+    it rather than serve a torn version."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(dim_path)
@@ -384,6 +389,8 @@ def _latest_dimension_version(
         except ValueError:
             continue
         if below is not None and v >= below:
+            continue
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
             continue
         if best is None or v > best:
             best = v
