@@ -335,3 +335,32 @@ def test_streaming_dimension_skips_uncommitted_version(spark, tmp_path):
 
     out = read_dimension(spark, str(dim)).collect()
     assert [(r["k"], r["attr"]) for r in out] == [(1, "a")]
+
+
+def test_numeric_drift_auto_switches_to_sketch_at_scale(spark, monkeypatch):
+    """The default (approximate=None) must take the mergeable
+    approx_percentile sketch path once the baseline's optimizer size
+    estimate crosses the threshold — exact interpolated percentiles
+    buffer every value of the column in one aggregation state, which
+    is a memory wall at 100 TB. Small inputs keep the exact,
+    oracle-comparable path."""
+    from udacity_data_engineering_capstone_project_spark.operators import quality as q
+
+    base = spark.range(5_000).selectExpr("CAST(id % 500 AS DOUBLE) AS v")
+    new = spark.range(5_000).selectExpr("CAST((id % 500) + 25 AS DOUBLE) AS v")
+
+    # small baseline -> exact edges (bit-identical to approximate=False)
+    auto_small = q.numeric_drift(base, new, "v").collect()
+    exact = q.numeric_drift(base, new, "v", approximate=False).collect()
+    assert sorted(map(tuple, auto_small)) == sorted(map(tuple, exact))
+
+    # simulated 100x regime: every estimate is over-threshold
+    monkeypatch.setattr(q, "APPROX_DRIFT_MIN_BYTES", 1)
+    auto_large = q.numeric_drift(base, new, "v").collect()
+    approx = q.numeric_drift(base, new, "v", approximate=True).collect()
+    assert sorted(map(tuple, auto_large)) == sorted(map(tuple, approx))
+
+    # and the sketch path's edge aggregate is a mergeable
+    # approx_percentile, never the exact value-buffering percentile
+    plan = q.drift_bin_edges(base, "v", 10, True)._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_percentile" in plan and "percentile(" not in plan.replace("approx_percentile(", "")

@@ -262,34 +262,23 @@ def category_drift(
     )
 
 
-def numeric_drift(
-    base: DataFrame,
-    new: DataFrame,
-    col: str,
-    bins: int = 10,
-    eps: float = 1e-6,
-    approximate: bool = False,
+# Auto-switch point for numeric_drift's percentile path: above this
+# optimizer-estimated baseline size, bin edges come from the mergeable
+# approx_percentile sketch instead of exact interpolated percentiles
+# (which buffer every value of the column in the aggregation state —
+# fine at test scale, a memory wall at 100 TB). 1 GiB keeps every
+# test/oracle dataset on the exact, DuckDB-comparable path.
+APPROX_DRIFT_MIN_BYTES = 1 << 30
+
+
+def drift_bin_edges(
+    base: DataFrame, col: str, bins: int, approximate: bool
 ) -> DataFrame:
-    """PSI drift of a numeric column between snapshots: the baseline's
-    interpolated quantiles cut ``bins`` equal-population bins (so every
-    base share is ~1/bins by construction), both snapshots are counted
-    into those FIXED edges, and each bin gets its PSI term — the
-    numeric twin of `category_drift`, same thresholds.
-
-    The bin edges are ``bins - 1`` driver-side scalars (one percentile
-    aggregate over the baseline), rounded to 6 decimals so boundary
-    assignment is engine-deterministic; bin id = number of edges
-    strictly below the value. Each side then pays one
-    partial-aggregated count pass. ``approximate=True`` swaps the
-    exact interpolated percentiles (which buffer every value of the
-    baseline — fine up to memory scale, and oracle-comparable) for
-    the mergeable Greenwald-Khanna `approx_percentile` sketch — the
-    100 TB path; drift verdicts are insensitive to edge wobble well
-    below a bin width (same trade as `profile_columns`).
-
-    Output: (bin, share_base r6, share_new r6, psi r6), bins present
-    in either snapshot.
-    """
+    """1-row frame of the ``bins - 1`` interpolated (or sketched)
+    quantile edges of ``col``, rounded to 6 decimals pre-assignment so
+    boundary bin membership is engine-deterministic. Exposed separately
+    so plan tests can pin that the scale path aggregates a mergeable
+    sketch, not an exact value buffer."""
     qs = [i / bins for i in range(1, bins)]
 
     def edge_expr(q: float, i: int):
@@ -301,9 +290,51 @@ def numeric_drift(
             e = F.percentile(F.col(col), F.lit(q))
         return F.round(e, 6).alias(f"e{i}")
 
-    edges_row = base.agg(
-        *[edge_expr(q, i) for i, q in enumerate(qs)]
-    ).collect()[0]
+    return base.agg(*[edge_expr(q, i) for i, q in enumerate(qs)])
+
+
+def numeric_drift(
+    base: DataFrame,
+    new: DataFrame,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+    approximate: bool | None = None,
+) -> DataFrame:
+    """PSI drift of a numeric column between snapshots: the baseline's
+    interpolated quantiles cut ``bins`` equal-population bins (so every
+    base share is ~1/bins by construction), both snapshots are counted
+    into those FIXED edges, and each bin gets its PSI term — the
+    numeric twin of `category_drift`, same thresholds.
+
+    The bin edges are ``bins - 1`` driver-side scalars (one percentile
+    aggregate over the baseline), rounded to 6 decimals so boundary
+    assignment is engine-deterministic; bin id = number of edges
+    strictly below the value. Each side then pays one
+    partial-aggregated count pass. ``approximate`` selects the edge
+    path: exact interpolated percentiles buffer every value of the
+    baseline in the aggregation state — fine up to memory scale, and
+    oracle-comparable — while True swaps in the mergeable
+    Greenwald-Khanna `approx_percentile` sketch, the 100 TB path;
+    drift verdicts are insensitive to edge wobble well below a bin
+    width (same trade as `profile_columns`). The default (None)
+    auto-switches: baselines whose optimizer size estimate exceeds
+    ``APPROX_DRIFT_MIN_BYTES`` (or whose size is unknowable) take the
+    sketch path, so the at-scale default can never buffer a 100 TB
+    column on one aggregation state.
+
+    Output: (bin, share_base r6, share_new r6, psi r6), bins present
+    in either snapshot.
+    """
+    if approximate is None:
+        try:
+            est = base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            est = est if isinstance(est, int) else int(est.toString())
+            approximate = est > APPROX_DRIFT_MIN_BYTES
+        except Exception:
+            approximate = True  # unknown size: assume the scale regime
+    qs = [i / bins for i in range(1, bins)]
+    edges_row = drift_bin_edges(base, col, bins, approximate).collect()[0]
     edges = [edges_row[f"e{i}"] for i in range(len(qs))]
 
     def shares(df: DataFrame, name: str) -> DataFrame:
