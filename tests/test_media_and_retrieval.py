@@ -139,3 +139,33 @@ def test_bm25_scores(spark, corpus):
     idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
     expected = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 9 / 8))
     assert out[1] == pytest.approx(expected, abs=1e-6)
+
+
+def test_pil_and_stdlib_png_decode_agree():
+    """`_decode_pixels_array` is the shared decode of resize/dHash/
+    pixel-decode: with PIL installed it must produce bit-identical
+    pixels to the stdlib PNG path (PNG is lossless); without PIL it
+    must fall back to the stdlib path transparently and reject
+    non-PNG payloads with ValueError (callers null the row)."""
+    from udacity_data_engineering_capstone_project_spark.operators.multimodal import (
+        _decode_pixels_array,
+        _pil_decode,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = encode_png(4, 5, img.tobytes())
+
+    w, h, ch, arr = _decode_pixels_array(png)
+    assert (w, h, ch) == (4, 5, 3)
+    ref_w, ref_h, ref_ch, ref_px = decode_png_pixels(png)
+    ref = np.asarray(ref_px, dtype=np.uint8).reshape(ref_h, ref_w, ref_ch)
+    assert np.array_equal(arr, ref), "decode paths disagree on a lossless PNG"
+
+    if _pil_decode(png) is None:  # no PIL in this env: fallback contract
+        with pytest.raises(ValueError, match="non-PNG"):
+            _decode_pixels_array(b"\xff\xd8\xff\xe0 not actually jpeg")
+    else:  # PIL present: it IS the default path and matches bit-for-bit
+        pw, ph, pch, praw = _pil_decode(png)
+        assert (pw, ph, pch) == (4, 5, 3)
+        assert np.frombuffer(praw, dtype=np.uint8).reshape(5, 4, 3).tolist() == ref.tolist()

@@ -1,0 +1,205 @@
+"""Round-4 scale probe: the dedup/LSH tier at sf0.1 and on 10x/100x
+replicated inputs — the linear-scaling evidence BASELINE.md records.
+
+Replication must create REAL corpus growth, not duplicate blowup: a
+100x corpus of verbatim copies would make every document a near-dup of
+its 99 siblings and measure a quadratic pair explosion no real corpus
+has. Instead each copy applies a per-copy bijection that preserves the
+similarity structure WITHIN the copy and destroys it ACROSS copies:
+
+- documents: a per-copy random permutation of the letters (applied to
+  both cases; `translate` is one JVM expression). Char-shingle sets
+  map bijectively, so every true near-dup pair of the base corpus
+  reappears in every copy with the SAME Jaccard, while cross-copy
+  shingles are unrelated — the 100x corpus behaves like 100
+  independent crawls of equal dup density.
+- embeddings: a per-copy random permutation of the vector components.
+  Inner products (hence cosine) are permutation-invariant within a
+  copy; cross-copy alignment decorrelates.
+
+Inputs are materialized to parquet first so each probe measures the
+operator over a disk scan. Shuffle bytes come from the UI REST API.
+
+Usage: python tools/scale_probe_dedup.py  (env: SPARK_GRAFT_SF_DIR,
+SCALE_PROBE_COPIES default "10,100"). Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import string
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def _shuffle_write_bytes(port: int) -> int | None:
+    try:
+        apps = json.load(
+            urllib.request.urlopen(
+                f"http://localhost:{port}/api/v1/applications", timeout=5
+            )
+        )
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"http://localhost:{port}/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=5,
+            )
+        )
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return None
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return round(time.perf_counter() - t0, 3), out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    copies_list = [
+        int(c) for c in os.environ.get("SCALE_PROBE_COPIES", "10,100").split(",")
+    ]
+    ui_port = 4056
+
+    from udacity_data_engineering_capstone_project_spark import get_spark
+    from udacity_data_engineering_capstone_project_spark.operators import dedup as dd
+    from udacity_data_engineering_capstone_project_spark.operators import similarity as sim
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+
+    spark = get_spark(
+        app_name="scale-probe-dedup",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(ui_port)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="scale_probe_dedup_")
+
+    lower = string.ascii_lowercase
+
+    def doc_copies(df, copies: int):
+        parts = []
+        for i in range(copies):
+            perm = list(lower)
+            random.Random(i).shuffle(perm)
+            perm = "".join(perm)
+            parts.append(
+                df.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    F.translate(
+                        F.col("text"), lower + lower.upper(), perm + perm.upper()
+                    ).alias("text"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def vec_copies(df, copies: int, dim: int = 64):
+        parts = []
+        for i in range(copies):
+            perm = list(range(dim))
+            random.Random(i).shuffle(perm)
+            parts.append(
+                df.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                    F.array(*[F.col("embedding")[j] for j in perm]).alias(
+                        "embedding"
+                    ),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    docs1 = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vecs1 = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    inputs = {"docs": {1: docs1}, "vecs": {1: vecs1}}
+    for c in copies_list:
+        dp, vp = f"{work}/docs{c}x", f"{work}/vecs{c}x"
+        doc_copies(docs1, c).repartition(32).write.mode("overwrite").parquet(dp)
+        vec_copies(vecs1, c).repartition(32).write.mode("overwrite").parquet(vp)
+        inputs["docs"][c] = spark.read.parquet(dp)
+        inputs["vecs"][c] = spark.read.parquet(vp)
+
+    import math
+
+    def embedding_probe(df, copies):
+        # Operating rule from the operator docstring: size num_planes
+        # so random collisions stay sub-quadratic. 8 planes = 256
+        # buckets/table is right for 2k vectors (~8/bucket); a corpus
+        # 10x/100x larger needs log2(growth) more planes to hold
+        # bucket OCCUPANCY (hence per-bucket quadratic work) constant.
+        # Probing 100x at 8 planes instead measures the hot-bucket cap
+        # discarding degenerate buckets — bounded work, lost recall.
+        planes = 8 + max(0, math.ceil(math.log2(copies)))
+        return sim.lsh_near_dup_pairs(
+            df,
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.2,
+            num_planes=planes,
+            dim=64,
+            num_tables=8,
+        ).count()
+
+    probes = {
+        "minhash": lambda df, c: dd.minhash_dedup_pairs(
+            df, "doc_id", "text"
+        ).count(),
+        "simhash": lambda df, c: dd.simhash_near_pairs(
+            dd.simhash_signatures(df, "doc_id", "text").localCheckpoint(eager=True),
+            "doc_id",
+            max_hamming=3,
+        ).count(),
+        "embedding_lsh": embedding_probe,
+    }
+    only = os.environ.get("SCALE_PROBE_ONLY")
+
+    results = {}
+    for name, probe in probes.items():
+        if only and name not in only.split(","):
+            continue
+        kind = "vecs" if name == "embedding_lsh" else "docs"
+        base = inputs[kind][1]
+        # steady state: warm the generated code paths before timing
+        for _ in range(2):
+            probe(base, 1)
+        entry = {}
+        for c in [1] + copies_list:
+            df = inputs[kind][c]
+            # isolate probes from each other's cache/GC debt
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            sw0 = _shuffle_write_bytes(ui_port)
+            wall, pairs = _timed(lambda: probe(df, c))
+            sw1 = _shuffle_write_bytes(ui_port)
+            entry[f"x{c}"] = {
+                "wall_s": wall,
+                "pairs": pairs,
+                "shuffle_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 is not None and sw1 is not None
+                else None,
+            }
+        results[name] = entry
+        print(f"# {name}: {entry}", file=sys.stderr)
+
+    print(json.dumps(results))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -269,7 +269,10 @@ def resize_image(
     """Decode -> nearest-neighbor resize -> re-encode, per row inside
     Arrow batches (the standard image-normalization stage before a
     vision training pipeline). numpy fancy-indexing does the resample —
-    no per-pixel Python. Non-PNG payloads yield nulls.
+    no per-pixel Python. Decode takes the PIL C path when PIL is
+    installed (same pixels, ~10x less Python per byte; also admits
+    JPEG/WebP inputs), else the stdlib PNG path; undecodable payloads
+    yield nulls.
 
     Output: (id, width, height, payload binary) — a valid PNG at the
     target dimensions.
@@ -292,8 +295,7 @@ def resize_image(
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    w, h, ch, px = decode_png_pixels(bytes(payload))
-                    img = np.asarray(px, dtype=np.uint8).reshape(h, w, ch)
+                    w, h, ch, img = _decode_pixels_array(bytes(payload))
                     ys = (np.arange(target_h) * h) // target_h
                     xs = (np.arange(target_w) * w) // target_w
                     out = img[ys][:, xs]
@@ -316,7 +318,9 @@ def image_dhash(df: DataFrame, id_col: str, payload_col: str = "payload") -> Dat
     downsample to a 9x8 grid, emit one bit per horizontal gradient
     sign. Near-identical images (recompression noise, mild brightness
     shifts) land within a few bits; unrelated images are ~32 bits
-    apart. numpy does the pooling — no per-pixel Python.
+    apart. numpy does the pooling — no per-pixel Python; decode takes
+    the PIL C path when installed (identical pixels on PNG, plus
+    JPEG/WebP coverage), else the stdlib PNG path.
 
     Output: (id, dhash bigint) — null for undecodable payloads. Feed
     into `image_near_dup_pairs` for the banded hamming join.
@@ -342,12 +346,8 @@ def image_dhash(df: DataFrame, id_col: str, payload_col: str = "payload") -> Dat
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    w, h, ch, px = decode_png_pixels(bytes(payload))
-                    img = (
-                        np.asarray(px, dtype=np.float64)
-                        .reshape(h, w, ch)
-                        .mean(axis=2)
-                    )
+                    w, h, ch, arr = _decode_pixels_array(bytes(payload))
+                    img = arr.astype(np.float64).mean(axis=2)
                     grid = _pool(img, grid_w, grid_h)
                     bits = (grid[:, 1:] > grid[:, :-1]).ravel()
                     val = int(
@@ -385,7 +385,7 @@ def image_near_dup_pairs(
 
 def _pil_decode(b: bytes):
     """Optional compressed-codec plug: decode JPEG/WebP/anything PIL
-    knows into (w, h, channels, flat pixel list). Returns None when
+    knows into (w, h, channels, raw pixel bytes). Returns None when
     PIL is not installed (this container) — callers fall back to the
     stdlib PNG path. Raises ValueError for undecodable payloads so
     per-row guards treat both paths uniformly."""
@@ -403,22 +403,44 @@ def _pil_decode(b: bytes):
     if img.mode not in ("RGB", "L"):
         img = img.convert("RGB")
     ch = 1 if img.mode == "L" else 3
-    return img.width, img.height, ch, list(img.tobytes())
+    return img.width, img.height, ch, img.tobytes()
+
+
+def _decode_pixels_array(b: bytes):
+    """Decode an image payload to (w, h, ch, np.uint8 array of shape
+    (h, w, ch)) — the shared fast path of resize/dHash/pixel-decode.
+
+    When PIL is installed it decodes EVERYTHING, PNGs included: its
+    zlib/libjpeg C loops replace the per-scanline Python unfilter of
+    `decode_png_pixels`, the known pixel-volume bottleneck at 100 TB
+    (NOTES.md), and the decoded bytes are bit-identical for the PNGs
+    both paths accept (lossless format — pinned by
+    `test_multimodal.py::test_pil_and_stdlib_png_decode_agree`).
+    Without PIL, PNGs take the dependency-free stdlib path and other
+    formats raise ValueError (callers null the row)."""
+    import numpy as np
+
+    decoded = _pil_decode(b)
+    if decoded is not None:
+        w, h, ch, raw = decoded
+        return w, h, ch, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("non-PNG payload without PIL")
+    w, h, ch, px = decode_png_pixels(b)
+    return w, h, ch, np.asarray(px, dtype=np.uint8).reshape(h, w, ch)
 
 
 def decode_image_pixels(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
-    """Full image pixel decode via Arrow-batched mapInPandas. PNGs
-    decode through the stdlib inflate+unfilter path everywhere; when
-    PIL is installed, non-PNG payloads (baseline/progressive JPEG,
-    GIF, WebP) decode through it too — same schema, same per-row
-    null-on-garbage contract, so installing PIL on the cluster widens
-    codec coverage without touching the Spark plumbing. Undecodable
+    """Full image pixel decode via Arrow-batched mapInPandas. When PIL
+    is installed it is the default decode for EVERY payload, PNGs
+    included (libjpeg/zlib C loops; bit-identical pixels on PNG);
+    without it PNGs take the dependency-free stdlib inflate+unfilter
+    path and other formats null out — same schema, same per-row
+    null-on-garbage contract either way, so installing PIL on the
+    cluster widens codec coverage and removes the Python unfilter
+    bottleneck without touching the Spark plumbing. Undecodable
     payloads yield nulls. Output: (id, width, height, channels,
     pixels array<long> row-major).
-
-    At 100 TB the per-row Python unfilter loop is the cost center —
-    the PIL branch (libjpeg/zlib in C) is the production decode; the
-    stdlib path keeps the operator dependency-free and oracle-exact.
     """
     schema = StructType(
         [
@@ -436,14 +458,8 @@ def decode_image_pixels(df: DataFrame, id_col: str, payload_col: str = "payload"
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
                 try:
-                    if b[:8] == _PNG_SIG:
-                        w, h, ch, px = decode_png_pixels(b)
-                    else:
-                        decoded = _pil_decode(b)
-                        if decoded is None:  # no PIL in this env
-                            raise ValueError("non-PNG payload without PIL")
-                        w, h, ch, px = decoded
-                    rows.append((int(rid), w, h, ch, px))
+                    w, h, ch, arr = _decode_pixels_array(b)
+                    rows.append((int(rid), w, h, ch, arr.ravel().tolist()))
                 except (ValueError, zlib.error):
                     rows.append((int(rid), None, None, None, None))
             yield pd.DataFrame(

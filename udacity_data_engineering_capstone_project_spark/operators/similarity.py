@@ -335,6 +335,7 @@ def write_ivf_index(
     path: str,
     id_col: str,
     vec_col: str,
+    quantize: bool = False,
 ) -> None:
     """Materialize the IVF index: corpus vectors written as parquet
     partitioned by their cell id under ``{path}/cells``, and the
@@ -344,11 +345,22 @@ def write_ivf_index(
     inconsistent and recall would quietly collapse). A query then
     reads only its probed cells' files — partition pruning does the
     candidate selection, so search cost is O(cell size), independent
-    of corpus size."""
+    of corpus size.
+
+    ``quantize=True`` stores int8-quantized vectors (per-vector
+    symmetric scale — `quantize_embeddings_int8`) instead of the
+    full-precision column: ~4x smaller cells (the dominant byte cost
+    of a 100 TB vector corpus, and proportionally less IO per probed
+    cell). The layout is self-describing (cells carry ``__q8`` instead
+    of ``vec_col``), so `search_ivf_index` dequantizes transparently;
+    pair it with ``rerank_with`` there to restore exact ordering for
+    the top candidates."""
     centroids.select(F.col(id_col), F.col(vec_col)).write.mode(
         "overwrite"
     ).parquet(f"{path}/_centroids")
     assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    if quantize:
+        assigned = quantize_embeddings_int8(assigned, vec_col, "__q8").drop(vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
 
 
@@ -364,9 +376,12 @@ def add_to_ivf_index(
     append into the per-cell partition layout. No rebuild, no rescan
     of existing cells — the daily-ingest path for a corpus-scale ANN
     index (cell balance degrades as the distribution drifts; retrain
-    and rewrite when recall probes say so)."""
+    and rewrite when recall probes say so). Appends match the index's
+    existing storage format: a quantized index quantizes the batch."""
     cents = spark.read.parquet(f"{path}/_centroids")
     assigned = assign_cells(new_vectors, cents, id_col, vec_col)
+    if "__q8" in spark.read.parquet(f"{path}/cells").schema.names:
+        assigned = quantize_embeddings_int8(assigned, vec_col, "__q8").drop(vec_col)
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
 
 
@@ -380,15 +395,34 @@ def search_ivf_index(
     k: int = 10,
     query_id: str = "query_id",
     nprobe: int = 1,
+    rerank_with: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Search a materialized IVF index. The join on ``cell`` against the
     partitioned parquet prunes to the probed cells' files only.
     ``centroids=None`` reads the quantizer persisted with the index
     (the safe default — a caller-supplied frame must be the one the
-    index was built with)."""
+    index was built with).
+
+    An int8 index (``write_ivf_index(quantize=True)``) is detected
+    from the cell schema and dequantized on read — scores then carry
+    the ~0.4%-of-max|x| per-component quantization error. Pass the
+    full-precision corpus as ``rerank_with`` (id_col, vec_col; the
+    source-of-truth table the index was built from) to restore exact
+    ordering: the quantized scores select ``rerank_factor * k``
+    candidates per query, only those ids join back to the full
+    vectors (k*factor rows per query, not a corpus scan), and the
+    final top-k is ranked on exact cosine."""
     if centroids is None:
         centroids = spark.read.parquet(f"{path}/_centroids")
-    index = _with_norm(spark.read.parquet(f"{path}/cells"), vec_col, "__cn")
+    cells = spark.read.parquet(f"{path}/cells")
+    if "__q8" in cells.columns:
+        q8 = F.col("__q8")
+        cells = cells.withColumn(
+            vec_col,
+            F.transform(q8["q"], lambda x: x.cast("double") * q8["scale"]),
+        ).drop("__q8")
+    index = _with_norm(cells, vec_col, "__cn")
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
     q = _with_norm(
         query_cells.select(
@@ -413,10 +447,38 @@ def search_ivf_index(
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
+    if rerank_with is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(query_id, F.col(id_col).alias("neighbor_id"), "rank", "cos_sim")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rerank_factor)
+        .select(query_id, F.col(id_col).alias("neighbor_id"), "__qvec", "__qn")
+    )
+    exact = _with_norm(
+        rerank_with.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__ev")
+        ),
+        "__ev",
+        "__en",
+    )
+    rescored = shortlist.join(exact, "neighbor_id").withColumn(
+        "cos_sim",
+        F.round(
+            _pair_cosine(F.col("__qvec"), F.col("__ev"), F.col("__qn"), F.col("__en")),
+            6,
+        ),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
-        .select(query_id, F.col(id_col).alias("neighbor_id"), "rank", "cos_sim")
+        .select(query_id, "neighbor_id", "rank", "cos_sim")
     )
 
 
