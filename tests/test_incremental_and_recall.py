@@ -264,3 +264,49 @@ def test_normalize_embeddings_matryoshka(spark):
     full_out = {r["vec_id"]: r["vec"] for r in
                 normalize_embeddings(df, "vec").collect()}
     assert abs(np.linalg.norm(full_out[1]) - 1.0) < 1e-12
+
+
+def test_semantic_dedup_within_cluster(spark):
+    """SemDeDup on crafted clusters: near-identical vectors inside one
+    semantic cluster collapse onto the lowest id; distinct-meaning
+    vectors survive even when clusters share members' magnitudes;
+    nothing pairs across clusters."""
+    import math
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        semantic_dedup,
+        train_centroids,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = (
+        # cluster A around theta=0: ids 1,2,3 are paraphrase-grade
+        # near-dups (<= 2 deg apart), id 4 is same topic but distinct
+        [(1, unit(0.00)), (2, unit(0.02)), (3, unit(0.03)), (4, unit(0.55))]
+        # cluster B around theta=pi/2: 11,12 near-dup, 13 distinct
+        + [(11, unit(1.57)), (12, unit(1.59)), (13, unit(2.10))]
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_centroids(df, "vec_id", "embedding", k=2, iters=8)
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, cents, "vec_id", "embedding", threshold=0.999
+        ).collect()
+    }
+    # 2 and 3 collapse onto 1; 12 onto 11; 4/13 survive; no cross-cluster rows
+    assert set(out) == {2, 3, 12}
+    assert out[2]["dup_of"] == 1 and out[3]["dup_of"] == 1
+    assert out[12]["dup_of"] == 11
+    assert all(r["cos_sim"] >= 0.999 for r in out.values())
+
+    # deterministic: identical invocation, identical rows
+    again = {
+        r["vec_id"]: r["dup_of"]
+        for r in semantic_dedup(
+            df, cents, "vec_id", "embedding", threshold=0.999
+        ).collect()
+    }
+    assert again == {k: v["dup_of"] for k, v in out.items()}

@@ -336,3 +336,51 @@ def test_partitioned_parquet_roundtrip(spark, tmp_path):
     assert one.count() == 25
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one.inputFiles()
+
+
+def test_duplicated_spans_exact_substring(spark):
+    """ExactSubstr semantics on crafted docs: a 12-token passage shared
+    by two documents surfaces as one maximal span in each, positioned
+    correctly; a doc with no repeated window yields nothing; two
+    overlapping repeated windows merge into one island."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    license_blurb = " ".join(f"lic{i}" for i in range(14))  # 14 shared tokens
+    rows = [
+        # doc 1: 5 unique tokens, then the blurb
+        (1, " ".join(f"a{i}" for i in range(5)) + " " + license_blurb),
+        # doc 2: blurb first, then unique tail
+        (2, license_blurb + " " + " ".join(f"b{i}" for i in range(6))),
+        # doc 3: all unique
+        (3, " ".join(f"c{i}" for i in range(25))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(df, "doc_id", "text", min_tokens=12).collect()
+    }
+    assert set(out) == {1, 2}
+    # doc1: blurb occupies tokens 6..19 (1-based); windows at 6,7,8
+    # merge into one span covering 6..19
+    assert (out[1]["start_token"], out[1]["end_token"], out[1]["n_windows"]) == (6, 19, 3)
+    # doc2: blurb occupies tokens 1..14
+    assert (out[2]["start_token"], out[2]["end_token"], out[2]["n_windows"]) == (1, 14, 3)
+
+
+def test_duplicated_spans_within_document_repeat(spark):
+    """A passage repeated INSIDE one document (the paper's same-doc
+    case) is caught: both occurrences report spans."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    chorus = " ".join(f"w{i}" for i in range(12))
+    text = chorus + " " + " ".join(f"x{i}" for i in range(20)) + " " + chorus
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    spans = sorted(
+        (r["start_token"], r["end_token"])
+        for r in duplicated_spans(df, "doc_id", "text", min_tokens=12).collect()
+    )
+    assert spans == [(1, 12), (33, 44)]

@@ -815,3 +815,92 @@ def remove_duplicated_segments(
     if keep_text:
         aggs.append(cleaned.alias("cleaned_text"))
     return flagged.groupBy(id_col).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring spans (ExactSubstr-style)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Maximal token spans whose ``min_tokens``-token windows recur
+    ANYWHERE in the corpus (other documents or elsewhere in the same
+    one) — the exact-substring dedup signal of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"),
+    whose ExactSubstr tool removes 50-token repeats that MinHash's
+    whole-document granularity misses (licenses, boilerplate
+    passages, quotations).
+
+    The paper builds a suffix array on one machine; the Spark-native
+    equivalent is a rolling window join: every consecutive
+    ``min_tokens``-token window is fingerprinted (md5 of the exact
+    token sequence — no false positives beyond hash collision),
+    window counts aggregate globally, and windows occurring more than
+    once mark their positions. Overlapping or touching duplicated
+    windows (gap <= min_tokens) merge into maximal spans per document
+    via one per-doc sort (classic gaps-and-islands).
+
+    Cost at 100 TB: the fingerprint shuffle is linear in corpus
+    TOKENS (each token starts one window) — inherent to the problem,
+    same asymptotics as the suffix array, but partial-aggregated and
+    embarrassingly parallel; the island merge touches only the
+    duplicated windows. Everything JVM-side.
+
+    Output: (id, start_token, end_token, n_windows) — 1-based
+    inclusive token positions of each maximal duplicated span.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n >= min_tokens, F.sequence(F.lit(1), n - F.lit(min_tokens - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (
+        _ensure_parallelism(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda p: F.struct(
+                        p.alias("p"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(toks, p, min_tokens))
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(id_col, "w.p", "w.g")
+    )
+    recurring = (
+        wins.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("g")
+    )
+    dup = wins.join(recurring, "g").select(id_col, "p")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("p")
+    flagged = dup.withColumn(
+        "__brk",
+        F.when(
+            F.lag("p").over(w).isNull()
+            | ((F.col("p") - F.lag("p").over(w)) > min_tokens),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("p").cast("long").alias("start_token"),
+        (F.max("p") + F.lit(min_tokens - 1)).cast("long").alias("end_token"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select(id_col, "start_token", "end_token", "n_windows")

@@ -672,3 +672,85 @@ def normalize_embeddings(
     )
     normed = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
     return df.withColumn(out_col or vec_col, normed)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space with the k-means quantizer, then mark
+    every vector that has a LOWER-id within-cluster neighbor at
+    cosine >= ``threshold`` as a duplicate of its lowest-id such
+    neighbor. Near-duplicate *meanings* (paraphrases, template
+    rewrites, translations under a multilingual encoder) collapse even
+    when their surface text shares no n-grams — the tier above
+    MinHash/SimHash in a curation stack.
+
+    The pairwise work is confined within clusters — the paper's own
+    cost model: k controls the quadratic blowup (size k so expected
+    cell size is ~corpus/k; the IVF sizing rule applies). Cells join
+    on the cell id only; vectors re-attach by id, so the self-join
+    shuffles (cell, id) pairs, not vector payloads. Cross-cluster
+    near-dups are the accepted recall loss (SemDeDup's design trade;
+    raise k-means quality or run twice with jittered seeds to
+    tighten).
+
+    Output: (id, dup_of, cos_sim) — one row per DUPLICATE vector
+    (survivors absent), dup_of = its lowest-id qualifying neighbor,
+    cos_sim = that pair's exact cosine, rounded to 6 dp.
+
+    ``centroids`` accepts either `train_centroids` output
+    (cell, vec_col) or any frame keyed by ``id_col``.
+    """
+    if "cell" in centroids.columns and id_col not in centroids.columns:
+        centroids = centroids.withColumnRenamed("cell", id_col)
+    cells = assign_cells(df, centroids, id_col, vec_col)
+    slim = cells.select(F.col(id_col), F.col("cell"))
+    l, r = slim.alias("l"), slim.alias("r")
+    pair_ids = l.join(
+        r,
+        on=[
+            F.col("l.cell") == F.col("r.cell"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ],
+    ).select(
+        F.col(f"l.{id_col}").alias("__keep"),
+        F.col(f"r.{id_col}").alias("__dup"),
+    )
+    vn = _with_norm(df.select(F.col(id_col), F.col(vec_col)), vec_col, "__n")
+    va = vn.select(
+        F.col(id_col).alias("__keep"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = vn.select(
+        F.col(id_col).alias("__dup"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    scored = (
+        pair_ids.join(va, "__keep")
+        .join(vb, "__dup")
+        .withColumn(
+            "__cos",
+            F.round(
+                _pair_cosine(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+    )
+    return (
+        scored.groupBy("__dup")
+        .agg(
+            F.min("__keep").alias("dup_of"),
+            F.min_by("__cos", F.col("__keep")).alias("cos_sim"),
+        )
+        .select(F.col("__dup").alias(id_col), "dup_of", "cos_sim")
+    )

@@ -2246,6 +2246,56 @@ def numeric_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("bin", F.col("bin").cast("long"))
 
 
+# Oracle twin for duplicated_spans — UNREGISTERED; ExactSubstr-style
+# repeated-window span detection, islands merged in SQL the same way.
+DUP_SPANS_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+               md5(array_to_string(toks[u.p:u.p + 11], ' ')) AS g
+        FROM t, unnest(generate_series(1, len(toks) - 11)) AS u(p)
+        WHERE len(toks) >= 12
+    ),
+    r AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+    d AS (SELECT doc_id, p FROM w JOIN r USING (g)),
+    i AS (
+        SELECT doc_id, p,
+               CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                         OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 12
+                    THEN 1 ELSE 0 END AS brk
+        FROM d
+    ),
+    s AS (
+        SELECT doc_id, p,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM i
+    )
+    SELECT doc_id, min(p) AS start_token, max(p) + 11 AS end_token,
+           count(*) AS n_windows
+    FROM s GROUP BY doc_id, island
+"""
+
+
+@_register(
+    "dup_spans_q",
+    DUP_SPANS_ORACLE,
+    "ExactSubstr-style repeated-substring spans (operators/dedup.py:"
+    "duplicated_spans): maximal token spans whose 12-token windows "
+    "recur anywhere in the corpus — the sub-document dedup granularity "
+    "MinHash misses (Lee et al. 2021). Unregistered (50-slot window "
+    "full); hash-pinned locally.",
+    registered=False,
+)
+def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=12
+    )
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
