@@ -26,6 +26,12 @@ BENCH_QUERIES = [
     "corpus_prep",
     # warehouse incremental tier (round 3)
     "scd2_history",
+    # warehouse/curation tier promoted to driver slots in round 4
+    "merge_upsert_q",
+    "range_join_q",
+    "category_drift_q",
+    # sub-document exact-substring dedup (round 4)
+    "dup_spans_q",
     # training-data extensions (scale paths)
     "dedup_exact",
     "segment_dedup",

@@ -97,6 +97,12 @@ def main() -> None:
     docs_n = docs_e.join(keep, on="doc_id")
     n_near = docs_n.count()
 
+    # 3b. sub-document exact-substring audit (ExactSubstr): maximal
+    #     repeated >=12-token spans that survive whole-document dedup
+    #     (licenses, boilerplate passages) — reported, not removed here
+    spans = dd.duplicated_spans(docs_n, "doc_id", "text", min_tokens=12)
+    n_spans = spans.count()
+
     # 4. similarity search over the curated docs' embeddings: build an
     #    IVF index partitioned by cell, query the first 3 vectors
     emb = read_table(spark, sf_dir, "embeddings").join(
@@ -105,6 +111,14 @@ def main() -> None:
     centroids = sim.train_centroids(
         emb, "vec_id", "embedding", k=8, iters=3
     ).withColumnRenamed("cell", "vec_id")
+
+    # 4a. semantic dedup (SemDeDup): same-meaning vectors collapse
+    #     within their k-means cluster before the index is built
+    sem_dups = sim.semantic_dedup(
+        emb, centroids, "vec_id", "embedding", threshold=0.999
+    )
+    emb = emb.join(sem_dups.select("vec_id"), on="vec_id", how="left_anti")
+    n_sem = sem_dups.count()
     index_path = os.path.join(out_dir, "ivf_index")
     sim.write_ivf_index(emb, centroids, index_path, "vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 3)
@@ -178,7 +192,8 @@ def main() -> None:
     print(
         f"raw={n_raw} -> quality={n_quality} -> clean={n_clean} "
         f"-> pii+segment-scrub={n_scrub} -> exact-dedup={n_exact} "
-        f"-> near-dedup={n_near}; ann hits={n_hits}; "
+        f"-> near-dedup={n_near}; dup spans={n_spans}; "
+        f"semantic dups dropped={n_sem}; ann hits={n_hits}; "
         f"train split={n_train}; {n_chunks} chunks in {n_packs} packs; "
         f"day-2 screen={screen_summary}; corpus at {out_dir}"
     )

@@ -2017,8 +2017,7 @@ MERGE_UPSERT_ORACLE = """
 def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-INTO shape (operators/scd.py:merge_upsert): per business
     key the row with the highest order column wins, changes beat the
-    snapshot on ties. Unregistered; pinned by
-    `test_unregistered_query_parity[merge_upsert_q]`."""
+    snapshot on ties. Promoted to a driver slot in round 4."""
     from udacity_data_engineering_capstone_project_spark.operators.scd import merge_upsert
 
     o = _t(spark, sf_dir, "orders").select(
@@ -2059,8 +2058,7 @@ RANGE_JOIN_ORACLE = """
 def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval containment via bucket-and-prune equi-join
     (operators/relational.py:range_join) — Spark would otherwise plan
-    a broadcast-nested-loop. Unregistered; pinned by
-    `test_unregistered_query_parity[range_join_q]`."""
+    a broadcast-nested-loop. Promoted to a driver slot in round 4."""
     from udacity_data_engineering_capstone_project_spark.operators.relational import (
         range_join,
     )
@@ -2176,8 +2174,8 @@ CATEGORY_DRIFT_ORACLE = """
 )
 def category_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift report of the corpus language mix between snapshot
-    halves (operators/quality.py:category_drift). Unregistered;
-    pinned by `test_unregistered_query_parity[category_drift_q]`."""
+    halves (operators/quality.py:category_drift). Promoted to a
+    driver slot in round 4."""
     from udacity_data_engineering_capstone_project_spark.operators.quality import (
         category_drift,
     )
@@ -2230,8 +2228,8 @@ NUMERIC_DRIFT_ORACLE = """
 )
 def numeric_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile-bin PSI of document length between snapshot halves
-    (operators/quality.py:numeric_drift). Unregistered; pinned by
-    `test_unregistered_query_parity[numeric_drift_q]`."""
+    (operators/quality.py:numeric_drift). Promoted to a driver slot
+    in round 4."""
     from udacity_data_engineering_capstone_project_spark.operators.quality import (
         numeric_drift,
     )
