@@ -163,8 +163,10 @@ def test_pil_and_stdlib_png_decode_agree():
     assert np.array_equal(arr, ref), "decode paths disagree on a lossless PNG"
 
     if _pil_decode(png) is None:  # no PIL in this env: fallback contract
-        with pytest.raises(ValueError, match="non-PNG"):
+        with pytest.raises(ValueError):  # malformed JPEG -> callers null
             _decode_pixels_array(b"\xff\xd8\xff\xe0 not actually jpeg")
+        with pytest.raises(ValueError, match="unsupported image format"):
+            _decode_pixels_array(b"GIF89a not decodable without PIL")
     else:  # PIL present: it IS the default path and matches bit-for-bit
         pw, ph, pch, praw = _pil_decode(png)
         assert (pw, ph, pch) == (4, 5, 3)

@@ -157,3 +157,25 @@ def test_parsers_total_on_magic_prefixed_garbage(header, tail):
             fn(data)
         except allowed:
             pass
+
+
+@given(
+    header=st.sampled_from([b"", b"\xff\xd8", b"\xff\xd8\xff\xdb"]),
+    tail=st.binary(min_size=0, max_size=160),
+)
+@settings(max_examples=200, deadline=None)
+def test_jpeg_decoder_total_on_garbage(header, tail):
+    """Hostile bytes must never kill a Spark task: the baseline JPEG
+    decoder either returns a decoded image or raises the narrow
+    exception set the mapInPandas guards translate to null rows."""
+    import struct as _struct
+
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+    )
+
+    try:
+        w, h, ch, arr = decode_baseline_jpeg(header + tail)
+        assert arr.shape == (h, w, ch)
+    except (ValueError, _struct.error, IndexError):
+        pass

@@ -159,6 +159,11 @@ def main() -> None:
         "minhash": lambda df, c: dd.minhash_dedup_pairs(
             df, "doc_id", "text"
         ).count(),
+        # ExactSubstr spans: fingerprint shuffle is linear in corpus
+        # tokens by design — this probe is the evidence
+        "dup_spans": lambda df, c: dd.duplicated_spans(
+            df, "doc_id", "text", min_tokens=12
+        ).count(),
         "simhash": lambda df, c: dd.simhash_near_pairs(
             dd.simhash_signatures(df, "doc_id", "text").localCheckpoint(eager=True),
             "doc_id",

@@ -415,19 +415,29 @@ def _decode_pixels_array(b: bytes):
     `decode_png_pixels`, the known pixel-volume bottleneck at 100 TB
     (NOTES.md), and the decoded bytes are bit-identical for the PNGs
     both paths accept (lossless format — pinned by
-    `test_multimodal.py::test_pil_and_stdlib_png_decode_agree`).
-    Without PIL, PNGs take the dependency-free stdlib path and other
-    formats raise ValueError (callers null the row)."""
+    `test_media_and_retrieval.py::test_pil_and_stdlib_png_decode_agree`).
+    Without PIL, PNGs take the dependency-free stdlib path, baseline
+    JPEGs take the pure-Python `operators.jpeg` decoder, and anything
+    else raises ValueError (callers null the row)."""
     import numpy as np
 
     decoded = _pil_decode(b)
     if decoded is not None:
         w, h, ch, raw = decoded
         return w, h, ch, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
-    if b[:8] != _PNG_SIG:
-        raise ValueError("non-PNG payload without PIL")
-    w, h, ch, px = decode_png_pixels(b)
-    return w, h, ch, np.asarray(px, dtype=np.uint8).reshape(h, w, ch)
+    if b[:8] == _PNG_SIG:
+        w, h, ch, px = decode_png_pixels(b)
+        return w, h, ch, np.asarray(px, dtype=np.uint8).reshape(h, w, ch)
+    if b[:2] == b"\xff\xd8":
+        from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+        )
+
+        try:
+            return decode_baseline_jpeg(b)
+        except (struct.error, IndexError) as ex:
+            raise ValueError(f"malformed JPEG payload: {ex}") from ex
+    raise ValueError("unsupported image format without PIL")
 
 
 def decode_image_pixels(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
