@@ -71,6 +71,10 @@ def test_asof_join_plan_single_shuffle(spark):
 def test_approx_distinct_error_bound(spark, sf_dir):
     from udacity_data_engineering_capstone_project_spark.plans.queries import REGISTRY
 
-    pdf = REGISTRY["approx_distinct"].fn(spark, sf_dir).toPandas()
+    from udacity_data_engineering_capstone_project_spark.plans.queries import (
+        UNREGISTERED,
+    )
+
+    pdf = UNREGISTERED["approx_distinct"].fn(spark, sf_dir).toPandas()
     rel_err = ((pdf.approx_custs - pdf.exact_custs).abs() / pdf.exact_custs).max()
     assert rel_err < 0.15  # default rsd = 5%, generous bound

