@@ -384,3 +384,36 @@ def test_duplicated_spans_within_document_repeat(spark):
         for r in duplicated_spans(df, "doc_id", "text", min_tokens=12).collect()
     )
     assert spans == [(1, 12), (33, 44)]
+
+
+def test_strip_duplicated_spans_removes_exact_repeats(spark):
+    """End-to-end ExactSubstr removal: detected spans vanish from the
+    text, untouched documents pass through bit-identical, and removal
+    counts match span widths."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    blurb = " ".join(f"lic{i}" for i in range(14))
+    d1_head = " ".join(f"a{i}" for i in range(5))
+    d2_tail = " ".join(f"b{i}" for i in range(6))
+    rows = [
+        (1, d1_head + " " + blurb),
+        (2, blurb + " " + d2_tail),
+        (3, " ".join(f"c{i}" for i in range(25))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicated_spans(df, "doc_id", "text", min_tokens=12)
+    out = {
+        r["doc_id"]: r
+        for r in strip_duplicated_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert out[1]["text"] == d1_head and out[1]["n_tokens_removed"] == 14
+    assert out[2]["text"] == d2_tail and out[2]["n_tokens_removed"] == 14
+    assert out[3]["text"] == rows[2][1] and out[3]["n_tokens_removed"] == 0
+    # the cleaned corpus has no duplicated window left at this width
+    cleaned = spark.createDataFrame(
+        [(k, v["text"]) for k, v in out.items()], ["doc_id", "text"]
+    )
+    assert duplicated_spans(cleaned, "doc_id", "text", min_tokens=12).count() == 0

@@ -61,3 +61,43 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+@pytest.mark.parametrize(
+    "name", ["date_parts_agg", "sas_date_decode", "asof_last_click"]
+)
+def test_time_queries_survive_hostile_session_timezone(spark, sf_dir, name):
+    """A driver harness may run the engine under ANY session timezone
+    (the verify probe that caught a real ntz-cast bug): time-based
+    queries must still hash-match their oracles under Asia/Kolkata
+    (UTC+5:30 — a half-hour offset catches instant<->ntz casts that
+    whole-hour zones mask)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        spec = REGISTRY[name]
+        compare_frames(
+            spec.fn(spark, sf_dir).toPandas(),
+            run_oracle(spec.oracle, sf_dir),
+            f"{name}@Asia/Kolkata",
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_resample_survives_hostile_session_timezone(spark, sf_dir):
+    from udacity_data_engineering_capstone_project_spark.plans.queries import (
+        UNREGISTERED,
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        spec = UNREGISTERED["resample_q"]
+        compare_frames(
+            spec.fn(spark, sf_dir).toPandas(),
+            run_oracle(spec.oracle, sf_dir),
+            "resample_q@Asia/Kolkata",
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -904,3 +904,50 @@ def duplicated_spans(
         (F.max("p") + F.lit(min_tokens - 1)).cast("long").alias("end_token"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select(id_col, "start_token", "end_token", "n_windows")
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply `duplicated_spans` output: remove every token inside a
+    duplicated span from each document — the removal step of the
+    ExactSubstr pipeline (Lee et al. 2021 cut the duplicated bytes and
+    report perplexity unharmed).
+
+    Spans aggregate to one array per document (spans per doc are few —
+    bounded by doc length / min_tokens), join back by id (documents
+    with no spans pass through untouched via the left join), and the
+    token filter is a pure JVM expression: keep token i unless some
+    [start, end] span contains it. No Python, no extra shuffle beyond
+    the span join; text reconstructs with single spaces (tokenization
+    is whitespace-normalizing by design).
+
+    Output: original columns (text replaced by the cleaned text) +
+    n_tokens_removed.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_token", "end_token")).alias("__spans")
+    )
+    toks = tokens(F.col(text_col))
+    idx = F.expr(
+        "filter(transform(__toks, (t, i) -> struct(t AS t, i + 1 AS p)), "
+        "s -> __spans IS NULL OR NOT exists(__spans, "
+        "sp -> s.p >= sp.start_token AND s.p <= sp.end_token))"
+    )
+    return (
+        df.join(per_doc, on=id_col, how="left")
+        .withColumn("__toks", toks)
+        .withColumn("__kept", idx)
+        .withColumn(
+            "n_tokens_removed",
+            (F.size("__toks") - F.size("__kept")).cast("long"),
+        )
+        .withColumn(
+            text_col,
+            F.array_join(F.expr("transform(__kept, s -> s.t)"), " "),
+        )
+        .drop("__spans", "__toks", "__kept")
+    )
