@@ -195,7 +195,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
+        bit = (self.buf >> self.nbits) & 1
+        # trim consumed high bits: an unmasked Python int grows without
+        # bound over a long stream (bigint ops then scale with length —
+        # quadratic decode)
+        self.buf &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -253,6 +258,12 @@ def decode_baseline_jpeg(b: bytes):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no length
+            pos += 2
+            continue
         if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
@@ -416,6 +427,7 @@ class _BitWriter:
         while self.nbits >= 8:
             self.nbits -= 8
             byte = (self.acc >> self.nbits) & 0xFF
+            self.acc &= (1 << self.nbits) - 1  # trim emitted bits (bigint)
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
