@@ -127,12 +127,21 @@ def test_byte_stuffing_survives_roundtrip():
 def test_non_baseline_and_garbage_raise():
     with pytest.raises(ValueError, match="SOI"):
         decode_baseline_jpeg(b"not a jpeg at all")
-    # progressive SOF2 must be rejected, not mis-decoded
+    # arithmetic-coded SOF9 must be rejected, not mis-decoded
+    sof9 = (
+        b"\xff\xd8"
+        + _seg(0xC9, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    )
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_baseline_jpeg(sof9)
+    # progressive SOF2 is supported since round 4 — but a frame with no
+    # scan at all must still raise, not return garbage
     sof2 = (
         b"\xff\xd8"
         + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + b"\xff\xd9"
     )
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="no SOS"):
         decode_baseline_jpeg(sof2)
 
 
@@ -245,3 +254,172 @@ def test_pil_cross_check():
 
     w, h, ch, ours = decode_baseline_jpeg(jb)
     assert np.abs(ours[:, :, 0].astype(int) - pil_out.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+
+
+def _prog_imports():
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    return decode_jpeg, encode_progressive_jpeg
+
+
+def test_progressive_equals_baseline_gray_and_rgb():
+    """A complete progressive scan script (spectral selection +
+    successive approximation + refinements) carries the exact same
+    quantized coefficients as the baseline layout, so the decodes must
+    be IDENTICAL byte-for-byte. The entropy paths share no code, so a
+    bug in either breaks the equality."""
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+        encode_baseline_jpeg as enc_base,
+    )
+
+    decode_jpeg, encode_progressive_jpeg = _prog_imports()
+    x = np.linspace(0, 255, 64)
+    grad = np.clip(np.add.outer(x, x / 2)[:48, :64], 0, 255).astype(np.uint8)
+    rgb = np.stack([grad, 255 - grad, np.full_like(grad, 128)], axis=-1)
+    noise = np.random.default_rng(7).integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    for img in [grad, rgb, noise, np.full((13, 21), 77, np.uint8)]:
+        base = decode_jpeg(enc_base(img, quality=90))
+        prog = decode_jpeg(encode_progressive_jpeg(img, quality=90))
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3]), (
+            f"progressive != baseline: {np.abs(base[3].astype(int) - prog[3].astype(int)).max()}"
+        )
+
+
+def test_progressive_eobrun_spans_blocks():
+    """A mostly-flat image makes consecutive all-zero AC bands, forcing
+    EOBn symbols with n>0 (runs > 1 block) in both the first and the
+    refinement AC scans; decode must still bit-equal baseline."""
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+        encode_baseline_jpeg as enc_base,
+    )
+
+    decode_jpeg, encode_progressive_jpeg = _prog_imports()
+    img = np.full((64, 64), 120, np.uint8)
+    img[30:34, 30:34] = 250  # one busy patch amid many silent blocks
+    pb = encode_progressive_jpeg(img, quality=85)
+    base = decode_jpeg(enc_base(img, quality=85))
+    prog = decode_jpeg(pb)
+    assert np.array_equal(base[3], prog[3])
+
+
+def test_progressive_restart_markers():
+    """restart_interval=2 emits RSTn in every scan; the decoder must
+    byte-align, reset DC predictors and EOB runs, and still reproduce
+    the baseline decode exactly."""
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+        encode_baseline_jpeg as enc_base,
+    )
+
+    decode_jpeg, encode_progressive_jpeg = _prog_imports()
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    pb = encode_progressive_jpeg(img, quality=90, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + i]) in pb for i in range(8)), "no RSTn emitted"
+    base = decode_jpeg(enc_base(img, quality=90))
+    prog = decode_jpeg(pb)
+    assert np.array_equal(base[3], prog[3])
+
+
+def test_progressive_truncated_script_renders_coarse():
+    """Dropping the refinement scans is a LEGAL progressive stream (the
+    whole point of the format): the decoder must render the Al=1
+    approximation, close to but not necessarily equal to the full
+    decode."""
+    decode_jpeg, encode_progressive_jpeg = _prog_imports()
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.add.outer(x, x / 2)[:48, :64], 0, 255).astype(np.uint8)
+    full = decode_jpeg(encode_progressive_jpeg(img, quality=90))
+    coarse = decode_jpeg(encode_progressive_jpeg(img, quality=90, refine=False))
+    diff = np.abs(full[3].astype(int) - coarse[3].astype(int))
+    assert diff.mean() < 16, f"coarse pass unusable: mean {diff.mean()}"
+    # and the coarse pass must still resemble the source
+    src_diff = np.abs(coarse[3][:, :, 0].astype(int) - img.astype(int))
+    assert src_diff.mean() < 20
+
+
+def test_progressive_420_ceil_grid_conformance():
+    """Hand-built 4:2:0 progressive stream for an 8x8 image: the MCU is
+    16x16 so the PADDED luma grid is 2x2 blocks, but a non-interleaved
+    AC scan covers only the ceil(8/8)=1x1 CEIL grid (T.81 A.2.2). The
+    DC scan is interleaved (4 Y + Cb + Cr data units); the AC scan
+    carries exactly ONE block: (run 0, size 2) value 2 at zigzag k=1.
+    A decoder walking the padded grid would read 4 blocks and desync.
+    Expected pixels computed from hand-built coefficients through the
+    already-conformance-pinned IDCT."""
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+        _idct2,
+        decode_jpeg,
+    )
+
+    dqt = _seg(0xDB, bytes([0]) + Q_LUMA[ZIGZAG].astype(np.uint8).tobytes())
+    sof = _seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", 8, 8)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht_dc = _seg(0xC4, bytes([0x00] + DC_LUMA_BITS + DC_LUMA_VALS))
+    dht_ac = _seg(0xC4, bytes([0x10] + AC_LUMA_BITS + AC_LUMA_VALS))
+
+    def pack(bits):
+        padded = bits + "1" * ((8 - len(bits) % 8) % 8)
+        out = bytearray()
+        for i in range(0, len(padded), 8):
+            byte = int(padded[i : i + 8], 2)
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    # DC-first scan (Ss=Se=0, Al=0), interleaved: Y diffs 5,0,0,0; Cb 0; Cr 0
+    sos_dc = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0]))
+    dc_bits = ("100" + "101") + "00" * 3 + "00" + "00"
+    # AC-first scan for Y only (Ss=1, Se=63, Al=0): ONE ceil-grid block:
+    # (0,2) code '01' + value 2 '10', then EOB '1010'
+    sos_ac = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+    ac_bits = "01" + "10" + "1010"
+    stream = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+        + sos_dc + pack(dc_bits) + sos_ac + pack(ac_bits) + b"\xff\xd9"
+    )
+    w, h, ch, out = decode_jpeg(stream)
+    assert (w, h, ch) == (8, 8, 3)
+    blk = np.zeros((1, 8, 8))
+    blk[0, 0, 0] = 5 * 16  # DC 5 x Q[0,0]=16
+    blk[0, 0, 1] = 2 * 11  # AC k=1 -> natural (0,1), Q[0,1]=11
+    expected_y = np.clip(np.round(_idct2(blk)[0] + 128.0), 0, 255)
+    assert np.array_equal(out[:, :, 0].astype(float), expected_y), (
+        out[:, :, 0],
+        expected_y,
+    )
+    # neutral chroma: all three channels equal
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+
+def test_progressive_corruption_totality():
+    """Byte-flips anywhere in a progressive stream must either decode
+    (possibly wrong pixels) or raise ValueError — never another
+    exception type, never a hang."""
+    decode_jpeg, encode_progressive_jpeg = _prog_imports()
+    img = np.random.default_rng(3).integers(0, 256, (16, 24), dtype=np.uint8)
+    pb = bytearray(encode_progressive_jpeg(img, quality=90))
+    for pos in range(2, len(pb), max(1, len(pb) // 60)):
+        corrupted = bytes(pb[:pos]) + bytes([pb[pos] ^ 0xA5]) + bytes(pb[pos + 1 :])
+        try:
+            decode_jpeg(corrupted)
+        except ValueError:
+            pass
+    # truncations too
+    for cut in range(2, len(pb), max(1, len(pb) // 40)):
+        try:
+            decode_jpeg(bytes(pb[:cut]))
+        except ValueError:
+            pass

@@ -1,10 +1,12 @@
-"""Baseline JPEG codec (pure Python + numpy) — closes the honest gap
-that JPEG payloads were header-parse only (`parse_image_meta`) without
-PIL.
+"""JPEG codec, baseline + progressive (pure Python + numpy) — closes
+the honest gap that JPEG payloads were header-parse only
+(`parse_image_meta`) without PIL.
 
-Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-4:4:4 / 4:2:0 / 4:2:2 subsampling, restart markers, byte stuffing.
-Progressive (SOF2) and arithmetic coding are out of scope — they
+Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
+spectral selection + successive approximation, multi-scan, AC
+refinement EOB runs), 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:0 /
+4:2:2 subsampling, restart markers, byte stuffing. Arithmetic coding,
+12-bit, lossless, and hierarchical modes are out of scope — they
 raise, and callers fall back to their null-on-garbage contract.
 
 Position in the decode stack (`multimodal._decode_pixels_array`):
@@ -21,6 +23,12 @@ Correctness strategy (no PIL in this container to cross-check):
   streams whose decoded values are computed from the standard by hand
   (DC-only blocks: pixel = round(DC * Q[0] / 8) + 128), which a
   conjugate encoder/decoder bug cannot satisfy;
+- progressive conformance additionally exploits that a complete
+  progressive scan script carries the SAME quantized coefficients as
+  the baseline layout: decode(progressive(img)) must be bit-equal to
+  decode(baseline(img)) — the entropy layouts differ entirely, so a
+  decoder bug in either path breaks the equality; hand-built
+  progressive streams pin the non-interleaved ceil-grid geometry;
 - a PIL cross-check test runs automatically wherever PIL exists.
 
 Reference: ITU-T T.81 (JPEG), Annex F (baseline), Annex K (example
@@ -239,13 +247,21 @@ def _extend(v: int, n: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Decoder
+# Decoder — sequential (SOF0/1) and progressive (SOF2), multi-scan.
+#
+# Architecture: the segment loop accumulates per-component quantized
+# coefficients (zigzag order, int32) across however many SOS scans the
+# stream carries; dequant + IDCT + color happen once at EOI. Sequential
+# streams are the one-scan special case. Progressive scan semantics
+# follow T.81 Annex G.2 (spectral selection + successive approximation,
+# including AC refinement EOB runs with interleaved correction bits).
 
 
-def decode_baseline_jpeg(b: bytes):
-    """Decode a baseline-sequential JPEG to (w, h, channels,
-    np.uint8 array (h, w, channels)). Raises ValueError on anything
-    outside baseline scope (progressive, 12-bit, arithmetic)."""
+def decode_jpeg(b: bytes):
+    """Decode a sequential (SOF0/1) or progressive (SOF2) JPEG to
+    (w, h, channels, np.uint8 array (h, w, channels)). Raises
+    ValueError on anything outside that scope (12-bit, arithmetic
+    coding, lossless, hierarchical)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -254,6 +270,7 @@ def decode_baseline_jpeg(b: bytes):
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    n_scans = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -267,6 +284,8 @@ def decode_baseline_jpeg(b: bytes):
         if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        if seg_len < 2:
+            raise ValueError("bad JPEG segment length")
         seg = b[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
             i = 0
@@ -281,113 +300,364 @@ def decode_baseline_jpeg(b: bytes):
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
+                if i + 17 > len(seg):
+                    raise ValueError("truncated JPEG huffman table")
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated JPEG huffman table")
                 table = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple JPEG frames unsupported")
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG frame header")
             precision = seg[0]
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
             h = struct.unpack(">H", seg[1:3])[0]
             w = struct.unpack(">H", seg[3:5])[0]
             ncomp = seg[5]
+            if w == 0 or h == 0 or ncomp == 0 or len(seg) < 6 + 3 * ncomp:
+                raise ValueError("bad JPEG frame header")
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = seg[6 + ci * 3 : 9 + ci * 3]
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("non-baseline JPEG (progressive/arith) unsupported")
+            frame = {
+                "w": w,
+                "h": h,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            _alloc_frame(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "non-baseline JPEG (lossless/arithmetic/hierarchical) unsupported"
+            )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            ns = seg[0]
-            scan_sel = {}
-            for si in range(ns):
-                cs, tds = seg[1 + si * 2 : 3 + si * 2]
-                scan_sel[cs] = (tds >> 4, tds & 0x0F)
-            data_pos = pos + 2 + seg_len
-            return _decode_scan(
-                b, data_pos, frame, scan_sel, qtables, huff_dc, huff_ac,
+            pos = _decode_sos(
+                b, pos, seg_len, seg, frame, qtables, huff_dc, huff_ac,
                 restart_interval,
             )
+            n_scans += 1
+            continue
         pos += 2 + seg_len
-    raise ValueError("JPEG has no SOS scan")
+    if frame is None or n_scans == 0:
+        raise ValueError("JPEG has no SOS scan")
+    for c in frame["comps"]:
+        if not c["scanned"]:
+            raise ValueError(f"JPEG component {c['id']} never scanned")
+    return _assemble(frame, qtables)
 
 
-def _decode_scan(b, pos, frame, scan_sel, qtables, huff_dc, huff_ac, dri):
+# Kept name: the original baseline-only entry point; it now decodes
+# progressive streams too (the stricter name survives for callers/tests
+# written against the baseline-only contract).
+decode_baseline_jpeg = decode_jpeg
+
+
+def _alloc_frame(frame):
+    """Allocate per-component zigzag coefficient grids. Grids are
+    MCU-padded (interleaved-scan geometry); non-interleaved scans cover
+    the smaller ceil(comp_dim/8) grid per T.81 A.2.2 and index into the
+    same storage."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     for c in comps:
-        if c["id"] not in scan_sel:
-            raise ValueError(f"JPEG scan missing component {c['id']}")
-        tdc, tac = scan_sel[c["id"]]
-        if tdc not in huff_dc or tac not in huff_ac:
-            raise ValueError("JPEG scan references undefined huffman table")
-        if c["tq"] not in qtables:
-            raise ValueError("JPEG component references undefined quant table")
         if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
             raise ValueError("unsupported JPEG sampling factors")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    reader = _BitReader(b, pos)
-    # per component: coefficient block grid
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    frame["mcuy"] = mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     for c in comps:
         c["bw"] = mcux * c["h"]
         c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8), dtype=np.float64)
+        # non-interleaved (single-component-scan) block grid
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["cw_blocks"] = (cw + 7) // 8
+        c["ch_blocks"] = (ch + 7) // 8
+        c["czz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
         c["pred"] = 0
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and n_mcu and n_mcu % dri == 0:
-                reader.sync_restart()
+        c["scanned"] = False
+
+
+def _decode_sos(b, pos, seg_len, seg, frame, qtables, huff_dc, huff_ac, dri):
+    """Decode one scan; returns the stream position of the next marker."""
+    if len(seg) < 1:
+        raise ValueError("truncated JPEG scan header")
+    ns = seg[0]
+    if ns == 0 or len(seg) < 1 + 2 * ns + 3:
+        raise ValueError("truncated JPEG scan header")
+    by_id = {c["id"]: c for c in frame["comps"]}
+    order = []  # (comp, dc_table_id, ac_table_id) in scan order
+    for si in range(ns):
+        cs, tds = seg[1 + 2 * si], seg[2 + 2 * si]
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        c = by_id[cs]
+        if c["tq"] not in qtables:
+            raise ValueError("JPEG component references undefined quant table")
+        order.append((c, tds >> 4, tds & 0x0F))
+        c["scanned"] = True
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    reader = _BitReader(b, pos + 2 + seg_len)
+    if not frame["progressive"]:
+        for c, tdc, tac in order:
+            if tdc not in huff_dc or tac not in huff_ac:
+                raise ValueError("JPEG scan references undefined huffman table")
+        _scan_sequential(reader, frame, order, huff_dc, huff_ac, dri)
+    elif ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive JPEG DC scan with Se != 0")
+        if ah == 0:
+            for c, tdc, _tac in order:
+                if tdc not in huff_dc:
+                    raise ValueError("JPEG scan references undefined huffman table")
+            _scan_dc_first(reader, frame, order, huff_dc, al, dri)
+        else:
+            _scan_dc_refine(reader, frame, order, al, dri)
+    else:  # AC scan: non-interleaved by definition (T.81 G.1.1)
+        if ns != 1:
+            raise ValueError("progressive JPEG AC scan must cover one component")
+        if se > 63 or ss > se:
+            raise ValueError("bad progressive JPEG spectral band")
+        c, _tdc, tac = order[0]
+        if tac not in huff_ac:
+            raise ValueError("JPEG scan references undefined huffman table")
+        if ah == 0:
+            _scan_ac_first(reader, c, huff_ac[tac], ss, se, al, dri)
+        else:
+            _scan_ac_refine(reader, c, huff_ac[tac], ss, se, al, dri)
+    return _next_marker(b, reader.pos)
+
+
+def _next_marker(b, p):
+    """Skip remaining entropy bytes (stuffing, fill, stray restarts) to
+    the next real marker's 0xFF."""
+    while p + 1 < len(b):
+        if b[p] != 0xFF:
+            p += 1
+        elif b[p + 1] == 0x00:
+            p += 2
+        elif b[p + 1] == 0xFF:
+            p += 1
+        elif 0xD0 <= b[p + 1] <= 0xD7:
+            p += 2
+        else:
+            return p
+    return len(b)
+
+
+def _walk_units(reader, frame, comps, dri, reset, visit):
+    """Iterate the scan's data units in stream order with restart
+    handling. One component => non-interleaved ceil-grid raster; more
+    => MCU interleave (T.81 A.2)."""
+    n = 0
+    if len(comps) == 1:
+        c = comps[0]
+        for row in range(c["ch_blocks"]):
+            for col in range(c["cw_blocks"]):
+                if dri and n and n % dri == 0:
+                    reader.sync_restart()
+                    reset()
+                n += 1
+                visit(c, row * c["bw"] + col)
+    else:
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if dri and n and n % dri == 0:
+                    reader.sync_restart()
+                    reset()
+                n += 1
                 for c in comps:
-                    c["pred"] = 0
-            n_mcu += 1
-            for c in comps:
-                tdc, tac = scan_sel[c["id"]]
-                dct, act = huff_dc[tdc], huff_ac[tac]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        ssss = reader.decode_symbol(dct)
-                        diff = _extend(reader.read_bits(ssss), ssss)
-                        c["pred"] += diff
-                        zz[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflows block")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.int64)
-                        blk[ZIGZAG] = zz
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        c["coef"][row * c["bw"] + col] = blk.reshape(8, 8)
-    # dequantize + IDCT + assemble planes
-    planes = []
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            visit(
+                                c,
+                                (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx,
+                            )
+
+
+def _scan_sequential(reader, frame, order, huff_dc, huff_ac, dri):
+    tables = {c["id"]: (huff_dc[tdc], huff_ac[tac]) for c, tdc, tac in order}
+    comps = [c for c, _, _ in order]
     for c in comps:
+        c["pred"] = 0
+
+    def reset():
+        for c in comps:
+            c["pred"] = 0
+
+    def visit(c, idx):
+        dct, act = tables[c["id"]]
+        row = c["czz"][idx]
+        ssss = reader.decode_symbol(dct)
+        c["pred"] += _extend(reader.read_bits(ssss), ssss)
+        row[0] = c["pred"]
+        k = 1
+        while k < 64:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run overflows block")
+            row[k] = _extend(reader.read_bits(s), s)
+            k += 1
+
+    _walk_units(reader, frame, comps, dri, reset, visit)
+
+
+def _scan_dc_first(reader, frame, order, huff_dc, al, dri):
+    tables = {c["id"]: huff_dc[tdc] for c, tdc, _ in order}
+    comps = [c for c, _, _ in order]
+    for c in comps:
+        c["pred"] = 0
+
+    def reset():
+        for c in comps:
+            c["pred"] = 0
+
+    def visit(c, idx):
+        ssss = reader.decode_symbol(tables[c["id"]])
+        c["pred"] += _extend(reader.read_bits(ssss), ssss)
+        c["czz"][idx, 0] = c["pred"] << al
+
+    _walk_units(reader, frame, comps, dri, reset, visit)
+
+
+def _scan_dc_refine(reader, frame, order, al, dri):
+    comps = [c for c, _, _ in order]
+    bit = np.int32(1 << al)
+
+    def visit(c, idx):
+        if reader.read_bit():
+            c["czz"][idx, 0] |= bit
+
+    _walk_units(reader, frame, comps, dri, lambda: None, visit)
+
+
+def _scan_ac_first(reader, c, act, ss, se, al, dri):
+    state = {"eobrun": 0}
+
+    def reset():
+        state["eobrun"] = 0
+
+    def visit(c, idx):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        row = c["czz"][idx]
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eob = 1 << r
+                if r:
+                    eob += reader.read_bits(r)
+                state["eobrun"] = eob - 1  # current block ends here
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflows band")
+            row[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    _walk_units(reader, {"mcuy": 0, "mcux": 0}, [c], dri, reset, visit)
+
+
+def _scan_ac_refine(reader, c, act, ss, se, al, dri):
+    """T.81 G.2 successive-approximation AC refinement: correction bits
+    for already-nonzero coefficients are interleaved with the newly
+    significant ones, including through EOB runs."""
+    p1, m1 = 1 << al, -1 << al
+    state = {"eobrun": 0}
+
+    def reset():
+        state["eobrun"] = 0
+
+    def correct(row, k):
+        v = int(row[k])
+        if reader.read_bit() and (v & p1) == 0:
+            row[k] = v + (p1 if v >= 0 else m1)
+
+    def visit(c, idx):
+        row = c["czz"][idx]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode_symbol(act)
+                r, s = rs >> 4, rs & 0x0F
+                if s:
+                    if s != 1:
+                        raise ValueError("invalid JPEG AC refinement symbol")
+                    s = p1 if reader.read_bit() else m1
+                elif r != 15:
+                    eob = 1 << r
+                    if r:
+                        eob += reader.read_bits(r)
+                    state["eobrun"] = eob
+                    break  # tail of this block handled below
+                # s == 0 here means ZRL: skip 16 zero-history positions
+                while k <= se:
+                    if row[k] != 0:
+                        correct(row, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    row[k] = s
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if row[k] != 0:
+                    correct(row, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    _walk_units(reader, {"mcuy": 0, "mcux": 0}, [c], dri, reset, visit)
+
+
+def _assemble(frame, qtables):
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    coefficient grids."""
+    w, h = frame["w"], frame["h"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    planes = []
+    for c in frame["comps"]:
+        if c["tq"] not in qtables:
+            raise ValueError("JPEG component references undefined quant table")
         q = qtables[c["tq"]]
-        pix = _idct2(c["coef"] * q) + 128.0
+        blk = np.zeros_like(c["czz"], dtype=np.int64)
+        blk[:, ZIGZAG] = c["czz"]
+        pix = _idct2(blk.reshape(-1, 8, 8) * q) + 128.0
         grid = (
             pix.reshape(c["bh"], c["bw"], 8, 8)
             .transpose(0, 2, 1, 3)
@@ -445,9 +715,10 @@ def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255)
 
 
-def encode_baseline_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JPEG
-    (4:4:4, Annex K tables scaled by ``quality``). Fixture-grade."""
+def _quantize_image(img: np.ndarray, quality: int):
+    """Shared encoder front half: color-convert, pad, DCT, quantize at
+    4:4:4. Returns (gray, h, w, bw, bh, czz_list, qy, qc) where each
+    czz is (bw*bh, 64) int64 quantized coefficients in ZIGZAG order."""
     img = np.asarray(img)
     gray = img.ndim == 2 or img.shape[2] == 1
     if img.ndim == 3 and img.shape[2] == 1:
@@ -464,8 +735,32 @@ def encode_baseline_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [(y, qy), (cb, qc), (cr, qc)]
-
     bw, bh = (w + 7) // 8, (h + 7) // 8
+    czz_list = []
+    for plane, q in planes:
+        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        quant = np.round(_dct2(blocks - 128.0) / q).astype(np.int64)
+        czz_list.append(quant.reshape(-1, 64)[:, ZIGZAG])
+    return gray, h, w, bw, bh, czz_list, qy, qc
+
+
+def _emit_magnitude(writer, v, table):
+    n = 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+    if n not in table:
+        raise ValueError(f"magnitude {n} not in huffman table")
+    length, code = table[n]
+    writer.write(code, length)
+    if n:
+        writer.write(v if v >= 0 else v + (1 << n) - 1, n)
+
+
+def encode_baseline_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JPEG
+    (4:4:4, Annex K tables scaled by ``quality``). Fixture-grade."""
+    gray, h, w, bw, bh, czz_list, qy, qc = _quantize_image(img, quality)
     enc_dc = [
         _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
         _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
@@ -476,34 +771,14 @@ def encode_baseline_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     ]
 
     writer = _BitWriter()
-    preds = [0] * len(planes)
-    quant_blocks = []
-    for plane, q in planes:
-        padded = np.pad(
-            plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
-        )
-        blocks = (
-            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        )
-        coefs = _dct2(blocks - 128.0)
-        quant_blocks.append(np.round(coefs / q).astype(np.int64))
-
-    def emit_magnitude(writer, v, table):
-        n = 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
-        length, code = table[n] if n in table else (None, None)
-        if length is None:
-            raise ValueError(f"magnitude {n} not in huffman table")
-        writer.write(code, length)
-        if n:
-            writer.write(v if v >= 0 else v + (1 << n) - 1, n)
-
+    preds = [0] * len(czz_list)
     for bi in range(bh * bw):
-        for ci, blocks in enumerate(quant_blocks):
+        for ci, czz in enumerate(czz_list):
             tsel = 0 if ci == 0 else 1
-            blk = blocks[bi].reshape(64)[ZIGZAG]
+            blk = czz[bi]
             diff = int(blk[0]) - preds[ci]
             preds[ci] = int(blk[0])
-            emit_magnitude(writer, diff, enc_dc[tsel])
+            _emit_magnitude(writer, diff, enc_dc[tsel])
             run = 0
             last_nz = 0
             for k in range(1, 64):
@@ -560,3 +835,258 @@ def encode_baseline_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     out += bytes(writer.out)
     out += b"\xff\xd9"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (test-fixture grade: grayscale or RGB 4:4:4).
+#
+# Scan script (libjpeg-style successive approximation):
+#   1. DC first, all components interleaved, Al=1
+#   2. per component: AC first Ss=1..5,  Al=1   (spectral selection)
+#   3. per component: AC first Ss=6..63, Al=1
+#   4. DC refinement, interleaved, Ah=1 -> Al=0
+#   5. per component: AC refinement Ss=1..63, Ah=1 -> Al=0
+# A complete script reconstructs the exact quantized coefficients, so
+# decode(progressive) must bit-equal decode(baseline) for the same
+# image/quality — the conformance test's backbone.
+#
+# The Annex K AC tables carry no EOBn (n>0) symbols, so the progressive
+# scans use simple custom tables that do: 12 DC categories at 4 bits,
+# and all 176 AC symbols a progressive scan can emit (EOB0..EOB14, ZRL,
+# (run, size) for run 0..15 x size 1..10) at 8 bits each — canonical,
+# Kraft-incomplete (176/256), decodable by any T.81 decoder.
+
+PROG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_DC_VALS = list(range(12))
+PROG_AC_VALS = sorted(
+    [r << 4 for r in range(15)]          # EOBn
+    + [0xF0]                             # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _ProgressiveScanWriter:
+    """Bit writer for one scan with restart-marker support: the caller
+    declares unit boundaries; every `dri` units the stream is flushed,
+    byte-aligned, and an RSTn emitted."""
+
+    def __init__(self, dri: int):
+        self.dri = dri
+        self.w = _BitWriter()
+        self.chunks: list[bytes] = []
+        self.units = 0
+        self.rst = 0
+        self.on_restart = None  # callback: flush encoder state (EOB runs)
+
+    def unit(self) -> bool:
+        """Mark the start of a data unit; returns True if a restart was
+        emitted (caller must reset DC predictors)."""
+        restarted = False
+        if self.dri and self.units and self.units % self.dri == 0:
+            if self.on_restart is not None:
+                self.on_restart()
+            self.w.flush()
+            self.chunks.append(bytes(self.w.out))
+            self.w = _BitWriter()
+            self.chunks.append(bytes([0xFF, 0xD0 + self.rst % 8]))
+            self.rst += 1
+            restarted = True
+        self.units += 1
+        return restarted
+
+    def done(self) -> bytes:
+        if self.on_restart is not None:
+            self.on_restart()
+        self.w.flush()
+        self.chunks.append(bytes(self.w.out))
+        return b"".join(self.chunks)
+
+
+def _emit_prog_dc_first(czz_list, al, dri, enc_dc):
+    sw = _ProgressiveScanWriter(dri)
+    preds = [0] * len(czz_list)
+    for bi in range(len(czz_list[0])):
+        if sw.unit():
+            preds = [0] * len(czz_list)
+        for ci, czz in enumerate(czz_list):
+            v = int(czz[bi][0]) >> al  # arithmetic shift per G.1.2.1
+            _emit_magnitude(sw.w, v - preds[ci], enc_dc)
+            preds[ci] = v
+    return sw.done()
+
+
+def _emit_prog_dc_refine(czz_list, al, dri):
+    sw = _ProgressiveScanWriter(dri)
+    for bi in range(len(czz_list[0])):
+        sw.unit()
+        for czz in czz_list:
+            sw.w.write((int(czz[bi][0]) >> al) & 1, 1)
+    return sw.done()
+
+
+def _emit_prog_ac_first(czz, ss, se, al, dri, enc_ac):
+    sw = _ProgressiveScanWriter(dri)
+    state = {"eobrun": 0}
+
+    def flush_eob():
+        if state["eobrun"]:
+            nb = state["eobrun"].bit_length() - 1
+            length, code = enc_ac[nb << 4]
+            sw.w.write(code, length)
+            if nb:
+                sw.w.write(state["eobrun"] - (1 << nb), nb)
+            state["eobrun"] = 0
+
+    sw.on_restart = flush_eob
+    for bi in range(len(czz)):
+        sw.unit()
+        row = czz[bi]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(row[k])
+            v = (abs(v) >> al) * (1 if v >= 0 else -1)  # magnitude shift
+            if v == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                length, code = enc_ac[0xF0]
+                sw.w.write(code, length)
+                r -= 16
+            n = abs(v).bit_length()
+            length, code = enc_ac[(r << 4) | n]
+            sw.w.write(code, length)
+            sw.w.write(v if v >= 0 else v + (1 << n) - 1, n)
+            r = 0
+        if r > 0:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                flush_eob()
+    return sw.done()
+
+
+def _emit_prog_ac_refine(czz, ss, se, al, dri, enc_ac):
+    """T.81 G.1.2.3: correction bits for already-nonzero coefficients
+    ride along with ZRL/newly-significant symbols and EOB runs."""
+    sw = _ProgressiveScanWriter(dri)
+    state = {"eobrun": 0, "pending": []}  # pending = cross-block correction bits
+
+    def flush_eob():
+        if state["eobrun"]:
+            nb = state["eobrun"].bit_length() - 1
+            length, code = enc_ac[nb << 4]
+            sw.w.write(code, length)
+            if nb:
+                sw.w.write(state["eobrun"] - (1 << nb), nb)
+            state["eobrun"] = 0
+        for bit in state["pending"]:
+            sw.w.write(bit, 1)
+        state["pending"] = []
+
+    sw.on_restart = flush_eob
+    for bi in range(len(czz)):
+        sw.unit()
+        row = czz[bi]
+        absv = [abs(int(row[k])) >> al for k in range(64)]
+        eob = ss - 1  # position of last newly-significant coefficient
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        br: list[int] = []  # correction bits awaiting the next symbol
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                length, code = enc_ac[0xF0]
+                sw.w.write(code, length)
+                r -= 16
+                for bit in br:
+                    sw.w.write(bit, 1)
+                br = []
+            if t > 1:  # previously nonzero: correction bit only
+                br.append(t & 1)
+                continue
+            flush_eob()
+            length, code = enc_ac[(r << 4) | 1]
+            sw.w.write(code, length)
+            sw.w.write(1 if int(row[k]) >= 0 else 0, 1)
+            for bit in br:
+                sw.w.write(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            state["eobrun"] += 1
+            state["pending"].extend(br)
+            if state["eobrun"] == 0x7FFF or len(state["pending"]) > 900:
+                flush_eob()
+    return sw.done()
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    refine: bool = True,
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to a progressive
+    (SOF2) JPEG with the successive-approximation scan script above.
+    Fixture-grade (4:4:4). ``refine=False`` drops the two refinement
+    scans, leaving a coarser Al=1 image — a legal truncated script that
+    any progressive decoder must still render."""
+    gray, h, w, bw, bh, czz_list, qy, qc = _quantize_image(img, quality)
+    ncomp = 1 if gray else 3
+    enc_dc = _build_encode_table(PROG_DC_BITS, PROG_DC_VALS)
+    enc_ac = _build_encode_table(PROG_AC_BITS, PROG_AC_VALS)
+    dri = restart_interval
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid, q):
+        return seg(0xDB, bytes([tid]) + q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes())
+
+    out = b"\xff\xd8"
+    out += dqt(0, qy)
+    if not gray:
+        out += dqt(1, qc)
+    sof_comps = b"".join(
+        bytes([ci + 1, 0x11, 0 if ci == 0 else 1]) for ci in range(ncomp)
+    )
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + sof_comps)
+    out += seg(0xC4, bytes([0x00] + PROG_DC_BITS + PROG_DC_VALS))
+    out += seg(0xC4, bytes([0x10] + PROG_AC_BITS + PROG_AC_VALS))
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
+
+    def sos(comp_ids, ss, se, ah, al, data):
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, hdr) + data
+
+    all_ids = list(range(1, ncomp + 1))
+    # 1. DC first (interleaved), Al=1
+    out += sos(all_ids, 0, 0, 0, 1, _emit_prog_dc_first(czz_list, 1, dri, enc_dc))
+    # 2./3. AC first per component, split spectral bands, Al=1
+    for ci, czz in enumerate(czz_list):
+        out += sos([ci + 1], 1, 5, 0, 1, _emit_prog_ac_first(czz, 1, 5, 1, dri, enc_ac))
+    for ci, czz in enumerate(czz_list):
+        out += sos(
+            [ci + 1], 6, 63, 0, 1, _emit_prog_ac_first(czz, 6, 63, 1, dri, enc_ac)
+        )
+    if refine:
+        # 4. DC refinement (interleaved), Ah=1 -> Al=0
+        out += sos(all_ids, 0, 0, 1, 0, _emit_prog_dc_refine(czz_list, 0, dri))
+        # 5. AC refinement per component, full band, Ah=1 -> Al=0
+        for ci, czz in enumerate(czz_list):
+            out += sos(
+                [ci + 1], 1, 63, 1, 0,
+                _emit_prog_ac_refine(czz, 1, 63, 0, dri, enc_ac),
+            )
+    return out + b"\xff\xd9"

@@ -416,9 +416,10 @@ def _decode_pixels_array(b: bytes):
     (NOTES.md), and the decoded bytes are bit-identical for the PNGs
     both paths accept (lossless format — pinned by
     `test_media_and_retrieval.py::test_pil_and_stdlib_png_decode_agree`).
-    Without PIL, PNGs take the dependency-free stdlib path, baseline
-    JPEGs take the pure-Python `operators.jpeg` decoder, and anything
-    else raises ValueError (callers null the row)."""
+    Without PIL, PNGs take the dependency-free stdlib path, JPEGs
+    (baseline SOF0/1 and progressive SOF2) take the pure-Python
+    `operators.jpeg` decoder, and anything else raises ValueError
+    (callers null the row)."""
     import numpy as np
 
     decoded = _pil_decode(b)
@@ -430,11 +431,11 @@ def _decode_pixels_array(b: bytes):
         return w, h, ch, np.asarray(px, dtype=np.uint8).reshape(h, w, ch)
     if b[:2] == b"\xff\xd8":
         from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
-            decode_baseline_jpeg,
+            decode_jpeg,
         )
 
         try:
-            return decode_baseline_jpeg(b)
+            return decode_jpeg(b)
         except (struct.error, IndexError) as ex:
             raise ValueError(f"malformed JPEG payload: {ex}") from ex
     raise ValueError("unsupported image format without PIL")
