@@ -428,3 +428,68 @@ def test_bpe_train_and_tokenize(spark):
     n_all = {r["doc_id"]: r["n_bpe_tokens"]
              for r in bpe_tokenize(df, "doc_id", "text", merges).collect()}
     assert all(n_all[d] <= n_few[d] for d in n_all)
+
+
+def test_train_hashed_classifier_learns_and_matches_numpy(spark):
+    """Distributed full-batch logistic regression over hashed n-gram
+    features: (a) separable two-vocabulary corpus trains to >=95%
+    accuracy through apply_hashed_classifier; (b) weights and bias
+    match an independent numpy reference running the IDENTICAL
+    iteration schedule on the collected sparse features (the Spark
+    path adds only float summation-order noise)."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        apply_hashed_classifier,
+        hashed_ngram_features,
+        train_hashed_classifier,
+    )
+
+    good_words = ["clean", "prose", "coherent", "cited", "edited", "fluent"]
+    bad_words = ["zzspam", "qqclick", "xxwin", "vvfree", "kkcasino", "jjpill"]
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(60):
+        vocab = good_words if i % 2 == 0 else bad_words
+        words = [vocab[j] for j in rng.integers(0, len(vocab), 12)]
+        rows.append((i, " ".join(words), i % 2 == 0))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+    nb, it, lr = 512, 25, 2.0
+    wdf, bias = train_hashed_classifier(
+        df, "doc_id", "text", "label",
+        num_buckets=nb, iterations=it, learning_rate=lr,
+    )
+
+    scored = apply_hashed_classifier(
+        df, "doc_id", "text", wdf, bias=bias, num_buckets=nb
+    )
+    got = {r["doc_id"]: r["clf_score"] for r in scored.collect()}
+    acc = sum(1 for i, _, y in rows if (got[i] >= 0.5) == y) / len(rows)
+    assert acc >= 0.95, f"train accuracy {acc}"
+
+    # numpy reference on the same sparse features, same schedule
+    feats = hashed_ngram_features(df, "doc_id", "text", num_buckets=nb).collect()
+    X = np.zeros((len(rows), nb))
+    for r in feats:
+        X[r["doc_id"], r["bucket"]] = r["tf"]
+    y = np.array([1.0 if i % 2 == 0 else 0.0 for i in range(len(rows))])
+    w_ref = np.zeros(nb)
+    b_ref = 0.0
+    for _ in range(it):
+        p = 1.0 / (1.0 + np.exp(-(X @ w_ref + b_ref)))
+        e = p - y
+        w_ref -= lr * (X.T @ e) / len(rows)
+        b_ref -= lr * e.sum() / len(rows)
+    w_got = np.zeros(nb)
+    for r in wdf.collect():
+        w_got[r["bucket"]] = r["weight"]
+    assert np.allclose(w_got, w_ref, atol=1e-8), np.abs(w_got - w_ref).max()
+    assert abs(bias - b_ref) < 1e-8
+
+    # docs with no n-grams score sigmoid(bias)
+    empty = spark.createDataFrame([(999, "")], ["doc_id", "text"])
+    s = apply_hashed_classifier(
+        empty, "doc_id", "text", wdf, bias=bias, num_buckets=nb
+    ).collect()[0]["clf_score"]
+    assert s == round(1.0 / (1.0 + np.exp(-bias)), 6)

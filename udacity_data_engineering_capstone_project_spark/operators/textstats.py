@@ -487,6 +487,164 @@ def hashed_classifier_score(
     )
 
 
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 4096,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Sparse hashed-n-gram featurization: (id, bucket, tf) rows, the
+    shared front half of classifier training and trained-model scoring.
+    Same portable md5-prefix bucket hash as `hashed_classifier_score`,
+    term frequency at multiplicity (fastText-style).
+
+    One explode + one partial-aggregated shuffle on (id, bucket)."""
+    grams = _ensure_parallelism(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.explode(word_ngrams(_word_array(text_col), ngram_n)).alias("__g"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    )
+    return (
+        grams.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+
+
+def train_hashed_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    num_buckets: int = 4096,
+    ngram_n: int = 2,
+    iterations: int = 30,
+    learning_rate: float = 1.0,
+    l2: float = 0.0,
+):
+    """Train the quality-classifier half that `hashed_classifier_score`
+    only applies: full-batch logistic regression over hashed word
+    n-gram counts, distributed the way BPE training is — corpus-sized
+    work stays in executors, driver traffic per round is MODEL-sized.
+
+    Per iteration (one Spark action):
+      1. broadcast the current weight table (num_buckets rows) into a
+         join with the checkpointed sparse features,
+      2. per-doc logit -> sigmoid -> residual (p - y), all codegen,
+      3. one partial-aggregated shuffle reduces per-bucket gradient
+         sums; the bias gradient rides along as bucket -1,
+      4. collect num_buckets+1 gradient rows, update weights driver-side.
+
+    At 100 TB the pattern holds: features are computed once and
+    persisted, each round is one broadcast join + one bucket-keyed
+    aggregation, and nothing corpus-sized ever reaches the driver.
+    Deterministic up to float summation order (fixed iteration count,
+    full-batch, no RNG — there is no sampling anywhere).
+
+    Returns (weights DataFrame (bucket long, weight double), bias
+    float). Feed both to `apply_hashed_classifier`.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    feats = hashed_ngram_features(
+        df, id_col, text_col, num_buckets=num_buckets, ngram_n=ngram_n
+    ).localCheckpoint(eager=True)
+    labels = (
+        df.select(F.col(id_col), F.col(label_col).cast("double").alias("__y"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = labels.count()
+    if n_docs == 0:
+        raise ValueError("train_hashed_classifier: empty training set")
+    w = np.zeros(num_buckets, dtype=np.float64)
+    bias = 0.0
+    for _ in range(iterations):
+        wdf = spark.createDataFrame(
+            [(int(i), float(w[i])) for i in range(num_buckets)],
+            "bucket long, weight double",
+        )
+        dots = (
+            feats.join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("tf") * F.col("weight")).alias("__dot"))
+        )
+        resid = labels.join(dots, on=id_col, how="left").select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.lit(bias) + F.coalesce(F.col("__dot"), F.lit(0.0))))
+                )
+                - F.col("__y")
+            ).alias("__e"),
+        )
+        contrib = feats.join(resid, on=id_col).select(
+            F.col("bucket"), (F.col("tf") * F.col("__e")).alias("__c")
+        ).unionByName(
+            resid.select(F.lit(-1).alias("bucket"), F.col("__e").alias("__c"))
+        )
+        grads = contrib.groupBy("bucket").agg(F.sum("__c").alias("g")).collect()
+        g = np.zeros(num_buckets, dtype=np.float64)
+        bias_g = 0.0
+        for row in grads:
+            if row["bucket"] == -1:
+                bias_g = row["g"]
+            else:
+                g[row["bucket"]] = row["g"]
+        w -= learning_rate * (g / n_docs + l2 * w)
+        bias -= learning_rate * bias_g / n_docs
+    weights_df = spark.createDataFrame(
+        [(int(i), float(w[i])) for i in range(num_buckets)],
+        "bucket long, weight double",
+    )
+    return weights_df, float(bias)
+
+
+def apply_hashed_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    bias: float = 0.0,
+    num_buckets: int = 4096,
+    ngram_n: int = 2,
+    score_col: str = "clf_score",
+) -> DataFrame:
+    """Score documents with a TRAINED weight table (the
+    `train_hashed_classifier` output): sigmoid(bias + sum tf·w). The
+    weight table is model-sized (num_buckets rows), so the join is a
+    broadcast; the per-doc reduction is one partial-aggregated shuffle
+    on the id — the same shape `hashed_classifier_score` pins, with the
+    surrogate weight expression swapped for the real table.
+
+    num_buckets/ngram_n must match training (same feature space).
+    Output: (id, <score_col> r6); docs with no n-grams score
+    sigmoid(bias)."""
+    feats = hashed_ngram_features(
+        df, id_col, text_col, num_buckets=num_buckets, ngram_n=ngram_n
+    )
+    dots = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("weight")).alias("__dot"))
+    )
+    logit = F.lit(bias) + F.coalesce(F.col("__dot"), F.lit(0.0))
+    return (
+        df.select(id_col)
+        .join(dots, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(score_col),
+        )
+    )
+
+
 def train_bpe_merges(
     df: DataFrame,
     text_col: str,
