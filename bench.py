@@ -98,7 +98,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
-            if prev is not None and dt <= prev * 1.3:
+            # steady = two consecutive runs within 1.3x of EACH OTHER:
+            # a run much faster than its predecessor (JIT still landing)
+            # must not end the warm-up either
+            if prev is not None and dt <= prev * 1.3 and prev <= dt * 1.3:
                 break
             prev = dt
         best, rows = None, 0

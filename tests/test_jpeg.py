@@ -423,3 +423,19 @@ def test_progressive_corruption_totality():
             decode_jpeg(bytes(pb[:cut]))
         except ValueError:
             pass
+
+
+def test_hostile_successive_approximation_params_raise():
+    """Al=15 in a progressive DC scan would shift DC values past int32
+    coefficient storage (numpy 2.x raises OverflowError on assignment —
+    outside the ValueError totality contract); T.81 caps Ah/Al at 13,
+    so the decoder must reject it up front."""
+    decode_jpeg, encode_progressive_jpeg = _prog_imports()
+    pb = bytearray(encode_progressive_jpeg(np.full((8, 8), 99, np.uint8)))
+    # find the first SOS (DC scan) and corrupt its AhAl byte to 0x0F
+    i = pb.index(bytes([0xFF, 0xDA]))
+    seg_len = (pb[i + 2] << 8) | pb[i + 3]
+    ahal_pos = i + 2 + seg_len - 1
+    pb[ahal_pos] = 0x0F  # Ah=0, Al=15
+    with pytest.raises(ValueError, match="successive-approximation"):
+        decode_jpeg(bytes(pb))

@@ -171,3 +171,17 @@ def test_pil_and_stdlib_png_decode_agree():
         pw, ph, pch, praw = _pil_decode(png)
         assert (pw, ph, pch) == (4, 5, 3)
         assert np.frombuffer(praw, dtype=np.uint8).reshape(5, 4, 3).tolist() == ref.tolist()
+
+    # RGBA parity: both paths must keep 4 channels (PIL must NOT
+    # collapse alpha to RGB — dhash/near-dup output would then depend
+    # on whether PIL is installed)
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    png4 = encode_png(4, 3, rgba.tobytes(), channels=4)
+    w4, h4, ch4, arr4 = _decode_pixels_array(png4)
+    assert (w4, h4, ch4) == (4, 3, 4)
+    assert np.array_equal(arr4, rgba)
+    pil4 = _pil_decode(png4)
+    if pil4 is not None:
+        pw, ph, pch, praw = pil4
+        assert (pw, ph, pch) == (4, 3, 4)
+        assert np.frombuffer(praw, dtype=np.uint8).reshape(3, 4, 4).tolist() == rgba.tolist()

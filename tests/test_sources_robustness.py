@@ -364,3 +364,59 @@ def test_numeric_drift_auto_switches_to_sketch_at_scale(spark, monkeypatch):
     # approx_percentile, never the exact value-buffering percentile
     plan = q.drift_bin_edges(base, "v", 10, True)._jdf.queryExecution().optimizedPlan().toString()
     assert "approx_percentile" in plan and "percentile(" not in plan.replace("approx_percentile(", "")
+
+
+def test_dimension_versions_commit_without_committer_markers(spark, tmp_path):
+    """Clusters that disable mapreduce.fileoutputcommitter
+    .marksuccessfuljobs (object-store committer configs) write no
+    _SUCCESS — merge_stream_into_dimension must create the marker
+    itself, or every version is invisible and each merge silently
+    truncates the dimension to the current batch's keys."""
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        merge_stream_into_dimension,
+        read_dimension,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k LONG, attr STRING, seq LONG"
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    old = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+
+        def drop(name, rows):
+            pq.write_table(
+                pa.table(
+                    {
+                        "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                        "attr": [r[1] for r in rows],
+                        "seq": pa.array([r[2] for r in rows], type=pa.int64()),
+                    }
+                ),
+                str(landing / name),
+            )
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(str(landing))
+            return merge_stream_into_dimension(spark, stream, dim, ckpt, ["k"], "seq")
+
+        drop("d1.parquet", [(1, "a0", 1), (2, "b0", 1)])
+        assert run() == 1
+        drop("d2.parquet", [(3, "c0", 2)])
+        assert run() == 1
+        # committer wrote no markers; the operator's own must make BOTH
+        # versions visible and the merge must carry keys 1 and 2 forward
+        snap = {r["k"]: r["attr"] for r in read_dimension(spark, dim).collect()}
+        assert snap == {1: "a0", 2: "b0", 3: "c0"}
+    finally:
+        if old is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, old)

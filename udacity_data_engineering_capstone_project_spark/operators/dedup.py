@@ -139,10 +139,16 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int = 16,
     rows_per_band: int = 4,
+    distinct: bool = True,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band, band_hash) to produce
-    candidate pairs — the O(n^2) -> O(n) step. Returns distinct
-    (id_a < id_b) pairs with their signatures for verification.
+    candidate pairs — the O(n^2) -> O(n) step. Returns (id_a < id_b)
+    pairs with their signatures for verification; ``distinct=True``
+    dedups the multi-band collisions BEFORE the signature re-attach
+    (right when verification dominates), ``distinct=False`` leaves the
+    banded copies for the caller to dedup AFTER its own cheap filter —
+    `minhash_dedup_pairs` does that: est_jaccard is identical for every
+    banded copy, so distinct-late aggregates only the surviving rows.
 
     At cluster scale this is a plain shuffle join on a well-distributed
     key (band hashes are uniform); skew only arises from genuinely
@@ -171,8 +177,9 @@ def lsh_candidate_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if distinct:
+        pair_ids = pair_ids.dropDuplicates(["id_a", "id_b"])
     sa = sig_df.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sig_df.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     return pair_ids.join(sa, "id_a").join(sb, "id_b")
@@ -220,36 +227,17 @@ def minhash_dedup_pairs(
     # session-pinned cache entry survives.
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     sigs = sigs.localCheckpoint(eager=True)
-    buckets = band_buckets(sigs, id_col, bands, rows_per_band)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    # Candidate pairs carry ONLY ids (see lsh_candidate_pairs for the
-    # shuffle-volume rationale). The pair-dedup runs AFTER the
-    # threshold filter: est_jaccard is identical for every banded copy
-    # of a pair, so distinct-late is value-equivalent but aggregates
-    # ~1.6k surviving rows instead of ~650k candidates (the sf0.1
-    # corpus has a high ambient-similarity floor; measured ~0.3 s).
-    pair_ids = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-    )
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    # One implementation of the banded join lives in lsh_candidate_pairs
+    # (id-only candidate shuffle, no signature broadcast). The pair-dedup
+    # runs AFTER the threshold filter (distinct=False): est_jaccard is
+    # identical for every banded copy of a pair, so distinct-late is
+    # value-equivalent but aggregates ~1.6k surviving rows instead of
+    # ~650k candidates (the sf0.1 corpus has a high ambient-similarity
+    # floor; measured ~0.3 s).
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, distinct=False)
     est = estimated_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes)
     return (
-        pair_ids.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("est_jaccard", F.round(est, 6))
+        pairs.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
         .dropDuplicates(["id_a", "id_b"])

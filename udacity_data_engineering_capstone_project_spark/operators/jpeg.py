@@ -246,6 +246,16 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
+def _check_dc(pred: int):
+    """Reject hostile DC-predictor drift before it can overflow int32
+    coefficient storage (legal 8-bit streams stay within ±2047; the
+    bound leaves room for the <<13 max successive-approximation shift).
+    Without this, numpy 2.x raises OverflowError on assignment — an
+    exception type outside the decoder's ValueError totality contract."""
+    if pred < -(1 << 17) or pred > 1 << 17:
+        raise ValueError("JPEG DC predictor out of range")
+
+
 # ---------------------------------------------------------------------------
 # Decoder — sequential (SOF0/1) and progressive (SOF2), multi-scan.
 #
@@ -417,6 +427,10 @@ def _decode_sos(b, pos, seg_len, seg, frame, qtables, huff_dc, huff_ac, dri):
     ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
     ahal = seg[3 + 2 * ns]
     ah, al = ahal >> 4, ahal & 0x0F
+    if frame["progressive"] and (ah > 13 or al > 13):
+        # T.81 caps successive-approximation shifts at 13; a hostile
+        # Al=15 would also push shifted DC values past int32 storage
+        raise ValueError("bad JPEG successive-approximation parameters")
     reader = _BitReader(b, pos + 2 + seg_len)
     if not frame["progressive"]:
         for c, tdc, tac in order:
@@ -510,6 +524,7 @@ def _scan_sequential(reader, frame, order, huff_dc, huff_ac, dri):
         row = c["czz"][idx]
         ssss = reader.decode_symbol(dct)
         c["pred"] += _extend(reader.read_bits(ssss), ssss)
+        _check_dc(c["pred"])
         row[0] = c["pred"]
         k = 1
         while k < 64:
@@ -542,6 +557,7 @@ def _scan_dc_first(reader, frame, order, huff_dc, al, dri):
     def visit(c, idx):
         ssss = reader.decode_symbol(tables[c["id"]])
         c["pred"] += _extend(reader.read_bits(ssss), ssss)
+        _check_dc(c["pred"])
         c["czz"][idx, 0] = c["pred"] << al
 
     _walk_units(reader, frame, comps, dri, reset, visit)

@@ -400,9 +400,17 @@ def _pil_decode(b: bytes):
         img.load()
     except Exception as ex:  # PIL raises format-specific errors
         raise ValueError(f"undecodable image payload: {ex}") from ex
-    if img.mode not in ("RGB", "L"):
-        img = img.convert("RGB")
-    ch = 1 if img.mode == "L" else 3
+    if img.mode not in ("RGB", "L", "RGBA"):
+        # Preserve alpha where the source has it: collapsing RGBA->RGB
+        # would make dhash/pixel output differ between the PIL and
+        # stdlib paths for the same RGBA PNG (the stdlib decoder keeps
+        # 4 channels), so near-dup pairs would depend on whether PIL
+        # happens to be installed.
+        has_alpha = img.mode in ("LA", "PA") or (
+            img.mode == "P" and "transparency" in img.info
+        )
+        img = img.convert("RGBA" if has_alpha else "RGB")
+    ch = {"L": 1, "RGB": 3, "RGBA": 4}[img.mode]
     return img.width, img.height, ch, img.tobytes()
 
 

@@ -332,7 +332,13 @@ def numeric_drift(
             est = est if isinstance(est, int) else int(est.toString())
             approximate = est > APPROX_DRIFT_MIN_BYTES
         except Exception:
-            approximate = True  # unknown size: assume the scale regime
+            # Unknown size: stay EXACT. Genuinely huge inputs are file
+            # scans with working estimates; an unestimable frame is far
+            # more likely a small derived/local relation, and silently
+            # switching edge algorithms on an estimator hiccup would
+            # make results non-deterministic across runs (and break
+            # oracle parity) in the common case.
+            approximate = False
     qs = [i / bins for i in range(1, bins)]
     edges_row = drift_bin_edges(base, col, bins, approximate).collect()[0]
     edges = [edges_row[f"e{i}"] for i in range(len(qs))]

@@ -380,9 +380,29 @@ def add_to_ivf_index(
     existing storage format: a quantized index quantizes the batch."""
     cents = spark.read.parquet(f"{path}/_centroids")
     assigned = assign_cells(new_vectors, cents, id_col, vec_col)
-    if "__q8" in spark.read.parquet(f"{path}/cells").schema.names:
+    if _ivf_cells_quantized(spark, path):
         assigned = quantize_embeddings_int8(assigned, vec_col, "__q8").drop(vec_col)
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def _ivf_cells_quantized(spark, path: str) -> bool:
+    """Detect the index storage format from ONE leaf file's footer.
+    Opening the whole `{path}/cells` dataset just for its schema would
+    build a file index over every partition on each incremental append
+    — a full recursive listing of a corpus-scale index on an object
+    store, exactly the rescan the append path exists to avoid.
+    `listFiles` is a lazy remote iterator, so this touches the first
+    page of one cell directory only."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/cells")
+    fs = root.getFileSystem(conf)
+    files = fs.listFiles(root, True)
+    while files.hasNext():
+        f = files.next().getPath()
+        if f.getName().endswith(".parquet"):
+            return "__q8" in spark.read.parquet(f.toString()).schema.names
+    return False
 
 
 def search_ivf_index(

@@ -468,10 +468,7 @@ def hashed_classifier_score(
         F.col(id_col),
         F.explode(word_ngrams(_word_array(text_col), ngram_n)).alias("__g"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long")
-        % num_buckets
-    )
+    bucket = _ngram_bucket(F.col("__g"), num_buckets)
     weight = (bucket * F.lit(2654435761)) % 2001 - F.lit(1000)
     totals = grams.select(F.col(id_col), weight.alias("__w")).groupBy(id_col).agg(
         F.sum("__w").alias("__t")
@@ -484,6 +481,17 @@ def hashed_classifier_score(
             F.col(id_col),
             F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(score_col),
         )
+    )
+
+
+def _ngram_bucket(gram: Column, num_buckets: int) -> Column:
+    """THE hashed-feature-space definition: first 8 md5 hex digits of
+    the n-gram mod num_buckets — portable SQL (Spark `conv`, DuckDB hex
+    cast). Shared by the surrogate scorer, featurization, training, and
+    trained-model scoring so the feature space cannot drift between
+    them."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % num_buckets
     )
 
 
@@ -504,12 +512,8 @@ def hashed_ngram_features(
         F.col(id_col),
         F.explode(word_ngrams(_word_array(text_col), ngram_n)).alias("__g"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long")
-        % num_buckets
-    )
     return (
-        grams.select(F.col(id_col), bucket.alias("bucket"))
+        grams.select(F.col(id_col), _ngram_bucket(F.col("__g"), num_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )

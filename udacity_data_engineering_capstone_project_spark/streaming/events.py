@@ -349,7 +349,20 @@ def merge_stream_into_dimension(
         else:
             current = spark.read.parquet(f"{dim_path}/v={prev}")
         merged = merge_upsert(current, batch_df, key_cols, order_col)
-        merged.write.mode("overwrite").parquet(f"{dim_path}/v={batch_id}")
+        vdir = f"{dim_path}/v={batch_id}"
+        merged.write.mode("overwrite").parquet(vdir)
+        # Commit marker written by US, not the committer: clusters that
+        # disable mapreduce.fileoutputcommitter.marksuccessfuljobs
+        # (common with object-store committers) would otherwise leave
+        # every version invisible to _latest_dimension_version — and a
+        # merge against a silently-empty current side would truncate
+        # the dimension to this batch's keys.
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(vdir + "/_SUCCESS")
+        fs = marker.getFileSystem(conf)
+        if not fs.exists(marker):
+            fs.create(marker, True).close()
         counter["batches"] += 1
 
     q = (
