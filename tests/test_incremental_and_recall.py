@@ -310,3 +310,85 @@ def test_semantic_dedup_within_cluster(spark):
         ).collect()
     }
     assert again == {k: v["dup_of"] for k, v in out.items()}
+
+
+def test_stream_dedup_against_index_grows_state(spark, tmp_path):
+    """Streaming incremental dedup: batch 1's NOVEL rows must be part
+    of the index batch 2 screens against; verdicts are written per
+    batch; within-batch identical rows admit once; replay-shaped
+    re-runs with no new files process nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        stream_dedup_against_index,
+        write_dedup_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors chart a course across the winter sea toward harbors "
+        "that only appear on maps drawn by cartographers long dead"
+    )
+    novel_a = (
+        "entirely different material about distributed query engines "
+        "partitioning shuffle exchanges and the adaptive planner that "
+        "rewrites joins at runtime when statistics arrive late again"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base.replace("winter", "summer") + " extra tail"),
+         (3, "third seed document with its own words forever unique")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    write_dedup_index(corpus, idx, "doc_id", "text")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": [r[1] for r in rows],
+                }
+            ),
+            str(landing / name),
+        )
+
+    def run():
+        stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(
+            str(landing)
+        )
+        return stream_dedup_against_index(
+            spark, stream, idx, out, ckpt, "doc_id", "text"
+        )
+
+    near_base = base.replace("sailors", "pirates")
+    drop("d1.parquet", [(100, base), (101, near_base), (102, novel_a), (103, novel_a)])
+    assert run() == 1
+    v1 = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert v1[100]["is_exact_dup"] and v1[100]["dup_of"] == 1
+    assert not v1[101]["is_exact_dup"] and v1[101]["dup_of"] == 1
+    assert v1[101]["est_jaccard"] >= 0.8
+    assert v1[102]["dup_of"] is None and v1[103]["dup_of"] is None
+
+    # batch 2: exact and near copies of batch 1's novel text must hit
+    # the index entry admitted in batch 1 (102, not its twin 103)
+    drop("d2.parquet", [(200, novel_a), (201, novel_a.replace("late", "soon"))])
+    assert run() == 1
+    v2 = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert v2[200]["is_exact_dup"] and v2[200]["dup_of"] == 102
+    assert not v2[201]["is_exact_dup"] and v2[201]["dup_of"] == 102
+    assert v2[201]["est_jaccard"] >= 0.8
+
+    # the within-batch twin 103 must NOT be in the index (admit-once)
+    fps = spark.read.parquet(f"{idx}/fingerprints")
+    admitted = {r["doc_id"] for r in fps.collect()}
+    assert 102 in admitted and 103 not in admitted and 200 not in admitted
+
+    # no new files -> nothing processed
+    assert run() == 0

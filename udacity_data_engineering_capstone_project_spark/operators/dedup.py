@@ -550,11 +550,13 @@ def write_dedup_index(
     you LSH 100 TB once, then each daily drop joins against the stored
     index instead of re-hashing everything.
 
-    Layout under `path`:
-      fingerprints/  (id, fingerprint)            — exact-dup lookups
-      signatures/    (id, signature)              — jaccard verification
-      buckets/       (id, band, bucket)           — LSH candidate joins
-      _meta/         (num_hashes, shingle_k, bands) — 1-row parquet
+    Layout under `path` (each state dir is batch-partitioned so
+    incremental appends are replay-idempotent — the base build is
+    ``batch=-1``, `append_to_dedup_index` owns ``batch=<id>``):
+      fingerprints/batch=*/  (id, fingerprint)      — exact-dup lookups
+      signatures/batch=*/    (id, signature)        — jaccard verification
+      buckets/batch=*/       (id, band, bucket)     — LSH candidate joins
+      _meta/                 (num_hashes, shingle_k, bands) — 1-row parquet
 
     All three are plain parquet: the bucket join key (band, bucket) is
     uniform, so downstream equi-joins shuffle evenly; no driver-side
@@ -569,13 +571,69 @@ def write_dedup_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
     df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
-    ).write.mode("overwrite").parquet(f"{path}/fingerprints")
+    ).write.mode("overwrite").parquet(f"{path}/fingerprints/batch=-1")
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
     try:
-        sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+        sigs.write.mode("overwrite").parquet(f"{path}/signatures/batch=-1")
         band_buckets(sigs, id_col, bands, rows_per_band).write.mode(
             "overwrite"
-        ).parquet(f"{path}/buckets")
+        ).parquet(f"{path}/buckets/batch=-1")
+    finally:
+        sigs.unpersist()
+
+
+def _read_dedup_index_meta(spark, path: str):
+    """(num_hashes, shingle_k, bands) from the index's _meta row, or
+    None for pre-_meta layouts. IO failures propagate (a transient
+    error must not silently disable validation)."""
+    jvm = spark.sparkContext._jvm
+    meta_path = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
+    fs = meta_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(meta_path):
+        return None
+    meta = spark.read.parquet(f"{path}/_meta").collect()
+    if not meta:
+        return None
+    return (meta[0]["num_hashes"], meta[0]["shingle_k"], meta[0]["bands"])
+
+
+def append_to_dedup_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_id: int,
+) -> None:
+    """Grow a persisted dedup index with a screened batch's state —
+    the other half of the incremental loop: screen with
+    `dedup_against_index`, then append the admitted rows so the NEXT
+    batch screens against them too. Hash parameters come from the
+    index's own `_meta` (there is nothing to mismatch).
+
+    Idempotent under replay: each batch overwrites its own
+    ``batch=<batch_id>`` partition directory in all three state dirs,
+    so a crashed-and-replayed batch converges instead of duplicating
+    index rows. Requires a batch-partitioned index (any index written
+    by the current `write_dedup_index`); raises on pre-_meta layouts.
+    """
+    meta = _read_dedup_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"dedup index at {path} has no _meta — appends require an index "
+            "written by the current write_dedup_index"
+        )
+    num_hashes, shingle_k, bands = meta
+    rows_per_band = num_hashes // bands
+    new_df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    ).write.mode("overwrite").parquet(f"{path}/fingerprints/batch={batch_id}")
+    sigs = minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_k).persist()
+    try:
+        sigs.write.mode("overwrite").parquet(f"{path}/signatures/batch={batch_id}")
+        band_buckets(sigs, id_col, bands, rows_per_band).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/buckets/batch={batch_id}")
     finally:
         sigs.unpersist()
 
@@ -613,20 +671,12 @@ def dedup_against_index(
     # Probe _meta existence explicitly (pre-_meta index layouts screen
     # unvalidated) instead of a blanket except: a transient IO/permission
     # failure must propagate, not silently disable parameter validation.
-    jvm = spark.sparkContext._jvm
-    meta_path = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
-    fs = meta_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(meta_path):
-        meta = spark.read.parquet(f"{path}/_meta").collect()
-    else:
-        meta = []
-    if meta:
-        stored = (meta[0]["num_hashes"], meta[0]["shingle_k"], meta[0]["bands"])
-        if stored != (num_hashes, shingle_k, bands):
-            raise ValueError(
-                f"dedup index at {path} was built with (num_hashes, shingle_k, "
-                f"bands)={stored}; called with {(num_hashes, shingle_k, bands)}"
-            )
+    stored = _read_dedup_index_meta(spark, path)
+    if stored is not None and stored != (num_hashes, shingle_k, bands):
+        raise ValueError(
+            f"dedup index at {path} was built with (num_hashes, shingle_k, "
+            f"bands)={stored}; called with {(num_hashes, shingle_k, bands)}"
+        )
     rows_per_band = num_hashes // bands
     idx_fp = spark.read.parquet(f"{path}/fingerprints").withColumnsRenamed(
         {id_col: "old_id", "fingerprint": "old_fp"}
@@ -687,6 +737,89 @@ def dedup_against_index(
     finally:
         new_sigs.unpersist()
     return out
+
+
+def stream_dedup_against_index(
+    spark,
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    admit: str = "novel",
+) -> int:
+    """Streaming twin of `dedup_against_index` — the continuous-ingest
+    curation shape: each micro-batch of documents (1) screens against
+    the CURRENT index (exact fingerprint + LSH near-dup), (2) writes
+    its verdicts to ``{out_path}/batch=<id>``, and (3) admits rows into
+    the index via `append_to_dedup_index`, so the NEXT batch screens
+    against everything admitted so far.
+
+    ``admit='novel'`` (default) admits only rows with no exact or near
+    match, collapsed to one row per batch-internal fingerprint
+    (smallest id — two identical rows arriving in one batch admit
+    once); ``'all'`` admits every row (pure audit mode is
+    ``dedup_against_index`` itself). Batch-internal NEAR dups (distinct
+    fingerprints, jaccard >= threshold) can both be admitted within one
+    batch — run `minhash_dedup_pairs` on the batch first if that
+    matters; across batches they are caught normally.
+
+    Crash safety mirrors `merge_stream_into_dimension`: the streaming
+    checkpoint commits a batch only after foreachBatch returns, and
+    both the verdict write and the index append overwrite their own
+    ``batch=<id>`` partitions, so a replayed batch converges. Requires
+    an existing index (seed with `write_dedup_index`, possibly on an
+    empty frame). Returns the number of batches processed this run.
+    """
+    if admit not in ("novel", "all"):
+        raise ValueError(f"admit must be 'novel' or 'all', got {admit!r}")
+    meta = _read_dedup_index_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(
+            f"no dedup index at {index_path} — seed one with write_dedup_index"
+        )
+    num_hashes, shingle_k, bands = meta
+    counter = {"batches": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = dedup_against_index(
+            spark, index_path, batch_df, id_col, text_col,
+            num_hashes=num_hashes, shingle_k=shingle_k, bands=bands,
+            threshold=threshold,
+        )  # already eagerly checkpointed — reuse below reads stored blocks
+        verdicts.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        if admit == "novel":
+            keep = verdicts.filter(
+                ~F.col("is_exact_dup") & F.col("dup_of").isNull()
+            ).select(id_col)
+            admitted = batch_df.join(keep, on=id_col)
+            first_per_fp = (
+                admitted.select(
+                    F.col(id_col),
+                    F.md5(normalize_text(F.col(text_col))).alias("__fp"),
+                )
+                .groupBy("__fp")
+                .agg(F.min(id_col).alias(id_col))
+                .select(id_col)
+            )
+            admitted = admitted.join(first_per_fp, on=id_col)
+        else:
+            admitted = batch_df
+        append_to_dedup_index(
+            spark, index_path, admitted, id_col, text_col, batch_id
+        )
+        counter["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counter["batches"]
 
 
 def segment_documents(
