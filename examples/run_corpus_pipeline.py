@@ -65,6 +65,22 @@ def main() -> None:
     docs_q = docs_q.join(contaminated, on="doc_id", how="left_anti")
     n_clean = docs_q.count()
 
+    # 1b2. quality-classifier loop: the heuristic profile provides weak
+    #      labels, a hashed-ngram logistic model trains on them, and
+    #      the trained table is the transferable artifact — future
+    #      crawls score with one broadcast join, no heuristics rerun
+    labels = profile.select(
+        "doc_id", (F.col("quality_score") >= 0.1).alias("label")
+    )
+    wdf, clf_bias = ts.train_hashed_classifier(
+        docs.join(labels, on="doc_id"), "doc_id", "text", "label",
+        num_buckets=1024, iterations=8,
+    )
+    clf_scores = ts.apply_hashed_classifier(
+        docs_q, "doc_id", "text", wdf, bias=clf_bias, num_buckets=1024
+    )
+    n_clf_high = clf_scores.filter(F.col("clf_score") >= 0.5).count()
+
     # 1c. PII scrub (audit counts ride along), then cross-document
     #     duplicated-segment removal (C4-style boilerplate scrub):
     #     6-word chunks shared by >= 3 docs vanish everywhere
@@ -191,6 +207,7 @@ def main() -> None:
 
     print(
         f"raw={n_raw} -> quality={n_quality} -> clean={n_clean} "
+        f"(clf-high={n_clf_high}) "
         f"-> pii+segment-scrub={n_scrub} -> exact-dedup={n_exact} "
         f"-> near-dedup={n_near}; dup spans={n_spans}; "
         f"semantic dups dropped={n_sem}; ann hits={n_hits}; "

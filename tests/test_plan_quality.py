@@ -319,3 +319,30 @@ def test_drift_queries_single_pass_per_snapshot(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") <= 4  # 2 snapshots x (counts + total)
+
+
+def test_apply_hashed_classifier_broadcasts_weight_table(spark):
+    """Trained-model scoring joins the model-sized weight table as a
+    BROADCAST against the corpus-sized features (a shuffle join keyed
+    on bucket would move the whole corpus for a 4k-row model), and the
+    per-doc reduction partial-aggregates before its shuffle."""
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        apply_hashed_classifier,
+    )
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma doc ', cast(id AS string)) AS text",
+    )
+    wdf = spark.range(64).selectExpr(
+        "id AS bucket", "cast(id AS double) / 64 AS weight"
+    )
+    out = apply_hashed_classifier(df, "doc_id", "text", wdf, num_buckets=64)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert final.count("BroadcastExchange") >= 1
+    # partial agg before the id shuffle: HashAggregate appears both
+    # sides of the exchange for the per-doc sum
+    assert "HashAggregate" in final
