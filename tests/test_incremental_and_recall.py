@@ -377,8 +377,21 @@ def test_stream_dedup_against_index_grows_state(spark, tmp_path):
     assert v1[102]["dup_of"] is None and v1[103]["dup_of"] is None
 
     # batch 2: exact and near copies of batch 1's novel text must hit
-    # the index entry admitted in batch 1 (102, not its twin 103)
-    drop("d2.parquet", [(200, novel_a), (201, novel_a.replace("late", "soon"))])
+    # the index entry admitted in batch 1 (102, not its twin 103).
+    # Simulate the crash-after-append replay hazard first: the state
+    # append for batch 1 lands (as if the process died between the
+    # append and the checkpoint commit) BEFORE the batch runs — the
+    # replayed batch must not screen against its own rows (it would
+    # flag them as dups of themselves and overwrite the partition
+    # empty, losing them from the index).
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        append_to_dedup_index,
+    )
+
+    d2_rows = [(200, novel_a), (201, novel_a.replace("late", "soon"))]
+    drop("d2.parquet", d2_rows)
+    crashed = spark.createDataFrame(d2_rows, ["doc_id", "text"])
+    append_to_dedup_index(spark, idx, crashed, "doc_id", "text", 1)
     assert run() == 1
     v2 = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/batch=1").collect()}
     assert v2[200]["is_exact_dup"] and v2[200]["dup_of"] == 102

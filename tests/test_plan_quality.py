@@ -343,6 +343,7 @@ def test_apply_hashed_classifier_broadcasts_weight_table(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final, final
     assert final.count("BroadcastExchange") >= 1
-    # partial agg before the id shuffle: HashAggregate appears both
-    # sides of the exchange for the per-doc sum
-    assert "HashAggregate" in final
+    # partial agg before the id shuffle: HashAggregate must appear on
+    # BOTH sides of the exchange for the per-doc sum (a single final
+    # aggregate would mean the exploded n-gram rows shuffled unreduced)
+    assert final.count("HashAggregate") >= 2, final

@@ -18,9 +18,7 @@ from __future__ import annotations
 
 import json
 import os
-import random
 import shutil
-import string
 import sys
 import tempfile
 import time
@@ -28,6 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
+from tools.replicate import doc_copies
 
 
 def main() -> None:
@@ -46,26 +45,6 @@ def main() -> None:
     spark = get_spark(app_name="scale-probe-classifier")
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="scale_probe_clf_")
-    lower = string.ascii_lowercase
-
-    def doc_copies(df, copies: int):
-        parts = []
-        for i in range(copies):
-            perm = list(lower)
-            random.Random(i).shuffle(perm)
-            perm = "".join(perm)
-            parts.append(
-                df.select(
-                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                    F.translate(
-                        F.col("text"), lower + lower.upper(), perm + perm.upper()
-                    ).alias("text"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
 
     base = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     results: dict[str, dict] = {}

@@ -28,9 +28,7 @@ from __future__ import annotations
 
 import json
 import os
-import random
 import shutil
-import string
 import sys
 import tempfile
 import time
@@ -39,6 +37,7 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
+from tools.replicate import doc_copies, vec_copies
 
 
 def _shuffle_write_bytes(port: int) -> int | None:
@@ -84,45 +83,6 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="scale_probe_dedup_")
-
-    lower = string.ascii_lowercase
-
-    def doc_copies(df, copies: int):
-        parts = []
-        for i in range(copies):
-            perm = list(lower)
-            random.Random(i).shuffle(perm)
-            perm = "".join(perm)
-            parts.append(
-                df.select(
-                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                    F.translate(
-                        F.col("text"), lower + lower.upper(), perm + perm.upper()
-                    ).alias("text"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    def vec_copies(df, copies: int, dim: int = 64):
-        parts = []
-        for i in range(copies):
-            perm = list(range(dim))
-            random.Random(i).shuffle(perm)
-            parts.append(
-                df.select(
-                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
-                    F.array(*[F.col("embedding")[j] for j in perm]).alias(
-                        "embedding"
-                    ),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
 
     docs1 = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     vecs1 = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -560,14 +560,28 @@ def write_dedup_index(
 
     All three are plain parquet: the bucket join key (band, bucket) is
     uniform, so downstream equi-joins shuffle evenly; no driver-side
-    state of any kind. The `_meta` row pins the hash parameters:
-    screening with different parameters would silently produce wrong
-    est_jaccard values / empty candidate sets, so
-    `dedup_against_index` validates against it and raises instead.
+    state of any kind. The `_meta` row pins the hash parameters AND the
+    batched layout flag: screening with different parameters would
+    silently produce wrong est_jaccard values / empty candidate sets,
+    so `dedup_against_index` validates against it and raises instead.
+
+    Re-seeding an existing path is a FULL replace: any previously
+    appended batch partitions are deleted first, so write_dedup_index
+    always leaves a clean index (stale appends would report new
+    documents as dups of corpus rows that no longer exist).
     """
     rows_per_band = num_hashes // bands
-    df.sparkSession.createDataFrame(
-        [(num_hashes, shingle_k, bands)], "num_hashes INT, shingle_k INT, bands INT"
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for sub in ("fingerprints", "signatures", "buckets"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+    spark.createDataFrame(
+        [(num_hashes, shingle_k, bands, True)],
+        "num_hashes INT, shingle_k INT, bands INT, batched BOOLEAN",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
     df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
@@ -583,8 +597,11 @@ def write_dedup_index(
 
 
 def _read_dedup_index_meta(spark, path: str):
-    """(num_hashes, shingle_k, bands) from the index's _meta row, or
-    None for pre-_meta layouts. IO failures propagate (a transient
+    """{'params': (num_hashes, shingle_k, bands), 'batched': bool} from
+    the index's _meta row, or None for pre-_meta layouts. `batched`
+    distinguishes the batch-partitioned state layout from older flat
+    part files — the two cannot be mixed (parquet partition discovery
+    rejects conflicting structures). IO failures propagate (a transient
     error must not silently disable validation)."""
     jvm = spark.sparkContext._jvm
     meta_path = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
@@ -594,7 +611,11 @@ def _read_dedup_index_meta(spark, path: str):
     meta = spark.read.parquet(f"{path}/_meta").collect()
     if not meta:
         return None
-    return (meta[0]["num_hashes"], meta[0]["shingle_k"], meta[0]["bands"])
+    row = meta[0].asDict()
+    return {
+        "params": (row["num_hashes"], row["shingle_k"], row["bands"]),
+        "batched": bool(row.get("batched", False)),
+    }
 
 
 def append_to_dedup_index(
@@ -604,31 +625,41 @@ def append_to_dedup_index(
     id_col: str,
     text_col: str,
     batch_id: int,
+    sigs: DataFrame | None = None,
 ) -> None:
     """Grow a persisted dedup index with a screened batch's state —
     the other half of the incremental loop: screen with
     `dedup_against_index`, then append the admitted rows so the NEXT
     batch screens against them too. Hash parameters come from the
-    index's own `_meta` (there is nothing to mismatch).
+    index's own `_meta` (there is nothing to mismatch). Pass the
+    screening pass's materialized ``sigs`` (`dedup_against_index(...,
+    return_state=True)`) to skip re-hashing the batch — shingling +
+    minhash is the dominant per-row cost.
 
     Idempotent under replay: each batch overwrites its own
     ``batch=<batch_id>`` partition directory in all three state dirs,
     so a crashed-and-replayed batch converges instead of duplicating
-    index rows. Requires a batch-partitioned index (any index written
-    by the current `write_dedup_index`); raises on pre-_meta layouts.
+    index rows. Requires the batch-partitioned layout (``batched`` in
+    `_meta`): appending batch subdirectories next to a legacy index's
+    flat part files would corrupt it — parquet partition discovery
+    rejects the mixed structure — so that raises up front instead.
     """
     meta = _read_dedup_index_meta(spark, path)
-    if meta is None:
+    if meta is None or not meta["batched"]:
         raise ValueError(
-            f"dedup index at {path} has no _meta — appends require an index "
-            "written by the current write_dedup_index"
+            f"dedup index at {path} is not batch-partitioned — rebuild it "
+            "with the current write_dedup_index before appending"
         )
-    num_hashes, shingle_k, bands = meta
+    num_hashes, shingle_k, bands = meta["params"]
     rows_per_band = num_hashes // bands
     new_df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
     ).write.mode("overwrite").parquet(f"{path}/fingerprints/batch={batch_id}")
-    sigs = minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_k).persist()
+    if sigs is None:
+        sigs = minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_k)
+    else:
+        sigs = sigs.join(new_df.select(id_col), on=id_col)
+    sigs = sigs.persist()
     try:
         sigs.write.mode("overwrite").parquet(f"{path}/signatures/batch={batch_id}")
         band_buckets(sigs, id_col, bands, rows_per_band).write.mode(
@@ -648,20 +679,32 @@ def dedup_against_index(
     shingle_k: int = 3,
     bands: int = 8,
     threshold: float = 0.8,
-) -> DataFrame:
+    max_batch: int | None = None,
+    return_state: bool = False,
+):
     """Screen a new batch against a persisted dedup index: every new
     document is annotated with whether the EXISTING corpus already
     contains it exactly or near-exactly.
 
     Output: (id, is_exact_dup, dup_of, est_jaccard) — dup_of is the
     smallest matching corpus id (deterministic), null when novel;
-    est_jaccard is null for exact-only matches.
+    est_jaccard is null for exact-only matches. With
+    ``return_state=True`` returns ``(verdicts, sigs)`` where sigs is
+    the batch's materialized minhash-signature frame — feed it to
+    `append_to_dedup_index` so the dominant shingle+hash pass runs
+    once per batch, not twice.
+
+    ``max_batch`` (batched indexes only) screens against appended
+    partitions with ``batch < max_batch`` — the replay guard: a
+    crashed-then-replayed batch must not see its OWN half-appended
+    state, or it would flag its rows as dups of themselves.
 
     Cost model at scale: the new batch (small) is hashed once; joins
     against the index read only the fingerprint/bucket columns, and the
     signature re-join touches only candidate corpus ids — never the
     whole stored corpus. The batch side of every join is the small
-    side, so AQE broadcasts it; the index side streams from parquet.
+    side, so AQE broadcasts it; the index side streams from parquet
+    (the ``max_batch`` filter is partition pruning, not a scan).
 
     Raises ValueError when the index was written with different
     (num_hashes, shingle_k, bands) — a silent mismatch would yield
@@ -671,14 +714,25 @@ def dedup_against_index(
     # Probe _meta existence explicitly (pre-_meta index layouts screen
     # unvalidated) instead of a blanket except: a transient IO/permission
     # failure must propagate, not silently disable parameter validation.
-    stored = _read_dedup_index_meta(spark, path)
-    if stored is not None and stored != (num_hashes, shingle_k, bands):
+    meta = _read_dedup_index_meta(spark, path)
+    if meta is not None and meta["params"] != (num_hashes, shingle_k, bands):
         raise ValueError(
             f"dedup index at {path} was built with (num_hashes, shingle_k, "
-            f"bands)={stored}; called with {(num_hashes, shingle_k, bands)}"
+            f"bands)={meta['params']}; called with {(num_hashes, shingle_k, bands)}"
         )
+    if max_batch is not None and (meta is None or not meta["batched"]):
+        raise ValueError(
+            f"max_batch requires a batch-partitioned index at {path}"
+        )
+
+    def _idx(sub: str) -> DataFrame:
+        d = spark.read.parquet(f"{path}/{sub}")
+        if max_batch is not None:
+            d = d.filter(F.col("batch") < max_batch)
+        return d
+
     rows_per_band = num_hashes // bands
-    idx_fp = spark.read.parquet(f"{path}/fingerprints").withColumnsRenamed(
+    idx_fp = _idx("fingerprints").withColumnsRenamed(
         {id_col: "old_id", "fingerprint": "old_fp"}
     )
     new_fp = new_df.select(
@@ -690,52 +744,52 @@ def dedup_against_index(
         .agg(F.min("old_id").alias("exact_dup_of"))
     )
 
+    # Eager localCheckpoint (not persist): materialized once, consumed
+    # by the bucket build, the verification re-join, and — with
+    # return_state — the caller's index append; blocks are released by
+    # the ContextCleaner when the frame is dropped.
     new_sigs = minhash_signatures(
         new_df, id_col, text_col, num_hashes, shingle_k
-    ).persist()
-    try:
-        new_buckets = band_buckets(new_sigs, id_col, bands, rows_per_band)
-        idx_buckets = spark.read.parquet(f"{path}/buckets").withColumnsRenamed(
-            {id_col: "old_id"}
+    ).localCheckpoint(eager=True)
+    new_buckets = band_buckets(new_sigs, id_col, bands, rows_per_band)
+    idx_buckets = _idx("buckets").withColumnsRenamed({id_col: "old_id"})
+    cand = (
+        new_buckets.join(idx_buckets, on=["band", "bucket"])
+        .select(id_col, "old_id")
+        .dropDuplicates([id_col, "old_id"])
+    )
+    idx_sigs = _idx("signatures").withColumnsRenamed(
+        {id_col: "old_id", "signature": "old_sig"}
+    )
+    est = estimated_jaccard(F.col("signature"), F.col("old_sig"), num_hashes)
+    near = (
+        cand.join(new_sigs, on=id_col)
+        .join(idx_sigs, on="old_id")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            # best match = highest jaccard, ties -> smallest old id
+            F.min_by(
+                "old_id", F.struct(-F.col("est_jaccard"), F.col("old_id"))
+            ).alias("near_dup_of"),
+            F.max("est_jaccard").alias("est_jaccard"),
         )
-        cand = (
-            new_buckets.join(idx_buckets, on=["band", "bucket"])
-            .select(id_col, "old_id")
-            .dropDuplicates([id_col, "old_id"])
+    )
+    out = (
+        new_df.select(id_col)
+        .join(exact, on=id_col, how="left")
+        .join(near, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("exact_dup_of").isNotNull().alias("is_exact_dup"),
+            F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+            F.col("est_jaccard"),
         )
-        idx_sigs = spark.read.parquet(f"{path}/signatures").withColumnsRenamed(
-            {id_col: "old_id", "signature": "old_sig"}
-        )
-        est = estimated_jaccard(F.col("signature"), F.col("old_sig"), num_hashes)
-        near = (
-            cand.join(new_sigs, on=id_col)
-            .join(idx_sigs, on="old_id")
-            .withColumn("est_jaccard", F.round(est, 6))
-            .filter(F.col("est_jaccard") >= threshold)
-            .groupBy(id_col)
-            .agg(
-                # best match = highest jaccard, ties -> smallest old id
-                F.min_by(
-                    "old_id", F.struct(-F.col("est_jaccard"), F.col("old_id"))
-                ).alias("near_dup_of"),
-                F.max("est_jaccard").alias("est_jaccard"),
-            )
-        )
-        out = (
-            new_df.select(id_col)
-            .join(exact, on=id_col, how="left")
-            .join(near, on=id_col, how="left")
-            .select(
-                F.col(id_col),
-                F.col("exact_dup_of").isNotNull().alias("is_exact_dup"),
-                F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
-                F.col("est_jaccard"),
-            )
-        )
-        # materialize before unpersist would drop lineage inputs
-        out = out.localCheckpoint(eager=True)
-    finally:
-        new_sigs.unpersist()
+        .localCheckpoint(eager=True)
+    )
+    if return_state:
+        return out, new_sigs
     return out
 
 
@@ -767,28 +821,33 @@ def stream_dedup_against_index(
     matters; across batches they are caught normally.
 
     Crash safety mirrors `merge_stream_into_dimension`: the streaming
-    checkpoint commits a batch only after foreachBatch returns, and
-    both the verdict write and the index append overwrite their own
-    ``batch=<id>`` partitions, so a replayed batch converges. Requires
-    an existing index (seed with `write_dedup_index`, possibly on an
-    empty frame). Returns the number of batches processed this run.
+    checkpoint commits a batch only after foreachBatch returns, both
+    the verdict write and the index append overwrite their own
+    ``batch=<id>`` partitions, and screening passes ``max_batch`` so a
+    batch that crashed AFTER appending its state never screens against
+    its own half-committed partition on replay (it would flag its rows
+    as dups of themselves and then overwrite the partition empty —
+    losing them from the index for good). Requires a batch-partitioned
+    index (seed with `write_dedup_index`, possibly on an empty frame).
+    Returns the number of batches processed this run.
     """
     if admit not in ("novel", "all"):
         raise ValueError(f"admit must be 'novel' or 'all', got {admit!r}")
     meta = _read_dedup_index_meta(spark, index_path)
-    if meta is None:
+    if meta is None or not meta["batched"]:
         raise ValueError(
-            f"no dedup index at {index_path} — seed one with write_dedup_index"
+            f"no batch-partitioned dedup index at {index_path} — seed one "
+            "with write_dedup_index"
         )
-    num_hashes, shingle_k, bands = meta
+    num_hashes, shingle_k, bands = meta["params"]
     counter = {"batches": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        verdicts = dedup_against_index(
+        verdicts, sigs = dedup_against_index(
             spark, index_path, batch_df, id_col, text_col,
             num_hashes=num_hashes, shingle_k=shingle_k, bands=bands,
-            threshold=threshold,
-        )  # already eagerly checkpointed — reuse below reads stored blocks
+            threshold=threshold, max_batch=batch_id, return_state=True,
+        )  # both eagerly checkpointed — reuse below reads stored blocks
         verdicts.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
         if admit == "novel":
             keep = verdicts.filter(
@@ -808,7 +867,7 @@ def stream_dedup_against_index(
         else:
             admitted = batch_df
         append_to_dedup_index(
-            spark, index_path, admitted, id_col, text_col, batch_id
+            spark, index_path, admitted, id_col, text_col, batch_id, sigs=sigs
         )
         counter["batches"] += 1
 
