@@ -155,21 +155,34 @@ def test_multimodal_stack_decodes_jpeg_rows(spark):
         resize_image,
     )
 
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+        encode_progressive_jpeg,
+    )
+
     x = np.linspace(0, 255, 32)
     img = np.clip(np.add.outer(x, x)[:32, :32], 0, 255).astype(np.uint8)
     rgb = np.stack([img, img, img], axis=-1)
     jb = encode_baseline_jpeg(rgb, quality=90)
-    df = spark.createDataFrame([(1, jb), (2, b"\xff\xd8 garbage")], ["doc_id", "payload"])
+    pj = encode_progressive_jpeg(rgb, quality=90)
+    df = spark.createDataFrame(
+        [(1, jb), (2, b"\xff\xd8 garbage"), (3, pj)], ["doc_id", "payload"]
+    )
 
     px = {r["doc_id"]: r for r in decode_image_pixels(df, "doc_id").collect()}
     assert (px[1]["width"], px[1]["height"], px[1]["channels"]) == (32, 32, 3)
     assert px[2]["width"] is None
+    # progressive SOF2 decodes in the Spark stack too — and bit-equals
+    # the baseline decode of the same image
+    assert (px[3]["width"], px[3]["height"], px[3]["channels"]) == (32, 32, 3)
+    assert px[3]["pixels"] == px[1]["pixels"]
 
     dh = {r["doc_id"]: r["dhash"] for r in image_dhash(df, "doc_id").collect()}
     assert dh[1] is not None and dh[2] is None
+    assert dh[3] == dh[1]
 
     rs = {r["doc_id"]: r for r in resize_image(df, "doc_id", 8, 8).collect()}
     assert rs[1]["width"] == 8 and rs[2]["payload"] is None
+    assert rs[3]["width"] == 8
 
 
 def test_chroma_subsampling_420_conformance():

@@ -417,3 +417,34 @@ def test_strip_duplicated_spans_removes_exact_repeats(spark):
         [(k, v["text"]) for k, v in out.items()], ["doc_id", "text"]
     )
     assert duplicated_spans(cleaned, "doc_id", "text", min_tokens=12).count() == 0
+
+
+def test_lsh_candidate_pairs_distinct_modes_agree(spark):
+    """lsh_candidate_pairs with distinct=True returns exactly the
+    deduplicated pair set of distinct=False (the banded join emits one
+    copy per colliding band; early-vs-late dedup must be value-
+    equivalent), and signatures ride along on both paths."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, t),
+        (2, t),  # identical -> collides in EVERY band (multi-band copies)
+        (3, t.replace("quick", "slow")),
+        (4, "completely unrelated text about parquet footers and morton codes"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    sigs = minhash_signatures(df, "id", "t", 32)
+    early = lsh_candidate_pairs(sigs, "id", bands=8, rows_per_band=4)
+    late = lsh_candidate_pairs(sigs, "id", bands=8, rows_per_band=4, distinct=False)
+    e = [(r["id_a"], r["id_b"]) for r in early.collect()]
+    l_all = [(r["id_a"], r["id_b"]) for r in late.collect()]
+    assert len(e) == len(set(e)), "distinct=True must not emit duplicates"
+    assert set(e) == set(l_all)
+    assert len(l_all) > len(e), "identical docs must collide in multiple bands"
+    assert (1, 2) in set(e)
+    cols = set(early.columns)
+    assert {"id_a", "id_b", "sig_a", "sig_b"} <= cols
