@@ -347,3 +347,25 @@ def test_apply_hashed_classifier_broadcasts_weight_table(spark):
     # BOTH sides of the exchange for the per-doc sum (a single final
     # aggregate would mean the exploded n-gram rows shuffled unreduced)
     assert final.count("HashAggregate") >= 2, final
+
+
+def test_ngram_lm_scoring_broadcasts_model(spark):
+    """Both model joins (gram + context) broadcast the vocabulary-sized
+    count table against the corpus-token key rows, and the per-token /
+    per-doc reductions partial-aggregate before their shuffles."""
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        ngram_lm_logprob,
+        train_ngram_lm,
+    )
+
+    train = spark.range(50).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma delta epsilon doc ', cast(id % 7 AS string)) AS text",
+    )
+    lm = train_ngram_lm(train, "text", n=3).localCheckpoint(eager=True)
+    out = ngram_lm_logprob(train, "doc_id", "text", lm, n=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2, final
+    assert final.count("HashAggregate") >= 2

@@ -493,3 +493,83 @@ def test_train_hashed_classifier_learns_and_matches_numpy(spark):
         empty, "doc_id", "text", wdf, bias=bias, num_buckets=nb
     ).collect()[0]["clf_score"]
     assert s == round(1.0 / (1.0 + np.exp(-bias)), 6)
+
+
+def test_ngram_lm_stupid_backoff_matches_reference(spark):
+    """Distributed stupid-backoff LM scoring matches an independent
+    pure-Python reference on the collected counts: seen trigrams score
+    at full order, unseen ones back off with the alpha discount, OOV
+    tokens hit the unigram floor, empty docs score null."""
+    import math
+
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        _word_array,
+        ngram_lm_logprob,
+        train_ngram_lm,
+    )
+
+    train_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "a dog sat on the mat near the cat"),
+        (4, "the dog ran over the hill and the cat ran home"),
+    ]
+    train_df = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    lm = train_ngram_lm(train_df, "text", n=3)
+    counts = {r["gram"]: r["cnt"] for r in lm.collect()}
+    total = counts[""]
+
+    test_rows = [
+        (10, "the cat sat on the mat"),          # fully seen
+        (11, "the dog sat on the mat"),          # backoff mixtures
+        (12, "the zebra sat quietly"),           # OOV tokens
+        (13, ""),                                # empty
+    ]
+    test_df = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ngram_lm_logprob(
+        test_df, "doc_id", "text", lm, n=3
+    ).collect()}
+
+    # tokenization must match the engine's own word_array
+    toks = {
+        r["doc_id"]: r["w"]
+        for r in test_df.select("doc_id", _word_array("text").alias("w")).collect()
+    }
+
+    def ref_avg(words, n=3, alpha=0.4):
+        if not words:
+            return None
+        logs = []
+        for i in range(len(words)):
+            K = min(n, i + 1)
+            val = None
+            for k in range(K, 0, -1):
+                gram = " ".join(words[i - k + 1 : i + 1])
+                ctx = " ".join(words[i - k + 1 : i]) if k > 1 else ""
+                c = counts.get(gram)
+                cc = total if k == 1 else counts.get(ctx)
+                if c is not None and cc is not None:
+                    val = (K - k) * math.log(alpha) + math.log(c / cc)
+                    break
+            if val is None:
+                val = (K - 1) * math.log(alpha) - math.log(total)
+            logs.append(val)
+        return sum(logs) / len(logs)
+
+    for doc_id in (10, 11, 12):
+        expect = ref_avg(toks[doc_id])
+        assert abs(got[doc_id]["avg_logprob"] - expect) < 1e-5, (doc_id, expect)
+        assert abs(got[doc_id]["perplexity"] - math.exp(-expect)) < 1e-3
+        assert got[doc_id]["n_tokens"] == len(toks[doc_id])
+    assert got[13]["avg_logprob"] is None and got[13]["n_tokens"] == 0
+
+    # the filter statistic orders docs sanely: in-domain < shuffled < OOV
+    assert got[10]["perplexity"] < got[11]["perplexity"] < got[12]["perplexity"]
+
+    # min_count pruning: trigrams/bigrams with cnt 1 vanish, scoring
+    # backs off instead of erroring, and probabilities drop
+    lm2 = train_ngram_lm(train_df, "text", n=3, min_count=2)
+    got2 = {r["doc_id"]: r for r in ngram_lm_logprob(
+        test_df, "doc_id", "text", lm2, n=3
+    ).collect()}
+    assert got2[11]["avg_logprob"] <= got[11]["avg_logprob"] + 1e-9

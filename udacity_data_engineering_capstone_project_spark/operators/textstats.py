@@ -649,6 +649,148 @@ def apply_hashed_classifier(
     )
 
 
+def train_ngram_lm(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train a count-based n-gram language model — the CCNet-style
+    perplexity-filter signal (Wenzek et al. 2019 filter crawls by LM
+    score; Brants et al. 2007 'stupid backoff' is THE distributed
+    formulation: plain counts, no discounting, no normalization pass).
+
+    One explode pass emits every k-gram for k=1..n (space-joined words,
+    order implicit in the string), one partial-aggregated count shuffle
+    produces the model: (gram, cnt) rows plus the total-token row
+    (gram = ''). ``min_count`` prunes the long tail — pruned grams
+    simply back off at score time. The model IS a DataFrame: persist it
+    with plain parquet, broadcast-join it at scoring time.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    words = _ensure_parallelism(df.select(text_col), text_col).select(
+        _word_array(text_col).alias("__w")
+    )
+    gram_arrays = [
+        F.expr(
+            f"transform(sequence(1, greatest(size(__w) - {k - 1}, 0)), "
+            f"i -> array_join(slice(__w, i, {k}), ' '))"
+        )
+        for k in range(1, n + 1)
+    ]
+    counts = (
+        words.select(F.explode(F.flatten(F.array(*gram_arrays))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    total = words.agg(
+        F.lit("").alias("gram"), F.sum(F.size("__w")).cast("long").alias("cnt")
+    )
+    return counts.unionByName(total)
+
+
+def ngram_lm_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: DataFrame,
+    n: int = 3,
+    alpha: float = 0.4,
+    out_col: str = "avg_logprob",
+) -> DataFrame:
+    """Score documents with a trained `train_ngram_lm` model using
+    stupid backoff (Brants et al. 2007): per token, the highest order
+    k whose k-gram survived training scores cnt(gram_k)/cnt(ctx_k),
+    discounted by ``alpha`` per backed-off order; a token absent even
+    as a unigram (OOV) scores alpha^(K-1) / total_tokens. Output:
+    (id, <out_col> r6, perplexity r6, n_tokens) — avg_logprob is the
+    mean natural-log token probability (null for empty docs), and
+    perplexity = exp(-avg_logprob), the CCNet filter statistic.
+
+    Plan shape at 100 TB: the melted key table is n rows per corpus
+    token; TWO equi-joins against the model (gram + context — the
+    model is vocabulary-sized, so Catalyst broadcasts it when it
+    fits), then one partial-aggregated reduction per token and one per
+    document. No Python anywhere.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = _ensure_parallelism(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        _word_array(text_col).alias("__w"),
+    ).select(
+        F.col(id_col), F.col("__w"), F.posexplode("__w").alias("__pos", "__tok")
+    )
+    # melted keys: for token at __pos (0-based), one row per order k
+    # with the k-gram ending at the token and its (k-1)-gram context
+    # ('' for k=1 -> joins the model's total row)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.when(
+                    F.col("__pos") >= k - 1,
+                    F.array_join(F.slice("__w", F.col("__pos") - k + 2, k), " "),
+                ).alias("gram"),
+                (
+                    F.when(
+                        F.col("__pos") >= k - 1,
+                        F.array_join(
+                            F.slice("__w", F.col("__pos") - k + 2, k - 1), " "
+                        ),
+                    )
+                    if k > 1
+                    else F.lit("")
+                ).alias("ctx"),
+            )
+            for k in range(1, n + 1)
+        ]
+    )
+    keys = (
+        toks.select(F.col(id_col), F.col("__pos"), F.explode(entries).alias("e"))
+        .select(id_col, "__pos", "e.k", "e.gram", "e.ctx")
+        .filter(F.col("gram").isNotNull())
+    )
+    gram_cnt = lm.select(F.col("gram"), F.col("cnt").alias("__gc"))
+    ctx_cnt = lm.select(F.col("gram").alias("ctx"), F.col("cnt").alias("__cc"))
+    joined = keys.join(gram_cnt, on="gram", how="left").join(
+        ctx_cnt, on="ctx", how="left"
+    )
+    valid = F.col("__gc").isNotNull() & F.col("__cc").isNotNull()
+    per_tok = joined.groupBy(id_col, "__pos").agg(
+        F.max(F.when(valid, F.col("k"))).alias("__kstar"),
+        F.max_by(
+            F.col("__gc") / F.col("__cc"), F.when(valid, F.col("k"))
+        ).alias("__ratio"),
+        F.max("k").alias("__K"),  # orders available = min(n, pos + 1)
+        F.max(F.when(F.col("k") == 1, F.col("__cc"))).alias("__total"),
+    )
+    log_alpha = F.log(F.lit(alpha))
+    logp = F.when(
+        F.col("__kstar").isNotNull(),
+        (F.col("__K") - F.col("__kstar")) * log_alpha + F.log("__ratio"),
+    ).otherwise(
+        (F.col("__K") - 1) * log_alpha - F.log("__total")
+    )
+    per_doc = per_tok.select(F.col(id_col), logp.alias("__lp")).groupBy(id_col).agg(
+        F.round(F.avg("__lp"), 6).alias(out_col),
+        F.round(F.exp(-F.avg("__lp")), 6).alias("perplexity"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col(out_col),
+            F.col("perplexity"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )
+
+
 def train_bpe_merges(
     df: DataFrame,
     text_col: str,
