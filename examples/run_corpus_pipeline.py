@@ -81,6 +81,13 @@ def main() -> None:
     )
     n_clf_high = clf_scores.filter(F.col("clf_score") >= 0.5).count()
 
+    # 1b3. LM perplexity filter (CCNet-style): a stupid-backoff
+    #      trigram LM trained on the cleaned slice scores every doc;
+    #      out-of-domain text shows up as high perplexity
+    lm = ts.train_ngram_lm(docs_q, "text", n=3, min_count=2)
+    ppl = ts.ngram_lm_logprob(docs_q, "doc_id", "text", lm, n=3)
+    n_ppl_ok = ppl.filter(F.col("perplexity") <= 5000).count()
+
     # 1c. PII scrub (audit counts ride along), then cross-document
     #     duplicated-segment removal (C4-style boilerplate scrub):
     #     6-word chunks shared by >= 3 docs vanish everywhere
@@ -207,7 +214,7 @@ def main() -> None:
 
     print(
         f"raw={n_raw} -> quality={n_quality} -> clean={n_clean} "
-        f"(clf-high={n_clf_high}) "
+        f"(clf-high={n_clf_high}, ppl-ok={n_ppl_ok}) "
         f"-> pii+segment-scrub={n_scrub} -> exact-dedup={n_exact} "
         f"-> near-dedup={n_near}; dup spans={n_spans}; "
         f"semantic dups dropped={n_sem}; ann hits={n_hits}; "

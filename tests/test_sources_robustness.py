@@ -172,6 +172,10 @@ def test_streaming_merge_into_dimension(spark, tmp_path):
     snap2 = {r["k"]: r["attr"] for r in read_dimension(spark, dim).collect()}
     assert snap2 == {1: "a1", 2: "b1", 3: "c0"}
 
+    # time travel: version 0 is the immutable pre-drop2 snapshot
+    asof0 = {r["k"]: r["attr"] for r in read_dimension(spark, dim, version=0).collect()}
+    assert asof0 == snap1
+
     # no new files -> no new version, reader still resolves latest
     assert run() == 0
     assert {r["k"]: r["attr"] for r in read_dimension(spark, dim).collect()} == snap2

@@ -410,10 +410,21 @@ def _latest_dimension_version(
     return best
 
 
-def read_dimension(spark: SparkSession, dim_path: str) -> DataFrame:
-    """Read the latest committed version of an incrementally-maintained
-    dimension (see `merge_stream_into_dimension`)."""
-    v = _latest_dimension_version(spark, dim_path)
+def read_dimension(
+    spark: SparkSession, dim_path: str, version: int | None = None
+) -> DataFrame:
+    """Read an incrementally-maintained dimension (see
+    `merge_stream_into_dimension`): the latest committed version by
+    default, or — time travel — the newest committed version with id
+    <= ``version`` (each version is the full immutable snapshot after
+    that batch, so reproducing the dimension as of an earlier batch is
+    one directory read, no log replay)."""
+    v = _latest_dimension_version(
+        spark, dim_path, below=None if version is None else version + 1
+    )
     if v is None:
-        raise FileNotFoundError(f"no committed dimension version under {dim_path}")
+        raise FileNotFoundError(
+            f"no committed dimension version under {dim_path}"
+            + (f" at or below v={version}" if version is not None else "")
+        )
     return spark.read.parquet(f"{dim_path}/v={v}")
