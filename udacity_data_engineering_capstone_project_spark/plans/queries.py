@@ -1953,6 +1953,94 @@ def hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for ngram_lm — UNREGISTERED. DuckDB retrains the same
+# stupid-backoff trigram LM from the documents table and rescores it:
+# identical counts (integer), identical backoff arithmetic; the only
+# float divergence is summation order inside avg(), ~1e-12 relative,
+# absorbed by round(..., 6).
+NGRAM_LM_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+        FROM documents
+    ),
+    grams AS (
+        SELECT unnest(flatten(list_transform([1, 2, 3], k ->
+                   list_transform(range(1, greatest(len(words) - k + 1, 0) + 1),
+                                  i -> array_to_string(words[i:i+k-1], ' '))))) AS gram
+        FROM w
+    ),
+    counts AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY 1),
+    toks AS (
+        SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM w
+    ),
+    keys AS (
+        SELECT t.doc_id, t.i, k.k,
+               array_to_string(t.words[t.i - k.k + 1 : t.i], ' ') AS gram,
+               CASE WHEN k.k = 1 THEN ''
+                    ELSE array_to_string(t.words[t.i - k.k + 1 : t.i - 1], ' ')
+               END AS ctx
+        FROM toks t, (VALUES (1), (2), (3)) AS k(k)
+        WHERE t.i >= k.k
+    ),
+    joined AS (
+        SELECT kk.doc_id, kk.i, kk.k, c1.cnt AS gc,
+               CASE WHEN kk.k = 1 THEN (SELECT sum(len(words)) FROM w)
+                    ELSE c2.cnt END AS cc
+        FROM keys kk
+        LEFT JOIN counts c1 ON c1.gram = kk.gram
+        LEFT JOIN counts c2 ON c2.gram = kk.ctx
+    ),
+    windowed AS (
+        SELECT *,
+               max(CASE WHEN gc IS NOT NULL AND cc IS NOT NULL THEN k END)
+                   OVER (PARTITION BY doc_id, i) AS kstar,
+               max(k) OVER (PARTITION BY doc_id, i) AS bigk,
+               max(CASE WHEN k = 1 THEN cc END)
+                   OVER (PARTITION BY doc_id, i) AS tot
+        FROM joined
+    ),
+    per_tok AS (
+        SELECT doc_id, i, bigk, kstar, tot,
+               max(CASE WHEN k = kstar THEN gc * 1.0 / cc END) AS ratio
+        FROM windowed GROUP BY doc_id, i, bigk, kstar, tot
+    ),
+    logp AS (
+        SELECT doc_id,
+               CASE WHEN kstar IS NOT NULL
+                    THEN (bigk - kstar) * ln(0.4) + ln(ratio)
+                    ELSE (bigk - 1) * ln(0.4) - ln(tot) END AS lp
+        FROM per_tok
+    ),
+    agg AS (
+        SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
+               round(exp(-avg(lp)), 6) AS perplexity,
+               count(*) AS n_tokens
+        FROM logp GROUP BY 1
+    )
+    SELECT d.doc_id, avg_logprob, perplexity,
+           coalesce(n_tokens, 0) AS n_tokens
+    FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+@_register(
+    "ngram_lm",
+    NGRAM_LM_ORACLE,
+    "Stupid-backoff trigram LM trained on documents, scoring the same "
+    "corpus (CCNet perplexity filter). Unregistered; hash-pinned "
+    "locally.",
+    registered=False,
+)
+def ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a stupid-backoff trigram LM on the documents table and
+    score every document's avg log-prob / perplexity
+    (operators/textstats.py:train_ngram_lm / ngram_lm_logprob).
+    Unregistered; pinned by `test_unregistered_query_parity[ngram_lm]`."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = ts.train_ngram_lm(docs, "text", n=3)
+    return ts.ngram_lm_logprob(docs, "doc_id", "text", lm, n=3)
+
+
 # Oracle twin for weighted_sample — UNREGISTERED, same pattern. The
 # Efraimidis-Spirakis key is order-compared only (never summed), so
 # float parity holds row-by-row.
