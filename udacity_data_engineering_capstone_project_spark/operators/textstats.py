@@ -717,41 +717,39 @@ def ngram_lm_logprob(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = _ensure_parallelism(df.select(id_col, text_col), id_col).select(
-        F.col(id_col),
-        _word_array(text_col).alias("__w"),
-    ).select(
-        F.col(id_col), F.col("__w"), F.posexplode("__w").alias("__pos", "__tok")
-    )
-    # melted keys: for token at __pos (0-based), one row per order k
-    # with the k-gram ending at the token and its (k-1)-gram context
-    # ('' for k=1 -> joins the model's total row)
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                F.when(
-                    F.col("__pos") >= k - 1,
-                    F.array_join(F.slice("__w", F.col("__pos") - k + 2, k), " "),
-                ).alias("gram"),
-                (
-                    F.when(
-                        F.col("__pos") >= k - 1,
-                        F.array_join(
-                            F.slice("__w", F.col("__pos") - k + 2, k - 1), " "
-                        ),
-                    )
-                    if k > 1
-                    else F.lit("")
-                ).alias("ctx"),
-            )
-            for k in range(1, n + 1)
-        ]
+    # Melted keys built by ONE doc-level codegen expression and ONE
+    # explode: for the token at 0-based position p, one row per order
+    # k <= min(n, p+1), carrying the k-gram ending at the token and
+    # its (k-1)-gram context ('' for k=1 -> joins the model's total
+    # row). Exploding per-token while retaining the word array would
+    # materialize the full array once PER TOKEN (O(len^2) bytes per
+    # document) — here only the gram strings ever leave the project.
+    # (sequence(a, b) auto-steps -1 when a > b, so empty docs need the
+    # explicit guard.)
+    entries = F.expr(
+        f"""CASE WHEN size(__w) = 0 THEN array() ELSE
+            flatten(transform(sequence(0, size(__w) - 1), p ->
+                transform(sequence(1, least({n}, p + 1)), k ->
+                    named_struct(
+                        'pos', p,
+                        'k', k,
+                        'gram', array_join(slice(__w, p - k + 2, k), ' '),
+                        'ctx', CASE WHEN k = 1 THEN ''
+                               ELSE array_join(slice(__w, p - k + 2, k - 1), ' ')
+                               END))))
+            END"""
     )
     keys = (
-        toks.select(F.col(id_col), F.col("__pos"), F.explode(entries).alias("e"))
-        .select(id_col, "__pos", "e.k", "e.gram", "e.ctx")
-        .filter(F.col("gram").isNotNull())
+        _ensure_parallelism(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), _word_array(text_col).alias("__w"))
+        .select(F.col(id_col), F.explode(entries).alias("e"))
+        .select(
+            F.col(id_col),
+            F.col("e.pos").alias("__pos"),
+            F.col("e.k").alias("k"),
+            F.col("e.gram").alias("gram"),
+            F.col("e.ctx").alias("ctx"),
+        )
     )
     gram_cnt = lm.select(F.col("gram"), F.col("cnt").alias("__gc"))
     ctx_cnt = lm.select(F.col("gram").alias("ctx"), F.col("cnt").alias("__cc"))
