@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "contamination_check",
     "corpus_sample",
     "bm25_retrieval",
+    # LM perplexity filter (round 4 session 2): trains the stupid-
+    # backoff trigram LM on documents AND scores them, per invocation
+    "ngram_lm",
 ]
 
 
@@ -95,6 +98,15 @@ def main() -> None:
         # 20-second-old JVM.
         prev = None
         for _ in range(4):
+            # GC before EVERY run, outside the timer: each invocation
+            # leaves broadcast/exchange debris (the benchmark-gram
+            # broadcast of contamination_check is the documented case),
+            # and a driver GC is what triggers the ContextCleaner to
+            # free it executor-side. Without this the debris of the
+            # warm runs lands as a major-GC pause INSIDE a timed run —
+            # the 0.5 s vs 4.5 s bimodality recorded across bench
+            # sessions.
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
@@ -110,6 +122,7 @@ def main() -> None:
         # (measured 0.97 vs 7.15 s on contamination_check) — a third
         # sample cuts the odds of recording a pause as the query time
         for _ in range(3):
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
