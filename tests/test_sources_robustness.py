@@ -424,3 +424,29 @@ def test_dimension_versions_commit_without_committer_markers(spark, tmp_path):
             hconf.unset(key)
         else:
             hconf.set(key, old)
+
+
+def test_jsonl_roundtrip_with_shard_cap(spark, tmp_path):
+    """write_jsonl -> read_json round-trips values and the
+    records_per_file cap yields multiple shard files."""
+    import glob
+
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_json
+    from udacity_data_engineering_capstone_project_spark.sources.sinks import write_jsonl
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('text ', cast(id AS string)) AS text"
+    ).coalesce(1)
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(df, out, compression=None, records_per_file=30)
+    files = glob.glob(f"{out}/part-*.json")
+    assert len(files) >= 4, files  # 100 rows / 30-per-file cap
+    back = read_json(spark, out, schema="doc_id LONG, text STRING")
+    rows = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert len(rows) == 100 and rows[7] == "text 7"
+
+    # gzip default round-trips too
+    out_gz = str(tmp_path / "corpus_jsonl_gz")
+    write_jsonl(df, out_gz)
+    assert glob.glob(f"{out_gz}/part-*.json.gz")
+    assert read_json(spark, out_gz, schema="doc_id LONG, text STRING").count() == 100

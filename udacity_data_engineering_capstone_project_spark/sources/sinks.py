@@ -38,6 +38,29 @@ def write_csv(
     writer.csv(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    compression: str | None = "gzip",
+    records_per_file: int | None = None,
+) -> None:
+    """Write JSON-lines — the lingua-franca interchange for LLM corpus
+    tooling (one JSON object per line; `read_json` is the round-trip).
+    ``compression=None`` for plain text, gzip by default (jsonl is
+    verbose — 3-10x parquet). ``records_per_file`` bounds shard size
+    via maxRecordsPerFile, the knob for fixed-size training shards."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if records_per_file:
+        writer = writer.option("maxRecordsPerFile", records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
 def write_orc(
     df: DataFrame,
     path: str,
