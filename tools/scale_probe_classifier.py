@@ -1,6 +1,8 @@
-"""Round-4 scale probe: hashed-classifier training/scoring at sf0.1
-and on 10x replicated documents — evidence that per-iteration cost is
-one corpus-linear pass while driver traffic stays model-sized.
+"""Round-4 scale probe: hashed-classifier training/scoring AND
+stupid-backoff LM train/score at sf0.1 and on 10x replicated
+documents — evidence that per-iteration cost is one corpus-linear
+pass while driver traffic stays model-sized (classifier) / the model
+stays a vocabulary-sized DataFrame (LM).
 
 Replication reuses the per-copy letter-permutation bijection of
 `scale_probe_dedup.py` (shingle/ngram structure preserved within a
@@ -38,7 +40,9 @@ def main() -> None:
     from udacity_data_engineering_capstone_project_spark import get_spark
     from udacity_data_engineering_capstone_project_spark.operators.textstats import (
         apply_hashed_classifier,
+        ngram_lm_logprob,
         train_hashed_classifier,
+        train_ngram_lm,
     )
     from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
 
@@ -69,11 +73,22 @@ def main() -> None:
                 docs, "doc_id", "text", wdf, bias=bias, num_buckets=nb
             ).count()
             score_s = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            lm = train_ngram_lm(docs, "text", n=3, min_count=2)
+            lm = lm.localCheckpoint(eager=True)
+            lm_vocab = lm.count()
+            lm_train_s = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            ngram_lm_logprob(docs, "doc_id", "text", lm, n=3).count()
+            lm_score_s = round(time.perf_counter() - t0, 3)
             results[f"x{scale}"] = {
                 "rows": n,
                 "train_s": train_s,
                 "train_s_per_iter": round(train_s / iterations, 3),
                 "score_s": score_s,
+                "lm_train_s": lm_train_s,
+                "lm_score_s": lm_score_s,
+                "lm_vocab": lm_vocab,
             }
     finally:
         shutil.rmtree(work, ignore_errors=True)
