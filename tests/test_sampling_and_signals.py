@@ -513,10 +513,15 @@ def test_ngram_lm_stupid_backoff_matches_reference(spark):
         (2, "the cat sat on the rug"),
         (3, "a dog sat on the mat near the cat"),
         (4, "the dog ran over the hill and the cat ran home"),
+        (5, "hi"),       # shorter than n: must not crash training
+        (6, ""),         # empty
+        (7, None),       # NULL text: must not inject a NULL-gram row
     ]
     train_df = spark.createDataFrame(train_rows, ["doc_id", "text"])
     lm = train_ngram_lm(train_df, "text", n=3)
     counts = {r["gram"]: r["cnt"] for r in lm.collect()}
+    assert None not in counts, "NULL text leaked a NULL-gram row"
+    assert counts["hi"] == 1  # short doc still contributes unigrams
     total = counts[""]
 
     test_rows = [

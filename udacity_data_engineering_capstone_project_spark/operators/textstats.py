@@ -672,13 +672,12 @@ def train_ngram_lm(
     words = _ensure_parallelism(df.select(text_col), text_col).select(
         _word_array(text_col).alias("__w")
     )
-    gram_arrays = [
-        F.expr(
-            f"transform(sequence(1, greatest(size(__w) - {k - 1}, 0)), "
-            f"i -> array_join(slice(__w, i, {k}), ' '))"
-        )
-        for k in range(1, n + 1)
-    ]
+    # word_ngrams (not a naive sequence(1, size-k+1)) so documents
+    # shorter than k words contribute an EMPTY array instead of
+    # hitting Spark's sequence-counts-down trap (slice start 0 throws)
+    # or, for NULL text, null-propagating a bogus NULL-gram row into
+    # the model
+    gram_arrays = [word_ngrams(F.col("__w"), k) for k in range(1, n + 1)]
     counts = (
         words.select(F.explode(F.flatten(F.array(*gram_arrays))).alias("gram"))
         .groupBy("gram")
