@@ -450,3 +450,79 @@ def test_jsonl_roundtrip_with_shard_cap(spark, tmp_path):
     write_jsonl(df, out_gz)
     assert glob.glob(f"{out_gz}/part-*.json.gz")
     assert read_json(spark, out_gz, schema="doc_id LONG, text STRING").count() == 100
+
+
+def test_streaming_scd2_matches_batch_twin(spark, tmp_path):
+    """merge_stream_into_scd2 maintains full type-2 history across
+    micro-batches: within-batch double changes yield two versions,
+    no-op changes extend the current run, closed history carries over,
+    and the final table equals scd2_from_snapshots run over the
+    concatenated change log in one batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_capstone_project_spark.operators.scd import (
+        scd2_from_snapshots,
+    )
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        merge_stream_into_scd2,
+        read_dimension,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dim = str(tmp_path / "scd2")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "attr": [r[1] for r in rows],
+                    "seq": pa.array([r[2] for r in rows], type=pa.int64()),
+                }
+            ),
+            str(landing / name),
+        )
+
+    def run():
+        stream = spark.readStream.schema("k LONG, attr STRING, seq LONG").parquet(
+            str(landing)
+        )
+        return merge_stream_into_scd2(
+            spark, stream, dim, ckpt, ["k"], ["attr"], "seq"
+        )
+
+    batch1 = [(1, "a0", 1), (1, "a1", 2), (2, "b0", 1)]  # k1 changes twice
+    drop("d1.parquet", batch1)
+    assert run() == 1
+    v0 = {(r["k"], r["valid_from"]): r for r in read_dimension(spark, dim).collect()}
+    assert v0[(1, 1)]["valid_to"] == 2 and not v0[(1, 1)]["is_current"]
+    assert v0[(1, 2)]["valid_to"] is None and v0[(1, 2)]["is_current"]
+    assert v0[(2, 1)]["is_current"]
+
+    # batch 2: no-op for k1 (current run extends, no new version),
+    # real change for k2 (b0 closes at 4), new key k3
+    batch2 = [(1, "a1", 3), (2, "b1", 4), (3, "c0", 4)]
+    drop("d2.parquet", batch2)
+    assert run() == 1
+    final = read_dimension(spark, dim)
+    rows = {(r["k"], r["attr"]): r for r in final.collect()}
+    assert len(rows) == 5
+    assert rows[(1, "a1")]["valid_from"] == 2 and rows[(1, "a1")]["is_current"]
+    assert rows[(2, "b0")]["valid_to"] == 4 and not rows[(2, "b0")]["is_current"]
+    assert rows[(2, "b1")]["valid_from"] == 4 and rows[(2, "b1")]["is_current"]
+    assert rows[(3, "c0")]["is_current"]
+
+    # batch twin: one-shot SCD2 over the concatenated change log
+    log = spark.createDataFrame(batch1 + batch2, ["k", "attr", "seq"])
+    twin = scd2_from_snapshots(log, ["k"], ["attr"], "seq")
+    got = sorted(map(str, final.select(*twin.columns).collect()))
+    want = sorted(map(str, twin.collect()))
+    assert got == want
+
+    # time travel reads v=0; nothing new -> nothing processed
+    asof0 = {(r["k"], r["valid_from"]) for r in read_dimension(spark, dim, version=0).collect()}
+    assert asof0 == set(v0)
+    assert run() == 0

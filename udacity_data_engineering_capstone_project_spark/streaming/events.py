@@ -351,18 +351,95 @@ def merge_stream_into_dimension(
         merged = merge_upsert(current, batch_df, key_cols, order_col)
         vdir = f"{dim_path}/v={batch_id}"
         merged.write.mode("overwrite").parquet(vdir)
-        # Commit marker written by US, not the committer: clusters that
-        # disable mapreduce.fileoutputcommitter.marksuccessfuljobs
-        # (common with object-store committers) would otherwise leave
-        # every version invisible to _latest_dimension_version — and a
-        # merge against a silently-empty current side would truncate
-        # the dimension to this batch's keys.
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        marker = jvm.org.apache.hadoop.fs.Path(vdir + "/_SUCCESS")
-        fs = marker.getFileSystem(conf)
-        if not fs.exists(marker):
-            fs.create(marker, True).close()
+        _commit_version(spark, vdir)
+        counter["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counter["batches"]
+
+
+def _commit_version(spark: SparkSession, vdir: str) -> None:
+    """Write the version's commit marker OURSELVES, not via the
+    committer: clusters that disable
+    mapreduce.fileoutputcommitter.marksuccessfuljobs (common with
+    object-store committers) would otherwise leave every version
+    invisible to `_latest_dimension_version` — and a merge against a
+    silently-empty current side would truncate the table to the
+    current batch's keys."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(vdir + "/_SUCCESS")
+    fs = marker.getFileSystem(conf)
+    if not fs.exists(marker):
+        fs.create(marker, True).close()
+
+
+def merge_stream_into_scd2(
+    spark: SparkSession,
+    stream: DataFrame,
+    dim_path: str,
+    checkpoint_dir: str,
+    key_cols,
+    attr_cols,
+    order_col: str,
+) -> int:
+    """Type-2 twin of `merge_stream_into_dimension`: each micro-batch
+    of change rows maintains FULL SCD2 history (valid_from / valid_to /
+    is_current per attribute run) instead of last-writer-wins, writing
+    a new immutable version ``{dim_path}/v=<batch_id>``.
+
+    Per batch, closed history rows are immutable and carry over
+    verbatim; only the KEYS PRESENT IN THE BATCH replay their single
+    open row (as a pseudo-snapshot at its valid_from) plus the batch's
+    change rows through `operators.scd.scd2_from_snapshots` — so a key
+    that changes twice within one batch gets two history rows, and a
+    no-op change row extends the current run without a new version.
+    Expects ``order_col`` to advance with event order across batches
+    (a late row older than a key's current valid_from re-opens history
+    at that earlier point — garbage-in ordering yields garbage-out
+    ranges, as with any SCD2 load).
+
+    Crash safety and committer independence are inherited from the
+    dimension loop: replayed batches rebuild from the highest version
+    BELOW their batch_id and re-commit their own ``v=<id>``; versions
+    require the self-written _SUCCESS. Read with `read_dimension`
+    (time travel included). Returns batches processed this run.
+    """
+    from udacity_data_engineering_capstone_project_spark.operators.scd import (
+        scd2_from_snapshots,
+    )
+
+    key_cols = list(key_cols)
+    attr_cols = list(attr_cols)
+    counter = {"batches": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        changes = batch_df.select(*key_cols, *attr_cols, order_col)
+        prev_v = _latest_dimension_version(spark, dim_path, below=batch_id)
+        if prev_v is None:
+            merged = scd2_from_snapshots(changes, key_cols, attr_cols, order_col)
+        else:
+            prev = spark.read.parquet(f"{dim_path}/v={prev_v}")
+            keys = changes.select(*key_cols).distinct()
+            untouched = prev.join(keys, on=key_cols, how="left_anti")
+            affected = prev.join(keys, on=key_cols, how="left_semi")
+            closed = affected.filter(~F.col("is_current"))
+            reopened = affected.filter(F.col("is_current")).select(
+                *key_cols, *attr_cols, F.col("valid_from").alias(order_col)
+            )
+            redone = scd2_from_snapshots(
+                reopened.unionByName(changes), key_cols, attr_cols, order_col
+            )
+            merged = untouched.unionByName(closed).unionByName(redone)
+        vdir = f"{dim_path}/v={batch_id}"
+        merged.write.mode("overwrite").parquet(vdir)
+        _commit_version(spark, vdir)
         counter["batches"] += 1
 
     q = (
