@@ -526,3 +526,67 @@ def test_streaming_scd2_matches_batch_twin(spark, tmp_path):
     asof0 = {(r["k"], r["valid_from"]) for r in read_dimension(spark, dim, version=0).collect()}
     assert asof0 == set(v0)
     assert run() == 0
+
+
+def test_dimension_changes_and_vacuum(spark, tmp_path):
+    """Change-data-feed between committed versions (insert/update/
+    delete from two snapshot reads + one full outer join) and version
+    retention: vacuum keeps the newest N committed versions, time
+    travel past them raises, the latest read still works."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        dimension_changes,
+        merge_stream_into_dimension,
+        read_dimension,
+        vacuum_dimension_versions,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "attr": [r[1] for r in rows],
+                    "seq": pa.array([r[2] for r in rows], type=pa.int64()),
+                }
+            ),
+            str(landing / name),
+        )
+
+    def run():
+        stream = spark.readStream.schema("k LONG, attr STRING, seq LONG").parquet(
+            str(landing)
+        )
+        return merge_stream_into_dimension(spark, stream, dim, ckpt, ["k"], "seq")
+
+    drop("d1.parquet", [(1, "a0", 1), (2, "b0", 1)])
+    assert run() == 1
+    drop("d2.parquet", [(2, "b1", 2), (3, "c0", 2)])
+    assert run() == 1
+    drop("d3.parquet", [(4, "d0", 3)])
+    assert run() == 1
+
+    # CDF v0 -> v1: k2 updated, k3 inserted, k1 untouched (no row)
+    cdf = {r["k"]: r["change"] for r in dimension_changes(
+        spark, dim, 0, 1, ["k"]
+    ).collect()}
+    assert cdf == {2: "update", 3: "insert"}
+
+    # vacuum to the newest 2 committed versions: v0 goes
+    assert vacuum_dimension_versions(spark, dim, keep_last=2) == [0]
+    with _pytest.raises(FileNotFoundError):
+        read_dimension(spark, dim, version=0)
+    latest = {r["k"] for r in read_dimension(spark, dim).collect()}
+    assert latest == {1, 2, 3, 4}
+    # CDF across the retained pair still works
+    assert {r["k"]: r["change"] for r in dimension_changes(
+        spark, dim, 1, 2, ["k"]
+    ).collect()} == {4: "insert"}

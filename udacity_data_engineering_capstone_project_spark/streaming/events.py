@@ -452,6 +452,93 @@ def merge_stream_into_scd2(
     return counter["batches"]
 
 
+def dimension_changes(
+    spark: SparkSession,
+    dim_path: str,
+    from_version: int,
+    to_version: int,
+    key_cols,
+) -> DataFrame:
+    """Change-data-feed between two committed dimension versions: one
+    row per key whose content differs, with ``change`` in
+    ('insert', 'update', 'delete'). Because every version is a full
+    immutable snapshot, the diff is two directory reads + one full
+    outer join on the key — no log replay, no state.
+
+    Version ids resolve with as-of semantics (newest committed version
+    <= the given id, like `read_dimension`); raises when nothing is
+    committed at or below an id.
+    """
+    key_cols = list(key_cols)
+    old = read_dimension(spark, dim_path, version=from_version)
+    new = read_dimension(spark, dim_path, version=to_version)
+    attr_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols, F.struct(*[F.col(c) for c in attr_cols]).alias("__old")
+    )
+    nw = new.select(
+        *key_cols, F.struct(*[F.col(c) for c in attr_cols]).alias("__new")
+    )
+    joined = o.join(nw, on=key_cols, how="full_outer")
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("__old").isNull(), F.lit("insert"))
+            .when(F.col("__new").isNull(), F.lit("delete"))
+            .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change", "__old", "__new")
+    )
+
+
+def vacuum_dimension_versions(
+    spark: SparkSession, dim_path: str, keep_last: int = 3
+) -> list[int]:
+    """Retention for versioned dimensions: delete all but the newest
+    ``keep_last`` COMMITTED versions (plus any uncommitted — torn —
+    directories older than the newest committed one, which no reader
+    can ever resolve). Returns the deleted version ids. Time travel
+    only reaches retained versions afterwards — vacuum is the explicit
+    trade of history for storage, exactly like lakehouse VACUUM.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(dim_path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    committed, torn = [], []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        ok = fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        (committed if ok else torn).append(v)
+    committed.sort()
+    keep = set(committed[-keep_last:])
+    newest = committed[-1] if committed else None
+    deleted = []
+    for v in committed:
+        if v not in keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{dim_path}/v={v}"), True)
+            deleted.append(v)
+    for v in torn:
+        # an uncommitted dir older than the newest committed version is
+        # unreachable debris (its writer's replay would target a NEW
+        # batch id); one at/above the newest may be an in-flight write
+        if newest is not None and v < newest:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{dim_path}/v={v}"), True)
+            deleted.append(v)
+    return sorted(deleted)
+
+
 def _latest_dimension_version(
     spark: SparkSession, dim_path: str, below: int | None = None
 ) -> int | None:
