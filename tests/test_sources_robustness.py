@@ -494,7 +494,7 @@ def test_streaming_scd2_matches_batch_twin(spark, tmp_path):
             spark, stream, dim, ckpt, ["k"], ["attr"], "seq"
         )
 
-    batch1 = [(1, "a0", 1), (1, "a1", 2), (2, "b0", 1)]  # k1 changes twice
+    batch1 = [(1, "a0", 1), (1, "a1", 2), (2, "b0", 1), (None, "n0", 1)]
     drop("d1.parquet", batch1)
     assert run() == 1
     v0 = {(r["k"], r["valid_from"]): r for r in read_dimension(spark, dim).collect()}
@@ -503,13 +503,17 @@ def test_streaming_scd2_matches_batch_twin(spark, tmp_path):
     assert v0[(2, 1)]["is_current"]
 
     # batch 2: no-op for k1 (current run extends, no new version),
-    # real change for k2 (b0 closes at 4), new key k3
-    batch2 = [(1, "a1", 3), (2, "b1", 4), (3, "c0", 4)]
+    # real change for k2 (b0 closes at 4), new key k3, and the NULL
+    # business key must update ITS OWN history (not fork a duplicate
+    # current row — join equality never matches NULL without eqNullSafe)
+    batch2 = [(1, "a1", 3), (2, "b1", 4), (3, "c0", 4), (None, "n1", 2)]
     drop("d2.parquet", batch2)
     assert run() == 1
     final = read_dimension(spark, dim)
     rows = {(r["k"], r["attr"]): r for r in final.collect()}
-    assert len(rows) == 5
+    assert len(rows) == 7
+    assert rows[(None, "n0")]["valid_to"] == 2 and not rows[(None, "n0")]["is_current"]
+    assert rows[(None, "n1")]["is_current"]
     assert rows[(1, "a1")]["valid_from"] == 2 and rows[(1, "a1")]["is_current"]
     assert rows[(2, "b0")]["valid_to"] == 4 and not rows[(2, "b0")]["is_current"]
     assert rows[(2, "b1")]["valid_from"] == 4 and rows[(2, "b1")]["is_current"]
@@ -526,6 +530,15 @@ def test_streaming_scd2_matches_batch_twin(spark, tmp_path):
     asof0 = {(r["k"], r["valid_from"]) for r in read_dimension(spark, dim, version=0).collect()}
     assert asof0 == set(v0)
     assert run() == 0
+
+    # order tie: a change with seq EQUAL to the open row's valid_from
+    # must deterministically win (the merge_upsert contract) — b1's
+    # run degenerates to [4, 4) and b2 becomes current
+    drop("d3.parquet", [(2, "b2", 4)])
+    assert run() == 1
+    rows3 = {(r["k"], r["attr"]): r for r in read_dimension(spark, dim).collect()}
+    assert rows3[(2, "b2")]["is_current"] and rows3[(2, "b2")]["valid_from"] == 4
+    assert rows3[(2, "b1")]["valid_to"] == 4 and not rows3[(2, "b1")]["is_current"]
 
 
 def test_dimension_changes_and_vacuum(spark, tmp_path):

@@ -58,6 +58,7 @@ def scd2_from_snapshots(
     key_cols: Sequence[str],
     attr_cols: Sequence[str],
     snapshot_col: str,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Collapse periodic full snapshots into SCD type-2 history: one
     row per consecutive run of identical attribute values, with
@@ -69,8 +70,16 @@ def scd2_from_snapshots(
     change flags numbers the runs, and one aggregate per (key, run)
     emits the version row. Two windows + one aggregation, all sharing
     the same key partitioning — one shuffle end-to-end.
+
+    ``tiebreak_col`` (optional, ascending) orders rows that share a
+    ``snapshot_col`` value — without it equal timestamps make the run
+    order nondeterministic (`merge_stream_into_scd2` passes its
+    snapshot-vs-change source tag so changes beat the reopened row).
     """
-    order_w = Window.partitionBy(*key_cols).orderBy(F.col(snapshot_col).asc())
+    order_keys = [F.col(snapshot_col).asc()]
+    if tiebreak_col is not None:
+        order_keys.append(F.col(tiebreak_col).asc())
+    order_w = Window.partitionBy(*key_cols).orderBy(*order_keys)
     changed = F.lit(False)
     for a in attr_cols:
         prev = F.lag(F.col(a)).over(order_w)
@@ -88,7 +97,12 @@ def scd2_from_snapshots(
         *[F.first(a).alias(a) for a in attr_cols],
         F.min(snapshot_col).alias("valid_from"),
     )
-    next_w = Window.partitionBy(*key_cols).orderBy(F.col("valid_from").asc())
+    # __run in the sort: two runs can share a valid_from when tied
+    # snapshot values split a key's history (the tiebreak case), and
+    # run numbers are monotone in window order by construction
+    next_w = Window.partitionBy(*key_cols).orderBy(
+        F.col("valid_from").asc(), F.col("__run").asc()
+    )
     return (
         versions.withColumn("valid_to", F.lead("valid_from").over(next_w))
         .withColumn("is_current", F.col("valid_to").isNull())

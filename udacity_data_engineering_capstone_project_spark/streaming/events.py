@@ -334,25 +334,46 @@ def merge_stream_into_dimension(
 
     Returns the number of batches processed this run.
     """
-    import re
+    from udacity_data_engineering_capstone_project_spark.operators.scd import merge_upsert
 
+    def merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        # first batch: the batch itself may carry several versions of
+        # one key — collapse with an empty current side
+        current = batch_df.limit(0) if prev is None else prev
+        return merge_upsert(current, batch_df, key_cols, order_col)
+
+    return _run_versioned_merge(spark, stream, dim_path, checkpoint_dir, merge)
+
+
+def _run_versioned_merge(
+    spark: SparkSession,
+    stream: DataFrame,
+    dim_path: str,
+    checkpoint_dir: str,
+    merge_fn,
+) -> int:
+    """Shared run loop of the versioned-table writers: per micro-batch,
+    resolve the newest committed version BELOW the batch id (crash
+    replays never see their own half-committed write), hand
+    (batch_df, prev_df_or_None) to ``merge_fn``, write the result as
+    ``v=<batch_id>`` and commit it. Returns batches processed."""
     counter = {"batches": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        from udacity_data_engineering_capstone_project_spark.operators.scd import merge_upsert
-
-        prev = _latest_dimension_version(spark, dim_path, below=batch_id)
-        if prev is None:
-            # first batch: the batch itself may carry several versions
-            # of one key — collapse with an empty current side
-            current = batch_df.limit(0)
-        else:
-            current = spark.read.parquet(f"{dim_path}/v={prev}")
-        merged = merge_upsert(current, batch_df, key_cols, order_col)
-        vdir = f"{dim_path}/v={batch_id}"
-        merged.write.mode("overwrite").parquet(vdir)
-        _commit_version(spark, vdir)
-        counter["batches"] += 1
+        prev_v = _latest_dimension_version(spark, dim_path, below=batch_id)
+        prev = (
+            None if prev_v is None
+            else spark.read.parquet(f"{dim_path}/v={prev_v}").persist()
+        )
+        try:
+            merged = merge_fn(batch_df, prev)
+            vdir = f"{dim_path}/v={batch_id}"
+            merged.write.mode("overwrite").parquet(vdir)
+            _commit_version(spark, vdir)
+            counter["batches"] += 1
+        finally:
+            if prev is not None:
+                prev.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_apply)
@@ -400,13 +421,17 @@ def merge_stream_into_scd2(
     change rows through `operators.scd.scd2_from_snapshots` — so a key
     that changes twice within one batch gets two history rows, and a
     no-op change row extends the current run without a new version.
-    Expects ``order_col`` to advance with event order across batches
-    (a late row older than a key's current valid_from re-opens history
-    at that earlier point — garbage-in ordering yields garbage-out
-    ranges, as with any SCD2 load).
+    A change row whose ``order_col`` TIES the open row's valid_from
+    deterministically wins (the change is the newer fact — same
+    tiebreak contract as `merge_upsert`); NULL business keys group
+    together, as in the last-writer twin. Expects ``order_col`` to
+    advance with event order across batches (a late row older than a
+    key's current valid_from re-opens history at that earlier point —
+    garbage-in ordering yields garbage-out ranges, as with any SCD2
+    load).
 
     Crash safety and committer independence are inherited from the
-    dimension loop: replayed batches rebuild from the highest version
+    shared run loop: replayed batches rebuild from the highest version
     BELOW their batch_id and re-commit their own ``v=<id>``; versions
     require the self-written _SUCCESS. Read with `read_dimension`
     (time travel included). Returns batches processed this run.
@@ -417,39 +442,41 @@ def merge_stream_into_scd2(
 
     key_cols = list(key_cols)
     attr_cols = list(attr_cols)
-    counter = {"batches": 0}
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        changes = batch_df.select(*key_cols, *attr_cols, order_col)
-        prev_v = _latest_dimension_version(spark, dim_path, below=batch_id)
-        if prev_v is None:
-            merged = scd2_from_snapshots(changes, key_cols, attr_cols, order_col)
-        else:
-            prev = spark.read.parquet(f"{dim_path}/v={prev_v}")
-            keys = changes.select(*key_cols).distinct()
-            untouched = prev.join(keys, on=key_cols, how="left_anti")
-            affected = prev.join(keys, on=key_cols, how="left_semi")
-            closed = affected.filter(~F.col("is_current"))
-            reopened = affected.filter(F.col("is_current")).select(
-                *key_cols, *attr_cols, F.col("valid_from").alias(order_col)
+    def merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        # __src: reopened pseudo-snapshot sorts before same-order_col
+        # change rows, so on ties the change wins the current run
+        changes = batch_df.select(*key_cols, *attr_cols, order_col).withColumn(
+            "__src", F.lit(1)
+        )
+        if prev is None:
+            return scd2_from_snapshots(
+                changes, key_cols, attr_cols, order_col, tiebreak_col="__src"
             )
-            redone = scd2_from_snapshots(
-                reopened.unionByName(changes), key_cols, attr_cols, order_col
-            )
-            merged = untouched.unionByName(closed).unionByName(redone)
-        vdir = f"{dim_path}/v={batch_id}"
-        merged.write.mode("overwrite").parquet(vdir)
-        _commit_version(spark, vdir)
-        counter["batches"] += 1
+        keys = changes.select(*key_cols).distinct()
+        # null-safe membership: a NULL business key must hit the same
+        # branch on both sides (plain join equality never matches NULL,
+        # which would leave a duplicate is_current row for the key)
+        cond = None
+        for k in key_cols:
+            c = prev[k].eqNullSafe(keys[k])
+            cond = c if cond is None else (cond & c)
+        untouched = prev.join(keys, on=cond, how="left_anti")
+        affected = prev.join(keys, on=cond, how="left_semi")
+        closed = affected.filter(~F.col("is_current"))
+        reopened = affected.filter(F.col("is_current")).select(
+            *key_cols, *attr_cols, F.col("valid_from").alias(order_col)
+        ).withColumn("__src", F.lit(0))
+        redone = scd2_from_snapshots(
+            reopened.unionByName(changes),
+            key_cols,
+            attr_cols,
+            order_col,
+            tiebreak_col="__src",
+        )
+        return untouched.unionByName(closed).unionByName(redone)
 
-    q = (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return counter["batches"]
+    return _run_versioned_merge(spark, stream, dim_path, checkpoint_dir, merge)
 
 
 def dimension_changes(
@@ -468,6 +495,11 @@ def dimension_changes(
     Version ids resolve with as-of semantics (newest committed version
     <= the given id, like `read_dimension`); raises when nothing is
     committed at or below an id.
+
+    For ONE-ROW-PER-KEY dimensions (`merge_stream_into_dimension`
+    output). An SCD2 dimension holds a key's full history per version,
+    so the key join would multiply rows — diff its `is_current` slice,
+    or include ``valid_from`` in ``key_cols`` to diff version rows.
     """
     key_cols = list(key_cols)
     old = read_dimension(spark, dim_path, version=from_version)
@@ -501,27 +533,25 @@ def vacuum_dimension_versions(
     can ever resolve). Returns the deleted version ids. Time travel
     only reaches retained versions afterwards — vacuum is the explicit
     trade of history for storage, exactly like lakehouse VACUUM.
+
+    ``keep_last`` must be >= 2: the newest version's batch may not be
+    committed to the STREAMING checkpoint yet (crash between the
+    _SUCCESS write and the checkpoint commit), in which case its
+    replay rebuilds from the version below — if vacuum had deleted
+    that one, the replay would merge against an empty current side and
+    silently truncate the table.
     """
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2: the newest version's batch may still "
+            "be replayed (crash before its checkpoint commit) and rebuilds "
+            "from the version below it"
+        )
+    committed, torn = _list_versions(spark, dim_path)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(dim_path)
     fs = root.getFileSystem(conf)
-    if not fs.exists(root):
-        return []
-    committed, torn = [], []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not name.startswith("v="):
-            continue
-        try:
-            v = int(name[2:])
-        except ValueError:
-            continue
-        ok = fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
-        (committed if ok else torn).append(v)
-    committed.sort()
     keep = set(committed[-keep_last:])
     newest = committed[-1] if committed else None
     deleted = []
@@ -550,13 +580,23 @@ def _latest_dimension_version(
     marker: a crashed foreachBatch write (or an overwrite still in
     flight) leaves a v=N directory without one, and readers must skip
     it rather than serve a torn version."""
+    committed, _torn = _list_versions(spark, dim_path)
+    eligible = [v for v in committed if below is None or v < below]
+    return max(eligible) if eligible else None
+
+
+def _list_versions(spark: SparkSession, dim_path: str):
+    """(sorted committed version ids, sorted torn ids) under
+    ``dim_path`` — THE definition of 'committed' (a v=N directory with
+    the self-written _SUCCESS), shared by the reader resolution and
+    the vacuum so they can never disagree about it."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(dim_path)
     fs = path.getFileSystem(conf)
     if not fs.exists(path):
-        return None
-    best = None
+        return [], []
+    committed, torn = [], []
     for st in fs.listStatus(path):
         name = st.getPath().getName()
         if not name.startswith("v="):
@@ -565,13 +605,9 @@ def _latest_dimension_version(
             v = int(name[2:])
         except ValueError:
             continue
-        if below is not None and v >= below:
-            continue
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
-            continue
-        if best is None or v > best:
-            best = v
-    return best
+        ok = fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        (committed if ok else torn).append(v)
+    return sorted(committed), sorted(torn)
 
 
 def read_dimension(
