@@ -593,6 +593,12 @@ def test_dimension_changes_and_vacuum(spark, tmp_path):
     ).collect()}
     assert cdf == {2: "update", 3: "insert"}
 
+    # keep_last=1 is refused: the newest version's batch may still be
+    # replayed (crash before its checkpoint commit) and rebuilds from
+    # the version below — deleting it would truncate the table
+    with _pytest.raises(ValueError, match="keep_last"):
+        vacuum_dimension_versions(spark, dim, keep_last=1)
+
     # vacuum to the newest 2 committed versions: v0 goes
     assert vacuum_dimension_versions(spark, dim, keep_last=2) == [0]
     with _pytest.raises(FileNotFoundError):
