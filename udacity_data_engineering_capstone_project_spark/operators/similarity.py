@@ -774,3 +774,329 @@ def semantic_dedup(
         )
         .select(F.col("__dup").alias(id_col), "dup_of", "cos_sim")
     )
+
+
+# =========================================================================
+# Product quantization (Jegou, Douze, Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search"). Extension tier: the reference engine
+# (etl.py) has no vector search at all; this is the 100 TB memory story
+# beyond per-vector int8 — m log2(k)-bit codes per vector (m=8, k=16:
+# 4 BYTES for a 64-dim float vector, 64x smaller) with asymmetric
+# distance computation (ADC) so queries score codes without ever
+# reconstructing the corpus.
+# =========================================================================
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+) -> DataFrame:
+    """Train product-quantization codebooks: split the vector space into
+    ``m`` contiguous subspaces and run Lloyd's k-means (``k`` centroids)
+    in each — ALL subspaces jointly per iteration, so the training cost
+    is ``iters`` jobs regardless of ``m``.
+
+    Scale shape per iteration (mirrors `train_centroids`, which trains
+    the IVF coarse quantizer — PQ is its fine-grained sibling):
+      1. assign: each (vector, subspace) row joins the broadcast
+         (m*k)-row codebook on ``sub`` and keeps its nearest centroid
+         via a ``min_by`` partial aggregation — the n*m scored rows
+         combine map-side; no shuffle of scored candidates.
+      2. update: centroid = elementwise mean of members, via posexplode
+         to (sub, cell, pos, value) and an avg with map-side combine —
+         the shuffle carries m*k*subdim partial sums per partition.
+
+    Init is deterministic: the k corpus rows with the smallest
+    xxhash64(id) seed cell j of EVERY subspace with their j-th
+    subvector (stable across runs/partitionings). Empty cells keep
+    their previous centroid. Distances are squared L2 (the PQ paper's
+    metric); L2-normalize vectors upstream (`normalize_embeddings`)
+    to rank by cosine, since ||a-b||^2 = 2 - 2*cos on unit vectors.
+
+    Output: (sub int, cell int, codevec array<double> of dim/m),
+    m*k rows — driver-safe to collect anywhere.
+    """
+    if m <= 0 or k <= 0 or iters < 0:
+        raise ValueError(f"need m > 0, k > 0, iters >= 0, got {m}, {k}, {iters}")
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim is None:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    dim = dim["d"]
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m} subspaces")
+    sd = dim // m
+    subs = F.sequence(F.lit(0), F.lit(m - 1))
+    # (id, sub, subvec) rows: one slice per subspace, vectors cast to
+    # double once so training and encoding arithmetic agree bit-for-bit.
+    def _exploded(frame: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        return frame.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    subs,
+                    lambda j: F.struct(
+                        j.cast("int").alias("sub"),
+                        F.slice(v, j * sd + 1, sd).alias("__sv"),
+                    ),
+                )
+            ).alias("__e"),
+        ).select(id_col, "__e.sub", "__e.__sv")
+
+    hash_order = [F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)]
+    # TakeOrderedAndProject: distributed partial top-k, not a global sort.
+    seeds = df.select(F.col(id_col), F.col(vec_col)).orderBy(*hash_order).limit(k)
+    cents = (
+        _exploded(
+            seeds.withColumn(
+                "__cell", F.row_number().over(Window.orderBy(*hash_order)) - 1
+            ).select(F.col("__cell").alias(id_col), vec_col)
+        )
+        .select(
+            "sub",
+            F.col(id_col).cast("int").alias("cell"),
+            F.col("__sv").alias("codevec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = _exploded(df)
+    for _ in range(iters):
+        cb = F.broadcast(cents)
+        scored = rows.join(cb, "sub").withColumn(
+            "__d",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__sv"), F.col("codevec"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                9,
+            ),
+        )
+        assigned = scored.groupBy(id_col, "sub").agg(
+            F.min_by(
+                F.struct(F.col("cell"), F.col("__sv")),
+                F.struct(F.col("__d"), F.col("cell")),
+            ).alias("__best")
+        )
+        means = (
+            assigned.select(
+                "sub",
+                F.col("__best.cell").alias("cell"),
+                F.posexplode(F.col("__best.__sv")).alias("__p", "__v"),
+            )
+            .groupBy("sub", "cell", "__p")
+            .agg(F.avg("__v").alias("__m"))
+            .groupBy("sub", "cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__p"), F.col("__m")))
+                ).alias("__pm")
+            )
+            .select(
+                "sub",
+                "cell",
+                F.transform(F.col("__pm"), lambda s: s["__m"]).alias("codevec"),
+            )
+        )
+        cents = (
+            cents.select("sub", "cell", F.col("codevec").alias("__prev"))
+            .join(means, on=["sub", "cell"], how="left")
+            .select(
+                "sub",
+                "cell",
+                F.coalesce(F.col("codevec"), F.col("__prev")).alias("codevec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def _collect_codebooks(codebooks: DataFrame) -> tuple[int, int, list[list[list[float]]]]:
+    """Collect the (m*k)-row codebook frame to nested driver lists —
+    model-sized by construction (m*k*subdim doubles, e.g. 8 KiB for
+    m=8, k=16, dim=64), the same driver-traffic class as a broadcast
+    hint. Returns (m, k, table[sub][cell] = codevec)."""
+    rows = codebooks.select("sub", "cell", "codevec").collect()
+    if not rows:
+        raise ValueError("empty PQ codebook frame")
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["cell"] for r in rows) + 1
+    table: list[list[list[float] | None]] = [[None] * k for _ in range(m)]
+    for r in rows:
+        table[r["sub"]][r["cell"]] = [float(x) for x in r["codevec"]]
+    for s in range(m):
+        for c in range(k):
+            if table[s][c] is None:
+                raise ValueError(f"codebook missing (sub={s}, cell={c})")
+    return m, k, table  # type: ignore[return-value]
+
+
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as its array of nearest-subspace-centroid ids
+    (``m`` ints in [0, k)) — the PQ code.
+
+    SHUFFLE-FREE: the codebook rides into the plan as an
+    array<array<double>> literal per subspace and each code is an
+    argmin expression over that literal (`transform` + `array_min` +
+    `array_position`), so encoding a 100 TB corpus is one map-only
+    whole-stage-codegen pass that preserves every other column.
+    Distances round to 9 dp exactly as in training, so encode(corpus)
+    reproduces the final training assignment. Ties take the lowest
+    cell (`array_position` finds the first match).
+    """
+    m, k, table = _collect_codebooks(codebooks)
+    sd = len(table[0][0])
+    v = F.col(vec_col).cast("array<double>")
+
+    def _code(j: int) -> Column:
+        sub = F.slice(v, j * sd + 1, sd)
+        dists = F.transform(
+            _lit_matrix(table[j]),
+            lambda c: F.round(
+                F.aggregate(
+                    F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+                9,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return df.withColumn(out_col, F.array(*[_code(j) for j in range(m)]))
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id: str = "query_id",
+    codes_col: str = "pq_codes",
+    rerank_with: DataFrame | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes
+    an m*k table of squared L2 distances from its subvectors to every
+    codebook centroid, and a corpus row's approximate distance is just
+    m table lookups + m adds (`zip_with(dtable, codes)` + fold) — the
+    ADC trick that makes PQ search memory- and compute-cheap at corpus
+    scale. No corpus vector is ever touched.
+
+    Physical shape mirrors `brute_force_topk`: queries (small side,
+    with their distance tables attached as expression-computed columns)
+    broadcast against the codes; the only shuffle is the per-query
+    top-k window. Ties break by neighbor id.
+
+    ``rerank_with``: optionally re-score the top ``k * rerank_factor``
+    ADC candidates with EXACT cosine against a full-precision vector
+    frame (id_col, vec_col) — candidate-sized join, restoring exact
+    ordering among the survivors (the IVF+PQ refinement step).
+
+    Output: (query_id, neighbor_id, rank, adc_dist [, cos_sim]).
+    """
+    m, kc, table = _collect_codebooks(codebooks)
+    sd = len(table[0][0])
+    qv = F.col(vec_col).cast("array<double>")
+
+    # NB: the subspace slice must be computed OUTSIDE the transform
+    # lambda — a two-arg lambda there would be treated as
+    # (element, index) by Spark's higher-order-function binding.
+    def _qdists(j: int) -> Column:
+        sub = F.slice(qv, j * sd + 1, sd)
+        return F.transform(
+            _lit_matrix(table[j]),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+
+    dtable = F.array(*[_qdists(j) for j in range(m)])
+    q = queries.select(
+        F.col(id_col).alias(query_id), F.col(vec_col), dtable.alias("__dt")
+    ).drop(vec_col)
+    scored = (
+        corpus_codes.select(F.col(id_col).alias("neighbor_id"), F.col(codes_col))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn(
+            "adc_dist",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__dt"),
+                        F.col(codes_col),
+                        lambda t, c: F.element_at(t, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    take = k if rerank_with is None else k * rerank_factor
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= take)
+        .select(query_id, "neighbor_id", "rank", "adc_dist")
+    )
+    if rerank_with is None:
+        return cands
+    vn = _with_norm(
+        rerank_with.select(F.col(id_col), F.col(vec_col)), vec_col, "__n"
+    )
+    qn = _with_norm(
+        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv")),
+        "__qv",
+        "__qn",
+    )
+    rescored = (
+        cands.join(
+            vn.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cv"),
+                F.col("__n").alias("__cn"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qn), query_id)
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _pair_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "adc_dist", "cos_sim")
+    )

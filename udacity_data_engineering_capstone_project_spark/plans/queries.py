@@ -2385,6 +2385,29 @@ def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pq_ann_q",
+    None,  # k-means training + argmin encoding are not SQL-expressible;
+    # determinism is pinned by test_unregistered_rows_only_query_
+    # deterministic and numpy parity by tests/test_pq.py.
+    "Product-quantization ANN (operators/similarity.py:train_pq_"
+    "codebooks/pq_encode/pq_topk): 8-byte PQ codes + ADC search + "
+    "exact-cosine rerank (Jegou et al. 2011). Unregistered rows-only.",
+    registered=False,
+)
+def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = sim.normalize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "embedding"
+    ).localCheckpoint(eager=True)
+    cb = sim.train_pq_codebooks(emb, "vec_id", "embedding", m=16, k=32, iters=3)
+    codes = sim.pq_encode(emb, cb, "embedding")
+    queries_df = emb.orderBy("vec_id").limit(10)
+    return sim.pq_topk(
+        codes, queries_df, cb, "vec_id", "embedding", k=10,
+        rerank_with=emb, rerank_factor=4,
+    )
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
