@@ -578,3 +578,53 @@ def test_ngram_lm_stupid_backoff_matches_reference(spark):
         test_df, "doc_id", "text", lm2, n=3
     ).collect()}
     assert got2[11]["avg_logprob"] <= got[11]["avg_logprob"] + 1e-9
+
+
+def test_gopher_quality_rules_hand_check(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        gopher_quality,
+    )
+
+    good = "the cat sat with that dog and they have fun " * 10  # 90 words
+    docs = [
+        (1, good),
+        (2, "the of and"),  # too few words
+        (3, "a b c " * 40),  # mean word len 1 < 3
+        (4, good + " ### " * 30),  # symbol ratio > 0.1
+        (5, "\n".join(["- item " + good[:40]] * 10)),  # 100% bullet lines
+        (6, "\n".join([(good[:60] + "...")] * 10)),  # 100% ellipsis lines
+        (7, good + " " + "12345 " * 100),  # alpha fraction < 0.8
+        (8, "zzz qqq www " * 30),  # zero stopword hits
+        (9, ""),  # empty
+        (10, "   \n  "),  # whitespace only
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_quality(df, "doc_id", "text").collect()}
+
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] == 3
+    assert out[3]["keep"] is False and out[3]["mean_word_len"] == 1.0
+    assert out[4]["keep"] is False and out[4]["symbol_word_ratio"] > 0.1
+    assert out[5]["keep"] is False and out[5]["frac_bullet_lines"] == 1.0
+    assert out[6]["keep"] is False and out[6]["frac_ellipsis_lines"] == 1.0
+    assert out[7]["keep"] is False and out[7]["frac_alpha_words"] < 0.8
+    assert out[8]["keep"] is False and out[8]["n_stop_hits"] == 0
+    for i in (9, 10):
+        assert out[i]["keep"] is False
+        assert out[i]["n_words"] == 0
+        assert out[i]["mean_word_len"] == 0.0
+    # distinct stopword TYPES, not occurrences: the, with, that, and, have
+    assert out[1]["n_stop_hits"] == 5
+
+
+def test_gopher_quality_shuffle_free(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        gopher_quality,
+    )
+
+    df = spark.createDataFrame([(1, "the cat")], ["doc_id", "text"])
+    plan = (
+        gopher_quality(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -945,3 +945,98 @@ def bpe_tokenize(
             ).alias("bpe_tokens")
         )
     return joined.groupBy(id_col).agg(*aggs)
+
+
+#: Gopher's stop-word presence check uses a small canonical set (Rae
+#: et al. 2021, Appendix A); callers pass their own for other domains.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    stopwords: Sequence[str] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models", Appendix A) — the standard pre-training filter
+    battery: word-count bounds, mean word length, symbol-to-word ratio
+    (# and ellipses), bullet-/ellipsis-line fractions, alphabetic-word
+    fraction, and stop-word presence.
+
+    One shuffle-free whole-stage-codegen projection (split + filter +
+    aggregate higher-order functions; repeated subtrees are shared by
+    codegen CSE) — the shape that scans a 100 TB crawl linearly. The
+    repetition rules from the same appendix live in
+    `repetition_signals`; compose both for the full battery.
+
+    Output: (id, n_words, mean_word_len r6, symbol_word_ratio r6,
+    frac_bullet_lines r6, frac_ellipsis_lines r6, frac_alpha_words r6,
+    n_stop_hits, keep). Empty/whitespace-only documents get zero
+    signals and keep=false. n_stop_hits counts DISTINCT stopwords
+    present as whole lowercase words.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    wlen_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wlen = F.when(n_words > 0, wlen_sum / n_words).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.regexp_count(t, F.lit(r"#"))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.regexp_count(t, F.lit("…"))
+    ).cast("long")
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•‣▪]"))
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("long")
+    frac_bullet = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0))
+    frac_ellipsis = F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    frac_alpha = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    words_lower = F.transform(words, F.lower)
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    n_stop_hits = F.size(
+        F.filter(stops, lambda s: F.array_contains(words_lower, s))
+    ).cast("long")
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_wlen.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (frac_bullet <= max_bullet_line_frac)
+        & (frac_ellipsis <= max_ellipsis_line_frac)
+        & (frac_alpha >= min_alpha_word_frac)
+        & (n_stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(frac_bullet, 6).alias("frac_bullet_lines"),
+        F.round(frac_ellipsis, 6).alias("frac_ellipsis_lines"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        n_stop_hits.alias("n_stop_hits"),
+        keep.alias("keep"),
+    )

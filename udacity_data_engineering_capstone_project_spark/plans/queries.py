@@ -2385,6 +2385,98 @@ def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for gopher_quality — UNREGISTERED; DuckDB reproduces the
+# whole rule battery with list lambdas over the same word/line splits.
+GOPHER_QUALITY_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           w -> w <> '') AS words,
+               string_split(text, chr(10)) AS lines,
+               len(regexp_extract_all(text, '#')) +
+               len(regexp_extract_all(text, '\\.\\.\\.')) +
+               len(regexp_extract_all(text, '…')) AS n_symbols
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               len(lines) AS n_lines,
+               COALESCE(list_sum(list_transform(words, w -> len(w))), 0)
+                   AS wlen_sum,
+               len(list_filter(words,
+                   w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+               len(list_filter(lines,
+                   l -> regexp_matches(ltrim(l), '^[-*•‣▪]'))) AS bullet_lines,
+               len(list_filter(lines,
+                   l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                   AS ellipsis_lines,
+               n_symbols,
+               len(list_filter(['the', 'a'],
+                   s -> list_contains(list_transform(words, w -> lower(w)), s)))
+                   AS stop_hits
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(CASE WHEN n_words > 0
+                      THEN wlen_sum * 1.0 / n_words ELSE 0 END, 6)
+               AS mean_word_len,
+           round(CASE WHEN n_words > 0
+                      THEN n_symbols * 1.0 / n_words ELSE 0 END, 6)
+               AS symbol_word_ratio,
+           round(CASE WHEN n_lines > 0
+                      THEN bullet_lines * 1.0 / n_lines ELSE 0 END, 6)
+               AS frac_bullet_lines,
+           round(CASE WHEN n_lines > 0
+                      THEN ellipsis_lines * 1.0 / n_lines ELSE 0 END, 6)
+               AS frac_ellipsis_lines,
+           round(CASE WHEN n_words > 0
+                      THEN alpha_words * 1.0 / n_words ELSE 0 END, 6)
+               AS frac_alpha_words,
+           CAST(stop_hits AS BIGINT) AS n_stop_hits,
+           CAST(CASE WHEN n_words BETWEEN 40 AND 100000
+                      AND (CASE WHEN n_words > 0
+                                THEN wlen_sum * 1.0 / n_words ELSE 0 END)
+                          BETWEEN 3.0 AND 10.0
+                      AND (CASE WHEN n_words > 0
+                                THEN n_symbols * 1.0 / n_words ELSE 0 END) <= 0.1
+                      AND (CASE WHEN n_lines > 0
+                                THEN bullet_lines * 1.0 / n_lines ELSE 0 END)
+                          <= 0.9
+                      AND (CASE WHEN n_lines > 0
+                                THEN ellipsis_lines * 1.0 / n_lines ELSE 0 END)
+                          <= 0.3
+                      AND (CASE WHEN n_words > 0
+                                THEN alpha_words * 1.0 / n_words ELSE 0 END)
+                          >= 0.8
+                      AND stop_hits >= 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM s
+"""
+
+
+@_register(
+    "gopher_quality_q",
+    GOPHER_QUALITY_ORACLE,
+    "Gopher rule battery (operators/textstats.py:gopher_quality): "
+    "word-count/word-length/symbol/bullet/ellipsis/alpha/stopword "
+    "document quality rules (Rae et al. 2021 App. A). Unregistered; "
+    "hash-pinned locally.",
+    registered=False,
+)
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ts.gopher_quality(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        min_words=40,
+        min_stop_hits=2,
+        stopwords=("the", "a"),
+    )
+    return out.withColumn("keep", F.col("keep").cast("long"))
+
+
 @_register(
     "pq_ann_q",
     None,  # k-means training + argmin encoding are not SQL-expressible;
