@@ -86,3 +86,63 @@ def test_segment_documents_window_mode_partial_tail(spark):
         for r in segment_documents(docs, "doc_id", "text", window=3).collect()
     )
     assert rows == [(1, "a b c"), (4, "d e f"), (7, "g h")]
+
+
+def test_normalize_unicode_forms_and_stripping(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
+        normalize_unicode,
+    )
+    import unicodedata
+
+    rows = [
+        (1, "café"),          # e + combining acute -> NFC/NFKC e-acute
+        (2, "ﬁｌｅ"),  # ligature fi + fullwidth l, e -> "file"
+        (3, "a​b\x00c"),       # zero-width space + NUL stripped
+        (4, None),
+        (5, "  a   b \n c  "),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+
+    nfkc = {r["id"]: r["t"] for r in
+            normalize_unicode(df, "t", form="NFKC").collect()}
+    assert nfkc[1] == "café"
+    assert nfkc[2] == "file"
+    assert nfkc[3] == "abc"
+    assert nfkc[4] is None
+
+    nfc = {r["id"]: r["t"] for r in
+           normalize_unicode(df, "t", form="NFC", strip_control=False).collect()}
+    assert nfc[1] == "café"
+    assert nfc[2] == "ﬁｌｅ"  # NFC preserves compatibility chars
+    assert nfc[3] == "a​b\x00c"
+    # python reference parity for every non-null row
+    for rid, text in rows:
+        if text is not None:
+            assert nfc[rid] == unicodedata.normalize("NFC", text)
+
+    coll = {r["id"]: r["t"] for r in
+            normalize_unicode(df, "t", collapse_whitespace=True).collect()}
+    assert coll[5] == "a b c"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, "t", form="XXX")
+
+
+def test_normalize_unicode_duckdb_nfc_parity(spark):
+    """DuckDB's nfc_normalize is an independent NFC implementation —
+    cross-check the Spark path against it character-for-character."""
+    import duckdb
+    from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
+        normalize_unicode,
+    )
+
+    samples = ["café", "ﬁx", "ΩÅ", "ṩṡ",
+               "x̣̄"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["id", "t"])
+    got = {r["id"]: r["t"] for r in
+           normalize_unicode(df, "t", form="NFC", strip_control=False).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        want = con.sql("select nfc_normalize(?)", params=[s]).fetchone()[0]
+        assert got[i] == want, (i, s)

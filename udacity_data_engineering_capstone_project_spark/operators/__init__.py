@@ -3,6 +3,7 @@ from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
     drop_nulls,
     fill_nulls,
     normalize_domain,
+    normalize_unicode,
 )
 from udacity_data_engineering_capstone_project_spark.operators.relational import (
     argmax_join,
@@ -24,6 +25,7 @@ __all__ = [
     "drop_nulls",
     "fill_nulls",
     "normalize_domain",
+    "normalize_unicode",
     "argmax_join",
     "avg_of_avgs",
     "maybe_broadcast",

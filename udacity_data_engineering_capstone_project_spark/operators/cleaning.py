@@ -8,8 +8,10 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def normalize_domain(
@@ -46,3 +48,45 @@ def cast_columns(df: DataFrame, casts: Mapping[str, str]) -> DataFrame:
     """Cast columns by name -> Spark type string (reference casts CSV
     strings to double, `etl.py:135-136,156-157`)."""
     return df.withColumns({name: F.col(name).cast(t) for name, t in casts.items()})
+
+
+def normalize_unicode(
+    df: DataFrame,
+    column: str,
+    form: str = "NFKC",
+    strip_control: bool = True,
+    collapse_whitespace: bool = False,
+    output_column: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column — the canonicalization step every
+    crawl-scale dedup/tokenize stage wants upstream (NFKC folds
+    fullwidth forms, ligatures and compatibility glyphs so fingerprints
+    and n-grams agree across encoders).
+
+    Spark SQL has no unicode-normalization builtin, so the normalize
+    itself is the justified Python case: ONE Arrow-batched pandas UDF
+    calling the C-accelerated ``str.normalize`` per batch (never
+    per-row Python). Control-char stripping and whitespace collapsing
+    are plain regexes and stay JVM-side around it, keeping the Python
+    surface minimal. Nulls pass through as nulls.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown unicode normalization form: {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    out = output_column or column
+    c: F.Column = _norm(F.col(column))
+    if strip_control:
+        # C0/C1 controls except \t \n \r, plus zero-width chars and BOM
+        c = F.regexp_replace(
+            c,
+            "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f"
+            "\N{ZERO WIDTH SPACE}-\N{ZERO WIDTH JOINER}\N{ZERO WIDTH NO-BREAK SPACE}]",
+            "",
+        )
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out, c)
