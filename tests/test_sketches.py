@@ -104,3 +104,45 @@ def test_cms_build_merge_estimate(spark, tmp_path):
     assert estimate_counts(spark, whole_b, [0, 1, 999]) == {
         k: v for k, v in est.items() if k in (0, 1, 999)
     }
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    # 60% a, 25% b, 10% c, 5 singletons, plus nulls that count toward
+    # the total but can never be hitters
+    vals = ["a"] * 60 + ["b"] * 25 + ["c"] * 10 + [f"x{i}" for i in range(5)]
+    rows = [(v,) for v in vals] + [(None,)] * 10  # total 110
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    out = {r["value"]: (r["count"], r["frac"])
+           for r in heavy_hitters(df, "v", min_frac=0.09).collect()}
+    assert out == {
+        "a": (60, round(60 / 110, 6)),
+        "b": (25, round(25 / 110, 6)),
+        "c": (10, round(10 / 110, 6)),  # 10/110 > 0.09
+    }
+    # tighter threshold drops c
+    out2 = {r["value"] for r in heavy_hitters(df, "v", min_frac=0.2).collect()}
+    assert out2 == {"a", "b"}
+
+
+def test_heavy_hitters_edges(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "v string")
+    assert heavy_hitters(empty, "v", 0.5).count() == 0
+    allnull = spark.createDataFrame([(None,)] * 5, "v string")
+    assert heavy_hitters(allnull, "v", 0.5).count() == 0
+    with _pytest.raises(ValueError, match="min_frac"):
+        heavy_hitters(allnull, "v", 0.0)
+    with _pytest.raises(ValueError, match="min_frac"):
+        heavy_hitters(allnull, "v", 1.5)
+    # bigint column type survives
+    ints = spark.createDataFrame([(1,)] * 9 + [(2,)], "v bigint")
+    got = heavy_hitters(ints, "v", 0.5).collect()
+    assert [(r["value"], r["count"]) for r in got] == [(1, 9)]

@@ -112,3 +112,55 @@ def estimate_counts(spark, sketch: bytes, items: Sequence[object]) -> dict:
         bytes(sketch)
     )
     return {it: cms.estimateCount(str(it)) for it in items}
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_frac: float,
+) -> DataFrame:
+    """EXACT heavy hitters — every value occurring in at least
+    ``min_frac`` of rows, with its exact count — without ever shuffling
+    a full (value, count) group-by of the column.
+
+    Two-pass approximate-then-verify (the classic Misra-Gries
+    refinement): pass 1 runs Spark's single-scan `freqItems`
+    (a distributed Karp-Schenker-Papadimitriou summary — at most
+    ceil(1/min_frac) candidates, SUPERSET guarantee: no false
+    negatives, possible false positives); pass 2 exact-counts in ONE
+    scan by grouping on candidate-or-null (every non-candidate row
+    folds into the single null group, which also yields the exact row
+    total), then drops the false positives. The shuffle carries
+    <= 1/min_frac + 1 groups — a 100 TB column with a 0.1% threshold
+    aggregates at most 1001 groups regardless of distinct cardinality.
+    NULLs are never heavy hitters.
+
+    Output: (value <input type>, count bigint, frac double r6),
+    descending count, ties by value.
+    """
+    if not 0 < min_frac <= 1:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    # candidate list is <= ceil(1/min_frac) scalars — driver-safe
+    cands = [c for c in df.stat.freqItems([col], support=min_frac).first()[0]
+             if c is not None]
+    schema_t = dict(df.dtypes)[col]
+    empty = df.sparkSession.createDataFrame(
+        [], f"value {schema_t}, count bigint, frac double"
+    )
+    if not cands:
+        return empty
+    key = F.when(F.col(col).isin(cands), F.col(col))
+    counts = (
+        df.groupBy(key.alias("value"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .localCheckpoint(eager=True)  # <= 1/min_frac + 1 rows
+    )
+    total = counts.agg(F.sum("count")).first()[0]
+    if not total:
+        return empty
+    return (
+        counts.filter(F.col("value").isNotNull())
+        .filter(F.col("count") >= F.lit(float(total) * min_frac))
+        .withColumn("frac", F.round(F.col("count") / F.lit(float(total)), 6))
+        .orderBy(F.col("count").desc(), F.col("value").asc())
+    )

@@ -2385,6 +2385,35 @@ def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for heavy_hitters — UNREGISTERED; DuckDB computes the
+# exact answer the slow way (full group-by) and must agree with the
+# two-pass freqItems-refinement exactly, proving the superset guarantee
+# held and the verify pass dropped every false positive.
+HEAVY_HITTERS_ORACLE = """
+    WITH c AS (SELECT user_id AS value, count(*) AS count
+               FROM events GROUP BY 1),
+         t AS (SELECT count(*) AS total FROM events)
+    SELECT value, count, round(count * 1.0 / total, 6) AS frac
+    FROM c, t
+    WHERE value IS NOT NULL AND count >= total * 0.006
+"""
+
+
+@_register(
+    "heavy_hitters_q",
+    HEAVY_HITTERS_ORACLE,
+    "Exact heavy hitters (operators/sketches.py:heavy_hitters): "
+    "freqItems candidate pass + one candidate-or-null exact recount — "
+    "bounded-shuffle frequent values with exact counts. Unregistered; "
+    "hash-pinned locally.",
+    registered=False,
+)
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", min_frac=0.006)
+
+
 # Oracle twin for gopher_quality — UNREGISTERED; DuckDB reproduces the
 # whole rule battery with list lambdas over the same word/line splits.
 GOPHER_QUALITY_ORACLE = """
