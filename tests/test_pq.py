@@ -150,3 +150,16 @@ def test_train_validates(spark, emb):
     empty = emb.filter(F.lit(False))
     with pytest.raises(ValueError, match="empty"):
         train_pq_codebooks(empty, "vec_id", "embedding", m=8, k=4, iters=1)
+
+
+def test_encode_methods_agree(emb, codebooks, codes):
+    """The numpy fast path and the pure-JVM expression path must
+    produce identical codes (same distances bit-for-bit: sequential
+    subdim accumulation; same 9 dp rounding; same first-tie argmin)."""
+    expr = pq_encode(emb, codebooks, "embedding", method="expr")
+    a = {r["vec_id"]: list(r["pq_codes"]) for r in codes.collect()}
+    b = {r["vec_id"]: list(r["pq_codes"]) for r in expr.collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="method"):
+        pq_encode(emb, codebooks, "embedding", method="nope")

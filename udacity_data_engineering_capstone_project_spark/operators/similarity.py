@@ -863,36 +863,25 @@ def train_pq_codebooks(
         )
         .localCheckpoint(eager=True)
     )
-    rows = _exploded(df)
+    slim = df.select(F.col(id_col), F.col(vec_col))
+    v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
-        cb = F.broadcast(cents)
-        scored = rows.join(cb, "sub").withColumn(
-            "__d",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__sv"), F.col("codevec"), lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                9,
-            ),
-        )
-        assigned = scored.groupBy(id_col, "sub").agg(
-            F.min_by(
-                F.struct(F.col("cell"), F.col("__sv")),
-                F.struct(F.col("__d"), F.col("cell")),
-            ).alias("__best")
-        )
+        # assignment IS encoding against the current codebook — reuse
+        # the map-only numpy kernel (identical 9 dp-rounded distances);
+        # no join, no m*k-fanout of scored rows. The per-iteration
+        # codebook collect is model-sized (m*k rows).
+        enc = pq_encode(slim, cents, vec_col, out_col="__codes")
         means = (
-            assigned.select(
+            enc.select(v.alias("__v"), F.posexplode("__codes").alias("sub", "cell"))
+            .select(
                 "sub",
-                F.col("__best.cell").alias("cell"),
-                F.posexplode(F.col("__best.__sv")).alias("__p", "__v"),
+                "cell",
+                F.posexplode(
+                    F.slice(F.col("__v"), F.col("sub") * sd + 1, F.lit(sd))
+                ).alias("__p", "__sv"),
             )
             .groupBy("sub", "cell", "__p")
-            .agg(F.avg("__v").alias("__m"))
+            .agg(F.avg("__sv").alias("__m"))
             .groupBy("sub", "cell")
             .agg(
                 F.array_sort(
@@ -939,7 +928,15 @@ def _collect_codebooks(codebooks: DataFrame) -> tuple[int, int, list[list[list[f
 
 
 def _lit_matrix(rows: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+    """k x subdim codebook literal as ONE parsed SQL expression —
+    building it from nested F.array(F.lit(...)) Column trees costs a
+    py4j round-trip per element (the round-2 LSH plan-construction
+    lesson). repr() round-trips float64 exactly; the D suffix keeps
+    Spark from parsing decimals."""
+    body = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({body})")
 
 
 def pq_encode(
@@ -947,21 +944,51 @@ def pq_encode(
     codebooks: DataFrame,
     vec_col: str,
     out_col: str = "pq_codes",
+    method: str = "pandas",
 ) -> DataFrame:
     """Encode each vector as its array of nearest-subspace-centroid ids
-    (``m`` ints in [0, k)) — the PQ code.
+    (``m`` ints in [0, k)) — the PQ code. SHUFFLE-FREE either way: one
+    map-only pass that preserves every other column.
 
-    SHUFFLE-FREE: the codebook rides into the plan as an
-    array<array<double>> literal per subspace and each code is an
-    argmin expression over that literal (`transform` + `array_min` +
-    `array_position`), so encoding a 100 TB corpus is one map-only
-    whole-stage-codegen pass that preserves every other column.
-    Distances round to 9 dp exactly as in training, so encode(corpus)
-    reproduces the final training assignment. Ties take the lowest
-    cell (`array_position` finds the first match).
+    ``method="pandas"`` (default): one Arrow-batched numpy kernel —
+    the m*k*subdim distance tensor per batch in C loops. The SQL
+    higher-order-function form evaluates an interpreted lambda per
+    element (m*k*subdim ops PER ROW — same pathology the hyperplane-LSH
+    plane dots hit, `hyperplane_lsh_buckets`), so numpy is the
+    100 TB path. The kernel accumulates over subdim sequentially in
+    float64 — bit-identical to the expression fold — and rounds to
+    9 dp before argmin exactly as training does, so both methods
+    reproduce the final training assignment (pinned by test).
+
+    ``method="expr"``: pure-JVM argmin expressions over codebook array
+    literals — zero Python anywhere, the oracle-friendly twin.
+
+    Ties take the lowest cell on both paths (numpy argmin and
+    `array_position` both return the first match).
     """
     m, k, table = _collect_codebooks(codebooks)
     sd = len(table[0][0])
+    if method == "pandas":
+        from pyspark.sql.functions import pandas_udf
+
+        cb = np.asarray(table, dtype=np.float64)  # (m, k, sd)
+
+        @pandas_udf("array<int>")
+        def _codes(vecs: pd.Series) -> pd.Series:
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            x = mat.reshape(len(mat), m, sd)
+            acc = np.zeros((len(mat), m, k), dtype=np.float64)
+            # sequential accumulation over subdim = the JVM fold order,
+            # so distances are bit-identical to the "expr" method
+            for t in range(sd):
+                d = x[:, :, None, t] - cb[None, :, :, t]
+                acc += d * d
+            codes = np.round(acc, 9).argmin(axis=2).astype(np.int32)
+            return pd.Series(list(codes))
+
+        return df.withColumn(out_col, _codes(F.col(vec_col)))
+    if method != "expr":
+        raise ValueError(f"method must be 'pandas' or 'expr', got {method!r}")
     v = F.col(vec_col).cast("array<double>")
 
     def _code(j: int) -> Column:

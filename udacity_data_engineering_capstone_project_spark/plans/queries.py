@@ -2517,8 +2517,14 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered=False,
 )
 def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the embeddings file arrives as one split at bench scales — spread
+    # it once so training/encode/search engage every core (no-op shape
+    # at real scale where inputs arrive already split)
     emb = sim.normalize_embeddings(
-        _t(spark, sf_dir, "embeddings"), "embedding"
+        _t(spark, sf_dir, "embeddings").repartition(
+            spark.sparkContext.defaultParallelism, "vec_id"
+        ),
+        "embedding",
     ).localCheckpoint(eager=True)
     cb = sim.train_pq_codebooks(emb, "vec_id", "embedding", m=16, k=32, iters=3)
     codes = sim.pq_encode(emb, cb, "embedding")
