@@ -163,3 +163,16 @@ def test_encode_methods_agree(emb, codebooks, codes):
 
     with pytest.raises(ValueError, match="method"):
         pq_encode(emb, codebooks, "embedding", method="nope")
+
+
+def test_encode_null_vectors_both_methods(spark, codebooks):
+    df = spark.createDataFrame(
+        [(1, [float(i % 7) for i in range(64)]), (2, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    for method in ("pandas", "expr"):
+        rows = {r["vec_id"]: r["pq_codes"]
+                for r in pq_encode(df, codebooks, "embedding",
+                                   method=method).collect()}
+        assert rows[2] is None, method
+        assert len(rows[1]) == M and all(c is not None for c in rows[1]), method

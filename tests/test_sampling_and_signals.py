@@ -628,3 +628,13 @@ def test_gopher_quality_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_gopher_quality_null_text(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        gopher_quality,
+    )
+
+    df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    r = gopher_quality(df, "doc_id", "text").collect()[0]
+    assert r["n_words"] == 0 and r["keep"] is False

@@ -975,7 +975,12 @@ def pq_encode(
 
         @pandas_udf("array<int>")
         def _codes(vecs: pd.Series) -> pd.Series:
-            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            ok = vecs.notna()
+            if not ok.any():
+                return pd.Series([None] * len(vecs))
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+            )
             x = mat.reshape(len(mat), m, sd)
             acc = np.zeros((len(mat), m, k), dtype=np.float64)
             # sequential accumulation over subdim = the JVM fold order,
@@ -984,7 +989,13 @@ def pq_encode(
                 d = x[:, :, None, t] - cb[None, :, :, t]
                 acc += d * d
             codes = np.round(acc, 9).argmin(axis=2).astype(np.int32)
-            return pd.Series(list(codes))
+            res: list = [None] * len(vecs)
+            j = 0
+            for i, flag in enumerate(ok.to_numpy()):
+                if flag:
+                    res[i] = codes[j]
+                    j += 1
+            return pd.Series(res)
 
         return df.withColumn(out_col, _codes(F.col(vec_col)))
     if method != "expr":
@@ -1006,7 +1017,12 @@ def pq_encode(
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    return df.withColumn(out_col, F.array(*[_code(j) for j in range(m)]))
+    # NULL vectors encode to NULL (matching the pandas path), never to
+    # an array of null elements
+    return df.withColumn(
+        out_col,
+        F.when(v.isNotNull(), F.array(*[_code(j) for j in range(m)])),
+    )
 
 
 def pq_topk(

@@ -984,9 +984,10 @@ def gopher_quality(
     frac_bullet_lines r6, frac_ellipsis_lines r6, frac_alpha_words r6,
     n_stop_hits, keep). Empty/whitespace-only documents get zero
     signals and keep=false. n_stop_hits counts DISTINCT stopwords
-    present as whole lowercase words.
+    present as whole lowercase words. NULL text behaves as empty
+    (otherwise size(null) = -1 poisons every count).
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
     n_words = F.size(words).cast("long")
     wlen_sum = F.aggregate(
