@@ -638,3 +638,40 @@ def test_gopher_quality_null_text(spark):
     df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
     r = gopher_quality(df, "doc_id", "text").collect()[0]
     assert r["n_words"] == 0 and r["keep"] is False
+
+
+def test_cap_tokens_per_group_semantics(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        cap_tokens_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", 40) for i in range(10)] + [(100, "h", 500), (101, "h", None)],
+        "k bigint, g string, w int",
+    )
+    # explicit order: by key ascending
+    out = cap_tokens_per_group(
+        df, ["g"], "w", budget=100, order_cols=[F.col("k")]
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["k"])
+    # 40+40 = 80 < 100, third row STARTS at 80 < 100 -> kept (overshoot
+    # by at most one doc); fourth starts at 120 -> dropped
+    assert sorted(by_g["g"]) == [0, 1, 2]
+    # 500 starts at 0 -> kept even though it alone busts the budget;
+    # null weight counts as 0 tokens and 500 >= 100 blocks the rest
+    assert sorted(by_g["h"]) == [100]
+
+    # hash order: deterministic across invocations
+    a = {r["k"] for r in cap_tokens_per_group(
+        df, ["g"], "w", budget=100, key_col="k").collect()}
+    b = {r["k"] for r in cap_tokens_per_group(
+        df, ["g"], "w", budget=100, key_col="k").collect()}
+    assert a == b and len(a) >= 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        cap_tokens_per_group(df, ["g"], "w", budget=-1, key_col="k")
+    with _pytest.raises(ValueError, match="key_col"):
+        cap_tokens_per_group(df, ["g"], "w", budget=10)

@@ -226,3 +226,49 @@ def weighted_hash_sample(
     else:
         out = ranked.orderBy(F.col("__es").asc(), F.col(key_col).asc()).limit(quota)
     return out.drop("__es")
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    weight_col: str,
+    budget: int,
+    key_col: str | None = None,
+    order_cols: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Weighted per-group quota: keep rows of each group, in a
+    deterministic order, until their cumulative ``weight_col`` reaches
+    ``budget`` — the TOKEN-budget twin of `cap_per_group` ("at most
+    2B tokens per source/language in the mix"). A row is kept iff it
+    STARTS under the budget, so the cap may overshoot by at most one
+    document (the standard corpus-mixing convention: never split a
+    document, never undershoot by skipping ahead).
+
+    Order defaults to (md5(key), key) — the same hash order the epoch
+    shuffle and weighted sampler use, so the kept prefix is an unbiased
+    sample of the group, stable across runs/engines/partitionings.
+    Pass ``order_cols`` (with a total-order tiebreaker) to spend the
+    budget by quality score instead.
+
+    One shuffle on the group key (the running sum needs the group
+    co-located, same cost class as `cap_per_group`); nothing else
+    moves. NULL weights count as 0.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if order_cols is None:
+        if key_col is None:
+            raise ValueError("pass key_col (for hash order) or order_cols")
+        order_cols = [hash_bucket(key_col, 8), F.col(key_col)]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spent = F.sum(F.coalesce(F.col(weight_col), F.lit(0))).over(w)
+    started_at = spent - F.coalesce(F.col(weight_col), F.lit(0))
+    return (
+        df.withColumn("__spent", started_at)
+        .filter(F.col("__spent") < budget)
+        .drop("__spent")
+    )

@@ -2385,6 +2385,43 @@ def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for cap_tokens_per_group — UNREGISTERED; the hash order
+# and the running sum reproduce verbatim in DuckDB (md5 is md5).
+TOKEN_BUDGET_ORACLE = """
+    WITH s AS (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_chars AS started_at
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM s WHERE started_at < 2000
+"""
+
+
+@_register(
+    "token_budget_q",
+    TOKEN_BUDGET_ORACLE,
+    "Weighted per-source budget cap (operators/sampling.py:"
+    "cap_tokens_per_group): hash-ordered documents kept while their "
+    "cumulative size starts under 2000 chars per source — the "
+    "token-budget mixing step. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        cap_tokens_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return cap_tokens_per_group(
+        docs, ["source"], "n_chars", budget=2000, key_col="doc_id"
+    )
+
+
 # Oracle twin for heavy_hitters — UNREGISTERED; DuckDB computes the
 # exact answer the slow way (full group-by) and must agree with the
 # two-pass freqItems-refinement exactly, proving the superset guarantee
