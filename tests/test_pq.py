@@ -176,3 +176,73 @@ def test_encode_null_vectors_both_methods(spark, codebooks):
                                    method=method).collect()}
         assert rows[2] is None, method
         assert len(rows[1]) == M and all(c is not None for c in rows[1]), method
+
+
+def test_ivfpq_index_roundtrip(spark, emb, codebooks, tmp_path):
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        add_to_ivf_index,
+        search_ivf_index,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    cents = train_centroids(emb, "vec_id", "embedding", k=8, iters=3)
+    cents = cents.withColumnRenamed("cell", "vec_id")
+    write_ivf_index(emb, cents, path, "vec_id", "embedding",
+                    pq_codebooks=codebooks)
+
+    # cells carry codes only — no vector column anywhere in the layout
+    cells = spark.read.parquet(f"{path}/cells")
+    assert "pq_codes" in cells.columns and "embedding" not in cells.columns
+    assert cells.count() == emb.count()
+
+    queries = emb.orderBy("vec_id").limit(10)
+    adc = search_ivf_index(spark, path, queries, None, "vec_id",
+                           "embedding", k=5, nprobe=2)
+    got = adc.collect()
+    assert {r["query_id"] for r in got} == {r["vec_id"] for r in queries.collect()}
+    assert "adc_dist" in adc.columns
+    # reranked search returns exact cosine, bit-equal to brute force on
+    # the same pair
+    rer = search_ivf_index(spark, path, queries, None, "vec_id", "embedding",
+                           k=5, nprobe=2, rerank_with=emb, rerank_factor=4)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+             for r in brute_force_topk(emb, queries, "vec_id", "embedding",
+                                       k=100).collect()}
+    checked = 0
+    for r in rer.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cos_sim"] == exact[key]
+            checked += 1
+    assert checked > 10
+
+    # incremental append encodes with the persisted codebooks
+    batch = emb.limit(7).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    add_to_ivf_index(spark, path, batch, "vec_id", "embedding")
+    after = spark.read.parquet(f"{path}/cells")
+    assert after.count() == emb.count() + 7
+    assert "pq_codes" in after.columns and "embedding" not in after.columns
+
+    # searching still works and can see appended ids
+    q2 = emb.limit(1)
+    hits = search_ivf_index(spark, path, q2, None, "vec_id", "embedding",
+                            k=2000, nprobe=8)
+    ids = {r["neighbor_id"] for r in hits.collect()}
+    assert any(i >= 1_000_000 for i in ids)
+
+
+def test_ivfpq_validations(spark, emb, codebooks):
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        train_centroids,
+        write_ivf_index,
+    )
+
+    cents = train_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    cents = cents.withColumnRenamed("cell", "vec_id")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_ivf_index(emb, cents, "/tmp/never", "vec_id", "embedding",
+                        quantize=True, pq_codebooks=codebooks)

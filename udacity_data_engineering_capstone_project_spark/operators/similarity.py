@@ -336,6 +336,7 @@ def write_ivf_index(
     id_col: str,
     vec_col: str,
     quantize: bool = False,
+    pq_codebooks: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index: corpus vectors written as parquet
     partitioned by their cell id under ``{path}/cells``, and the
@@ -354,13 +355,29 @@ def write_ivf_index(
     cell). The layout is self-describing (cells carry ``__q8`` instead
     of ``vec_col``), so `search_ivf_index` dequantizes transparently;
     pair it with ``rerank_with`` there to restore exact ordering for
-    the top candidates."""
+    the top candidates.
+
+    ``pq_codebooks`` (a `train_pq_codebooks` frame) stores PQ CODES
+    instead of vectors — the IVFPQ layout (Jegou et al. 2011): cells
+    carry (id, pq_codes) only (m small ints per vector, e.g. 64x
+    smaller than float64), the codebooks persist beside the quantizer
+    under ``{path}/_pq_codebooks``, and search scores probed cells
+    with ADC distance tables. Mutually exclusive with ``quantize``.
+    Always pair searches with ``rerank_with`` when exact top-k order
+    matters."""
+    if quantize and pq_codebooks is not None:
+        raise ValueError("quantize=True and pq_codebooks are mutually exclusive")
     centroids.select(F.col(id_col), F.col(vec_col)).write.mode(
         "overwrite"
     ).parquet(f"{path}/_centroids")
     assigned = assign_cells(corpus, centroids, id_col, vec_col)
     if quantize:
         assigned = quantize_embeddings_int8(assigned, vec_col, "__q8").drop(vec_col)
+    if pq_codebooks is not None:
+        pq_codebooks.select("sub", "cell", "codevec").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/_pq_codebooks")
+        assigned = pq_encode(assigned, pq_codebooks, vec_col).drop(vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
 
 
@@ -377,22 +394,28 @@ def add_to_ivf_index(
     of existing cells — the daily-ingest path for a corpus-scale ANN
     index (cell balance degrades as the distribution drifts; retrain
     and rewrite when recall probes say so). Appends match the index's
-    existing storage format: a quantized index quantizes the batch."""
+    existing storage format: a quantized index quantizes the batch, an
+    IVFPQ index encodes it with the persisted codebooks."""
     cents = spark.read.parquet(f"{path}/_centroids")
     assigned = assign_cells(new_vectors, cents, id_col, vec_col)
-    if _ivf_cells_quantized(spark, path):
+    layout = _ivf_cells_layout(spark, path)
+    if layout == "q8":
         assigned = quantize_embeddings_int8(assigned, vec_col, "__q8").drop(vec_col)
+    elif layout == "pq":
+        cb = spark.read.parquet(f"{path}/_pq_codebooks")
+        assigned = pq_encode(assigned, cb, vec_col).drop(vec_col)
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
 
 
-def _ivf_cells_quantized(spark, path: str) -> bool:
-    """Detect the index storage format from ONE leaf file's footer.
-    Opening the whole `{path}/cells` dataset just for its schema would
-    build a file index over every partition on each incremental append
-    — a full recursive listing of a corpus-scale index on an object
-    store, exactly the rescan the append path exists to avoid.
-    `listFiles` is a lazy remote iterator, so this touches the first
-    page of one cell directory only."""
+def _ivf_cells_layout(spark, path: str) -> str:
+    """Detect the index storage format ("full" | "q8" | "pq") from ONE
+    leaf file's footer. Opening the whole `{path}/cells` dataset just
+    for its schema would build a file index over every partition on
+    each incremental append — a full recursive listing of a
+    corpus-scale index on an object store, exactly the rescan the
+    append path exists to avoid. `listFiles` is a lazy remote
+    iterator, so this touches the first page of one cell directory
+    only."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(f"{path}/cells")
@@ -401,8 +424,13 @@ def _ivf_cells_quantized(spark, path: str) -> bool:
     while files.hasNext():
         f = files.next().getPath()
         if f.getName().endswith(".parquet"):
-            return "__q8" in spark.read.parquet(f.toString()).schema.names
-    return False
+            names = spark.read.parquet(f.toString()).schema.names
+            if "__q8" in names:
+                return "q8"
+            if "pq_codes" in names:
+                return "pq"
+            return "full"
+    return "full"
 
 
 def search_ivf_index(
@@ -432,7 +460,14 @@ def search_ivf_index(
     ordering: the quantized scores select ``rerank_factor * k``
     candidates per query, only those ids join back to the full
     vectors (k*factor rows per query, not a corpus scan), and the
-    final top-k is ranked on exact cosine."""
+    final top-k is ranked on exact cosine.
+
+    An IVFPQ index (``write_ivf_index(pq_codebooks=...)``) is likewise
+    detected from the cell schema: probed cells are scored with ADC
+    distance tables (ascending squared L2 — on an L2-normalized corpus
+    that IS descending cosine order) and the score column is
+    ``adc_dist`` instead of ``cos_sim``; ``rerank_with`` restores
+    exact cosine (recommended — PQ is the coarsest storage tier)."""
     if centroids is None:
         centroids = spark.read.parquet(f"{path}/_centroids")
     cells = spark.read.parquet(f"{path}/cells")
@@ -442,8 +477,47 @@ def search_ivf_index(
             vec_col,
             F.transform(q8["q"], lambda x: x.cast("double") * q8["scale"]),
         ).drop("__q8")
-    index = _with_norm(cells, vec_col, "__cn")
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    if "pq_codes" in cells.columns:
+        _, _, table = _collect_codebooks(
+            spark.read.parquet(f"{path}/_pq_codebooks")
+        )
+        q = _with_norm(
+            query_cells.select(
+                F.col(id_col).alias(query_id),
+                F.col(vec_col).alias("__qvec"),
+                F.col("cell"),
+                _adc_dtable(table, vec_col).alias("__dt"),
+            ),
+            "__qvec",
+            "__qn",
+        )
+        scored = (
+            cells.join(F.broadcast(q), on="cell")
+            .filter(F.col(id_col) != F.col(query_id))
+            .withColumn("adc_dist", _adc_score(F.col("__dt"), F.col("pq_codes")))
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("adc_dist").asc(), F.col(id_col).asc()
+        )
+        if rerank_with is None:
+            return (
+                scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= k)
+                .select(
+                    query_id,
+                    F.col(id_col).alias("neighbor_id"),
+                    "rank",
+                    "adc_dist",
+                )
+            )
+        shortlist = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k * rerank_factor)
+            .select(query_id, F.col(id_col).alias("neighbor_id"), "__qvec", "__qn")
+        )
+        return _rerank_exact(shortlist, rerank_with, id_col, vec_col, query_id, k)
+    index = _with_norm(cells, vec_col, "__cn")
     q = _with_norm(
         query_cells.select(
             F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"), F.col("cell")
@@ -478,6 +552,21 @@ def search_ivf_index(
         .filter(F.col("rank") <= k * rerank_factor)
         .select(query_id, F.col(id_col).alias("neighbor_id"), "__qvec", "__qn")
     )
+    return _rerank_exact(shortlist, rerank_with, id_col, vec_col, query_id, k)
+
+
+def _rerank_exact(
+    shortlist: DataFrame,
+    rerank_with: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: str,
+    k: int,
+) -> DataFrame:
+    """Shared refinement tail: join the per-query shortlist (carrying
+    ``__qvec``/``__qn``) back to the full-precision vectors — a
+    candidate-sized join, never a corpus scan — and rank on exact
+    cosine."""
     exact = _with_norm(
         rerank_with.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__ev")
@@ -939,6 +1028,45 @@ def _lit_matrix(rows: list[list[float]]) -> Column:
     return F.expr(f"array({body})")
 
 
+def _adc_dtable(table: list[list[list[float]]], vec_col: str) -> Column:
+    """Per-row ADC distance table: m arrays of k squared-L2 distances
+    from the row's subvectors to every codebook centroid. Computed as
+    expressions on the (small) query side only."""
+    m = len(table)
+    sd = len(table[0][0])
+    qv = F.col(vec_col).cast("array<double>")
+
+    # NB: the subspace slice must be computed OUTSIDE the transform
+    # lambda — a two-arg lambda there would be treated as
+    # (element, index) by Spark's higher-order-function binding.
+    def _qdists(j: int) -> Column:
+        sub = F.slice(qv, j * sd + 1, sd)
+        return F.transform(
+            _lit_matrix(table[j]),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+
+    return F.array(*[_qdists(j) for j in range(m)])
+
+
+def _adc_score(dtable_col: Column, codes_col: Column) -> Column:
+    """Approximate squared L2 distance of one (query, code) pair: m
+    table lookups + m adds, rounded to 6 dp for deterministic
+    ordering."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(dtable_col, codes_col, lambda t, c: F.element_at(t, c + 1)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        6,
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: DataFrame,
@@ -1057,24 +1185,7 @@ def pq_topk(
     Output: (query_id, neighbor_id, rank, adc_dist [, cos_sim]).
     """
     m, kc, table = _collect_codebooks(codebooks)
-    sd = len(table[0][0])
-    qv = F.col(vec_col).cast("array<double>")
-
-    # NB: the subspace slice must be computed OUTSIDE the transform
-    # lambda — a two-arg lambda there would be treated as
-    # (element, index) by Spark's higher-order-function binding.
-    def _qdists(j: int) -> Column:
-        sub = F.slice(qv, j * sd + 1, sd)
-        return F.transform(
-            _lit_matrix(table[j]),
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        )
-
-    dtable = F.array(*[_qdists(j) for j in range(m)])
+    dtable = _adc_dtable(table, vec_col)
     q = queries.select(
         F.col(id_col).alias(query_id), F.col(vec_col), dtable.alias("__dt")
     ).drop(vec_col)
@@ -1082,21 +1193,7 @@ def pq_topk(
         corpus_codes.select(F.col(id_col).alias("neighbor_id"), F.col(codes_col))
         .crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id))
-        .withColumn(
-            "adc_dist",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__dt"),
-                        F.col(codes_col),
-                        lambda t, c: F.element_at(t, c + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, d: acc + d,
-                ),
-                6,
-            ),
-        )
+        .withColumn("adc_dist", _adc_score(F.col("__dt"), F.col(codes_col)))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
