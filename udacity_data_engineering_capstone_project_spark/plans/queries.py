@@ -820,6 +820,10 @@ def multi_file_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "grouping_sets_sales",
+    # NOTE registered=False below: ceded its driver slot to the
+    # hash-checked heavy_hitters_q in round 4 session 3 (rollup/cube
+    # sugar; full GROUPING SETS oracle parity stays pinned by the
+    # unregistered gate).
     """
     SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
            o_orderstatus, o_orderpriority,
@@ -837,6 +841,7 @@ def multi_file_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "combinations — the general operator ROLLUP (prefix sets) and "
     "CUBE (power sets) are sugar for; beyond the reference's flat "
     "GROUP BYs.",
+    registered=False,
 )
 def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouping columns must be pre-materialized plain columns — Spark
@@ -1259,7 +1264,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # builds on engine-hash minhash pairs — rows-only
     "Iterative connected components over MinHash near-dup pairs: "
     "every doc mapped to its cluster representative (transitive "
-    "closure the pairwise output can't express).",
+    "closure the pairwise output can't express). Ceded its driver "
+    "slot to the hash-checked gopher_quality_q in round 4 session 3 "
+    "(the dedup family keeps 5 registered rows); determinism stays "
+    "pinned by the unregistered rows-only gate.",
+    registered=False,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -2441,9 +2450,8 @@ HEAVY_HITTERS_ORACLE = """
     HEAVY_HITTERS_ORACLE,
     "Exact heavy hitters (operators/sketches.py:heavy_hitters): "
     "freqItems candidate pass + one candidate-or-null exact recount — "
-    "bounded-shuffle frequent values with exact counts. Unregistered; "
-    "hash-pinned locally.",
-    registered=False,
+    "bounded-shuffle frequent values with exact counts. Registered in "
+    "round 4 session 3 (slot ceded by grouping_sets_sales).",
 )
 def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.sketches import heavy_hitters
@@ -2527,9 +2535,8 @@ GOPHER_QUALITY_ORACLE = """
     GOPHER_QUALITY_ORACLE,
     "Gopher rule battery (operators/textstats.py:gopher_quality): "
     "word-count/word-length/symbol/bullet/ellipsis/alpha/stopword "
-    "document quality rules (Rae et al. 2021 App. A). Unregistered; "
-    "hash-pinned locally.",
-    registered=False,
+    "document quality rules (Rae et al. 2021 App. A). Registered in "
+    "round 4 session 3 (slot ceded by the rows-only dedup_clusters).",
 )
 def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ts.gopher_quality(
