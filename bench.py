@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     # LM perplexity filter (round 4 session 2): trains the stupid-
     # backoff trigram LM on documents AND scores them, per invocation
     "ngram_lm",
+    # round 4 session 3 graded additions: Gopher rule battery (one
+    # codegen pass) and exact heavy hitters (freqItems + bounded
+    # recount; 0 hitters at sf0.1's flat user distribution — the scans
+    # are the measured work)
+    "gopher_quality_q",
+    "heavy_hitters_q",
 ]
 
 

@@ -675,3 +675,69 @@ def test_cap_tokens_per_group_semantics(spark):
         cap_tokens_per_group(df, ["g"], "w", budget=-1, key_col="k")
     with _pytest.raises(ValueError, match="key_col"):
         cap_tokens_per_group(df, ["g"], "w", budget=10)
+
+
+HTML_SAMPLES = [
+    "<html><head><title>T</title></head><body><h1>Hello</h1>"
+    "<p>World &amp; friends</p><script>var x = '<p>no</p>';</script>"
+    "<ul><li>one</li><li>two</li></ul></body></html>",
+    "plain text stays   as is",
+    "<div>a</div><div>b</div><!-- secret --><style>p { color: red }</style>",
+    "5 &lt; 6 &amp;&amp; 7 &gt; 2, &quot;q&quot; &#39;s&#39; a&nbsp;b",
+    "<p>broken <b>nested</p></b> tags<br>line",
+]
+
+
+def test_strip_html_extraction(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        strip_html,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(HTML_SAMPLES)] + [(99, None)],
+        "id bigint, t string",
+    )
+    out = {r["id"]: r["t"] for r in strip_html(df, "t").collect()}
+    # head (and its title) is metadata, not visible text
+    assert out[0] == "Hello\nWorld & friends\none\ntwo"
+    assert out[1] == "plain text stays as is"
+    assert out[2] == "a\nb"
+    assert out[3] == '5 < 6 && 7 > 2, "q" \'s\' a b'
+    assert out[4] == "broken nested\ntags\nline"
+    assert out[99] is None
+
+
+def test_strip_html_duckdb_parity(spark):
+    """The extraction chain is RE2-safe by construction — replay the
+    identical regex chain in DuckDB and demand identical output."""
+    import duckdb
+
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        strip_html,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(HTML_SAMPLES)], "id bigint, t string"
+    )
+    got = {r["id"]: r["t"] for r in strip_html(df, "t").collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(HTML_SAMPLES):
+        expr = "?"
+        for tag in ("script", "style", "head", "template"):
+            expr = f"regexp_replace({expr}, '(?is)<{tag}[^>]*>.*?</{tag}>', ' ', 'g')"
+        expr = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
+        expr = (
+            f"regexp_replace({expr}, '(?i)</?(p|div|li|tr|h[1-6]|br)[^>]*>',"
+            " chr(10), 'g')"
+        )
+        expr = f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g')"
+        for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                        ("&quot;", '"'), ("&#39;", ""), ("&amp;", "&")):
+            rep = "''" if ent == "&#39;" else ch
+            expr = f"regexp_replace({expr}, '{ent}', '{rep}', 'g')"
+        expr = f"regexp_replace({expr}, '[ \\t]+', ' ', 'g')"
+        expr = f"regexp_replace({expr}, ' ?\\n ?', chr(10), 'g')"
+        expr = f"regexp_replace({expr}, '\\n{{2,}}', chr(10), 'g')"
+        expr = f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+        want = con.sql(f"SELECT {expr}", params=[s]).fetchone()[0]
+        assert got[i] == want, (i, s)

@@ -1041,3 +1041,46 @@ def gopher_quality(
         n_stop_hits.alias("n_stop_hits"),
         keep.alias("keep"),
     )
+
+
+def strip_html(
+    df: DataFrame,
+    column: str,
+    output_column: str | None = None,
+) -> DataFrame:
+    """Extract visible text from HTML — the first step of every
+    web-crawl curation pipeline. Pure chained `regexp_replace`
+    whole-stage-codegen (no parser library, no Python): drops
+    script/style/head/template blocks and comments, turns block-level
+    closers into newlines, strips remaining tags, decodes the common
+    entities, and collapses horizontal whitespace.
+
+    Patterns are RE2-safe (no backreferences — one pattern per dropped
+    block tag), so the exact same regexes run in DuckDB/RE2 engines
+    for cross-checking. This is the honest 80% extractor: a full
+    HTML5 parser (malformed-tag recovery, CDATA, full entity table)
+    is a library concern — plug one in behind `mapInPandas` if the
+    corpus needs it. NULL input stays NULL. Plain text passes through
+    with only whitespace collapsing.
+    """
+    c: Column = F.col(column)
+    for tag in ("script", "style", "head", "template"):
+        c = F.regexp_replace(c, f"(?is)<{tag}[^>]*>.*?</{tag}>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)</?(p|div|li|tr|h[1-6]|br)[^>]*>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # must come last: &amp;lt; means literal &lt;
+    ):
+        c = F.regexp_replace(c, ent, ch)
+    c = F.regexp_replace(c, r"[ \t]+", " ")           # collapse spaces
+    c = F.regexp_replace(c, r" ?\n ?", "\n")           # trim around breaks
+    c = F.regexp_replace(c, r"\n{2,}", "\n")          # collapse blank lines
+    # trim() strips spaces only — strip leading/trailing newlines too
+    c = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return df.withColumn(output_column or column, c)
