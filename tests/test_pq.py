@@ -246,3 +246,37 @@ def test_ivfpq_validations(spark, emb, codebooks):
     with pytest.raises(ValueError, match="mutually exclusive"):
         write_ivf_index(emb, cents, "/tmp/never", "vec_id", "embedding",
                         quantize=True, pq_codebooks=codebooks)
+
+
+def test_null_coded_rows_never_rank(spark, emb, codebooks, codes):
+    """A NULL-coded corpus row (null vector) must not appear in any
+    result — NULL adc_dist would otherwise sort NULLS FIRST and
+    displace every real neighbor (review-confirmed bug)."""
+    nullrow = spark.createDataFrame(
+        [(999_999, None, None)],
+        "vec_id bigint, embedding array<double>, pq_codes array<int>",
+    )
+    poisoned = codes.select("vec_id", "embedding", "pq_codes").unionByName(nullrow)
+    queries = emb.orderBy("vec_id").limit(3)
+    out = pq_topk(poisoned, queries, codebooks, "vec_id", "embedding", k=5)
+    rows = out.collect()
+    assert all(r["neighbor_id"] != 999_999 for r in rows)
+    assert all(r["adc_dist"] is not None for r in rows)
+    assert len(rows) == 15
+
+
+def test_train_drops_null_vectors(spark, emb):
+    """Null vectors among the hash-ordered seeds must not crash
+    training or produce NULL centroids (review-confirmed bug)."""
+    nulls = spark.createDataFrame(
+        [(10_000_000 + i, None) for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    mixed = emb.select("vec_id", "embedding").unionByName(nulls)
+    cb = train_pq_codebooks(mixed, "vec_id", "embedding", m=8, k=4, iters=1)
+    rows = cb.collect()
+    assert len(rows) == 8 * 4
+    assert all(r["codevec"] is not None for r in rows)
+    # all-null corpus -> clear error, not a TypeError
+    with pytest.raises(ValueError, match="empty"):
+        train_pq_codebooks(nulls, "vec_id", "embedding", m=8, k=4, iters=1)

@@ -685,6 +685,10 @@ HTML_SAMPLES = [
     "<div>a</div><div>b</div><!-- secret --><style>p { color: red }</style>",
     "5 &lt; 6 &amp;&amp; 7 &gt; 2, &quot;q&quot; &#39;s&#39; a&nbsp;b",
     "<p>broken <b>nested</p></b> tags<br>line",
+    # <header> must NOT be swallowed by the <head> block rule, and
+    # <pre>/<param>/<link> must not match the p|li|tr newline rule
+    "<header>Nav Text</header><p>body</p><head><title>t</title></head>",
+    "<pre>code</pre><param name=x><link rel=y>tail",
 ]
 
 
@@ -704,6 +708,8 @@ def test_strip_html_extraction(spark):
     assert out[2] == "a\nb"
     assert out[3] == '5 < 6 && 7 > 2, "q" \'s\' a b'
     assert out[4] == "broken nested\ntags\nline"
+    assert out[5] == "Nav Text\nbody"
+    assert out[6] == "code tail"  # no spurious newlines from pre/param/link
     assert out[99] is None
 
 
@@ -724,11 +730,14 @@ def test_strip_html_duckdb_parity(spark):
     for i, s in enumerate(HTML_SAMPLES):
         expr = "?"
         for tag in ("script", "style", "head", "template"):
-            expr = f"regexp_replace({expr}, '(?is)<{tag}[^>]*>.*?</{tag}>', ' ', 'g')"
+            expr = (
+                f"regexp_replace({expr}, '(?is)<{tag}(>|[\\s/][^>]*>)"
+                f".*?</{tag}\\s*>', ' ', 'g')"
+            )
         expr = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
         expr = (
-            f"regexp_replace({expr}, '(?i)</?(p|div|li|tr|h[1-6]|br)[^>]*>',"
-            " chr(10), 'g')"
+            f"regexp_replace({expr}, '(?i)</?(p|div|li|tr|h[1-6]|br)"
+            "(>|[\\s/][^>]*>)', chr(10), 'g')"
         )
         expr = f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g')"
         for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),

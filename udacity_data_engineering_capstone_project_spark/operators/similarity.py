@@ -482,18 +482,17 @@ def search_ivf_index(
         _, _, table = _collect_codebooks(
             spark.read.parquet(f"{path}/_pq_codebooks")
         )
-        q = _with_norm(
-            query_cells.select(
-                F.col(id_col).alias(query_id),
-                F.col(vec_col).alias("__qvec"),
-                F.col("cell"),
-                _adc_dtable(table, vec_col).alias("__dt"),
-            ),
-            "__qvec",
-            "__qn",
+        # the ADC scan needs only (query_id, cell, distance table) —
+        # query vectors/norms broadcast only when the rerank consumes
+        # them, and they ride the skinny candidate list, not the scan
+        q = query_cells.select(
+            F.col(id_col).alias(query_id),
+            F.col("cell"),
+            _adc_dtable(table, vec_col).alias("__dt"),
         )
         scored = (
-            cells.join(F.broadcast(q), on="cell")
+            cells.filter(F.col("pq_codes").isNotNull())  # NULLS sort first
+            .join(F.broadcast(q), on="cell")
             .filter(F.col(id_col) != F.col(query_id))
             .withColumn("adc_dist", _adc_score(F.col("__dt"), F.col("pq_codes")))
         )
@@ -511,10 +510,18 @@ def search_ivf_index(
                     "adc_dist",
                 )
             )
+        qn = _with_norm(
+            queries.select(
+                F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
+            ),
+            "__qvec",
+            "__qn",
+        )
         shortlist = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k * rerank_factor)
-            .select(query_id, F.col(id_col).alias("neighbor_id"), "__qvec", "__qn")
+            .select(query_id, F.col(id_col).alias("neighbor_id"))
+            .join(F.broadcast(qn), query_id)
         )
         return _rerank_exact(shortlist, rerank_with, id_col, vec_col, query_id, k)
     index = _with_norm(cells, vec_col, "__cn")
@@ -907,13 +914,18 @@ def train_pq_codebooks(
     to rank by cosine, since ||a-b||^2 = 2 - 2*cos on unit vectors.
 
     Output: (sub int, cell int, codevec array<double> of dim/m),
-    m*k rows — driver-safe to collect anywhere.
+    m*k rows — driver-safe to collect anywhere. NULL vectors are
+    dropped from training (they would otherwise seed NULL centroids or
+    poison the dim sniff; `pq_encode` maps them to NULL codes).
     """
     if m <= 0 or k <= 0 or iters < 0:
         raise ValueError(f"need m > 0, k > 0, iters >= 0, got {m}, {k}, {iters}")
+    df = df.filter(F.col(vec_col).isNotNull())
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim is None:
-        raise ValueError("cannot train PQ codebooks on an empty corpus")
+        raise ValueError(
+            "cannot train PQ codebooks on an empty corpus (no non-null vectors)"
+        )
     dim = dim["d"]
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible by m={m} subspaces")
@@ -1182,7 +1194,12 @@ def pq_topk(
     frame (id_col, vec_col) — candidate-sized join, restoring exact
     ordering among the survivors (the IVF+PQ refinement step).
 
-    Output: (query_id, neighbor_id, rank, adc_dist [, cos_sim]).
+    Corpus rows with NULL codes (NULL vectors encode to NULL) are not
+    searchable and are excluded — a NULL adc_dist would otherwise sort
+    NULLS FIRST and displace every real neighbor.
+
+    Output: (query_id, neighbor_id, rank, adc_dist), or
+    (query_id, neighbor_id, rank, cos_sim) when reranked.
     """
     m, kc, table = _collect_codebooks(codebooks)
     dtable = _adc_dtable(table, vec_col)
@@ -1191,6 +1208,7 @@ def pq_topk(
     ).drop(vec_col)
     scored = (
         corpus_codes.select(F.col(id_col).alias("neighbor_id"), F.col(codes_col))
+        .filter(F.col(codes_col).isNotNull())
         .crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id))
         .withColumn("adc_dist", _adc_score(F.col("__dt"), F.col(codes_col)))
@@ -1206,37 +1224,12 @@ def pq_topk(
     )
     if rerank_with is None:
         return cands
-    vn = _with_norm(
-        rerank_with.select(F.col(id_col), F.col(vec_col)), vec_col, "__n"
-    )
+    # attach the query vectors to the (skinny) candidate list only —
+    # the scored/window shuffle never carries vector payloads
     qn = _with_norm(
-        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv")),
-        "__qv",
+        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")),
+        "__qvec",
         "__qn",
     )
-    rescored = (
-        cands.join(
-            vn.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("__cv"),
-                F.col("__n").alias("__cn"),
-            ),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qn), query_id)
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _pair_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
-                6,
-            ),
-        )
-    )
-    w2 = Window.partitionBy(query_id).orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "neighbor_id", "rank", "adc_dist", "cos_sim")
-    )
+    shortlist = cands.select(query_id, "neighbor_id").join(F.broadcast(qn), query_id)
+    return _rerank_exact(shortlist, rerank_with, id_col, vec_col, query_id, k)

@@ -136,10 +136,12 @@ def heavy_hitters(
     NULLs are never heavy hitters.
 
     Output: (value <input type>, count bigint, frac double r6),
-    descending count, ties by value.
+    descending count, ties by value. ``min_frac`` floor is 1e-4
+    (freqItems' own support floor — and 10k exact groups is where the
+    bounded-shuffle premise starts to fray anyway).
     """
-    if not 0 < min_frac <= 1:
-        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    if not 1e-4 <= min_frac <= 1:
+        raise ValueError(f"min_frac must be in [1e-4, 1], got {min_frac}")
     # candidate list is <= ceil(1/min_frac) scalars — driver-safe
     cands = [c for c in df.stat.freqItems([col], support=min_frac).first()[0]
              if c is not None]

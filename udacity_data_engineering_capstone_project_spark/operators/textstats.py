@@ -1064,10 +1064,18 @@ def strip_html(
     with only whitespace collapsing.
     """
     c: Column = F.col(column)
+    # tag names are anchored on a delimiter (>, whitespace, /) so
+    # <head> can't swallow <header>...</head> spans and <p> can't match
+    # <pre>/<param> — RE2-safe (alternation, not lookahead), so the
+    # DuckDB replay test runs the identical patterns
     for tag in ("script", "style", "head", "template"):
-        c = F.regexp_replace(c, f"(?is)<{tag}[^>]*>.*?</{tag}>", " ")
+        c = F.regexp_replace(
+            c, f"(?is)<{tag}(>|[\\s/][^>]*>).*?</{tag}\\s*>", " "
+        )
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
-    c = F.regexp_replace(c, r"(?i)</?(p|div|li|tr|h[1-6]|br)[^>]*>", "\n")
+    c = F.regexp_replace(
+        c, r"(?i)</?(p|div|li|tr|h[1-6]|br)(>|[\s/][^>]*>)", "\n"
+    )
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
     for ent, ch in (
         ("&nbsp;", " "),
