@@ -106,6 +106,106 @@ def test_cms_build_merge_estimate(spark, tmp_path):
     }
 
 
+def _exact_rank_quantile(sorted_vals, q):
+    """The rank convention sketch_quantiles targets: max(1, ceil(q*n))."""
+    import math as _math
+
+    n = len(sorted_vals)
+    r = max(1, _math.ceil(q * n))
+    return sorted_vals[r - 1]
+
+
+def test_ddsketch_relative_error_guarantee(spark):
+    """DDSketch's contract: every quantile estimate is within alpha
+    RELATIVE error of the exact rank value, across 4 decades of scale
+    (where a fixed-width histogram would blow the low quantiles)."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.exp(rng.normal(loc=2.0, scale=2.0, size=20_000))  # ~0.01..3e3
+    rows = [(int(i % 3), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, v double").repartition(8)
+
+    alpha = 0.01
+    qs = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
+    sk = quantile_sketch(df, ["g"], "v", alpha=alpha)
+    got = {
+        (r["g"], r["q"]): r["estimate"]
+        for r in sketch_quantiles(sk, ["g"], qs, alpha=alpha).collect()
+    }
+    assert len(got) == 3 * len(qs)
+    by_g = {g: sorted(v for gg, v in rows if gg == g) for g in (0, 1, 2)}
+    for (g, q), est in got.items():
+        exact = _exact_rank_quantile(by_g[g], q)
+        assert abs(est - exact) / exact <= alpha * 1.05 + 1e-12, (g, q, est, exact)
+
+
+def test_ddsketch_merge_exact_and_parquet_roundtrip(spark, tmp_path):
+    """Counts are exact integers, so merging day sketches MUST equal
+    sketching the union row-for-row (not just approximately) — the
+    property that makes indefinite rollup safe."""
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch,
+    )
+
+    day1 = spark.range(0, 30_000).selectExpr(
+        "CAST(id % 4 AS INT) AS g", "CAST(id AS DOUBLE) / 7.0 + 0.5 AS v"
+    )
+    day2 = spark.range(30_000, 50_000).selectExpr(
+        "CAST(id % 4 AS INT) AS g", "CAST(id AS DOUBLE) / 3.0 + 0.5 AS v"
+    )
+    p = str(tmp_path / "ddsketch")
+    quantile_sketch(day1, ["g"], "v").withColumn("day", F.lit(1)).unionByName(
+        quantile_sketch(day2, ["g"], "v").withColumn("day", F.lit(2))
+    ).write.mode("overwrite").parquet(p)
+
+    rolled = merge_quantile_sketches(spark.read.parquet(p), ["g"])
+    direct = quantile_sketch(day1.unionByName(day2), ["g"], "v")
+    key = lambda r: (r["g"], r["sign"], r["bucket"])  # noqa: E731
+    assert sorted(map(key, rolled.collect())) == sorted(map(key, direct.collect()))
+    assert {
+        key(r): r["count"] for r in rolled.collect()
+    } == {key(r): r["count"] for r in direct.collect()}
+
+
+def test_ddsketch_signs_zeros_and_validation(spark):
+    """Negative values mirror into sign=-1 buckets with the same
+    relative-error bound; zeros are exact; bad parameters raise."""
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    vals = [-100.0, -10.0, -1.0] * 100 + [0.0] * 100 + [1.0, 10.0, 100.0] * 100
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    sk = quantile_sketch(df, [], "v", alpha=0.02)
+    got = {
+        r["q"]: r["estimate"]
+        for r in sketch_quantiles(sk, [], [0.1, 0.5, 0.9], alpha=0.02).collect()
+    }
+    # median of the symmetric layout is the zero bucket — exactly 0
+    assert got[0.5] == 0.0
+    exact = sorted(vals)
+    for q in (0.1, 0.9):
+        e = _exact_rank_quantile(exact, q)
+        assert abs(got[q] - e) / abs(e) <= 0.02 * 1.05, (q, got[q], e)
+
+    with _pytest.raises(ValueError, match="alpha"):
+        quantile_sketch(df, [], "v", alpha=0.0)
+    with _pytest.raises(ValueError, match="qs"):
+        sketch_quantiles(sk, [], [])
+    with _pytest.raises(ValueError, match="quantiles"):
+        sketch_quantiles(sk, [], [1.5])
+
+
 def test_heavy_hitters_exact_vs_naive(spark):
     from udacity_data_engineering_capstone_project_spark.operators.sketches import (
         heavy_hitters,

@@ -1,0 +1,134 @@
+"""URL canonicalization / domain tier: pure-expression crawl hygiene."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.functions.urls import (
+    canonicalize_url,
+    domain_counts,
+    filter_blocked_domains,
+    registered_domain,
+    url_host,
+)
+
+
+def _canon(spark, urls, **kw):
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    return [r["c"] for r in df.select(canonicalize_url("u", **kw).alias("c")).collect()]
+
+
+def test_canonicalize_url_forms(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag",
+            "http://example.com:80/",
+            "http://example.com:8080/a",
+            "https://example.com/a?utm_campaign=z&fbclid=abc",
+            "http://h/a?x=1&y=2&gclid=G&z=3",
+            "  not a url  ",
+            "http://e.com#f",
+            "ftp://Mixed.Case/KeepPath",
+        ],
+    )
+    assert got == [
+        "https://example.com/Path/?q=1",  # port+tracking+fragment gone, path case kept
+        "http://example.com/",
+        "http://example.com:8080/a",  # non-default port kept
+        "https://example.com/a",  # empty query -> no '?'
+        "http://h/a?x=1&y=2&z=3",  # param order preserved
+        "not a url",  # pass-through, trimmed
+        "http://e.com",
+        "ftp://mixed.case/KeepPath",
+    ]
+
+
+def test_canonicalize_trailing_slash_opt_in(spark):
+    plain = _canon(spark, ["https://e.com/a/", "https://e.com/"])
+    assert plain == ["https://e.com/a/", "https://e.com/"]
+    stripped = _canon(
+        spark, ["https://e.com/a/", "https://e.com/"], strip_trailing_slash=True
+    )
+    assert stripped == ["https://e.com/a", "https://e.com/"]  # root slash survives
+
+
+def test_canonicalize_idempotent(spark):
+    urls = [
+        "HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag",
+        "http://h/a?x=1&y=2&gclid=G&z=3",
+        "http://example.com:80/",
+    ]
+    once = _canon(spark, urls)
+    assert _canon(spark, once) == once
+
+
+def test_registered_domain(spark):
+    hosts = [
+        "news.bbc.co.uk",
+        "a.b.example.com",
+        "example.com",
+        "localhost",
+        "192.168.0.1",
+        "Example.COM",
+        "shop.com.au",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    got = [r["d"] for r in df.select(registered_domain("h").alias("d")).collect()]
+    assert got == [
+        "bbc.co.uk",
+        "example.com",
+        "example.com",
+        "localhost",
+        "192.168.0.1",
+        "example.com",
+        "shop.com.au",  # com.au is itself the suffix pair -> needs 3 labels; 2 stay
+    ]
+
+
+def test_domain_counts_and_blocklist(spark):
+    rows = [
+        (1, "https://news.bbc.co.uk/story"),
+        (2, "https://www.bbc.co.uk/other"),
+        (3, "http://spam.evil.com/x"),
+        (4, "http://evil.com/y"),
+        (5, "https://good.org/z"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, url string")
+    counts = {r["domain"]: r["n_docs"] for r in domain_counts(df, "url").collect()}
+    assert counts == {"bbc.co.uk": 2, "evil.com": 2, "good.org": 1}
+
+    kept = {r["id"] for r in filter_blocked_domains(df, "url", ["evil.com"]).collect()}
+    assert kept == {1, 2, 5}  # subdomain spam.evil.com blocked too
+    kept_exact = {
+        r["id"]
+        for r in filter_blocked_domains(
+            df, "url", ["evil.com"], block_subdomains=False
+        ).collect()
+    }
+    assert kept_exact == {1, 2, 3, 5}  # exact-host mode spares the subdomain
+    # blocklist as a DataFrame works identically
+    bl = spark.createDataFrame([("EVIL.com",)], "domain string")
+    assert {
+        r["id"] for r in filter_blocked_domains(df, "url", bl).collect()
+    } == {1, 2, 5}
+
+
+def test_url_host_null_for_garbage(spark):
+    df = spark.createDataFrame([("nonsense",), ("http://OK.org/a",)], "u string")
+    got = [r["h"] for r in df.select(url_host("u").alias("h")).collect()]
+    assert got == [None, "ok.org"]
+
+
+def test_canonicalize_stays_codegen(spark):
+    """The whole canonicalization must compile into one projection —
+    no Python, no shuffle."""
+    df = spark.createDataFrame([("http://a.b/c?utm_a=1",)], "u string")
+    plan = (
+        df.select(canonicalize_url("u").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan

@@ -15,8 +15,22 @@ from udacity_data_engineering_capstone_project_spark.functions.text import (
     normalize_text,
     tokens,
 )
+from udacity_data_engineering_capstone_project_spark.functions.urls import (
+    canonicalize_url,
+    domain_counts,
+    filter_blocked_domains,
+    registered_domain,
+    url_host,
+    url_path,
+)
 
 __all__ = [
+    "canonicalize_url",
+    "domain_counts",
+    "filter_blocked_domains",
+    "registered_domain",
+    "url_host",
+    "url_path",
     "sas_date_to_date",
     "with_date_parts",
     "add_surrogate_key",

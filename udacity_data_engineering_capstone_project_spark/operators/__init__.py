@@ -19,8 +19,22 @@ from udacity_data_engineering_capstone_project_spark.operators.quality import (
     expect_row_count,
     expect_schema,
 )
+from udacity_data_engineering_capstone_project_spark.operators.bloom import (
+    bloom_might_contain,
+    bloom_screen_new,
+    build_bloom,
+    merge_blooms,
+    optimal_num_bits,
+    optimal_num_hashes,
+)
 
 __all__ = [
+    "bloom_might_contain",
+    "bloom_screen_new",
+    "build_bloom",
+    "merge_blooms",
+    "optimal_num_bits",
+    "optimal_num_hashes",
     "cast_columns",
     "drop_nulls",
     "fill_nulls",

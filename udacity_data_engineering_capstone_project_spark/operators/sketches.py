@@ -15,6 +15,7 @@ as a binary column in parquet, never parse them.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -112,6 +113,111 @@ def estimate_counts(spark, sketch: bytes, items: Sequence[object]) -> dict:
         bytes(sketch)
     )
     return {it: cms.estimateCount(str(it)) for it in items}
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """DDSketch (Masson, Lee & Rim, VLDB 2019) quantile partials: the
+    mergeable percentile twin of `distinct_sketch`/`freq_sketch`.
+
+    Values bucket into geometrically-sized bins — bucket
+    ``ceil(log_gamma(|x|))`` with ``gamma = (1+alpha)/(1-alpha)`` —
+    so any quantile read back from the sketch carries a RELATIVE error
+    of at most ``alpha``, at any scale, unlike fixed-width histograms.
+    The sketch is just (sign, bucket, count) rows: exact integers,
+    partial-aggregatable (map-side combine before the group shuffle),
+    and mergeable forever by summing counts — per-day sketches roll up
+    to months without rescanning the raw data. Negative values mirror
+    into sign=-1 buckets; zeros get the dedicated sign=0 bucket; NULLs
+    are skipped. All batches must share ``alpha`` or the merge is
+    invalid — persist it next to the sketch rows.
+
+    Output: (*group_cols, sign int, bucket int, count long).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    v = F.col(value_col).cast("double")
+    sign = F.when(v > 0, 1).when(v < 0, -1).otherwise(0)
+    bucket = F.when(
+        v == 0, F.lit(0)
+    ).otherwise(F.ceil(F.log(F.abs(v)) / F.lit(math.log(gamma))).cast("int"))
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, sign.alias("sign"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Merge stored DDSketch rows (optionally re-grouped to a coarser
+    key — day sketches rolled up to month). Counts are exact integers,
+    so the merge is EXACT: sketch(A union B) == merge(sketch(A),
+    sketch(B)) row-for-row. Only sketch rows shuffle — O(log-range /
+    alpha) buckets per group — never the raw data."""
+    cols = list(group_cols or [])
+    return sketches.groupBy(*cols, "sign", "bucket").agg(
+        F.sum("count").alias("count")
+    )
+
+
+def sketch_quantiles(
+    sketch_df: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Read quantile estimates out of DDSketch rows (same ``alpha`` the
+    sketch was built with). Each bucket's representative value is the
+    geometric midpoint ``2*gamma^bucket/(gamma+1)`` of its bin, which
+    is within ``alpha`` of every value the bin can hold; the answer for
+    q is the first bucket whose running count reaches rank
+    ``max(1, ceil(q*n))``. One window cumsum over O(buckets) rows per
+    group — the raw data is never touched.
+
+    Output: (*group_cols, q double, estimate double), one row per
+    (group, q).
+    """
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0 <= q <= 1:
+            raise ValueError(f"quantiles must be in [0, 1], got {q}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    cols = list(group_cols)
+    est = F.when(F.col("sign") == 0, F.lit(0.0)).otherwise(
+        F.col("sign")
+        * F.lit(2.0 / (gamma + 1.0))
+        * F.pow(F.lit(gamma), F.col("bucket"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in cols] or [F.lit(1)]).orderBy("est")
+    buckets = sketch_df.withColumn("est", est).withColumn(
+        "cum", F.sum("count").over(w)
+    )
+    totals = sketch_df.groupBy(*cols).agg(F.sum("count").alias("n"))
+    qs_col = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    targets = totals.select(*cols, "n", qs_col).withColumn(
+        "rank", F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")))
+    )
+    joined = (
+        buckets.join(targets, on=cols)
+        if cols
+        else buckets.crossJoin(targets)
+    )
+    return (
+        joined.filter(F.col("cum") >= F.col("rank"))
+        .groupBy(*cols, "q")
+        .agg(F.min("est").alias("estimate"))
+    )
 
 
 def heavy_hitters(
