@@ -2,7 +2,8 @@
 corpus — the north-star workflow composed from the engine's operators,
 all lazy DataFrame plans until each stage's action:
 
-  documents --(text_profile)--> quality filter
+  documents --(strip_html + normalize_unicode)--> canonical text
+            --(text_profile + gopher_quality)--> quality filter
             --(repetition_signals)--> drop boilerplate
             --(ngram_overlap)--> drop benchmark-contaminated docs
             --(redact_pii + remove_duplicated_segments)--> scrub text
@@ -42,14 +43,50 @@ def main() -> None:
     spark = get_spark(app_name="corpus-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
 
+    import time
+
+    _t = [time.time()]
+
+    def tick(label: str) -> None:
+        now = time.time()
+        print(f"[stage] {label}: {now - _t[0]:.1f}s", file=sys.stderr)
+        _t[0] = now
+
     docs = read_table(spark, sf_dir, "documents")
     n_raw = docs.count()
+    tick("read+count")
 
-    # 1. quality gate: one codegen pass over every text metric
+    # 0. canonicalize: HTML -> visible text (no-op whitespace collapse
+    #    on plain text) and NFKC unicode normalization, so every
+    #    downstream fingerprint/n-gram sees one canonical form
+    from udacity_data_engineering_capstone_project_spark.operators.cleaning import normalize_unicode
+
+    docs = normalize_unicode(ts.strip_html(docs, "text"), "text", form="NFKC")
+    # Materialize the canonical form ONCE: every downstream stage (a
+    # dozen separate actions) would otherwise replay the Arrow-batched
+    # normalization against the raw scan each time. At cluster scale
+    # this barrier is a persisted table between pipeline phases.
+    docs = docs.localCheckpoint(eager=True)
+
+    # 0b. corpus shape report: exact heavy hitters over the source
+    #     column (bounded shuffle no matter how many sources exist)
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import heavy_hitters
+
+    top_sources = heavy_hitters(docs, "source", min_frac=0.01).limit(3).collect()
+    tick("canonicalize+heavy_hitters")
+
+    # 1. quality gate: one codegen pass over every text metric, plus
+    #    the Gopher rule battery (stopwords matched to the synthetic
+    #    corpus vocabulary)
     profile = ts.text_profile(docs, "doc_id", "text", keep=("lang", "source"))
     quality_ids = profile.filter(F.col("quality_score") >= 0.1).select("doc_id")
-    docs_q = docs.join(quality_ids, on="doc_id")
+    gopher_keep = ts.gopher_quality(
+        docs, "doc_id", "text", min_words=10, min_stop_hits=1,
+        stopwords=("the", "a"),
+    ).filter(F.col("keep")).select("doc_id")
+    docs_q = docs.join(quality_ids, on="doc_id").join(gopher_keep, on="doc_id")
     n_quality = docs_q.count()
+    tick("quality_gate")
 
     # 1b. boilerplate filter: drop highly repetitive docs, then
     #     decontaminate against the benchmark slice (doc_id % 97 == 0)
@@ -64,6 +101,7 @@ def main() -> None:
     ).filter(F.col("n_overlap") >= 20).select("doc_id")
     docs_q = docs_q.join(contaminated, on="doc_id", how="left_anti")
     n_clean = docs_q.count()
+    tick("repetition+decontam")
 
     # 1b2. quality-classifier loop: the heuristic profile provides weak
     #      labels, a hashed-ngram logistic model trains on them, and
@@ -80,6 +118,7 @@ def main() -> None:
         docs_q, "doc_id", "text", wdf, bias=clf_bias, num_buckets=1024
     )
     n_clf_high = clf_scores.filter(F.col("clf_score") >= 0.5).count()
+    tick("hashed_classifier")
 
     # 1b3. LM perplexity filter (CCNet-style): a stupid-backoff
     #      trigram LM trained on the cleaned slice scores every doc;
@@ -87,6 +126,7 @@ def main() -> None:
     lm = ts.train_ngram_lm(docs_q, "text", n=3, min_count=2)
     ppl = ts.ngram_lm_logprob(docs_q, "doc_id", "text", lm, n=3)
     n_ppl_ok = ppl.filter(F.col("perplexity") <= 5000).count()
+    tick("ngram_lm")
 
     # 1c. PII scrub (audit counts ride along), then cross-document
     #     duplicated-segment removal (C4-style boilerplate scrub):
@@ -104,6 +144,11 @@ def main() -> None:
         .drop("n_segments", "n_kept", "cleaned_hash")
     )
     n_scrub = docs_q.count()
+    tick("pii+segment_scrub")
+    # phase barrier: the scrubbed text feeds exact dedup, minhash LSH,
+    # spans and the mixing tail — checkpoint instead of replaying the
+    # scrub chain per action
+    docs_q = docs_q.localCheckpoint(eager=True)
 
     # 2. exact dedup: keep the min-id survivor of each fingerprint
     survivors = dd.exact_text_dedup(docs_q, "doc_id", "text").select(
@@ -111,6 +156,7 @@ def main() -> None:
     )
     docs_e = docs_q.join(survivors, on="doc_id")
     n_exact = docs_e.count()
+    tick("exact_dedup")
 
     # 3. near-dup removal: MinHash-LSH pairs -> connected components ->
     #    cluster representatives only
@@ -119,12 +165,15 @@ def main() -> None:
     keep = reps.filter(F.col("is_representative")).select("doc_id")
     docs_n = docs_e.join(keep, on="doc_id")
     n_near = docs_n.count()
+    tick("minhash_near_dedup")
+    docs_n = docs_n.localCheckpoint(eager=True)
 
     # 3b. sub-document exact-substring audit (ExactSubstr): maximal
     #     repeated >=12-token spans that survive whole-document dedup
     #     (licenses, boilerplate passages) — reported, not removed here
     spans = dd.duplicated_spans(docs_n, "doc_id", "text", min_tokens=12)
     n_spans = spans.count()
+    tick("duplicated_spans")
 
     # 4. similarity search over the curated docs' embeddings: build an
     #    IVF index partitioned by cell, query the first 3 vectors
@@ -142,13 +191,21 @@ def main() -> None:
     )
     emb = emb.join(sem_dups.select("vec_id"), on="vec_id", how="left_anti")
     n_sem = sem_dups.count()
+    tick("semantic_dedup")
     index_path = os.path.join(out_dir, "ivf_index")
-    sim.write_ivf_index(emb, centroids, index_path, "vec_id", "embedding")
+    # IVFPQ layout: 8-byte PQ codes inside the cells, ADC probe
+    # scoring, exact-cosine rerank against the source-of-truth table
+    pq_cb = sim.train_pq_codebooks(emb, "vec_id", "embedding", m=16, k=16, iters=3)
+    sim.write_ivf_index(
+        emb, centroids, index_path, "vec_id", "embedding", pq_codebooks=pq_cb
+    )
     queries = emb.filter(F.col("vec_id") < 3)
     hits = sim.search_ivf_index(
-        spark, index_path, queries, centroids, "vec_id", "embedding", k=5, nprobe=2
+        spark, index_path, queries, centroids, "vec_id", "embedding",
+        k=5, nprobe=2, rerank_with=emb,
     )
     n_hits = hits.count()
+    tick("pq_train+ivf_index+search")
 
     # 4b. deterministic mixing: per-language sampling + per-source cap,
     #     then chunk into 128-token windows and pack into 512-budget
@@ -166,6 +223,14 @@ def main() -> None:
     )
     mixed = cap_per_group(
         mixed, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], quota=50
+    )
+    # token-budget twin: spend at most 12k chars per source, hash order
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        cap_tokens_per_group,
+    )
+
+    mixed = cap_tokens_per_group(
+        mixed, ["source"], "n_chars", budget=12_000, key_col="doc_id"
     )
     # train/val/test assignment + epoch shuffle: both pure functions of
     # the doc hash, so the export reproduces byte-for-byte on any layout
@@ -219,7 +284,9 @@ def main() -> None:
         f"-> near-dedup={n_near}; dup spans={n_spans}; "
         f"semantic dups dropped={n_sem}; ann hits={n_hits}; "
         f"train split={n_train}; {n_chunks} chunks in {n_packs} packs; "
-        f"day-2 screen={screen_summary}; corpus at {out_dir}"
+        f"day-2 screen={screen_summary}; "
+        f"top sources={[(r['value'], r['count']) for r in top_sources]}; "
+        f"corpus at {out_dir}"
     )
     spark.stop()
 
