@@ -146,3 +146,71 @@ def test_normalize_unicode_duckdb_nfc_parity(spark):
     for i, s in enumerate(samples):
         want = con.sql("select nfc_normalize(?)", params=[s]).fetchone()[0]
         assert got[i] == want, (i, s)
+
+
+def test_fix_mojibake_repairs_and_preserves(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
+        fix_mojibake,
+    )
+
+    def sloppy_cp1252(b):
+        # how real decoders mangle UTF-8: cp1252 per byte, latin-1 for
+        # the five unmapped bytes (ftfy's "sloppy-windows-1252")
+        return "".join(
+            bytes([x]).decode("cp1252", errors="strict")
+            if x not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+            else chr(x)
+            for x in b
+        )
+
+    def corrupt(s, times=1):
+        for _ in range(times):
+            s = sloppy_cp1252(s.encode("utf-8"))
+        return s
+
+    clean = "don’t — café résumé"
+    rows = [
+        (1, corrupt(clean)),              # single mojibake
+        (2, corrupt(clean, times=2)),     # double-encoded
+        (3, clean),                       # already correct
+        (4, "plain ascii text"),          # nothing to do
+        (5, "Ã la mode"),                 # honest Ã + space: must NOT flag
+        (6, "नमस्ते दुनिया"),               # non-Latin: untouched
+        (7, None),                        # null passes through
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    out = {
+        r["id"]: (r["t"], r["hit"])
+        for r in fix_mojibake(df, "t", flag_column="hit").collect()
+    }
+    assert out[1] == (clean, True)
+    assert out[2] == (clean, True)
+    assert out[3] == (clean, False)
+    assert out[4] == ("plain ascii text", False)
+    assert out[5] == ("Ã la mode", False)
+    assert out[6] == ("नमस्ते दुनिया", False)
+    assert out[7] == (None, False)
+
+
+def test_fix_mojibake_never_corrupts(spark):
+    """Totality: any string comes back either repaired or identical —
+    the round-trip can't damage text it fails to recognize."""
+    rows = [
+        ("â€ alone",),          # marker fragment that isn't valid UTF-8 bytes
+        ("mixed café and donâ€™t",),  # repairable marker + already-good accent
+        ("Ã‰tat doubleâ€” text",),
+    ]
+    from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
+        fix_mojibake,
+    )
+
+    df = spark.createDataFrame(rows, "t string")
+    got = [r["o"] for r in fix_mojibake(df, "t", output_column="o").collect()]
+    src = [r[0] for r in rows]
+    for before, after in zip(src, got):
+        # either unchanged, or every marker sequence got consumed
+        assert after == before or "â€" not in after
+    # the genuinely-mixed row: the cp1252 encode of 'é' (0xE9) makes the
+    # byte stream invalid UTF-8, so the conservative path keeps it as-is
+    assert got[1] == "mixed café and donâ€™t"
+    assert got[2] == "Ét­at double— text".replace("­", "") or got[2] == "État double— text"

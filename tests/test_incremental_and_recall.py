@@ -405,3 +405,75 @@ def test_stream_dedup_against_index_grows_state(spark, tmp_path):
 
     # no new files -> nothing processed
     assert run() == 0
+
+
+def test_evaluate_near_dup_pairs_against_ground_truth(spark):
+    """The evaluation harness itself: MinHash-LSH predictions scored
+    against exact Jaccard on the full sample. Constructed corpus has
+    known near-dup pairs (copies with one word changed) and distinct
+    filler docs."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        evaluate_near_dup_pairs,
+        exact_jaccard_pairs,
+        minhash_dedup_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain stays mainly in the plain and waves crash on rocks"
+    )
+    rows = []
+    for i in range(30):
+        # each family: two ~0.97-jaccard copies, well above threshold
+        rows.append((i * 10, base + f" tail {i}"))
+        rows.append((i * 10 + 1, base + f" tail {i}!"))
+    for i in range(40):
+        # fillers pairwise-dissimilar: disjoint synthetic vocabularies
+        words = " ".join(f"zq{i}x{j}w" for j in range(25))
+        rows.append((1000 + i, f"filler document {words}"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(8)
+
+    pred = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.8)
+    # sample_rate=1.0: the metrics are exact, not estimates
+    m = evaluate_near_dup_pairs(
+        df, "doc_id", "text", pred, threshold=0.8, sample_rate=1.0
+    ).collect()[0]
+    assert m["n_sample_docs"] == 100
+    assert m["n_true_pairs"] >= 30  # every (i*10, i*10+1) pair is a true dup
+    assert m["tp"] + m["fn"] == m["n_true_pairs"]
+    assert m["tp"] + m["fp"] == m["n_predicted_pairs"]
+    # pairs sit far above the 0.8 knee: LSH must be near-perfect
+    assert m["recall"] >= 0.9, m
+    assert m["precision"] >= 0.8, m
+
+    # perfect predictor scores 1/1
+    truth = exact_jaccard_pairs(df, "doc_id", "text", threshold=0.8)
+    perfect = evaluate_near_dup_pairs(
+        df, "doc_id", "text", truth, threshold=0.8, sample_rate=1.0
+    ).collect()[0]
+    assert perfect["precision"] == 1.0 and perfect["recall"] == 1.0
+
+    # empty predictions: precision 1 (nothing wrong), recall < 1
+    empty = evaluate_near_dup_pairs(
+        df, "doc_id", "text", truth.limit(0), threshold=0.8, sample_rate=1.0
+    ).collect()[0]
+    assert empty["precision"] == 1.0 and empty["recall"] == 0.0
+
+
+def test_evaluate_near_dup_pairs_sampling_restricts_both_sides(spark):
+    """At sample_rate<1 both truth and predictions are restricted to
+    in-sample pairs — tp<=min(truth,pred) and counts stay consistent."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        evaluate_near_dup_pairs,
+        minhash_dedup_pairs,
+    )
+
+    rows = [(i, f"some repeated payload text block {i % 5} " * 4) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pred = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.8)
+    m = evaluate_near_dup_pairs(
+        df, "doc_id", "text", pred, threshold=0.8, sample_rate=0.3
+    ).collect()[0]
+    assert 0 < m["n_sample_docs"] < 200
+    assert m["tp"] <= m["n_true_pairs"] and m["tp"] <= m["n_predicted_pairs"]
+    assert m["fp"] >= 0 and m["fn"] >= 0

@@ -1131,3 +1131,100 @@ def strip_duplicated_spans(
         )
         .drop("__spans", "__toks", "__kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup quality evaluation
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT char-shingle Jaccard pairs with no blocking key — the
+    ground truth the approximate tiers (MinHash, SimHash) estimate.
+    Delegates to `ngram_jaccard_pairs` with an empty block list: every
+    pair sharing >= 1 shingle meets in the join, so this is for
+    oracles and sampled evaluation, never the full-corpus path —
+    `evaluate_near_dup_pairs` runs it on a hash sample.
+
+    Output: (id_a, id_b, jaccard double r6) with jaccard >= threshold.
+    """
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, block_cols=[], shingle_k=shingle_k,
+        threshold=threshold,
+    )
+
+
+def evaluate_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    predicted_pairs: DataFrame,
+    threshold: float,
+    sample_rate: float = 0.1,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Precision/recall of an approximate near-dup pair set against
+    EXACT shingle Jaccard, measured on a deterministic hash sample of
+    the corpus — the production answer to "is 8x8 banding losing real
+    duplicates?" without ever computing exact Jaccard at corpus scale.
+
+    Both sides are restricted to pairs whose BOTH endpoints fall in
+    the sample (an unbiased estimate of pairwise metrics under
+    uniform vertex sampling); ground truth is `exact_jaccard_pairs`
+    at the same threshold and shingle size. ``predicted_pairs``
+    needs (id_a, id_b) with id_a < id_b — what the minhash/simhash
+    tiers emit.
+
+    Output: ONE row (n_sample_docs, n_true_pairs, n_predicted_pairs,
+    tp, fp, fn, precision r6, recall r6). Empty ground truth and empty
+    predictions are well-defined (metric = 1.0 when its denominator is
+    0 — nothing to find, nothing wrong).
+    """
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    sample = hash_sample(df.select(id_col, text_col), id_col, sample_rate)
+    sample = sample.localCheckpoint(eager=True)  # reused by truth + both filters
+    ids = sample.select(id_col)
+    truth = exact_jaccard_pairs(sample, id_col, text_col, threshold, shingle_k)
+    ia = ids.select(F.col(id_col).alias("id_a"))
+    ib = ids.select(F.col(id_col).alias("id_b"))
+    pred = (
+        predicted_pairs.select("id_a", "id_b").join(ia, "id_a").join(ib, "id_b")
+    )
+    tp_df = truth.select("id_a", "id_b").intersect(pred.select("id_a", "id_b"))
+    n_docs = ids.agg(F.count(F.lit(1)).alias("n_sample_docs"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_predicted_pairs"))
+    n_tp = tp_df.agg(F.count(F.lit(1)).alias("tp"))
+    return (
+        n_docs.crossJoin(n_truth)
+        .crossJoin(n_pred)
+        .crossJoin(n_tp)
+        .select(
+            "n_sample_docs",
+            "n_true_pairs",
+            "n_predicted_pairs",
+            "tp",
+            (F.col("n_predicted_pairs") - F.col("tp")).alias("fp"),
+            (F.col("n_true_pairs") - F.col("tp")).alias("fn"),
+            F.round(
+                F.when(F.col("n_predicted_pairs") == 0, F.lit(1.0)).otherwise(
+                    F.col("tp") / F.col("n_predicted_pairs")
+                ),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.when(F.col("n_true_pairs") == 0, F.lit(1.0)).otherwise(
+                    F.col("tp") / F.col("n_true_pairs")
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
