@@ -94,3 +94,70 @@ def test_null_keys_and_validation(spark):
         build_bloom(df, "k", 100, 3)
     with pytest.raises(ValueError, match="num_hashes"):
         build_bloom(df, "k", 640, 0)
+
+
+def test_bloom_prescreen_composes_with_exact_dedup(spark):
+    """The production pattern the module docstring promises: a Bloom of
+    every admitted fingerprint screens each new batch, and ONLY the
+    'maybe seen' sliver pays the exact index join. The composed verdict
+    must equal the direct full exact join for every row."""
+    from udacity_data_engineering_capstone_project_spark.functions.text import (
+        normalize_text,
+    )
+
+    corpus = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("corpus document body "), F.col("id")).alias("text"),
+    )
+    corpus_fp = corpus.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    m = optimal_num_bits(2_000, 0.01)
+    bloom = build_bloom(corpus_fp, "fp", m, 7)
+
+    # batch: 300 exact dups of corpus rows + 300 novel docs
+    batch = (
+        spark.range(300)
+        .select(
+            (F.col("id") + 10_000).alias("doc_id"),
+            F.concat(F.lit("corpus document body "), F.col("id") * 5).alias("text"),
+        )
+        .unionByName(
+            spark.range(300).select(
+                (F.col("id") + 20_000).alias("doc_id"),
+                F.concat(F.lit("novel payload "), F.col("id")).alias("text"),
+            )
+        )
+    )
+    batch_fp = batch.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+
+    screened = bloom_might_contain(batch_fp, bloom, "fp", m, 7)
+    fast_new = screened.filter(~F.col("maybe_seen"))
+    slow = screened.filter(F.col("maybe_seen")).drop("maybe_seen")
+
+    # ground truth: the full exact join every batch row would pay
+    direct = {
+        r["doc_id"]: r["hit"]
+        for r in batch_fp.join(
+            corpus_fp.select(F.col("fp"), F.lit(True).alias("hit")).distinct(),
+            on="fp",
+            how="left",
+        ).collect()
+    }
+    # no-false-negative side: every fast-pass row is genuinely novel
+    for r in fast_new.collect():
+        assert not direct[r["doc_id"]], r
+    # the sliver + exact join reproduces the remaining verdicts
+    sliver = {
+        r["doc_id"]: r["hit"]
+        for r in slow.join(
+            corpus_fp.select(F.col("fp"), F.lit(True).alias("hit")).distinct(),
+            on="fp",
+            how="left",
+        ).collect()
+    }
+    composed = {d: bool(h) for d, h in sliver.items()}
+    composed.update({r["doc_id"]: False for r in fast_new.collect()})
+    assert composed == {d: bool(h) for d, h in direct.items()}
+    # and the sliver is actually small: dups + FP-rate of the novels
+    assert slow.count() <= 300 + 0.03 * 300

@@ -2431,6 +2431,74 @@ def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic-URL construction shared (up to the string-cast spelling)
+# by the Spark query and the DuckDB oracle: every doc gets a URL whose
+# case, default/non-default port, tracking params and fragment vary by
+# doc_id residues, so one query exercises the whole canonicalization
+# matrix. The oracle computes the EXPECTED canonical form directly
+# from the residue cases — an independent derivation, not a port of
+# the algorithm.
+_RAW_URL_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source) ELSE source END || "
+    "CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.Co.UK' "
+    "WHEN 2 THEN '.org' ELSE '.net' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "(CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END || "
+    "'/p/' || CAST(doc_id AS {T}) || "
+    "CASE doc_id % 7 WHEN 0 THEN '?utm_source=x&q=' || CAST(doc_id AS {T}) "
+    "WHEN 1 THEN '?q=' || CAST(doc_id AS {T}) || '&fbclid=zz' "
+    "WHEN 2 THEN '?utm_campaign=only' ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END"
+)
+
+URL_CANON_ORACLE = f"""
+    SELECT doc_id,
+           {_RAW_URL_SQL.format(T="VARCHAR")} AS url,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://' ||
+            lower(CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source)
+                       ELSE source END ||
+                  CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.Co.UK'
+                       WHEN 2 THEN '.org' ELSE '.net' END) ||
+            '/p/' || CAST(doc_id AS VARCHAR) ||
+            CASE WHEN doc_id % 7 IN (0, 1)
+                 THEN '?q=' || CAST(doc_id AS VARCHAR) ELSE '' END
+           ) AS canon_url,
+           (lower(source) ||
+            CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                 WHEN 2 THEN '.org' ELSE '.net' END
+           ) AS domain
+    FROM documents
+"""
+
+
+@_register(
+    "url_canon_q",
+    URL_CANON_ORACLE,
+    "URL canonicalization + registered-domain extraction "
+    "(functions/urls.py): mixed-case scheme/host, default ports, "
+    "tracking params, fragments and multi-label public suffixes all "
+    "normalized in one codegen projection. Unregistered; hash-pinned "
+    "locally against an independent case-by-case oracle.",
+    registered=False,
+)
+def url_canon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.functions.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    df = docs.withColumn("url", F.expr(_RAW_URL_SQL.format(T="STRING")))
+    return df.select(
+        "doc_id",
+        "url",
+        canonicalize_url("url").alias("canon_url"),
+        registered_domain(url_host("url")).alias("domain"),
+    )
+
+
 # Oracle twin for heavy_hitters — UNREGISTERED; DuckDB computes the
 # exact answer the slow way (full group-by) and must agree with the
 # two-pass freqItems-refinement exactly, proving the superset guarantee
