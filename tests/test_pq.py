@@ -280,3 +280,106 @@ def test_train_drops_null_vectors(spark, emb):
     # all-null corpus -> clear error, not a TypeError
     with pytest.raises(ValueError, match="empty"):
         train_pq_codebooks(nulls, "vec_id", "embedding", m=8, k=4, iters=1)
+
+
+# ---------------------------------------------------------------------------
+# PCA
+
+
+def _pca_corpus(spark, n=600, d=16, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # anisotropic: variance concentrated in a few known directions
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    scales = np.array([10.0, 5.0, 2.0] + [0.3] * (d - 3))
+    X = rng.normal(size=(n, d)) * scales @ basis.T + rng.normal(size=d)
+    rows = [(i, x.tolist()) for i, x in enumerate(X)]
+    return (
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<double>"),
+        X,
+    )
+
+
+def test_train_pca_matches_numpy(spark):
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import train_pca
+
+    df, X = _pca_corpus(spark)
+    comps, mean = train_pca(df.repartition(7), "embedding", n_components=4)
+    np.testing.assert_allclose(mean, X.mean(axis=0), atol=1e-9)
+    cov = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = np.argsort(evals)[::-1][:4]
+    for c, idx in zip(comps, top):
+        assert abs(c["eigenvalue"] - evals[idx]) / evals[idx] < 1e-9
+        # same direction up to sign
+        assert abs(abs(np.dot(c["basis"], evecs[:, idx])) - 1.0) < 1e-9
+    # eigenvalues descending and the top-3 match the planted scales^2
+    got = [c["eigenvalue"] for c in comps]
+    assert got == sorted(got, reverse=True)
+    # repartitioning must not change the model beyond float noise
+    comps2, mean2 = train_pca(df.repartition(3), "embedding", n_components=4)
+    for a, b in zip(comps, comps2):
+        assert np.allclose(a["basis"], b["basis"], atol=1e-8)
+
+
+def test_apply_pca_projection_and_whitening(spark):
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        apply_pca,
+        train_pca,
+    )
+
+    df, X = _pca_corpus(spark)
+    comps, mean = train_pca(df, "embedding", n_components=3)
+    out = apply_pca(df, "embedding", comps, mean).orderBy("vec_id").collect()
+    B = np.array([c["basis"] for c in comps])
+    expected = (X - np.array(mean)) @ B.T
+    got = np.array([r["pca"] for r in out])
+    np.testing.assert_allclose(got, expected, atol=1e-9)
+
+    # whitened projection: per-component variance ~= 1
+    wcomps, wmean = train_pca(df, "embedding", n_components=3, whiten=True)
+    wgot = np.array(
+        [r["pca"] for r in apply_pca(df, "embedding", wcomps, wmean).orderBy("vec_id").collect()]
+    )
+    np.testing.assert_allclose(wgot.var(axis=0), np.ones(3), rtol=0.01)
+
+    # plan stays codegen: no Python eval, no shuffle in the projection
+    plan = (
+        apply_pca(df, "embedding", comps, mean)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_pca_nulls_and_validation(spark):
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        apply_pca,
+        train_pca,
+    )
+
+    df, _ = _pca_corpus(spark, n=50, d=8)
+    with_null = df.unionByName(
+        spark.createDataFrame([(999, None)], "vec_id bigint, embedding array<double>")
+    )
+    comps, mean = train_pca(with_null, "embedding", n_components=2)
+    row = (
+        apply_pca(with_null, "embedding", comps, mean)
+        .filter("vec_id = 999")
+        .first()
+    )
+    assert row["pca"] is None
+    with _pytest.raises(ValueError, match="n_components"):
+        train_pca(df, "embedding", 9)
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        train_pca(empty, "embedding", 2)

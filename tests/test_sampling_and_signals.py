@@ -750,3 +750,49 @@ def test_strip_html_duckdb_parity(spark):
         expr = f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
         want = con.sql(f"SELECT {expr}", params=[s]).fetchone()[0]
         assert got[i] == want, (i, s)
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = (
+        [(i, "web") for i in range(4000)]
+        + [(10_000 + i, "books") for i in range(400)]
+        + [(20_000 + i, "code") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    # T=1: natural proportions — nothing is dropped
+    t1 = temperature_mix(df, "doc_id", "source", temperature=1.0)
+    assert t1.count() == len(rows)
+
+    # T=2: shares ~ sqrt(n); the scarcest source is fully kept and the
+    # big-source dominance shrinks from 100x to ~10x
+    t2 = temperature_mix(df, "doc_id", "source", temperature=2.0)
+    c2 = {r["source"]: r["n"] for r in t2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert c2["code"] == 40  # binding source keeps everything
+    ratio = c2["web"] / c2["code"]
+    assert 7 <= ratio <= 13, c2  # sqrt(4000/40) = 10, hash-rate noise
+    assert 2 <= c2["web"] / c2["books"] <= 4.5, c2  # sqrt(10) ~ 3.2
+
+    # larger T flattens further (monotone dominance decay)
+    t8 = temperature_mix(df, "doc_id", "source", temperature=8.0)
+    c8 = {r["source"]: r["n"] for r in t8.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert c8["web"] / c8["code"] < ratio
+
+    # determinism: same call -> identical membership
+    a = {r["doc_id"] for r in t2.collect()}
+    b = {r["doc_id"] for r in temperature_mix(
+        df, "doc_id", "source", temperature=2.0).collect()}
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="temperature"):
+        temperature_mix(df, "doc_id", "source", temperature=0)
+    empty = spark.createDataFrame([], "doc_id bigint, source string")
+    assert temperature_mix(empty, "doc_id", "source", 2.0).count() == 0

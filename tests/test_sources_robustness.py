@@ -609,3 +609,74 @@ def test_dimension_changes_and_vacuum(spark, tmp_path):
     assert {r["k"]: r["change"] for r in dimension_changes(
         spark, dim, 1, 2, ["k"]
     ).collect()} == {4: "insert"}
+
+
+def test_streaming_quantile_sketch_maintenance(spark, tmp_path):
+    """Streaming DDSketch rollup: two event drops; after each run the
+    persisted sketch must EQUAL the batch sketch over all data so far
+    (exact integer counts), and quantiles read from it match the batch
+    path. State stays bounded: sketch rows, not event rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        merge_stream_into_quantile_sketch,
+        read_dimension,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    path = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, vals):
+        pq.write_table(
+            pa.table(
+                {
+                    "g": pa.array([i % 2 for i in range(len(vals))], type=pa.int32()),
+                    "v": pa.array(vals, type=pa.float64()),
+                }
+            ),
+            str(landing / name),
+        )
+
+    def run():
+        stream = spark.readStream.schema("g INT, v DOUBLE").parquet(str(landing))
+        return merge_stream_into_quantile_sketch(
+            spark, stream, path, ckpt, ["g"], "v", alpha=0.02
+        )
+
+    day1 = [float(1 + (i * 37) % 1000) for i in range(2000)]
+    drop("d1.parquet", day1)
+    assert run() == 1
+
+    day2 = [float(5000 + (i * 13) % 3000) for i in range(1500)]
+    drop("d2.parquet", day2)
+    assert run() == 1
+
+    all_rows = [(i % 2, v) for i, v in enumerate(day1)] + [
+        (i % 2, v) for i, v in enumerate(day2)
+    ]
+    direct = quantile_sketch(
+        spark.createDataFrame(all_rows, "g int, v double"), ["g"], "v", alpha=0.02
+    )
+    stored = read_dimension(spark, path)
+    key = lambda r: (r["g"], r["sign"], r["bucket"], r["count"])  # noqa: E731
+    assert sorted(map(key, stored.collect())) == sorted(map(key, direct.collect()))
+
+    # quantiles from the maintained sketch match the one-shot path
+    got = {
+        (r["g"], r["q"]): r["estimate"]
+        for r in sketch_quantiles(stored, ["g"], [0.5, 0.95], alpha=0.02).collect()
+    }
+    want = {
+        (r["g"], r["q"]): r["estimate"]
+        for r in sketch_quantiles(direct, ["g"], [0.5, 0.95], alpha=0.02).collect()
+    }
+    assert got == want
+    # no new files -> no new version
+    assert run() == 0

@@ -187,6 +187,39 @@ def mix_sources(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    temperature: float,
+    digits: int = 4,
+) -> DataFrame:
+    """Temperature-flattened source mixture — the multilingual/
+    multi-source sampling rule (Conneau & Lample 2019; also the
+    Gopher/PaLM data recipes): target share of source s is
+    proportional to n_s^(1/T). T=1 keeps natural proportions (every
+    row survives), larger T flattens the mix toward uniform so small
+    sources stop drowning; T<1 sharpens instead. Downsampling-only
+    like `mix_sources` (which this delegates to): the realized total
+    is capped so the scarcest source never upsamples, and membership
+    remains a pure hash predicate — reproducible across runs, layouts
+    and retries.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] is not None and r["n"] > 0
+    }
+    if not counts:
+        return df.limit(0)
+    weights = {s: float(n) ** (1.0 / temperature) for s, n in counts.items()}
+    return mix_sources(df, key_col, source_col, weights, digits=digits)
+
+
 def weighted_hash_sample(
     df: DataFrame,
     key_col: str,

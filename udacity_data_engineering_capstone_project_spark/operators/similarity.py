@@ -1233,3 +1233,120 @@ def pq_topk(
     )
     shortlist = cands.select(query_id, "neighbor_id").join(F.broadcast(qn), query_id)
     return _rerank_exact(shortlist, rerank_with, id_col, vec_col, query_id, k)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA / whitening
+
+
+def train_pca(
+    df: DataFrame,
+    vec_col: str,
+    n_components: int,
+    whiten: bool = False,
+):
+    """PCA over an embedding column, the 100 TB way: the executors
+    accumulate ONE (d x d) partial second-moment matrix + sum vector
+    per Arrow batch (a model-sized row each — for d=64 that's 32 KB,
+    regardless of how many vectors the batch holds), the driver sums
+    the partials and eigendecomposes the d x d covariance (d is the
+    embedding dim — always driver-sized). The raw vectors are read in
+    one scan and never shuffled at all.
+
+    Uses: dimensionality reduction before ANN (smaller index, faster
+    ADC), whitening for cosine-calibration, variance diagnostics.
+
+    ``whiten`` folds 1/sqrt(eigenvalue) into the returned basis so
+    `apply_pca` yields unit-variance components with no extra state.
+    Eigenvector SIGN is fixed deterministically (largest-|coordinate|
+    positive) so retrains on reordered data agree up to float noise.
+
+    Returns ``(components, mean)``: components is a list of
+    ``n_components`` rows (basis list[d], eigenvalue) sorted by
+    descending eigenvalue; mean is the d-vector. Both are plain Python
+    (model-sized) — feed them straight to `apply_pca`, or persist as a
+    one-row parquet next to the index they serve.
+    """
+    d_row = df.select(F.size(F.col(vec_col)).alias("d")).filter(
+        F.col("d").isNotNull()
+    ).first()
+    if d_row is None:
+        raise ValueError("cannot train PCA on an empty/all-null corpus")
+    d = d_row["d"]
+    if not 1 <= n_components <= d:
+        raise ValueError(f"n_components must be in [1, {d}], got {n_components}")
+
+    def _partials(batches):
+        for pdf in batches:
+            vecs = pdf["v"].tolist()
+            if not vecs:
+                continue
+            V = np.asarray(vecs, dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(V)],
+                    "s": [V.sum(axis=0).tolist()],
+                    "g": [(V.T @ V).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .mapInPandas(_partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError(f"need >= 2 vectors to estimate covariance, got {n}")
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = []
+    for idx in order:
+        vec = evecs[:, idx]
+        if vec[np.argmax(np.abs(vec))] < 0:  # deterministic sign
+            vec = -vec
+        ev = float(max(evals[idx], 0.0))
+        if whiten:
+            vec = vec / np.sqrt(ev + 1e-12)
+        comps.append({"basis": vec.tolist(), "eigenvalue": ev})
+    return comps, mean.tolist()
+
+
+def apply_pca(
+    df: DataFrame,
+    vec_col: str,
+    components,
+    mean,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project the embedding column onto a trained PCA basis:
+    out[i] = basis_i . (v - mean). Pure expression — the basis and
+    mean are literal arrays (one parsed SQL string, the py4j
+    plan-size lesson), the projection is transform+aggregate inside
+    whole-stage codegen, no Python and no shuffle. NULL vectors
+    project to NULL."""
+    basis = _lit_matrix([c["basis"] for c in components])
+    mean_lit = F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in mean) + ")"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    centered = F.zip_with(v, mean_lit, lambda a, b: a - b)
+    proj = F.transform(
+        basis,
+        lambda row: F.aggregate(
+            F.zip_with(row, centered, lambda b, x: b * x),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ),
+    )
+    return df.withColumn(
+        out_col, F.when(F.col(vec_col).isNotNull(), proj)
+    )

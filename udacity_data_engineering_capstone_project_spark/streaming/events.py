@@ -345,6 +345,50 @@ def merge_stream_into_dimension(
     return _run_versioned_merge(spark, stream, dim_path, checkpoint_dir, merge)
 
 
+def merge_stream_into_quantile_sketch(
+    spark: SparkSession,
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint_dir: str,
+    group_cols,
+    value_col: str,
+    alpha: float = 0.01,
+) -> int:
+    """Streaming percentile maintenance: each micro-batch is reduced
+    to its DDSketch rows (`operators.sketches.quantile_sketch` —
+    exact (sign, bucket, count) integers) and merged into the
+    persisted all-time sketch, written as an immutable
+    ``{sketch_path}/v=<batch_id>`` version exactly like the dimension
+    writer — same crash-replay guarantee (a retried batch rebuilds
+    from the newest version BELOW its id), same `_SUCCESS` commit
+    protocol, same `read_dimension` time travel.
+
+    This is the mergeable-sketch story for streams: quantiles over
+    ALL events ever seen are readable at any moment via
+    `read_dimension(spark, sketch_path)` + `sketch_quantiles`, while
+    each batch touches only its own rows plus O(buckets) sketch rows —
+    no raw event is ever rescanned, state does not grow with the
+    stream (bounded by groups x log-range/alpha buckets).
+
+    All batches must share ``alpha`` — persist it beside the path.
+    Returns the number of batches processed this run.
+    """
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch,
+    )
+
+    def merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        sk = quantile_sketch(batch_df, group_cols, value_col, alpha)
+        if prev is None:
+            return sk
+        return merge_quantile_sketches(
+            sk.unionByName(prev.select(sk.columns)), group_cols
+        )
+
+    return _run_versioned_merge(spark, stream, sketch_path, checkpoint_dir, merge)
+
+
 def _run_versioned_merge(
     spark: SparkSession,
     stream: DataFrame,
