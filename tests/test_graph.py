@@ -58,3 +58,57 @@ def test_pagerank_parallel_edges_weighted(spark):
 def test_pagerank_empty(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df).count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.graph import triangle_count
+
+    def tc(edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+
+    # single triangle
+    assert tc([("a", "b"), ("b", "c"), ("c", "a")]) == {"a": 1, "b": 1, "c": 1}
+    # square: no triangles, all nodes reported with 0
+    assert tc([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]) == {
+        "a": 0, "b": 0, "c": 0, "d": 0
+    }
+    # K4: 4 triangles, each node in 3
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert tc(k4) == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # duplicates / reversed edges / self-loops don't change anything
+    noisy = k4 + [("b", "a"), ("c", "c"), ("a", "b"), ("d", "c")]
+    assert tc(noisy) == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.graph import triangle_count
+
+    rng = np.random.RandomState(11)
+    n = 40
+    edges = [
+        (f"n{i}", f"n{j}")
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rng.rand() < 0.2
+    ]
+    adj = {k: set() for k in {x for e in edges for x in e}}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    expected = {k: 0 for k in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            expected[a] += 1
+            expected[b] += 1
+            expected[c] += 1
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(edges, "src string, dst string").repartition(8)
+        ).collect()
+    }
+    assert got == expected

@@ -95,3 +95,89 @@ def pagerank(
         if delta < tol:
             break
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph (edges given
+    in either/both directions; self-loops and parallel edges ignored)
+    — the clustering-coefficient numerator behind spam/link-farm
+    signals.
+
+    The scale trick is the classic degree orientation (Chiba-Nishizeki
+    / "compact-forward"): direct every edge from its lower-(degree,
+    node) endpoint to the higher one, enumerate wedges only from each
+    edge's SOURCE side, and close them with an oriented-edge equi-join.
+    Every triangle is then found exactly once, and the wedge count is
+    bounded by sum(min-degree per edge) = O(m^1.5) regardless of hubs —
+    a uniform-key equi-join plan, where the naive undirected 3-way join
+    explodes quadratically on high-degree nodes.
+
+    Output: (node, n_triangles) for every node of the graph, zeros
+    included.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    e = e.localCheckpoint(eager=True)  # reused by degrees + both joins
+
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient: a -> b with (deg, node) ascending — ties break on node id
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    # wedges from the shared oriented source; b < c in oriented order
+    wedges = o1.join(
+        o2,
+        on=[
+            F.col("o1.a") == F.col("o2.a"),
+            F.col("o1.b") < F.col("o2.b"),
+        ],
+    ).select(
+        F.col("o1.a").alias("a"), F.col("o1.b").alias("b"), F.col("o2.b").alias("c")
+    )
+    # closing edge must also be oriented b -> c (both orders checked:
+    # orientation between b and c is by THEIR degrees, unknown here)
+    oc = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    od = oriented.select(F.col("b").alias("b"), F.col("a").alias("c"))
+    closing = oc.unionAll(od)
+    tris = wedges.join(closing, on=["b", "c"])
+
+    per_node = (
+        tris.select(F.col("a").alias("n"))
+        .unionAll(tris.select(F.col("b").alias("n")))
+        .unionAll(tris.select(F.col("c").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select("n")
+        .join(per_node, on="n", how="left")
+        .select(
+            F.col("n").alias("node"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )

@@ -2431,6 +2431,64 @@ def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for triangle_count — UNREGISTERED. Per-node triangle
+# counts ARE single-pass-SQL-expressible (unlike PageRank): DuckDB
+# enumerates ordered triples a<b<c directly, which must equal the
+# engine's degree-oriented wedge-join count exactly.
+TRIANGLE_ORACLE = """
+    WITH pairs AS (
+        SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                        greatest(a.l_suppkey, b.l_suppkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.u = e1.v
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (SELECT u AS n FROM pairs UNION SELECT v AS n FROM pairs),
+    per AS (
+        SELECT n, count(*) AS t
+        FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY 1
+    )
+    SELECT n AS node, COALESCE(t, 0) AS n_triangles
+    FROM nodes LEFT JOIN per USING (n)
+"""
+
+
+@_register(
+    "triangle_count_q",
+    TRIANGLE_ORACLE,
+    "Per-node triangle counts (operators/graph.py:triangle_count) over "
+    "the supplier co-occurrence graph (suppliers sharing an order): "
+    "degree-oriented wedge join, O(m^1.5) wedge bound, hub-safe. "
+    "Unregistered; hash-pinned against DuckDB's direct ordered-triple "
+    "enumeration.",
+    registered=False,
+)
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        on=[
+            F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+            F.col("a.l_suppkey") < F.col("b.l_suppkey"),
+        ],
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    return triangle_count(edges)
+
+
 # Synthetic-URL construction shared (up to the string-cast spelling)
 # by the Spark query and the DuckDB oracle: every doc gets a URL whose
 # case, default/non-default port, tracking params and fragment vary by
