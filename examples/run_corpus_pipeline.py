@@ -73,7 +73,21 @@ def main() -> None:
     from udacity_data_engineering_capstone_project_spark.operators.sketches import heavy_hitters
 
     top_sources = heavy_hitters(docs, "source", min_frac=0.01).limit(3).collect()
-    tick("canonicalize+heavy_hitters")
+
+    # 0c. length distribution per language via mergeable DDSketch rows
+    #     (1% relative error; the same rows roll up across corpus
+    #     versions without rescanning)
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    len_sketch = quantile_sketch(docs, ["lang"], "n_chars", alpha=0.01)
+    len_p50_p95 = {
+        (r["lang"], r["q"]): round(r["estimate"], 1)
+        for r in sketch_quantiles(len_sketch, ["lang"], [0.5, 0.95]).collect()
+    }
+    tick("canonicalize+heavy_hitters+length_sketch")
 
     # 1. quality gate: one codegen pass over every text metric, plus
     #    the Gopher rule battery (stopwords matched to the synthetic
@@ -268,6 +282,31 @@ def main() -> None:
         ],
         ["doc_id", "text"],
     )
+    # 6a. Bloom fast path: a filter of every admitted fingerprint
+    #     (persistable next to the index) lets definitely-new rows skip
+    #     the exact-fingerprint join entirely — only the 'maybe seen'
+    #     sliver pays it. No false negatives, so the fast verdict is
+    #     safe; here it routes all three rows correctly.
+    from udacity_data_engineering_capstone_project_spark.functions.text import normalize_text
+    from udacity_data_engineering_capstone_project_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+        optimal_num_bits,
+    )
+
+    n_bits = optimal_num_bits(max(n_near, 1), fp_rate=0.01)
+    fp_bloom = build_bloom(
+        docs_n.select(F.md5(normalize_text(F.col("text"))).alias("fp")),
+        "fp", n_bits, 7,
+    )
+    batch_flags = bloom_might_contain(
+        new_batch.select(
+            "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+        ),
+        fp_bloom, "fp", n_bits, 7,
+    )
+    n_bloom_fast = batch_flags.filter(~F.col("maybe_seen")).count()
+
     screened = dd.dedup_against_index(
         spark, idx_path, new_batch, "doc_id", "text", threshold=0.6
     )
@@ -284,8 +323,10 @@ def main() -> None:
         f"-> near-dedup={n_near}; dup spans={n_spans}; "
         f"semantic dups dropped={n_sem}; ann hits={n_hits}; "
         f"train split={n_train}; {n_chunks} chunks in {n_packs} packs; "
-        f"day-2 screen={screen_summary}; "
+        f"day-2 screen={screen_summary} "
+        f"(bloom fast-passed {n_bloom_fast}/3); "
         f"top sources={[(r['value'], r['count']) for r in top_sources]}; "
+        f"len p50/p95={len_p50_p95}; "
         f"corpus at {out_dir}"
     )
     spark.stop()

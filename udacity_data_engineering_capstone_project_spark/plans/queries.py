@@ -2431,6 +2431,44 @@ def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for quantile_sketch — UNREGISTERED. DDSketch bucket
+# counts are EXACT integers and both engines bucket with
+# ceil(ln(x)/ln(gamma)) on IEEE doubles; verified value-for-value
+# identical over the (static) testdata before registering — a flip
+# would need an input within one ulp of a bucket boundary.
+QUANTILE_SKETCH_ORACLE = """
+    SELECT lang,
+           CASE WHEN n_chars > 0 THEN 1 WHEN n_chars < 0 THEN -1
+                ELSE 0 END AS sign,
+           CASE WHEN n_chars = 0 THEN 0
+                ELSE CAST(ceil(ln(abs(CAST(n_chars AS DOUBLE))) / 0.020000666706669435)
+                          AS INT) END AS bucket,
+           count(*) AS count
+    FROM documents
+    WHERE n_chars IS NOT NULL
+    GROUP BY 1, 2, 3
+"""
+
+
+@_register(
+    "quantile_sketch_q",
+    QUANTILE_SKETCH_ORACLE,
+    "DDSketch quantile partials (operators/sketches.py:quantile_sketch)"
+    " over document lengths per language: geometric buckets with 1%%"
+    " relative error, exact integer counts, mergeable forever."
+    " Unregistered; hash-pinned against DuckDB's independent ln/ceil"
+    " bucketing.",
+    registered=False,
+)
+def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        quantile_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return quantile_sketch(docs, ["lang"], "n_chars", alpha=0.01)
+
+
 # Oracle twin for triangle_count — UNREGISTERED. Per-node triangle
 # counts ARE single-pass-SQL-expressible (unlike PageRank): DuckDB
 # enumerates ordered triples a<b<c directly, which must equal the
