@@ -112,3 +112,26 @@ def test_triangle_count_matches_bruteforce_random(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_clustering_coefficient(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    # kite: K4 on a,b,c,d plus a pendant e attached to d
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["coefficient"])
+        for r in clustering_coefficient(df).collect()
+    }
+    assert got["a"] == (3, 3, 1.0)  # all of a's wedges close
+    assert got["b"] == (3, 3, 1.0)
+    assert got["c"] == (3, 3, 1.0)
+    # d has degree 4, 3 triangles of 6 possible wedges
+    assert got["d"] == (4, 3, 0.5)
+    assert got["e"] == (1, 0, 0.0)  # degree < 2

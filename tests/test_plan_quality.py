@@ -369,3 +369,67 @@ def test_ngram_lm_scoring_broadcasts_model(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("BroadcastHashJoin") >= 2, final
     assert final.count("HashAggregate") >= 2
+
+
+def test_bloom_probe_is_pure_equi_join(spark):
+    """The Bloom probe must stay hash-joins on uniform keys — never a
+    nested-loop/cartesian product, never Python — and the build must
+    combine map-side before its one shuffle."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    keys = spark.range(10_000).select(F.col("id").alias("k"))
+    bloom = build_bloom(keys, "k", 64 * 2048, 5)
+    bplan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert "partial_bit_or" in bplan  # map-side combine before exchange
+    plan = (
+        bloom_might_contain(keys, bloom, "k", 64 * 2048, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_quantile_sketch_single_shuffle_partial_agg(spark, sf_dir):
+    """DDSketch build is ONE aggregation: map-side partial counts, one
+    exchange on the (group, sign, bucket) key, no Python anywhere."""
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        quantile_sketch,
+    )
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = (
+        quantile_sketch(docs, ["lang"], "n_chars", alpha=0.01)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Degree-oriented wedge enumeration must compile to equi-joins
+    (the o1.b < o2.b predicate rides on the a==a hash join, never a
+    nested loop over all edge pairs)."""
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        triangle_count,
+    )
+
+    edges = spark.range(500).selectExpr(
+        "concat('n', id % 60) AS src", "concat('n', (id * 7 + 1) % 60) AS dst"
+    )
+    plan = (
+        triangle_count(edges)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -383,3 +383,49 @@ def test_pca_nulls_and_validation(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     with _pytest.raises(ValueError, match="empty"):
         train_pca(empty, "embedding", 2)
+
+
+def test_pca_reduced_ann_preserves_recall(spark):
+    """The reason train_pca exists in this engine: search a 4x-smaller
+    projected space and keep most of the exact top-k. Data has low
+    intrinsic dimension (8 latent dims + noise in d=32), so 8 PCA
+    components capture nearly all variance."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        apply_pca,
+        brute_force_topk,
+        train_pca,
+    )
+
+    rng = np.random.RandomState(5)
+    latent = rng.normal(size=(500, 8))
+    lift = rng.normal(size=(8, 32))
+    X = latent @ lift + 0.01 * rng.normal(size=(500, 32))
+    df = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    )
+    comps, mean = train_pca(df, "embedding", n_components=8)
+    var_total = np.trace(np.cov(X.T, bias=True))
+    assert sum(c["eigenvalue"] for c in comps) / var_total > 0.99
+
+    reduced = apply_pca(df, "embedding", comps, mean, out_col="emb8").select(
+        "vec_id", F.col("emb8").alias("embedding")
+    )
+    queries_full = df.filter(F.col("vec_id") < 10)
+    queries_red = reduced.filter(F.col("vec_id") < 10)
+
+    def topk(corpus, qs):
+        out = brute_force_topk(corpus, qs, "vec_id", "embedding", k=10)
+        hits = {}
+        for r in out.collect():
+            hits.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return hits
+
+    exact = topk(df, queries_full)
+    red = topk(reduced, queries_red)
+    recalls = [
+        len(exact[q] & red[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls

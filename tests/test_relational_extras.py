@@ -231,3 +231,44 @@ def test_scd2_single_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_winsorize_clips_to_exact_quantiles(spark):
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import winsorize
+
+    vals = [float(v) for v in range(1, 101)] + [10_000.0, -10_000.0]  # outliers
+    rows = [(i, v, v * 2) for i, v in enumerate(vals)] + [(999, None, None)]
+    df = spark.createDataFrame(rows, "id bigint, a double, b double")
+
+    out = winsorize(df, ["a", "b"], lower_q=0.05, upper_q=0.95)
+    got = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    # exact interpolated percentiles (numpy 'linear' matches Spark percentile)
+    arr = np.array(vals)
+    lo, hi = np.percentile(arr, 5), np.percentile(arr, 95)
+    assert got[100] == (hi, 2 * hi)  # +outlier clipped to upper cut
+    assert got[101] == (lo, 2 * lo)  # -outlier clipped to lower cut
+    assert got[50] == (vals[50], vals[50] * 2)  # interior untouched
+    assert got[999] == (None, None)  # null passes through
+
+    # single-scan: the bounds aggregation is one job; the clip itself
+    # is a projection with no exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # suffix mode preserves the original column
+    kept = winsorize(df, ["a"], 0.05, 0.95, suffix="_w").filter("id = 100").first()
+    assert kept["a"] == 10_000.0 and kept["a_w"] == hi
+
+    # approximate mode stays within sketch tolerance of the exact cuts
+    approx = winsorize(df, ["a"], 0.05, 0.95, approximate=True).collect()
+    amax = max(r["a"] for r in approx if r["a"] is not None)
+    assert abs(amax - hi) / hi < 0.1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower_q"):
+        winsorize(df, ["a"], 0.9, 0.1)
+    with _pytest.raises(ValueError, match="columns"):
+        winsorize(df, [], 0.1, 0.9)

@@ -181,3 +181,41 @@ def triangle_count(
             F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node: 2*triangles / (d*(d-1))
+    over the undirected simple graph — the classic link-farm /
+    community-density signal (a spam ring's members close almost every
+    wedge; organic hubs don't). Nodes of degree < 2 get 0.0.
+
+    Reuses `triangle_count` (degree-oriented wedge join) plus one
+    degree aggregation; both shuffle on node id only.
+
+    Output: (node, degree, n_triangles, coefficient r6).
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(edges, src, dst)
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, on="node").select(
+        "node", "degree", "n_triangles", coeff.alias("coefficient")
+    )

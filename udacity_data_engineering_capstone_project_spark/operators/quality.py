@@ -373,3 +373,62 @@ def numeric_drift(
             F.round((p - q) * F.log(p / q), 6).alias("psi"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    columns: Sequence[str],
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    approximate: bool = False,
+    accuracy: int = 10_000,
+    suffix: str = "",
+) -> DataFrame:
+    """Clip numeric columns to their [lower_q, upper_q] quantiles —
+    the standard outlier guard before scaling/training (a corrupted
+    length field or a pathological score can't dominate a batch).
+
+    ONE aggregation computes both cut points for every column (a
+    single scan, map-side partial, 2*len(columns) scalars to the
+    driver — never the data), then the clip is a pure projection.
+    Exact interpolated percentiles by default (bit-comparable to SQL
+    ``percentile_cont``); ``approximate=True`` swaps in the
+    Greenwald-Khanna sketch for the at-scale path, same trade
+    `profile_columns` documents. NULLs pass through unclipped.
+
+    ``suffix`` writes clipped values to ``<col><suffix>`` instead of
+    overwriting. Output otherwise matches the input row-for-row.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    if not 0 <= lower_q < upper_q <= 1:
+        raise ValueError(
+            f"need 0 <= lower_q < upper_q <= 1, got {lower_q}, {upper_q}"
+        )
+
+    def _pct(c: str, q: float):
+        col = F.col(c).cast("double")
+        if approximate:
+            return F.approx_percentile(col, F.lit(q), F.lit(accuracy))
+        return F.percentile(col, F.lit(q))
+
+    bounds_row = df.agg(
+        *[
+            e
+            for c in columns
+            for e in (
+                _pct(c, lower_q).alias(f"__lo_{c}"),
+                _pct(c, upper_q).alias(f"__hi_{c}"),
+            )
+        ]
+    ).first()
+    out = df
+    for c in columns:
+        lo, hi = bounds_row[f"__lo_{c}"], bounds_row[f"__hi_{c}"]
+        if lo is None or hi is None:  # all-null column: nothing to clip
+            continue
+        clipped = F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi))
+        out = out.withColumn(
+            c + suffix, F.when(F.col(c).isNotNull(), clipped)
+        )
+    return out
