@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     # are the measured work)
     "gopher_quality_q",
     "heavy_hitters_q",
+    # round 4 session 4: crawl-hygiene URL canonicalization (one
+    # codegen projection over synthetic URLs) and DDSketch quantile
+    # partials (one aggregation) — both UNREGISTERED parity queries
+    "url_canon_q",
+    "quantile_sketch_q",
 ]
 
 
