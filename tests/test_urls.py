@@ -132,3 +132,48 @@ def test_canonicalize_stays_codegen(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_canonicalize_hostile_inputs_total_and_idempotent(spark):
+    """Totality on crawl garbage: no exceptions, no nulls introduced,
+    and canonicalize(canonicalize(x)) == canonicalize(x) for every
+    adversarial shape."""
+    hostile = [
+        "",
+        "   ",
+        "://",
+        "http://",
+        "https://?",
+        "a://b#",
+        "http://:80/",
+        "HTTP://EXAMPLE.COM:80:80/",
+        "http://h/p?",
+        "http://h/p?&&&",
+        "http://h/p?=v&=&utm_source",
+        "http://h/p?utm_source",          # tracking param with no '='
+        "ftp://UPPER.HOST:443/x",          # 443 on non-https stays
+        "http://h#frag#frag2",
+        "scheme+weird.thing://Host/Path",
+        "not a url at all",
+        "häßlich://ünïcode/päth",          # non-ASCII scheme: pass-through
+        "http://h/" + "a" * 5000,          # long path
+        "http://h/p?q=%%%&utm_x=%%",
+        "\thttp://Tabbed.Host/\t",
+        "http://h:8080?x=1",               # query with empty path
+        "mailto:someone@example.com",      # no ://, pass-through
+    ]
+    df = spark.createDataFrame([(u,) for u in hostile], "u string")
+    once = df.select("u", canonicalize_url("u").alias("c1"))
+    rows = once.select(
+        "u", "c1", canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    assert len(rows) == len(hostile)
+    for r in rows:
+        assert r["c1"] is not None, r["u"]
+        assert r["c2"] == r["c1"], (r["u"], r["c1"], r["c2"])
+    by_in = {r["u"]: r["c1"] for r in rows}
+    # spot semantics: 443 is only default for https
+    assert by_in["ftp://UPPER.HOST:443/x"] == "ftp://upper.host:443/x"
+    # non-URL shapes pass through trimmed
+    assert by_in["not a url at all"] == "not a url at all"
+    assert by_in["mailto:someone@example.com"] == "mailto:someone@example.com"

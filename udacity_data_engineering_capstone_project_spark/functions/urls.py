@@ -90,9 +90,11 @@ def canonicalize_url(
     auth = F.lower(F.regexp_extract(c, _URL_RE, 2))
     rest = F.regexp_extract(c, _URL_RE, 3)
 
+    # (:80)+ not :80 — a malformed ":80:80" authority must still reach
+    # a fixed point in one pass (idempotence is pinned in tests)
     auth = (
-        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
-        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        F.when(scheme == "http", F.regexp_replace(auth, r"(:80)+$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r"(:443)+$", ""))
         .otherwise(auth)
     )
 
