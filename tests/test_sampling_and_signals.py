@@ -796,3 +796,70 @@ def test_temperature_mix_flattens_toward_uniform(spark):
         temperature_mix(df, "doc_id", "source", temperature=0)
     empty = spark.createDataFrame([], "doc_id bigint, source string")
     assert temperature_mix(empty, "doc_id", "source", 2.0).count() == 0
+
+
+def test_language_id_learns_constructed_languages(spark):
+    """NB language ID must separate languages with distinct character
+    statistics (the synthetic testdata's lang labels are random, so
+    the accuracy check lives on a constructed corpus)."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        apply_language_id,
+        train_language_id,
+    )
+
+    vocab = {
+        "aa": ["apple", "anchor", "aspect", "avenue", "animal", "arcade"],
+        "bb": ["bubble", "border", "basket", "bottle", "bounce", "bureau"],
+        "cc": ["circle", "cursor", "candle", "copper", "canyon", "cellar"],
+    }
+    rng = np.random.RandomState(2)
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for _ in range(40):
+            text = " ".join(rng.choice(words, size=12))
+            rows.append((i, lang, text))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    model, info = train_language_id(df, "text", "lang")
+    pred = apply_language_id(df, "doc_id", "text", model, info)
+    joined = {r["doc_id"]: r["pred_label"] for r in pred.collect()}
+    truth = {r[0]: r[1] for r in rows}
+    acc = sum(joined[d] == truth[d] for d in truth) / len(truth)
+    assert acc >= 0.99, acc
+
+    # held-out docs from the same vocabularies classify correctly too
+    test_rows = [
+        (1000, "aa", "anchor avenue apple aspect arcade"),
+        (1001, "bb", "bottle basket bubble bounce"),
+        (1002, "cc", "copper candle circle cursor"),
+    ]
+    tdf = spark.createDataFrame(test_rows, "doc_id bigint, lang string, text string")
+    tp = {r["doc_id"]: r["pred_label"]
+          for r in apply_language_id(tdf, "doc_id", "text", model, info).collect()}
+    assert tp == {1000: "aa", 1001: "bb", 1002: "cc"}
+
+    # fully OOV text exercises the default-weight path and still
+    # returns a deterministic verdict; empty text gets the prior-max
+    # (all priors equal here -> smallest label)
+    odf = spark.createDataFrame(
+        [(1, "zzz qqq xxx www"), (2, "")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r["pred_label"]
+           for r in apply_language_id(odf, "doc_id", "text", model, info).collect()}
+    assert set(out) == {1, 2}
+    assert out[2] == "aa"  # equal priors, tie -> smallest label
+
+    # repartitioning must not change a single prediction (integer sums)
+    p2 = {r["doc_id"]: r["pred_label"]
+          for r in apply_language_id(
+              df.repartition(13), "doc_id", "text", model, info).collect()}
+    assert p2 == joined
+
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "doc_id bigint, lang string, text string")
+    with _pytest.raises(ValueError, match="empty"):
+        train_language_id(empty, "text", "lang")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from udacity_data_engineering_capstone_project_spark.functions.text import (
     BPE_ISH_PATTERN,
+    char_shingles,
     normalize_text,
 )
 
@@ -1092,3 +1093,159 @@ def strip_html(
     # trim() strips spaces only — strip leading/trailing newlines too
     c = F.regexp_replace(c, r"^\s+|\s+$", "")
     return df.withColumn(output_column or column, c)
+
+
+def train_language_id(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    shingle_k: int = 3,
+    num_buckets: int = 4096,
+    scale: int = 1_000_000,
+):
+    """Train a naive-Bayes language identifier over hashed character
+    shingles — the trained sibling of `text_profile`'s heuristic
+    lang-id (CCNet/fastText's role in crawl pipelines, distilled to
+    pure relational algebra).
+
+    Bernoulli model on bucket PRESENCE: per label, each bucket's
+    weight is ln((docs-with-bucket + 1) / (docs-of-label + 2)),
+    Laplace-smoothed. Two deliberate representation choices make the
+    scorer exactly reproducible anywhere:
+
+    - buckets use the shared portable md5-prefix hash
+      (`_ngram_bucket`), so any engine computes the same features;
+    - weights are stored as INTEGERS (round(scale * ln p)) — integer
+      sums are associative, so the argmax cannot depend on partition
+      order or summation tree (the `hashed_classifier_score` lesson).
+
+    The model is densified to every (seen-bucket, label) pair —
+    at most num_buckets * n_labels rows, broadcastable — and each
+    label carries a DEFAULT weight for never-seen buckets so scoring
+    stays exact for out-of-vocabulary shingles.
+
+    Returns ``(model, label_info)``: model rows
+    (bucket long, label, w long); label_info rows
+    (label, prior_w long, default_w long).
+    """
+    base = df.select(F.col(label_col).alias("label"), F.col(text_col)).filter(
+        F.col("label").isNotNull() & F.col(text_col).isNotNull()
+    )
+    # doc id MUST be assigned before the explode — evaluated in the
+    # same projection as a generator it would stamp every shingle row
+    # with its own id, silently breaking the per-doc presence dedup
+    # (two same-doc shingles colliding into one bucket would count
+    # twice; caught by the DuckDB parity oracle)
+    sh = (
+        base.withColumn("__doc", F.monotonically_increasing_id())
+        .select(
+            "label",
+            "__doc",
+            F.explode(char_shingles(text_col, shingle_k)).alias("__g"),
+        )
+        .select(
+            "label", "__doc", _ngram_bucket(F.col("__g"), num_buckets).alias("bucket")
+        )
+    )
+    # docs per label (priors) and docs-per-(bucket,label) presence
+    n_docs = base.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    total = base.count()
+    if total == 0:
+        raise ValueError("cannot train language id on an empty corpus")
+    presence = (
+        sh.dropDuplicates(["label", "__doc", "bucket"])
+        .groupBy("bucket", "label")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # densify: every seen bucket x every label
+    buckets = presence.select("bucket").distinct()
+    dense = (
+        buckets.crossJoin(n_docs)
+        .join(presence, on=["bucket", "label"], how="left")
+        .select(
+            "bucket",
+            "label",
+            F.round(
+                F.lit(float(scale))
+                * F.log((F.coalesce(F.col("d"), F.lit(0)) + 1.0) / (F.col("n") + 2.0))
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    label_info = n_docs.select(
+        "label",
+        F.round(F.lit(float(scale)) * F.log(F.col("n") / F.lit(float(total))))
+        .cast("long")
+        .alias("prior_w"),
+        F.round(F.lit(float(scale)) * F.log(1.0 / (F.col("n") + 2.0)))
+        .cast("long")
+        .alias("default_w"),
+    )
+    return dense.localCheckpoint(eager=True), label_info.localCheckpoint(eager=True)
+
+
+def apply_language_id(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    label_info: DataFrame,
+    shingle_k: int = 3,
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """Score documents with a trained `train_language_id` model:
+    score(doc, label) = prior + sum of stored bucket weights + (number
+    of never-seen buckets) * default weight; prediction = argmax, ties
+    to the smallest label. All sums are integer — the result is
+    identical on any partitioning, engine, or summation order.
+
+    Plan shape: one distinct-shingle pass, one broadcast-sized model
+    join (<= num_buckets * n_labels rows), one (id, label) partial
+    aggregation. Docs with no shingles (empty text) get the
+    prior-maximal label.
+
+    Output: (id, pred_label, score long).
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("__g"))
+        .select(id_col, _ngram_bucket(F.col("__g"), num_buckets).alias("bucket"))
+        .dropDuplicates([id_col, "bucket"])
+    )
+    model_buckets = model.select("bucket").distinct()
+    per_doc = sh.join(
+        model_buckets.withColumn("__in", F.lit(1)), on="bucket", how="left"
+    ).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__S"),
+        F.sum(F.coalesce(F.col("__in"), F.lit(0))).alias("__M"),
+    )
+    matched = (
+        sh.join(model, on="bucket")
+        .groupBy(id_col, "label")
+        .agg(F.sum("w").alias("__sum_w"), F.count(F.lit(1)).alias("__cnt"))
+    )
+    # every doc x every label (docs with zero matches included)
+    grid = df.select(id_col).distinct().crossJoin(label_info)
+    scored = (
+        grid.join(per_doc, on=id_col, how="left")
+        .join(matched, on=[id_col, "label"], how="left")
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            (
+                F.col("prior_w")
+                + F.coalesce(F.col("__sum_w"), F.lit(0))
+                + (
+                    F.coalesce(F.col("__S"), F.lit(0))
+                    - F.coalesce(F.col("__cnt"), F.lit(0))
+                )
+                * F.col("default_w")
+            ).alias("score"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by(
+            F.col("label"), F.struct(-F.col("score"), F.col("label"))
+        ).alias("pred_label"),
+        F.max("score").alias("score"),
+    )

@@ -2431,6 +2431,90 @@ def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for language_id — UNREGISTERED. Like the ngram_lm
+# oracle, DuckDB RETRAINS the same naive-Bayes model in SQL (same
+# lowercased char-3 shingles, same portable md5 bucket, same
+# round(1e6*ln p) integer weights) and must reproduce every argmax —
+# integer score sums make the comparison order-exact. The testdata's
+# lang labels are random w.r.t. the text, which only makes the parity
+# stricter: both engines must agree even on noise.
+LANGUAGE_ID_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, lang AS label, lower(text) AS t
+        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, label,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS bucket
+        FROM (
+            SELECT doc_id, label,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(length(t) - 2, 0) + 1),
+                       i -> substr(t, i, 3)))) AS g
+            FROM base)
+    ),
+    n_docs AS (SELECT label, count(*) AS n FROM base GROUP BY 1),
+    tot AS (SELECT count(*) AS c FROM base),
+    presence AS (
+        SELECT bucket, label, count(*) AS d FROM sh GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT b.bucket, l.label,
+               CAST(round(1000000.0 *
+                    ln((COALESCE(p.d, 0) + 1.0) / (l.n + 2.0))) AS BIGINT) AS w
+        FROM (SELECT DISTINCT bucket FROM sh) b
+        CROSS JOIN n_docs l
+        LEFT JOIN presence p ON p.bucket = b.bucket AND p.label = l.label
+    ),
+    info AS (
+        SELECT label,
+               CAST(round(1000000.0 * ln(n * 1.0 / tot.c)) AS BIGINT) AS prior_w
+        FROM n_docs, tot
+    ),
+    scored AS (
+        SELECT s.doc_id, d.label, sum(d.w) AS sw
+        FROM (SELECT DISTINCT doc_id, bucket FROM sh) s
+        JOIN dense d USING (bucket)
+        GROUP BY 1, 2
+    ),
+    final AS (
+        SELECT scored.doc_id, scored.label,
+               scored.sw + info.prior_w AS score
+        FROM scored JOIN info USING (label)
+    )
+    SELECT doc_id, label AS pred_label, score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+          FROM final)
+    WHERE rn = 1
+"""
+
+
+@_register(
+    "language_id_q",
+    LANGUAGE_ID_ORACLE,
+    "Trained naive-Bayes language ID (operators/textstats.py:"
+    "train_language_id/apply_language_id): hashed char-shingle "
+    "Bernoulli model with integer log-weights — order-exact argmax on "
+    "any engine. Unregistered; the DuckDB oracle retrains the model "
+    "in SQL and must reproduce every prediction.",
+    registered=False,
+)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        apply_language_id,
+        train_language_id,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    model, info = train_language_id(docs, "text", "lang")
+    return apply_language_id(
+        docs.select("doc_id", "text"), "doc_id", "text", model, info
+    )
+
+
 # Oracle twin for quantile_sketch — UNREGISTERED. DDSketch bucket
 # counts are EXACT integers and both engines bucket with
 # ceil(ln(x)/ln(gamma)) on IEEE doubles; verified value-for-value
