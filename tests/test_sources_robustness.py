@@ -680,3 +680,53 @@ def test_streaming_quantile_sketch_maintenance(spark, tmp_path):
     assert got == want
     # no new files -> no new version
     assert run() == 0
+
+
+def test_streaming_bloom_maintenance(spark, tmp_path):
+    """Streaming Bloom rollup: after two drops the persisted filter
+    must equal build-on-everything exactly (bit_or is exact), and a
+    probe against it honors the no-false-negative contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_capstone_project_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+        optimal_num_bits,
+    )
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        merge_stream_into_bloom,
+        read_dimension,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    path = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ckpt")
+    m = optimal_num_bits(5_000, 0.01)
+
+    def drop(name, keys):
+        pq.write_table(pa.table({"k": pa.array(keys, type=pa.string())}), str(landing / name))
+
+    def run():
+        stream = spark.readStream.schema("k STRING").parquet(str(landing))
+        return merge_stream_into_bloom(spark, stream, path, ckpt, "k", m, 7)
+
+    day1 = [f"d1-{i}" for i in range(2_000)]
+    day2 = [f"d2-{i}" for i in range(1_500)]
+    drop("d1.parquet", day1)
+    assert run() == 1
+    drop("d2.parquet", day2)
+    assert run() == 1
+
+    stored = read_dimension(spark, path)
+    direct = build_bloom(
+        spark.createDataFrame([(k,) for k in day1 + day2], "k string"), "k", m, 7
+    )
+    assert sorted((r["block"], r["mask"]) for r in stored.collect()) == sorted(
+        (r["block"], r["mask"]) for r in direct.collect()
+    )
+    probe = spark.createDataFrame([(k,) for k in day1[:50] + day2[:50]], "k string")
+    flagged = bloom_might_contain(probe, stored, "k", m, 7)
+    assert flagged.filter("NOT maybe_seen").count() == 0  # no false negatives
+    assert run() == 0  # no new files, no new version

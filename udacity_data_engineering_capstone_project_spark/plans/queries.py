@@ -2431,6 +2431,51 @@ def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for winsorize — UNREGISTERED. Spark's exact interpolated
+# `percentile` and DuckDB's `quantile_cont` are the same estimator, so
+# the clip bounds (and therefore every clipped value) must agree
+# bit-for-bit before the 2 dp rounding.
+WINSORIZE_ORACLE = """
+    WITH cuts AS (
+        SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS lo_p,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS hi_p,
+               quantile_cont(CAST(l_quantity AS DOUBLE), 0.01) AS lo_q,
+               quantile_cont(CAST(l_quantity AS DOUBLE), 0.99) AS hi_q
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(least(greatest(CAST(l_extendedprice AS DOUBLE), lo_p), hi_p), 2)
+               AS price_w,
+           round(least(greatest(CAST(l_quantity AS DOUBLE), lo_q), hi_q), 2)
+               AS qty_w
+    FROM lineitem, cuts
+"""
+
+
+@_register(
+    "winsorize_q",
+    WINSORIZE_ORACLE,
+    "Quantile clipping (operators/quality.py:winsorize): one "
+    "aggregation derives every column's 1%/99% cuts, the clip is a "
+    "pure projection. Unregistered; hash-pinned against DuckDB "
+    "quantile_cont.",
+    registered=False,
+)
+def winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.quality import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    out = winsorize(li, ["l_extendedprice", "l_quantity"], 0.01, 0.99)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice"), 2).alias("price_w"),
+        F.round(F.col("l_quantity"), 2).alias("qty_w"),
+    )
+
+
 # Oracle twin for language_id — UNREGISTERED. Like the ngram_lm
 # oracle, DuckDB RETRAINS the same naive-Bayes model in SQL (same
 # lowercased char-3 shingles, same portable md5 bucket, same

@@ -389,6 +389,42 @@ def merge_stream_into_quantile_sketch(
     return _run_versioned_merge(spark, stream, sketch_path, checkpoint_dir, merge)
 
 
+def merge_stream_into_bloom(
+    spark: SparkSession,
+    stream: DataFrame,
+    bloom_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int = 5,
+) -> int:
+    """Streaming membership maintenance: each micro-batch's keys are
+    folded into the persisted block-packed Bloom filter
+    (`operators.bloom`) — bit_or merge through the same versioned
+    writer as dimensions and quantile sketches (immutable
+    ``v=<batch_id>`` dirs, crash-replay rebuilds from the version
+    below, `_SUCCESS` commit). The live filter is
+    `read_dimension(spark, bloom_path)` — screen any batch against it
+    with `bloom_might_contain` without touching historical data.
+
+    All batches must share (num_bits, num_hashes) — persist them next
+    to the path, exactly like sketch parameters. Returns batches
+    processed this run.
+    """
+    from udacity_data_engineering_capstone_project_spark.operators.bloom import (
+        build_bloom,
+        merge_blooms,
+    )
+
+    def merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        b = build_bloom(batch_df, key_col, num_bits, num_hashes)
+        if prev is None:
+            return b
+        return merge_blooms(b, prev.select("block", "mask"))
+
+    return _run_versioned_merge(spark, stream, bloom_path, checkpoint_dir, merge)
+
+
 def _run_versioned_merge(
     spark: SparkSession,
     stream: DataFrame,
