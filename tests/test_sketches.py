@@ -246,3 +246,31 @@ def test_heavy_hitters_edges(spark):
     ints = spark.createDataFrame([(1,)] * 9 + [(2,)], "v bigint")
     got = heavy_hitters(ints, "v", 0.5).collect()
     assert [(r["value"], r["count"]) for r in got] == [(1, 9)]
+
+
+def test_sketch_intersection_inclusion_exclusion(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        distinct_sketch,
+        estimate_sketch_intersection,
+    )
+
+    day1 = spark.range(0, 30_000).selectExpr("CAST(id % 2 AS INT) AS g", "id AS v")
+    day2 = spark.range(20_000, 50_000).selectExpr("CAST(id % 2 AS INT) AS g", "id AS v")
+    out = {
+        r["g"]: r
+        for r in estimate_sketch_intersection(
+            distinct_sketch(day1, ["g"], "v"),
+            distinct_sketch(day2, ["g"], "v"),
+            ["g"],
+        ).collect()
+    }
+    for g in (0, 1):
+        # true overlap is 5_000 per parity group
+        r = out[g]
+        assert abs(r["n_intersection"] - 5_000) / 5_000 < 0.15, dict(r.asDict())
+        assert r["n_union"] <= r["n_a"] + r["n_b"]
+    # global (ungrouped) variant
+    total = estimate_sketch_intersection(
+        distinct_sketch(day1, [], "v"), distinct_sketch(day2, [], "v")
+    ).first()
+    assert abs(total["n_intersection"] - 10_000) / 10_000 < 0.1

@@ -96,7 +96,21 @@ def main() -> None:
         bl_probe = time.time() - t0
         assert hits == base, hits
 
+        t0 = time.time()
+        from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+            train_pca,
+        )
+
+        vec = spark.range(n).selectExpr(
+            "transform(sequence(0, 15), "
+            "j -> CAST(pmod(xxhash64(id, j), 1000) AS DOUBLE) / 1000.0) AS v"
+        )
+        comps, _mean = train_pca(vec, "v", n_components=4)
+        assert len(comps) == 4
+        pca_s = time.time() - t0
+
         out["scales"][str(mult)] = {
+            "pca_train_s": round(pca_s, 2),
             "rows": n,
             "ddsketch_build_s": round(dd_build, 2),
             "ddsketch_rows": sk_rows,

@@ -272,3 +272,42 @@ def heavy_hitters(
         .withColumn("frac", F.round(F.col("count") / F.lit(float(total)), 6))
         .orderBy(F.col("count").desc(), F.col("value").asc())
     )
+
+
+def estimate_sketch_intersection(
+    sketches_a: DataFrame,
+    sketches_b: DataFrame,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Estimated distinct-count INTERSECTION of two HLL sketch sets via
+    inclusion-exclusion: |A and B| ~= |A| + |B| - |A or B|. HLL only
+    supports union natively, so this is the standard (and standardly
+    noisy) way to ask "how many users did BOTH days see?" without
+    rescanning either day. Relative error compounds — treat small
+    intersections of large sets as indicative, not exact (documented
+    DataSketches guidance).
+
+    Inputs are `distinct_sketch` outputs (same lg_k). Output:
+    (*group_cols, n_a, n_b, n_union, n_intersection long, all
+    estimates).
+    """
+    cols = list(group_cols or [])
+    a = merge_distinct_sketches(sketches_a, cols, estimate_col="n_a").drop("sketch")
+    b = merge_distinct_sketches(sketches_b, cols, estimate_col="n_b").drop("sketch")
+    u = merge_distinct_sketches(
+        sketches_a.unionByName(sketches_b), cols, estimate_col="n_union"
+    ).drop("sketch")
+    joined = (
+        a.join(b, on=cols).join(u, on=cols)
+        if cols
+        else a.crossJoin(b).crossJoin(u)
+    )
+    return joined.select(
+        *cols,
+        "n_a",
+        "n_b",
+        "n_union",
+        F.greatest(
+            F.lit(0), (F.col("n_a") + F.col("n_b") - F.col("n_union"))
+        ).alias("n_intersection"),
+    )
