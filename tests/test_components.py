@@ -214,3 +214,22 @@ def test_fix_mojibake_never_corrupts(spark):
     # byte stream invalid UTF-8, so the conservative path keeps it as-is
     assert got[1] == "mixed café and donâ€™t"
     assert got[2] == "Ét­at double— text".replace("­", "") or got[2] == "État double— text"
+
+
+def test_corpus_diff_statuses(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "SAME. text!"), (2, "has changed"), (4, "brand new")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    # normalized mode: case/punctuation differences are NOT changes
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    raw = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "doc_id", "text", normalized=False).collect()}
+    assert raw[1] == "changed"  # raw mode sees the punctuation edit

@@ -1228,3 +1228,51 @@ def evaluate_near_dup_pairs(
             ).alias("recall"),
         )
     )
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalized: bool = True,
+) -> DataFrame:
+    """Content-level diff between two corpus versions — the dataset-
+    versioning question ("what changed between crawl v3 and v4?")
+    answered WITHOUT comparing text bodies: both sides reduce to
+    (id, md5 fingerprint) and one full-outer join classifies every id
+    as ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+    ``normalized`` uses the same canonical form as `exact_text_dedup`
+    (case/punctuation-insensitive); False diffs raw bytes.
+
+    One shuffle on id; fingerprints are 32 bytes per row regardless of
+    document size, so the join cost is row-count-bound, not
+    content-bound.
+
+    Output: (id, status string, old_fp, new_fp) — fingerprints kept
+    for audit joins (null on the side the id is absent from).
+    """
+    content = (
+        (lambda c: F.md5(normalize_text(c)))
+        if normalized
+        else (lambda c: F.md5(c))
+    )
+    o = old_df.select(
+        F.col(id_col), content(F.col(text_col)).alias("old_fp")
+    )
+    n = new_df.select(
+        F.col(id_col).alias("__nid"), content(F.col(text_col)).alias("new_fp")
+    )
+    joined = o.join(n, o[id_col] == n["__nid"], "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.coalesce(F.col(id_col), F.col("__nid")).alias(id_col),
+        status.alias("status"),
+        "old_fp",
+        "new_fp",
+    )

@@ -2431,6 +2431,71 @@ def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for corpus_diff — UNREGISTERED. The "new" corpus
+# version is derived deterministically from documents (drop %13,
+# append a marker to %7, add shifted ids for %11), so both engines
+# compute the same diff from first principles.
+CORPUS_DIFF_ORACLE = """
+    WITH old AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS old_fp
+        FROM documents
+    ),
+    new_v AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(text || CASE WHEN doc_id % 7 = 0
+                        THEN ' edited' ELSE '' END),
+                    '[^a-z0-9]', '', 'g')) AS new_fp
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000,
+               md5(regexp_replace(lower('brand new doc ' ||
+                        CAST(doc_id AS VARCHAR)), '[^a-z0-9]', '', 'g'))
+        FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(old.doc_id, new_v.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new_v.doc_id IS NULL THEN 'removed'
+                WHEN old_fp = new_fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_fp, new_fp
+    FROM old FULL OUTER JOIN new_v ON old.doc_id = new_v.doc_id
+"""
+
+
+@_register(
+    "corpus_diff_q",
+    CORPUS_DIFF_ORACLE,
+    "Corpus-version content diff (operators/dedup.py:corpus_diff): "
+    "added/removed/changed/unchanged per id from fingerprint "
+    "comparison — one id-shuffle full-outer join, content-size-"
+    "independent. Unregistered; hash-pinned.",
+    registered=False,
+)
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_v = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(
+                    F.lit("brand new doc "), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    return corpus_diff(docs, new_v, "doc_id", "text")
+
+
 # Oracle twin for winsorize — UNREGISTERED. Spark's exact interpolated
 # `percentile` and DuckDB's `quantile_cont` are the same estimator, so
 # the clip bounds (and therefore every clipped value) must agree
