@@ -274,3 +274,20 @@ def test_sketch_intersection_inclusion_exclusion(spark):
         distinct_sketch(day1, [], "v"), distinct_sketch(day2, [], "v")
     ).first()
     assert abs(total["n_intersection"] - 10_000) / 10_000 < 0.1
+
+
+def test_ddsketch_skips_nan(spark):
+    """NaN must be dropped at build time — it would otherwise land in
+    a NULL bucket and read back as a spurious zero estimate."""
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(float("nan"),)] * 50 + [(100.0,)] * 100, "v double"
+    )
+    sk = quantile_sketch(df, [], "v", alpha=0.02)
+    assert sk.agg(F.sum("count")).first()[0] == 100  # NaNs not counted
+    got = sketch_quantiles(sk, [], [0.5], alpha=0.02).first()["estimate"]
+    assert abs(got - 100.0) / 100.0 <= 0.02 * 1.05

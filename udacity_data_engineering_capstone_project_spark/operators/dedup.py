@@ -1250,7 +1250,10 @@ def corpus_diff(
     content-bound.
 
     Output: (id, status string, old_fp, new_fp) — fingerprints kept
-    for audit joins (null on the side the id is absent from).
+    for audit joins (null on the side the id is absent from). Ids are
+    assumed unique within each version (the corpus invariant every
+    other operator here relies on); duplicate ids would fan out in the
+    join like any SQL full-outer.
     """
     content = (
         (lambda c: F.md5(normalize_text(c)))

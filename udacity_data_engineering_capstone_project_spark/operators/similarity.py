@@ -1290,8 +1290,11 @@ def train_pca(
                 }
             )
 
+    # ragged rows (wrong-length vectors) would turn the batch into an
+    # object array and crash the Gram kernel — drop them here, the same
+    # contract the ANN tier uses
     parts = (
-        df.filter(F.col(vec_col).isNotNull())
+        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == d))
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .mapInPandas(_partials, "n long, s array<double>, g array<double>")
         .collect()

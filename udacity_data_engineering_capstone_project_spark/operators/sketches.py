@@ -133,8 +133,10 @@ def quantile_sketch(
     and mergeable forever by summing counts — per-day sketches roll up
     to months without rescanning the raw data. Negative values mirror
     into sign=-1 buckets; zeros get the dedicated sign=0 bucket; NULLs
-    are skipped. All batches must share ``alpha`` or the merge is
-    invalid — persist it next to the sketch rows.
+    and NaNs are skipped (a NaN would otherwise land in a null bucket
+    and read back as a spurious zero). All batches must share
+    ``alpha`` or the merge is invalid — persist it next to the sketch
+    rows.
 
     Output: (*group_cols, sign int, bucket int, count long).
     """
@@ -147,7 +149,7 @@ def quantile_sketch(
         v == 0, F.lit(0)
     ).otherwise(F.ceil(F.log(F.abs(v)) / F.lit(math.log(gamma))).cast("int"))
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .groupBy(*group_cols, sign.alias("sign"), bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("count"))
     )
