@@ -433,3 +433,45 @@ def test_triangle_count_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_plan_hygiene_sweep(spark, sf_dir):
+    """Every registered AND unregistered query's physical plan, swept
+    mechanically: no CartesianProduct anywhere, and
+    BroadcastNestedLoopJoin only where it is the RIGHT plan — a
+    one-row/model-sized literal side joined without keys (corpus
+    stats, query batches, label grids, ADC tables). A new query that
+    accidentally cross-joins data-scale frames turns this red."""
+    from udacity_data_engineering_capstone_project_spark.plans.queries import (
+        REGISTRY,
+        UNREGISTERED,
+    )
+
+    # every entry here is a deliberate broadcast of a tiny frame:
+    bnlj_ok = {
+        "tfidf_topk",        # 1-row corpus-size aggregate
+        "bm25_retrieval",    # 1-row avgdl aggregate
+        "ann_topk",          # broadcast query batch (plan-pinned above)
+        "ann_ivf",           # broadcast probed-centroid batch
+        "category_drift_q",  # 1-row snapshot totals
+        "numeric_drift_q",   # 1-row decile cut aggregate
+        "language_id_q",     # label_info grid (n_labels rows)
+        "pq_ann_q",          # per-query ADC distance-table literals
+    }
+    offenders = {}
+    for coll in (REGISTRY, UNREGISTERED):
+        for name, spec in coll.items():
+            plan = (
+                spec.fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            flags = []
+            if "CartesianProduct" in plan:
+                flags.append("CartesianProduct")
+            if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+                flags.append("BroadcastNestedLoopJoin")
+            if flags:
+                offenders[name] = flags
+    assert not offenders, offenders
