@@ -1,0 +1,85 @@
+"""Durable resumable pipeline runner: barriers, commit markers, resume
+semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.plans.pipeline import run_pipeline
+
+
+def _stages(calls):
+    def s1(df):
+        calls.append("filter")
+        return df.filter(F.col("id") % 2 == 0)
+
+    def s2(df):
+        calls.append("enrich")
+        return df.withColumn("v", F.col("id") * 10)
+
+    def s3(df):
+        calls.append("agg")
+        return df.groupBy((F.col("id") % 3).alias("g")).agg(
+            F.sum("v").alias("sv")
+        )
+
+    return [("filter evens", s1), ("enrich", s2), ("agg", s3)]
+
+
+def test_run_pipeline_local_barriers(spark):
+    calls = []
+    out, res = run_pipeline(
+        spark.range(100), _stages(calls), count_rows=True
+    )
+    assert calls == ["filter", "enrich", "agg"]
+    assert [r.name for r in res] == ["filter evens", "enrich", "agg"]
+    assert [r.rows for r in res] == [50, 50, 3]
+    assert all(not r.skipped and r.path is None for r in res)
+    got = {r["g"]: r["sv"] for r in out.collect()}
+    want = {}
+    for i in range(0, 100, 2):
+        want[i % 3] = want.get(i % 3, 0) + i * 10
+    assert got == want
+
+
+def test_run_pipeline_durable_resume(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    calls = []
+    out1, res1 = run_pipeline(spark.range(100), _stages(calls), checkpoint_dir=ckpt)
+    assert calls == ["filter", "enrich", "agg"]
+    v1 = sorted(map(tuple, out1.collect()))
+
+    # full resume: not a single stage fn re-runs, same result
+    calls2 = []
+    out2, res2 = run_pipeline(spark.range(100), _stages(calls2), checkpoint_dir=ckpt)
+    assert calls2 == []
+    assert all(r.skipped for r in res2)
+    assert sorted(map(tuple, out2.collect())) == v1
+
+    # torn last stage (no _SUCCESS) is NOT trusted: only it re-runs
+    import os
+
+    last = res1[-1].path
+    os.remove(os.path.join(last, "_SUCCESS"))
+    calls3 = []
+    out3, res3 = run_pipeline(spark.range(100), _stages(calls3), checkpoint_dir=ckpt)
+    assert calls3 == ["agg"]
+    assert [r.skipped for r in res3] == [True, True, False]
+    assert sorted(map(tuple, out3.collect())) == v1
+
+    # resume=False recomputes everything
+    calls4 = []
+    run_pipeline(
+        spark.range(100), _stages(calls4), checkpoint_dir=ckpt, resume=False
+    )
+    assert calls4 == ["filter", "enrich", "agg"]
+
+
+def test_run_pipeline_validation(spark):
+    with pytest.raises(ValueError, match="non-empty"):
+        run_pipeline(spark.range(1), [])
+    with pytest.raises(ValueError, match="unique"):
+        run_pipeline(spark.range(1), [("a b", lambda d: d), ("a_b", lambda d: d)])
+    with pytest.raises(ValueError, match="usable"):
+        run_pipeline(spark.range(1), [("///", lambda d: d)])
