@@ -233,3 +233,30 @@ def test_corpus_diff_statuses(spark):
     raw = {r["doc_id"]: r["status"]
            for r in corpus_diff(old, new, "doc_id", "text", normalized=False).collect()}
     assert raw[1] == "changed"  # raw mode sees the punctuation edit
+
+
+def test_dedup_representatives_prefer_quality(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        dedup_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, 1.0), (1, 5.0), (2, 3.0),     # cluster {0,1,2}: best is 1
+            (3, None),                         # isolated, null score
+            (4, 2.0), (5, 2.0),                # cluster {4,5}: tie -> min id 4
+            (6, None), (7, 9.0),               # cluster {6,7}: null loses
+        ],
+        "doc_id bigint, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (6, 7)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: (r["representative"], r["is_representative"])
+        for r in dedup_representatives(docs, pairs, "doc_id", prefer_col="quality").collect()
+    }
+    assert out[0] == (1, False) and out[1] == (1, True) and out[2] == (1, False)
+    assert out[3] == (3, True)
+    assert out[4] == (4, True) and out[5] == (4, False)
+    assert out[6] == (7, False) and out[7] == (7, True)

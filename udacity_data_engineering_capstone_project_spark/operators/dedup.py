@@ -465,10 +465,20 @@ def dedup_representatives(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Collapse near-dup pair clusters: every document mapped to its
-    cluster representative (min id in the connected component);
-    documents with no near-dup edge represent themselves.
+    cluster representative; documents with no near-dup edge represent
+    themselves.
+
+    The representative is the cluster's min id by default (stable,
+    cheap — it IS the component label). With ``prefer_col`` (a numeric
+    quality score) the representative is instead the cluster member
+    with the HIGHEST score, ties to the smallest id — "keep the best
+    duplicate, not the first" (what a curation pipeline actually
+    wants once quality signals exist). NULL scores lose to any
+    non-null score. Costs one extra aggregation + join on the cluster
+    key.
 
     Output: df columns + ``representative`` + ``is_representative``.
     """
@@ -476,11 +486,29 @@ def dedup_representatives(
     # by anything small, so no broadcast hint (AQE decides at runtime).
     comp = connected_components(pairs)
     joined = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
-    rep = F.coalesce(F.col("component"), F.col(id_col))
-    return joined.select(
-        *[F.col(c) for c in df.columns],
-        rep.alias("representative"),
-        (rep == F.col(id_col)).alias("is_representative"),
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    if prefer_col is None:
+        rep = cluster
+        return joined.select(
+            *[F.col(c) for c in df.columns],
+            rep.alias("representative"),
+            (rep == F.col(id_col)).alias("is_representative"),
+        )
+    clustered = joined.withColumn("__cluster", cluster)
+    # nulls coalesce to -inf so a scored member always beats them
+    score = F.coalesce(F.col(prefer_col).cast("double"), F.lit(float("-inf")))
+    best = clustered.groupBy("__cluster").agg(
+        F.min_by(F.col(id_col), F.struct(-score, F.col(id_col))).alias(
+            "__rep"
+        )
+    )
+    return (
+        clustered.join(best, on="__cluster")
+        .select(
+            *[F.col(c) for c in df.columns],
+            F.col("__rep").alias("representative"),
+            (F.col("__rep") == F.col(id_col)).alias("is_representative"),
+        )
     )
 
 
