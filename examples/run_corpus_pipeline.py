@@ -175,7 +175,16 @@ def main() -> None:
     # 3. near-dup removal: MinHash-LSH pairs -> connected components ->
     #    cluster representatives only
     pairs = dd.minhash_dedup_pairs(docs_e, "doc_id", "text", threshold=0.8)
-    reps = dd.dedup_representatives(docs_e.select("doc_id", "lang", "source"), pairs, "doc_id")
+    # keep the BEST duplicate of each cluster, not the first: the
+    # heuristic quality score computed in stage 1 picks the survivor
+    reps = dd.dedup_representatives(
+        docs_e.select("doc_id", "lang", "source").join(
+            profile.select("doc_id", "quality_score"), on="doc_id", how="left"
+        ),
+        pairs,
+        "doc_id",
+        prefer_col="quality_score",
+    )
     keep = reps.filter(F.col("is_representative")).select("doc_id")
     docs_n = docs_e.join(keep, on="doc_id")
     n_near = docs_n.count()
