@@ -185,3 +185,64 @@ def test_pil_and_stdlib_png_decode_agree():
         pw, ph, pch, praw = pil4
         assert (pw, ph, pch) == (4, 3, 4)
         assert np.frombuffer(praw, dtype=np.uint8).reshape(3, 4, 4).tolist() == rgba.tolist()
+
+
+def test_diverse_topk_spreads_clusters(spark):
+    """MMR must spend the budget across clusters where plain top-k
+    returns one cluster's near-duplicates repeatedly."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        brute_force_topk,
+        diverse_topk,
+    )
+
+    rng = np.random.RandomState(4)
+    # three tight clusters on ORTHOGONAL axes (mutual similarity ~0)
+    # and an off-axis query slightly preferring cluster 0 — the
+    # geometry where within-cluster redundancy is expensive but
+    # cross-cluster hops are free (aligning the top cluster with the
+    # query instead makes sim-to-selected == relevance for everyone
+    # and MMR correctly keeps drilling the top cluster)
+    centers = np.eye(3)
+    rows = []
+    for c in range(3):
+        for j in range(10):
+            v = centers[c] + 0.005 * rng.normal(size=3)
+            rows.append((c * 100 + j, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    query = [1.03, 1.0, 0.97]
+
+    # plain top-6: all from cluster 0
+    plain = brute_force_topk(
+        df, spark.createDataFrame([(999, query)], "vec_id bigint, embedding array<double>"),
+        "vec_id", "embedding", k=6,
+    ).collect()
+    assert {r["neighbor_id"] // 100 for r in plain} == {0}
+
+    # MMR top-6 at lam=0.5: hits all three clusters, rank 1 is still
+    # the single most relevant doc
+    mmr = diverse_topk(df, query, "vec_id", "embedding", k=6, lam=0.5).collect()
+    assert len(mmr) == 6
+    assert [r["rank"] for r in mmr] == [1, 2, 3, 4, 5, 6]
+    assert mmr[0]["vec_id"] // 100 == 0
+    assert {r["vec_id"] // 100 for r in mmr} == {0, 1, 2}
+
+    # lam=1.0 degenerates to plain relevance ranking
+    pure = diverse_topk(df, query, "vec_id", "embedding", k=6, lam=1.0).collect()
+    assert {r["vec_id"] for r in pure} == {r["neighbor_id"] for r in plain}
+
+    # determinism
+    again = diverse_topk(df, query, "vec_id", "embedding", k=6, lam=0.5).collect()
+    assert [(r["rank"], r["vec_id"]) for r in again] == [
+        (r["rank"], r["vec_id"]) for r in mmr
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lam"):
+        diverse_topk(df, query, "vec_id", "embedding", lam=1.5)
+    with _pytest.raises(ValueError, match="pool"):
+        diverse_topk(df, query, "vec_id", "embedding", k=10, pool=5)
+    with _pytest.raises(ValueError, match="zero norm"):
+        diverse_topk(df, [0.0, 0.0, 0.0], "vec_id", "embedding")

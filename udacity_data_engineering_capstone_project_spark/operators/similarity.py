@@ -1353,3 +1353,89 @@ def apply_pca(
     return df.withColumn(
         out_col, F.when(F.col(vec_col).isNotNull(), proj)
     )
+
+
+def diverse_topk(
+    corpus: DataFrame,
+    query_vec,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    lam: float = 0.7,
+    pool: int = 200,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) top-k:
+    greedily pick documents that are relevant to the query BUT
+    dissimilar to what's already picked —
+    ``score = lam * cos(query, d) - (1 - lam) * max cos(selected, d)``.
+    The retrieval twin of semantic dedup: a plain top-k returns one
+    cluster's near-duplicates k times; MMR spends the budget across
+    clusters.
+
+    Scale shape: one distributed pass prunes the corpus to the
+    ``pool`` most query-relevant candidates (TakeOrderedAndProject —
+    no global sort), then the greedy loop runs k rounds over the
+    POOL on the driver with numpy (pool x dim floats — model-sized;
+    the greedy recurrence is inherently sequential, so doing it
+    driver-side on the pruned pool is the honest plan at any corpus
+    size). Deterministic: ties break on id.
+
+    Output: (rank long, id, mmr_score double r6) — rank 1..k in
+    selection order.
+    """
+    import numpy as np
+
+    if not 0 <= lam <= 1:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k <= 0 or pool < k:
+        raise ValueError(f"need 0 < k <= pool, got k={k}, pool={pool}")
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        raise ValueError("query vector has zero norm")
+
+    qlit = F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in q) + ")"
+    )
+    sim = cosine(F.col(vec_col).cast("array<double>"), qlit)
+    cand = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col), F.round(sim, 9).alias("__rel"))
+        .orderBy(F.col("__rel").desc(), F.col(id_col).asc())
+        .limit(pool)
+        .collect()
+    )
+    if not cand:
+        return corpus.sparkSession.createDataFrame(
+            [], f"rank long, {id_col} long, mmr_score double"
+        )
+    ids = [r[id_col] for r in cand]
+    rel = np.array([r["__rel"] for r in cand])
+    V = np.asarray([r[vec_col] for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    U = V / norms[:, None]
+
+    selected: list[int] = []
+    max_sel_sim = np.full(len(ids), -np.inf)
+    picked = np.zeros(len(ids), dtype=bool)
+    out_rows = []
+    for rank in range(1, min(k, len(ids)) + 1):
+        if selected:
+            score = lam * rel - (1 - lam) * max_sel_sim
+        else:
+            score = lam * rel
+        score = np.where(picked, -np.inf, score)
+        # ties break on smallest id: stable argmax over (score, -id)
+        best = min(
+            (i for i in range(len(ids)) if not picked[i]),
+            key=lambda i: (-score[i], ids[i]),
+        )
+        picked[best] = True
+        selected.append(best)
+        out_rows.append((rank, ids[best], round(float(score[best]), 6)))
+        sims = U @ U[best]
+        max_sel_sim = np.maximum(max_sel_sim, sims)
+    return corpus.sparkSession.createDataFrame(
+        out_rows, f"rank long, {id_col} long, mmr_score double"
+    )
