@@ -272,3 +272,43 @@ def test_winsorize_clips_to_exact_quantiles(spark):
         winsorize(df, ["a"], 0.9, 0.1)
     with _pytest.raises(ValueError, match="columns"):
         winsorize(df, [], 0.1, 0.9)
+
+
+def test_winsorize_per_group_cuts(spark):
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import winsorize
+
+    rows = (
+        [("a", float(v)) for v in range(1, 101)] + [("a", 10_000.0)]
+        + [("b", float(v * 100)) for v in range(1, 101)] + [("b", -10_000.0)]
+    )
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id bigint, g string, v double"
+    )
+    out = winsorize(df, ["v"], 0.05, 0.95, group_cols=["g"])
+    got = {r["id"]: r["v"] for r in out.collect()}
+    a_vals = np.array([v for g, v in rows if g == "a"])
+    b_vals = np.array([v for g, v in rows if g == "b"])
+    hi_a = np.percentile(a_vals, 95)
+    lo_b = np.percentile(b_vals, 5)
+    assert got[100] == hi_a          # group-a outlier clips to a's cut
+    assert got[201] == lo_b          # group-b outlier clips to b's cut
+    assert got[50] == rows[50][1]    # interiors untouched
+    # the cuts genuinely differ per group (global cuts would not)
+    assert hi_a < lo_b * 100
+
+
+def test_schema_drift_report(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.quality import schema_drift
+
+    old = spark.createDataFrame([], "a bigint, b string, c double")
+    new = spark.createDataFrame([], "a bigint, b bigint, d string")
+    got = {r["column"]: (r["status"], r["old_type"], r["new_type"])
+           for r in schema_drift(old, new).collect()}
+    assert got == {
+        "a": ("unchanged", "bigint", "bigint"),
+        "b": ("type_changed", "string", "bigint"),
+        "c": ("removed", "double", None),
+        "d": ("added", None, "string"),
+    }

@@ -205,3 +205,72 @@ def test_stream_stream_attribution_matches_batch_twin(spark, sf_dir):
     assert out.filter(
         (F.col("lag_us") < 0) | (F.col("lag_us") > 30 * 60 * 1_000_000)
     ).count() == 0
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """The bounded-state contract, both directions: a duplicate inside
+    the watermark horizon is dropped across micro-batches; once the
+    watermark passes an id's state, a late replay is re-emitted (state
+    was evicted — the price of boundedness, documented)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        dedup_stream_within_watermark,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):  # (event_id, epoch_seconds)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "ts": pa.array(
+                        [r[1] * 1_000_000 for r in rows],
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            ),
+            str(landing / name),
+        )
+
+    collected = []
+
+    def run():
+        stream = spark.readStream.schema("event_id LONG, ts TIMESTAMP").parquet(
+            str(landing)
+        )
+        out = dedup_stream_within_watermark(
+            stream, ["event_id"], ts_col="ts", watermark="10 minutes"
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(
+                    (r["event_id"], r["ts"]) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t0 = 1_000_000  # arbitrary epoch base
+    # batch 1: ids 1,2,3 (+ an in-batch dup of 1)
+    drop("d1.parquet", [(1, t0), (2, t0 + 10), (3, t0 + 20), (1, t0 + 30)])
+    run()
+    assert sorted(e for e, _ in collected) == [1, 2, 3]
+
+    # batch 2: dup of 2 within the 10-min horizon -> dropped; a far
+    # later event advances the watermark past every batch-1 id
+    drop("d2.parquet", [(2, t0 + 120), (4, t0 + 7_200)])
+    run()
+    assert sorted(e for e, _ in collected) == [1, 2, 3, 4]
+
+    # batch 3: id 3 replayed AFTER its state expired -> re-emitted
+    drop("d3.parquet", [(3, t0 + 7_260)])
+    run()
+    assert sorted(e for e, _ in collected) == [1, 2, 3, 3, 4]

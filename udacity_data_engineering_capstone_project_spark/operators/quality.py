@@ -383,6 +383,7 @@ def winsorize(
     approximate: bool = False,
     accuracy: int = 10_000,
     suffix: str = "",
+    group_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Clip numeric columns to their [lower_q, upper_q] quantiles —
     the standard outlier guard before scaling/training (a corrupted
@@ -398,6 +399,12 @@ def winsorize(
 
     ``suffix`` writes clipped values to ``<col><suffix>`` instead of
     overwriting. Output otherwise matches the input row-for-row.
+
+    ``group_cols`` computes PER-GROUP cuts (per-language length caps,
+    per-source score caps): one grouped aggregation + one join on the
+    group key — the bounds side is group-count-sized, so the optimizer
+    broadcasts it. Without groups the cuts are two driver scalars per
+    column and the clip stays a pure projection (zero Exchange).
     """
     if not columns:
         raise ValueError("columns must be non-empty")
@@ -411,6 +418,33 @@ def winsorize(
         if approximate:
             return F.approx_percentile(col, F.lit(q), F.lit(accuracy))
         return F.percentile(col, F.lit(q))
+
+    if group_cols:
+        gcols = list(group_cols)
+        bounds = df.groupBy(*gcols).agg(
+            *[
+                e
+                for c in columns
+                for e in (
+                    _pct(c, lower_q).alias(f"__lo_{c}"),
+                    _pct(c, upper_q).alias(f"__hi_{c}"),
+                )
+            ]
+        )
+        out = df.join(bounds, on=gcols, how="left")
+        for c in columns:
+            lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+            clipped = F.when(
+                lo.isNull() | hi.isNull(), F.col(c).cast("double")
+            ).otherwise(
+                F.least(F.greatest(F.col(c).cast("double"), lo), hi)
+            )
+            out = out.withColumn(
+                c + suffix, F.when(F.col(c).isNotNull(), clipped)
+            )
+        return out.drop(
+            *[f"__lo_{c}" for c in columns], *[f"__hi_{c}" for c in columns]
+        )
 
     bounds_row = df.agg(
         *[
@@ -432,3 +466,30 @@ def winsorize(
             c + suffix, F.when(F.col(c).isNotNull(), clipped)
         )
     return out
+
+
+def schema_drift(old_df: DataFrame, new_df: DataFrame) -> DataFrame:
+    """Column-level schema diff between two table versions — the first
+    check any versioned-lake ingestion runs before touching data
+    (a silently-widened or dropped column breaks every downstream
+    reader). Pure metadata: no job is launched.
+
+    Output: (column, status added|removed|type_changed|unchanged,
+    old_type, new_type) — simpleString type names, nullability
+    ignored (Spark readers vary it freely).
+    """
+    old_t = {f.name: f.dataType.simpleString() for f in old_df.schema.fields}
+    new_t = {f.name: f.dataType.simpleString() for f in new_df.schema.fields}
+    rows = []
+    for name in sorted(set(old_t) | set(new_t)):
+        o, n = old_t.get(name), new_t.get(name)
+        status = (
+            "added" if o is None
+            else "removed" if n is None
+            else "unchanged" if o == n
+            else "type_changed"
+        )
+        rows.append((name, status, o, n))
+    return old_df.sparkSession.createDataFrame(
+        rows, "column string, status string, old_type string, new_type string"
+    )

@@ -76,6 +76,32 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    id_cols,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """State-BOUNDED streaming dedup: `dropDuplicatesWithinWatermark`
+    evicts each id's state once the event-time watermark passes it, so
+    dedup state is bounded by the duplicate-arrival horizon instead of
+    growing with the stream forever (plain `dropDuplicates` is exact
+    for all time but stores every id ever seen — the 100 TB
+    non-starter).
+
+    The contract is correspondingly weaker and honest: duplicates
+    arriving WITHIN the watermark of the first occurrence are
+    guaranteed dropped; a replay arriving after the state expired is
+    re-emitted. For exactly-once over longer horizons, compose with
+    the persisted dedup-index / Bloom tier (`operators.dedup`,
+    `operators.bloom`) — this operator is the cheap streaming
+    front-line, those are the durable backstop.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
 def sessionized_counts(
     stream: DataFrame,
     gap: str = "30 minutes",
