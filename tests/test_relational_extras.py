@@ -312,3 +312,44 @@ def test_schema_drift_report(spark):
         "c": ("removed", "double", None),
         "d": ("added", None, "string"),
     }
+
+
+def test_run_expectations_report_and_fail_fast(spark):
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        QualityError,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c"), (4, None)], "k bigint, v string"
+    )
+    ok, report = run_expectations(
+        df,
+        [
+            ("row_count", 4),
+            ("min_row_count", 10),           # fails
+            ("distinct_count", "k", 3),
+            ("unique_key", ["k"]),           # fails (k=2 twice)
+            ("non_null", ["v"]),             # fails (null v)
+            ("schema", [("k", "bigint"), ("v", "string")]),
+        ],
+    )
+    assert ok is False
+    got = {r["check"]: (r["passed"], r["detail"]) for r in report.collect()}
+    assert got["row_count(4)"][0] is True
+    assert got["min_row_count(10)"][0] is False and ">= 10" in got["min_row_count(10)"][1]
+    assert got["distinct_count('k', 3)"][0] is True
+    assert got["unique_key(['k'])"][0] is False
+    assert got["non_null(['v'])"][0] is False
+    assert got["schema([('k', 'bigint'), ('v', 'string')])"][0] is True
+
+    # all-green battery
+    ok2, rep2 = run_expectations(df, [("row_count", 4), ("min_row_count", 2)])
+    assert ok2 is True and rep2.filter("NOT passed").count() == 0
+
+    with _pytest.raises(QualityError):
+        run_expectations(df, [("min_row_count", 10)], fail_fast=True)
+    with _pytest.raises(ValueError, match="unknown check"):
+        run_expectations(df, [("bogus", 1)])

@@ -493,3 +493,63 @@ def schema_drift(old_df: DataFrame, new_df: DataFrame) -> DataFrame:
     return old_df.sparkSession.createDataFrame(
         rows, "column string, status string, old_type string, new_type string"
     )
+
+
+def run_expectations(
+    df: DataFrame,
+    checks: Sequence[tuple],
+    name: str = "dataframe",
+    fail_fast: bool = False,
+):
+    """Run a declarative battery of quality checks and return a report
+    instead of dying on the first failure — the gate shape a pipeline
+    wants between stages ("validate everything, THEN decide").
+
+    ``checks`` is a list of ``(kind, *args)`` tuples over the
+    ``expect_*`` functions in this module:
+
+    - ``("row_count", expected)``
+    - ``("min_row_count", minimum)``
+    - ``("distinct_count", column, expected)``
+    - ``("non_null", [columns...])``
+    - ``("unique_key", [key_cols...])``
+    - ``("schema", [(col, type), ...])``
+
+    Returns ``(passed: bool, report)`` where report rows are
+    ``(check, passed, detail)`` — detail carries the QualityError
+    message on failure. ``fail_fast=True`` re-raises the first
+    failure instead (the strict mode the individual expect_*
+    functions give you anyway).
+    """
+    rows = []
+    ok = True
+    for spec in checks:
+        kind, *args = spec
+        label = f"{kind}({', '.join(map(repr, args))})"
+        try:
+            if kind == "row_count":
+                expect_row_count(df, args[0], name)
+            elif kind == "min_row_count":
+                n = df.count()
+                if n < args[0]:
+                    raise QualityError(f"{name}: expected >= {args[0]} rows, found {n}")
+            elif kind == "distinct_count":
+                expect_distinct_count(df, args[0], args[1], name)
+            elif kind == "non_null":
+                expect_non_null(df, args[0], name)
+            elif kind == "unique_key":
+                expect_unique_key(df, args[0], name)
+            elif kind == "schema":
+                expect_schema(df, args[0], name)
+            else:
+                raise ValueError(f"unknown check kind: {kind!r}")
+            rows.append((label, True, None))
+        except QualityError as e:
+            ok = False
+            rows.append((label, False, str(e)))
+            if fail_fast:
+                raise
+    report = df.sparkSession.createDataFrame(
+        rows, "check string, passed boolean, detail string"
+    )
+    return ok, report

@@ -2625,6 +2625,70 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for clustering_coefficient — UNREGISTERED; same
+# supplier co-occurrence graph as triangle_count_q, with DuckDB
+# deriving degree and 2T/(d(d-1)) independently.
+CLUSTERING_COEFF_ORACLE = """
+    WITH pairs AS (
+        SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                        greatest(a.l_suppkey, b.l_suppkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+        SELECT n, count(*) AS degree FROM
+            (SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+        GROUP BY 1
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.u = e1.v
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per AS (
+        SELECT n, count(*) AS t
+        FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY 1
+    )
+    SELECT deg.n AS node, deg.degree,
+           COALESCE(per.t, 0) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * COALESCE(per.t, 0)
+                           / (deg.degree * (deg.degree - 1)), 6)
+                ELSE 0.0 END AS coefficient
+    FROM deg LEFT JOIN per ON per.n = deg.n
+"""
+
+
+@_register(
+    "clustering_coeff_q",
+    CLUSTERING_COEFF_ORACLE,
+    "Local clustering coefficient (operators/graph.py:"
+    "clustering_coefficient) over the supplier co-occurrence graph — "
+    "the link-farm density signal. Unregistered; hash-pinned.",
+    registered=False,
+)
+def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        on=[
+            F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+            F.col("a.l_suppkey") < F.col("b.l_suppkey"),
+        ],
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    return clustering_coefficient(edges)
+
+
 # Oracle twin for quantile_sketch — UNREGISTERED. DDSketch bucket
 # counts are EXACT integers and both engines bucket with
 # ceil(ln(x)/ln(gamma)) on IEEE doubles; verified value-for-value
