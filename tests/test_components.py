@@ -260,3 +260,17 @@ def test_dedup_representatives_prefer_quality(spark):
     assert out[3] == (3, True)
     assert out[4] == (4, True) and out[5] == (4, False)
     assert out[6] == (7, False) and out[7] == (7, True)
+
+
+def test_corpus_diff_null_text_is_presence_not_phantom(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "body"), (3, None)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, None)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    # null text never fabricates an add/remove: presence is by id
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

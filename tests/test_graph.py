@@ -135,3 +135,23 @@ def test_clustering_coefficient(spark):
     # d has degree 4, 3 triangles of 6 possible wedges
     assert got["d"] == (4, 3, 0.5)
     assert got["e"] == (1, 0, 0.0)  # degree < 2
+
+
+def test_triangle_count_keeps_self_loop_only_nodes(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        clustering_coefficient,
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "a"), ("b", "c"), ("c", "d"), ("b", "d")], "src string, dst string"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    # a's only edge is a self-loop: still a node of the graph, 0 triangles
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 1}
+    cc = {
+        r["node"]: (r["degree"], r["coefficient"])
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert cc["a"] == (0, 0.0)
+    assert cc["b"] == (2, 1.0)

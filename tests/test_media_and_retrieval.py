@@ -246,3 +246,24 @@ def test_diverse_topk_spreads_clusters(spark):
         diverse_topk(df, query, "vec_id", "embedding", k=10, pool=5)
     with _pytest.raises(ValueError, match="zero norm"):
         diverse_topk(df, [0.0, 0.0, 0.0], "vec_id", "embedding")
+
+
+def test_diverse_topk_string_ids_and_ragged_vectors(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        diverse_topk,
+    )
+
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0]),
+        ("doc-b", [0.0, 1.0, 0.0]),
+        ("doc-c", [0.9, 0.1, 0.0]),
+        ("doc-ragged", [1.0, 0.0]),   # wrong length: must be ignored
+        ("doc-null", None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = diverse_topk(df, [1.0, 0.2, 0.1], "vec_id", "embedding", k=3, lam=0.5)
+    got = [(r["rank"], r["vec_id"]) for r in out.collect()]
+    assert len(got) == 3
+    assert got[0][1] == "doc-c"  # cos([1,.2,.1], [.9,.1,0]) tops the pool
+    assert all(v not in ("doc-ragged", "doc-null") for _, v in got)
+    assert dict(out.dtypes)["vec_id"] == "string"

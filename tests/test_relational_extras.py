@@ -353,3 +353,17 @@ def test_run_expectations_report_and_fail_fast(spark):
         run_expectations(df, [("min_row_count", 10)], fail_fast=True)
     with _pytest.raises(ValueError, match="unknown check"):
         run_expectations(df, [("bogus", 1)])
+
+
+def test_winsorize_grouped_null_key_rows_still_clip(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.quality import winsorize
+
+    rows = [(i, None, float(v)) for i, v in enumerate(range(1, 101))] + [
+        (100, None, 10_000.0),
+        (200, "g", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    out = {r["id"]: r["v"] for r in winsorize(df, ["v"], 0.05, 0.95, group_cols=["g"]).collect()}
+    # the NULL group's outlier must clip against the NULL group's cuts
+    assert out[100] < 10_000.0
+    assert out[200] == 5.0

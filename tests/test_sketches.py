@@ -291,3 +291,26 @@ def test_ddsketch_skips_nan(spark):
     assert sk.agg(F.sum("count")).first()[0] == 100  # NaNs not counted
     got = sketch_quantiles(sk, [], [0.5], alpha=0.02).first()["estimate"]
     assert abs(got - 100.0) / 100.0 <= 0.02 * 1.05
+
+
+def test_sketch_intersection_one_sided_groups_survive(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        distinct_sketch,
+        estimate_sketch_intersection,
+    )
+
+    a = spark.createDataFrame([("x", i) for i in range(100)], "g string, v bigint")
+    b = spark.createDataFrame(
+        [("x", i) for i in range(50, 150)] + [("y", i) for i in range(30)],
+        "g string, v bigint",
+    )
+    out = {
+        r["g"]: r
+        for r in estimate_sketch_intersection(
+            distinct_sketch(a, ["g"], "v"), distinct_sketch(b, ["g"], "v"), ["g"]
+        ).collect()
+    }
+    # group y exists only on side b: reported with n_a=0, not dropped
+    assert set(out) == {"x", "y"}
+    assert out["y"]["n_a"] == 0 and out["y"]["n_intersection"] == 0
+    assert abs(out["x"]["n_intersection"] - 50) <= 10

@@ -1295,10 +1295,13 @@ def corpus_diff(
         F.col(id_col).alias("__nid"), content(F.col(text_col)).alias("new_fp")
     )
     joined = o.join(n, o[id_col] == n["__nid"], "full_outer")
+    # presence is decided from the join-side IDS — a NULL text body
+    # yields a NULL fingerprint, which must read as changed/unchanged,
+    # not as a phantom add/remove
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        F.when(F.col(id_col).isNull(), F.lit("added"))
+        .when(F.col("__nid").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return joined.select(

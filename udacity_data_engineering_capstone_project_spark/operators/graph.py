@@ -97,39 +97,37 @@ def pagerank(
     return ranks
 
 
-def triangle_count(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-) -> DataFrame:
-    """Per-node triangle counts over an undirected graph (edges given
-    in either/both directions; self-loops and parallel edges ignored)
-    — the clustering-coefficient numerator behind spam/link-farm
-    signals.
-
-    The scale trick is the classic degree orientation (Chiba-Nishizeki
-    / "compact-forward"): direct every edge from its lower-(degree,
-    node) endpoint to the higher one, enumerate wedges only from each
-    edge's SOURCE side, and close them with an oriented-edge equi-join.
-    Every triangle is then found exactly once, and the wedge count is
-    bounded by sum(min-degree per edge) = O(m^1.5) regardless of hubs —
-    a uniform-key equi-join plan, where the naive undirected 3-way join
-    explodes quadratically on high-degree nodes.
-
-    Output: (node, n_triangles) for every node of the graph, zeros
-    included.
-    """
-    e = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("u"),
-        F.greatest(F.col(src), F.col(dst)).alias("v"),
-    ).filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
-    e = e.localCheckpoint(eager=True)  # reused by degrees + both joins
-
+def _simple_graph(edges: DataFrame, src: str, dst: str):
+    """Shared normalization for the triangle family: (nodes, e, deg).
+    ``nodes`` is EVERY distinct endpoint of the raw edge list (self-
+    loop-only nodes included — they are part of the graph and must
+    appear in outputs with zero triangles); ``e`` is the canonical
+    loop-free undirected simple edge set; ``deg`` its degrees."""
+    nodes = (
+        edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)  # reused by degrees + both joins
+    )
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    return nodes, e, deg
+
+
+def _per_node_triangles(nodes: DataFrame, e: DataFrame, deg: DataFrame) -> DataFrame:
+    """(node, n_triangles) over a normalized simple graph — the
+    degree-oriented wedge join (see `triangle_count`)."""
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
     # orient: a -> b with (deg, node) ascending — ties break on node id
@@ -173,14 +171,37 @@ def triangle_count(
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return (
-        deg.select("n")
-        .join(per_node, on="n", how="left")
-        .select(
-            F.col("n").alias("node"),
-            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
-        )
+    return nodes.join(
+        per_node, nodes["node"] == per_node["n"], how="left"
+    ).select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph (edges given
+    in either/both directions; self-loops and parallel edges ignored)
+    — the clustering-coefficient numerator behind spam/link-farm
+    signals.
+
+    The scale trick is the classic degree orientation (Chiba-Nishizeki
+    / "compact-forward"): direct every edge from its lower-(degree,
+    node) endpoint to the higher one, enumerate wedges only from each
+    edge's SOURCE side, and close them with an oriented-edge equi-join.
+    Every triangle is then found exactly once, and the wedge count is
+    bounded by sum(min-degree per edge) = O(m^1.5) regardless of hubs —
+    a uniform-key equi-join plan, where the naive undirected 3-way join
+    explodes quadratically on high-degree nodes.
+
+    Output: (node, n_triangles) for every node of the graph (self-
+    loop-only nodes included), zeros included.
+    """
+    nodes, e, deg = _simple_graph(edges, src, dst)
+    return _per_node_triangles(nodes, e, deg)
 
 
 def clustering_coefficient(
@@ -191,24 +212,19 @@ def clustering_coefficient(
     """Local clustering coefficient per node: 2*triangles / (d*(d-1))
     over the undirected simple graph — the classic link-farm /
     community-density signal (a spam ring's members close almost every
-    wedge; organic hubs don't). Nodes of degree < 2 get 0.0.
+    wedge; organic hubs don't). Nodes of degree < 2 (including
+    self-loop-only nodes, whose simple-graph degree is 0) get 0.0.
 
-    Reuses `triangle_count` (degree-oriented wedge join) plus one
-    degree aggregation; both shuffle on node id only.
+    Shares one edge normalization + degree pass with the triangle
+    join (`_simple_graph`); everything shuffles on node id only.
 
     Output: (node, degree, n_triangles, coefficient r6).
     """
-    e = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("u"),
-        F.greatest(F.col(src), F.col(dst)).alias("v"),
-    ).filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    tri = triangle_count(edges, src, dst)
+    nodes, e, deg = _simple_graph(edges, src, dst)
+    tri = _per_node_triangles(nodes, e, deg)
+    degs = nodes.join(
+        deg, nodes["node"] == deg["n"], how="left"
+    ).select("node", F.coalesce("d", F.lit(0)).alias("degree"))
     coeff = F.when(
         F.col("degree") >= 2,
         F.round(
@@ -216,6 +232,6 @@ def clustering_coefficient(
             6,
         ),
     ).otherwise(F.lit(0.0))
-    return deg.join(tri, on="node").select(
+    return degs.join(tri, on="node").select(
         "node", "degree", "n_triangles", coeff.alias("coefficient")
     )

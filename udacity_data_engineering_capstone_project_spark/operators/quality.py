@@ -431,7 +431,13 @@ def winsorize(
                 )
             ]
         )
-        out = df.join(bounds, on=gcols, how="left")
+        # null-safe join: rows with a NULL group key form a real group
+        # and must receive ITS bounds, not silently skip clipping
+        bounds = bounds.withColumnsRenamed({g: f"__bg_{g}" for g in gcols})
+        cond = [F.col(g).eqNullSafe(F.col(f"__bg_{g}")) for g in gcols]
+        out = df.join(bounds, on=cond, how="left").drop(
+            *[f"__bg_{g}" for g in gcols]
+        )
         for c in columns:
             lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
             clipped = F.when(

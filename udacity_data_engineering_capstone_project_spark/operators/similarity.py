@@ -1398,17 +1398,22 @@ def diverse_topk(
         "array(" + ",".join(f"{float(x)!r}D" for x in q) + ")"
     )
     sim = cosine(F.col(vec_col).cast("array<double>"), qlit)
+    # result schema follows the corpus id type (string/uuid ids are the
+    # norm in crawl corpora); ragged vectors are dropped up front — a
+    # wrong-length embedding in the pool would crash the numpy kernel
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"rank long, {id_col} {id_type}, mmr_score double"
     cand = (
-        corpus.filter(F.col(vec_col).isNotNull())
+        corpus.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == len(q))
+        )
         .select(F.col(id_col), F.col(vec_col), F.round(sim, 9).alias("__rel"))
         .orderBy(F.col("__rel").desc(), F.col(id_col).asc())
         .limit(pool)
         .collect()
     )
     if not cand:
-        return corpus.sparkSession.createDataFrame(
-            [], f"rank long, {id_col} long, mmr_score double"
-        )
+        return corpus.sparkSession.createDataFrame([], out_schema)
     ids = [r[id_col] for r in cand]
     rel = np.array([r["__rel"] for r in cand])
     V = np.asarray([r[vec_col] for r in cand], dtype=np.float64)
@@ -1436,6 +1441,4 @@ def diverse_topk(
         out_rows.append((rank, ids[best], round(float(score[best]), 6)))
         sims = U @ U[best]
         max_sel_sim = np.maximum(max_sel_sim, sims)
-    return corpus.sparkSession.createDataFrame(
-        out_rows, f"rank long, {id_col} long, mmr_score double"
-    )
+    return corpus.sparkSession.createDataFrame(out_rows, out_schema)

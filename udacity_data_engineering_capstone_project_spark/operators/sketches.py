@@ -299,17 +299,22 @@ def estimate_sketch_intersection(
     u = merge_distinct_sketches(
         sketches_a.unionByName(sketches_b), cols, estimate_col="n_union"
     ).drop("sketch")
+    # the union frame covers every group either input has — drive the
+    # join from it so a group present on only one side reports
+    # (n_other=0, n_intersection=0) instead of vanishing
     joined = (
-        a.join(b, on=cols).join(u, on=cols)
+        u.join(a, on=cols, how="left").join(b, on=cols, how="left")
         if cols
-        else a.crossJoin(b).crossJoin(u)
+        else u.crossJoin(a).crossJoin(b)
     )
+    n_a = F.coalesce(F.col("n_a"), F.lit(0))
+    n_b = F.coalesce(F.col("n_b"), F.lit(0))
     return joined.select(
         *cols,
-        "n_a",
-        "n_b",
-        "n_union",
-        F.greatest(
-            F.lit(0), (F.col("n_a") + F.col("n_b") - F.col("n_union"))
-        ).alias("n_intersection"),
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        F.col("n_union"),
+        F.greatest(F.lit(0), n_a + n_b - F.col("n_union")).alias(
+            "n_intersection"
+        ),
     )

@@ -1212,13 +1212,7 @@ def apply_language_id(
         .select(id_col, _ngram_bucket(F.col("__g"), num_buckets).alias("bucket"))
         .dropDuplicates([id_col, "bucket"])
     )
-    model_buckets = model.select("bucket").distinct()
-    per_doc = sh.join(
-        model_buckets.withColumn("__in", F.lit(1)), on="bucket", how="left"
-    ).groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__S"),
-        F.sum(F.coalesce(F.col("__in"), F.lit(0))).alias("__M"),
-    )
+    per_doc = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__S"))
     matched = (
         sh.join(model, on="bucket")
         .groupBy(id_col, "label")
