@@ -2,8 +2,24 @@ from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
     cast_columns,
     drop_nulls,
     fill_nulls,
+    fix_mojibake,
     normalize_domain,
     normalize_unicode,
+)
+from udacity_data_engineering_capstone_project_spark.operators.quality import (
+    run_expectations,
+    schema_drift,
+    winsorize,
+)
+from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+    estimate_sketch_intersection,
+    heavy_hitters,
+    merge_quantile_sketches,
+    quantile_sketch,
+    sketch_quantiles,
+)
+from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+    temperature_mix,
 )
 from udacity_data_engineering_capstone_project_spark.operators.relational import (
     argmax_join,
@@ -29,6 +45,16 @@ from udacity_data_engineering_capstone_project_spark.operators.bloom import (
 )
 
 __all__ = [
+    "fix_mojibake",
+    "run_expectations",
+    "schema_drift",
+    "winsorize",
+    "estimate_sketch_intersection",
+    "heavy_hitters",
+    "merge_quantile_sketches",
+    "quantile_sketch",
+    "sketch_quantiles",
+    "temperature_mix",
     "bloom_might_contain",
     "bloom_screen_new",
     "build_bloom",
