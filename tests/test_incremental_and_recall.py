@@ -460,6 +460,36 @@ def test_evaluate_near_dup_pairs_against_ground_truth(spark):
     assert empty["precision"] == 1.0 and empty["recall"] == 0.0
 
 
+def test_evaluate_near_dup_pairs_canonicalizes_input(spark):
+    """Duplicate and (b, a)-reversed predicted pairs must score the
+    same as the clean canonical set — the harness dedupes and
+    canonicalizes before counting (ADVICE r4)."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        evaluate_near_dup_pairs,
+        exact_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base + "!"), (3, "totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    truth = exact_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    assert truth.count() >= 1
+
+    messy = truth.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    ).unionAll(truth.select("id_a", "id_b")).unionAll(
+        truth.select("id_a", "id_b")
+    )
+    clean_m = evaluate_near_dup_pairs(
+        df, "doc_id", "text", truth, threshold=0.5, sample_rate=1.0
+    ).collect()[0]
+    messy_m = evaluate_near_dup_pairs(
+        df, "doc_id", "text", messy, threshold=0.5, sample_rate=1.0
+    ).collect()[0]
+    assert clean_m.asDict() == messy_m.asDict()
+    assert messy_m["precision"] == 1.0 and messy_m["recall"] == 1.0
+
+
 def test_evaluate_near_dup_pairs_sampling_restricts_both_sides(spark):
     """At sample_rate<1 both truth and predictions are restricted to
     in-sample pairs — tp<=min(truth,pred) and counts stay consistent."""

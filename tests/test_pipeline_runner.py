@@ -76,6 +76,34 @@ def test_run_pipeline_durable_resume(spark, tmp_path):
     assert calls4 == ["filter", "enrich", "agg"]
 
 
+def test_run_pipeline_fingerprint_invalidation(spark, tmp_path):
+    """Changing the stage list or the version token must NOT serve a
+    stale checkpoint — the fingerprinted path never matches."""
+    ckpt = str(tmp_path / "ckpt")
+    calls = []
+    run_pipeline(spark.range(100), _stages(calls), checkpoint_dir=ckpt)
+    assert calls == ["filter", "enrich", "agg"]
+
+    # version bump: everything recomputes even though names match
+    calls2 = []
+    run_pipeline(
+        spark.range(100), _stages(calls2), checkpoint_dir=ckpt, version="v2"
+    )
+    assert calls2 == ["filter", "enrich", "agg"]
+
+    # renamed stage: the whole tree is invalidated, not just that stage
+    calls3 = []
+    st = _stages(calls3)
+    st[1] = ("enrich_x10", st[1][1])
+    run_pipeline(spark.range(100), st, checkpoint_dir=ckpt)
+    assert calls3 == ["filter", "enrich", "agg"]
+
+    # unchanged list + unchanged version still resumes fully
+    calls4 = []
+    _, res4 = run_pipeline(spark.range(100), _stages(calls4), checkpoint_dir=ckpt)
+    assert calls4 == [] and all(r.skipped for r in res4)
+
+
 def test_run_pipeline_validation(spark):
     with pytest.raises(ValueError, match="non-empty"):
         run_pipeline(spark.range(1), [])

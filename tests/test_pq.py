@@ -155,7 +155,8 @@ def test_train_validates(spark, emb):
 def test_encode_methods_agree(emb, codebooks, codes):
     """The numpy fast path and the pure-JVM expression path must
     produce identical codes (same distances bit-for-bit: sequential
-    subdim accumulation; same 9 dp rounding; same first-tie argmin)."""
+    subdim accumulation; same floor(d*1e9) quantization; same
+    first-tie argmin)."""
     expr = pq_encode(emb, codebooks, "embedding", method="expr")
     a = {r["vec_id"]: list(r["pq_codes"]) for r in codes.collect()}
     b = {r["vec_id"]: list(r["pq_codes"]) for r in expr.collect()}
@@ -176,6 +177,25 @@ def test_encode_null_vectors_both_methods(spark, codebooks):
                                    method=method).collect()}
         assert rows[2] is None, method
         assert len(rows[1]) == M and all(c is not None for c in rows[1]), method
+
+
+def test_pq_topk_null_query_excluded(spark, codebooks, codes):
+    """A query with a NULL (or wrong-length) vector must emit NO rows —
+    not k arbitrary id-ordered 'neighbors' via all-NULL adc_dist."""
+    queries = spark.createDataFrame(
+        [
+            (900001, [float(i % 7) / 7.0 for i in range(64)]),
+            (900002, None),
+            (900003, [1.0, 2.0]),  # wrong length
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = pq_topk(codes, queries, codebooks, "vec_id", "embedding", k=5)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q.get(900001, [])) == 5
+    assert 900002 not in by_q and 900003 not in by_q
 
 
 def test_ivfpq_index_roundtrip(spark, emb, codebooks, tmp_path):

@@ -228,6 +228,27 @@ def test_heavy_hitters_exact_vs_naive(spark):
     assert out2 == {"a", "b"}
 
 
+def test_heavy_hitters_exact_boundary_value(spark):
+    """A value at EXACTLY min_frac of rows must be reported: freqItems'
+    superset guarantee is strictly-greater-than its support, so the
+    candidate pass runs at a slightly lower support to cover the
+    boundary (ADVICE r4)."""
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    # 'edge' occurs 10/100 = exactly min_frac under several thresholds
+    vals = ["big"] * 70 + ["edge"] * 10 + [f"s{i}" for i in range(20)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(5)
+    for frac in (0.1, 0.1000000000000001):
+        got = {r["value"]: r["count"]
+               for r in heavy_hitters(df, "v", min_frac=frac).collect()}
+        assert got.get("big") == 70, (frac, got)
+        # at exactly the threshold the contract is inclusive (>=)
+        if frac <= 0.1:
+            assert got.get("edge") == 10, (frac, got)
+
+
 def test_heavy_hitters_edges(spark):
     from udacity_data_engineering_capstone_project_spark.operators.sketches import (
         heavy_hitters,

@@ -1223,8 +1223,18 @@ def evaluate_near_dup_pairs(
     truth = exact_jaccard_pairs(sample, id_col, text_col, threshold, shingle_k)
     ia = ids.select(F.col(id_col).alias("id_a"))
     ib = ids.select(F.col(id_col).alias("id_b"))
+    # canonicalize (b, a)-ordered input pairs and drop duplicate rows
+    # BEFORE counting: duplicated predictions would deflate precision
+    # (tp is set-semantics via intersect, n_predicted was not), and a
+    # reversed pair would be silently lost by the id_a < id_b join.
     pred = (
-        predicted_pairs.select("id_a", "id_b").join(ia, "id_a").join(ib, "id_b")
+        predicted_pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .join(ia, "id_a")
+        .join(ib, "id_b")
     )
     tp_df = truth.select("id_a", "id_b").intersect(pred.select("id_a", "id_b"))
     n_docs = ids.agg(F.count(F.lit(1)).alias("n_sample_docs"))

@@ -1096,9 +1096,13 @@ def pq_encode(
     element (m*k*subdim ops PER ROW — same pathology the hyperplane-LSH
     plane dots hit, `hyperplane_lsh_buckets`), so numpy is the
     100 TB path. The kernel accumulates over subdim sequentially in
-    float64 — bit-identical to the expression fold — and rounds to
-    9 dp before argmin exactly as training does, so both methods
-    reproduce the final training assignment (pinned by test).
+    float64 — bit-identical to the expression fold — then quantizes as
+    ``floor(dist * 1e9)`` before argmin exactly as the expr path does
+    (one shared IEEE multiply + floor, no decimal-rounding-mode
+    divergence: np.round is half-to-even while F.round is half-up, so
+    a 9 dp rule would NOT be bit-identical at half-ulp boundaries).
+    Training calls this same kernel, so codes always reproduce the
+    final training assignment (pinned by test).
 
     ``method="expr"``: pure-JVM argmin expressions over codebook array
     literals — zero Python anywhere, the oracle-friendly twin.
@@ -1128,7 +1132,7 @@ def pq_encode(
             for t in range(sd):
                 d = x[:, :, None, t] - cb[None, :, :, t]
                 acc += d * d
-            codes = np.round(acc, 9).argmin(axis=2).astype(np.int32)
+            codes = np.floor(acc * 1e9).argmin(axis=2).astype(np.int32)
             res: list = [None] * len(vecs)
             j = 0
             for i, flag in enumerate(ok.to_numpy()):
@@ -1144,15 +1148,20 @@ def pq_encode(
 
     def _code(j: int) -> Column:
         sub = F.slice(v, j * sd + 1, sd)
+        # floor(dist * 1e9): the SAME quantization the pandas kernel
+        # applies — one IEEE multiply + floor on the identically-folded
+        # float64 sum, so the two paths are bit-identical (F.round's
+        # half-up vs np.round's half-to-even would diverge on exact
+        # half-ulp decimal boundaries)
         dists = F.transform(
             _lit_matrix(table[j]),
-            lambda c: F.round(
+            lambda c: F.floor(
                 F.aggregate(
                     F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
                     F.lit(0.0),
                     lambda acc, d: acc + d,
-                ),
-                9,
+                )
+                * F.lit(1e9)
             ),
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -1202,10 +1211,19 @@ def pq_topk(
     (query_id, neighbor_id, rank, cos_sim) when reranked.
     """
     m, kc, table = _collect_codebooks(codebooks)
+    sd = len(table[0][0])
     dtable = _adc_dtable(table, vec_col)
-    q = queries.select(
-        F.col(id_col).alias(query_id), F.col(vec_col), dtable.alias("__dt")
-    ).drop(vec_col)
+    # mirror the corpus-side NULL-codes guard on the query side: a NULL
+    # (or wrong-length) query vector yields an all-NULL distance table,
+    # every adc_dist NULL, and NULLS FIRST would emit k arbitrary
+    # id-ordered "neighbors" instead of no rows for that query.
+    q = (
+        queries.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == m * sd)
+        )
+        .select(F.col(id_col).alias(query_id), F.col(vec_col), dtable.alias("__dt"))
+        .drop(vec_col)
+    )
     scored = (
         corpus_codes.select(F.col(id_col).alias("neighbor_id"), F.col(codes_col))
         .filter(F.col(codes_col).isNotNull())

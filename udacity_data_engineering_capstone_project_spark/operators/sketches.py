@@ -250,8 +250,14 @@ def heavy_hitters(
     """
     if not 1e-4 <= min_frac <= 1:
         raise ValueError(f"min_frac must be in [1e-4, 1], got {min_frac}")
-    # candidate list is <= ceil(1/min_frac) scalars — driver-safe
-    cands = [c for c in df.stat.freqItems([col], support=min_frac).first()[0]
+    # candidate list is <= ceil(1/support) scalars — driver-safe.
+    # freqItems' superset guarantee covers frequencies STRICTLY greater
+    # than the support; a value at exactly min_frac could be absent at
+    # support=min_frac yet pass the >= verify filter below. Run the
+    # candidate pass at a slightly lower support so the boundary value
+    # is guaranteed into the superset (floored at freqItems' own 1e-4).
+    support = max(min_frac * 0.99, 1e-4)
+    cands = [c for c in df.stat.freqItems([col], support=support).first()[0]
              if c is not None]
     schema_t = dict(df.dtypes)[col]
     empty = df.sparkSession.createDataFrame(

@@ -26,6 +26,7 @@ materialized barrier — cheap).
 
 from __future__ import annotations
 
+import hashlib
 import re
 import time
 from collections.abc import Callable, Sequence
@@ -62,9 +63,18 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     count_rows: bool = False,
+    version: str | None = None,
 ):
     """Run ``stages`` over ``df`` with a barrier between each — see the
     module docstring for the durability/resume contract.
+
+    Resume matches checkpoints by a pipeline FINGERPRINT (the ordered
+    stage-name list plus the caller-supplied ``version`` token), so
+    inserting/renaming/reordering stages invalidates the whole tree
+    rather than silently serving a stale stage. Stage BODIES are not
+    hashed (closures make that unreliable); when stage code or the
+    input snapshot changes, bump ``version`` — checkpoints land under
+    ``<dir>/p<fingerprint>/`` so old trees are simply never matched.
 
     Returns ``(final_df, [StageResult, ...])``. ``final_df`` reads
     from the last barrier (stored parquet or local checkpoint blocks),
@@ -76,12 +86,15 @@ def run_pipeline(
     if len(set(names)) != len(names):
         raise ValueError(f"stage names must be unique after slugging: {names}")
 
+    fp = hashlib.sha256(
+        ("\x1f".join(names) + "\x00" + (version or "")).encode()
+    ).hexdigest()[:12]
     spark = df.sparkSession
     cur = df
     results: list[StageResult] = []
     for i, ((name, fn), slug) in enumerate(zip(stages, names)):
         t0 = time.time()
-        path = f"{checkpoint_dir}/{i:02d}_{slug}" if checkpoint_dir else None
+        path = f"{checkpoint_dir}/p{fp}/{i:02d}_{slug}" if checkpoint_dir else None
         if path and resume and _committed(spark, path):
             cur = spark.read.parquet(path)
             skipped = True
