@@ -75,7 +75,8 @@ def test_time_queries_survive_hostile_session_timezone(spark, sf_dir, name):
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
     try:
-        spec = REGISTRY[name]
+        # slots rotate between rounds — look in both registries
+        spec = REGISTRY.get(name) or UNREGISTERED[name]
         compare_frames(
             spec.fn(spark, sf_dir).toPandas(),
             run_oracle(spec.oracle, sf_dir),

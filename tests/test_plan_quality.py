@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from udacity_data_engineering_capstone_project_spark.plans.queries import REGISTRY
+from udacity_data_engineering_capstone_project_spark.plans.queries import REGISTRY, UNREGISTERED
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -235,7 +235,9 @@ def test_minhash_signature_stage_is_parallel(spark, sf_dir):
 )
 def test_aggregations_are_codegen(spark, sf_dir, name):
     # AQE finalizes the plan only on execution; materialize first.
-    df = REGISTRY[name].fn(spark, sf_dir)
+    # (slots rotate between rounds — look in both registries)
+    spec = REGISTRY.get(name) or UNREGISTERED[name]
+    df = spec.fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark WholeStageCodegen stages in the final plan

@@ -192,6 +192,9 @@ def sas_date_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     "Date-part extraction + time-grain aggregation (F6, A6/A7).",
+    # r5: ceded its driver slot to the round-4 flagship tier; stays
+    # hash-pinned by test_unregistered_query_parity.
+    registered=False,
 )
 def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -498,6 +501,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Numeric spatial-bucket coarsening + multi-key equi-join — the "
     "Catalyst-friendly version of the reference's printf('%.0f') "
     "string-key join (J2, etl.py:135-157 / SURVEY.md §4 item 2).",
+    registered=False,  # r5 rotation: slot ceded, parity pinned locally
 )
 def bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucketize(df: DataFrame, bal: str, nk: str, avg_name: str, n_name: str) -> DataFrame:
@@ -534,6 +538,7 @@ def bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "schema is static — mandatory at scale) then unpivot (melt) back "
     "to long form: the roundtrip materializes zero-count combinations "
     "a plain GROUP BY can't.",
+    registered=False,  # r5 rotation: slot ceded, parity pinned locally
 )
 def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -568,6 +573,7 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic array aggregation (collect distinct, sort, "
     "serialize: collect_set order is partition-dependent, sorting "
     "restores determinism).",
+    registered=False,  # r5 rotation: slot ceded, parity pinned locally
 )
 def events_json_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -642,6 +648,7 @@ def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "letter (levenshtein is JVM-side; blocking bounds the quadratic). "
     "Threshold 3 yields nonzero matches at every test SF — a 0=0 "
     "oracle comparison would be vacuous.",
+    registered=False,  # r5 rotation: slot ceded, parity pinned locally
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name").withColumn(
@@ -1008,6 +1015,7 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Stateful streaming sessionization via native session_window "
     "(30-min gap); oracle is the batch lag+running-sum formulation — "
     "the two session semantics coincide off the exact-gap boundary.",
+    registered=False,  # r5 rotation: slot ceded, parity pinned locally
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.streaming.events import (
@@ -2522,9 +2530,9 @@ WINSORIZE_ORACLE = """
     WINSORIZE_ORACLE,
     "Quantile clipping (operators/quality.py:winsorize): one "
     "aggregation derives every column's 1%/99% cuts, the clip is a "
-    "pure projection. Unregistered; hash-pinned against DuckDB "
+    "pure projection. Hash-checked against DuckDB "
     "quantile_cont.",
-    registered=False,
+    # r5: promoted to a driver slot (rotation; was unregistered).
 )
 def winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.quality import winsorize
@@ -2606,9 +2614,9 @@ LANGUAGE_ID_ORACLE = """
     "Trained naive-Bayes language ID (operators/textstats.py:"
     "train_language_id/apply_language_id): hashed char-shingle "
     "Bernoulli model with integer log-weights — order-exact argmax on "
-    "any engine. Unregistered; the DuckDB oracle retrains the model "
+    "any engine. The DuckDB oracle retrains the model "
     "in SQL and must reproduce every prediction.",
-    registered=False,
+    # r5: promoted to a driver slot (rotation; was unregistered).
 )
 def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.textstats import (
@@ -2762,9 +2770,9 @@ TRIANGLE_ORACLE = """
     "Per-node triangle counts (operators/graph.py:triangle_count) over "
     "the supplier co-occurrence graph (suppliers sharing an order): "
     "degree-oriented wedge join, O(m^1.5) wedge bound, hub-safe. "
-    "Unregistered; hash-pinned against DuckDB's direct ordered-triple "
+    "Hash-checked against DuckDB's direct ordered-triple "
     "enumeration.",
-    registered=False,
+    # r5: promoted to a driver slot (rotation; was unregistered).
 )
 def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.graph import (
@@ -2832,9 +2840,9 @@ URL_CANON_ORACLE = f"""
     "URL canonicalization + registered-domain extraction "
     "(functions/urls.py): mixed-case scheme/host, default ports, "
     "tracking params, fragments and multi-label public suffixes all "
-    "normalized in one codegen projection. Unregistered; hash-pinned "
-    "locally against an independent case-by-case oracle.",
-    registered=False,
+    "normalized in one codegen projection. Hash-checked "
+    "against an independent case-by-case oracle.",
+    # r5: promoted to a driver slot (rotation; was unregistered).
 )
 def url_canon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.functions.urls import (
@@ -2979,8 +2987,8 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic and numpy parity by tests/test_pq.py.
     "Product-quantization ANN (operators/similarity.py:train_pq_"
     "codebooks/pq_encode/pq_topk): 8-byte PQ codes + ADC search + "
-    "exact-cosine rerank (Jegou et al. 2011). Unregistered rows-only.",
-    registered=False,
+    "exact-cosine rerank (Jegou et al. 2011). Rows-only by nature.",
+    # r5: promoted to a driver slot (rotation; rows-only by nature).
 )
 def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the embeddings file arrives as one split at bench scales — spread
@@ -2999,6 +3007,199 @@ def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, queries_df, cb, "vec_id", "embedding", k=10,
         rerank_with=emb, rerank_factor=4,
     )
+
+
+# The reference's entire value proposition is the 7-table star-schema
+# build with exact golden counts (`etl.py:338-344`). This query runs
+# the FULL parity pipeline (clean_immigration -> clean_temperature ->
+# clean_airport_codes -> build_state_temperature -> build_star_schema)
+# over staging frames derived DETERMINISTICALLY from the sf_dir tables
+# (every staging column is a pure modular function of a key, so DuckDB
+# can re-derive identical staging), and emits the 7 (table, row_count)
+# pairs — pinning the whole pipeline shape the way the reference's own
+# quality gate does. The oracle recomputes each count from first
+# principles: dims as distincts over the cleaned staging, fact_imm as
+# the cleaned-row count (asserting the 6 dim joins are row-preserving),
+# fact_temp by replaying the coordinate argmax join.
+CAPSTONE_COUNTS_ORACLE = """
+    WITH imm_k AS (
+        -- cicid = j (the 4-block index) makes every staging column a
+        -- function of j, so full-row dropDuplicates() == DISTINCT j;
+        -- field moduli (7, 8, 5, 400) are coprime to the visa-filter
+        -- modulus 3, so the filtered stream still hits every value
+        SELECT DISTINCT o_orderkey // 4 AS j FROM orders
+    ),
+    imm_clean AS (
+        -- tourism filter: i94visa = 1 + j%3 == 2
+        SELECT j, i94port, airline, arrdate_dt,
+               CASE WHEN st IN ('NY','FL','CA','TX','WA')
+                    THEN st ELSE 'other' END AS state
+        FROM (
+            SELECT j,
+                   list_extract(['NYC','MIA','SFO','LVG','ATL','ORD','BOS'],
+                                CAST(j % 7 AS INT) + 1) AS i94port,
+                   list_extract(['AA','DL','UA',NULL,'BA'],
+                                CAST(j % 5 AS INT) + 1) AS airline,
+                   DATE '1960-01-01'
+                       + CAST(19000 + j % 400 AS INT) AS arrdate_dt,
+                   list_extract(['NY','FL','CA','TX','WA','99',NULL,'ZZ'],
+                                CAST(j % 8 AS INT) + 1) AS st
+            FROM imm_k WHERE j % 3 = 1
+        )
+    ),
+    temp_by_coord AS (
+        -- clean_temperature: US filter, dropna (null temp), printf
+        -- coarsening (fraction digits < .5 by construction, so %.0f
+        -- == the integer part on both engines)
+        SELECT DISTINCT CAST(25 + m % 20 AS VARCHAR) AS lat,
+                        CAST(70 + m % 25 AS VARCHAR) AS long,
+                        5 AS month,
+                        CAST(1 + m % 28 AS INT) AS dayofmonth
+        FROM (SELECT c_custkey AS m FROM customer)
+        WHERE m % 7 <> 0 AND m % 11 <> 0
+    ),
+    air_counted AS (
+        SELECT CAST(25 + s % 20 AS VARCHAR) AS latitude,
+               CAST(70 + s % 25 AS VARCHAR) AS longitude,
+               CASE WHEN sp IN ('NY','NJ','FL','CA','TX')
+                    THEN sp ELSE 'other' END AS state,
+               COUNT(*) AS num
+        FROM (
+            SELECT s_suppkey AS s,
+                   -- split('US-U-A', '-')[2] = 'U' -> 'other'
+                   list_extract(['NY','NJ','FL','CA','TX','U'],
+                                CAST(s_suppkey % 6 AS INT) + 1) AS sp
+            FROM supplier
+        )
+        WHERE s % 9 <> 0
+        GROUP BY 1, 2, 3
+    ),
+    dominant AS (
+        SELECT latitude, longitude, state FROM air_counted
+        QUALIFY row_number() OVER (
+            PARTITION BY latitude, longitude
+            ORDER BY num DESC, state ASC
+        ) = 1
+    ),
+    fact_temp_rows AS (
+        SELECT DISTINCT t.dayofmonth, t.month, d.state
+        FROM temp_by_coord t
+        JOIN dominant d ON t.lat = d.latitude AND t.long = d.longitude
+    )
+    SELECT table_name, n_rows FROM (
+        SELECT 'dim_airlines' AS table_name,
+               COUNT(DISTINCT airline)
+                 + MAX(CASE WHEN airline IS NULL THEN 1 ELSE 0 END) AS n_rows
+        FROM imm_clean
+        UNION ALL SELECT 'dim_person', COUNT(*) FROM imm_clean
+        UNION ALL SELECT 'dim_ports', COUNT(DISTINCT i94port) FROM imm_clean
+        UNION ALL SELECT 'dim_state', COUNT(DISTINCT state) FROM imm_clean
+        UNION ALL SELECT 'dim_time', COUNT(DISTINCT arrdate_dt) FROM imm_clean
+        UNION ALL SELECT 'fact_imm', COUNT(*) FROM imm_clean
+        UNION ALL SELECT 'fact_temp', COUNT(*) FROM fact_temp_rows
+    ) ORDER BY table_name
+"""
+
+
+@_register(
+    "capstone_counts",
+    CAPSTONE_COUNTS_ORACLE,
+    "End-to-end reference-pipeline golden counts (plans/capstone.py): "
+    "full 7-table star-schema build over deterministic synthetic "
+    "staging; one row per table with its exact row count — the "
+    "reference's own quality-gate shape (etl.py:338-344).",
+)
+def capstone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.plans import capstone as cap
+
+    # the 4-block index: ~4 order rows collapse to one immigration row
+    # (exercises the full-row dedup); field moduli are coprime to the
+    # visa-filter modulus 3 so the tourism subset hits every value
+    k = F.floor(F.col("o_orderkey") / 4).cast("long")
+    imm_stage = _t(spark, sf_dir, "orders").select(
+        k.cast("double").alias("cicid"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("NYC", "MIA", "SFO", "LVG", "ATL", "ORD", "BOS")]),
+            (k % 7 + 1).cast("int"),
+        ).alias("i94port"),
+        (F.lit(19000) + k % 400).cast("double").alias("arrdate"),
+        F.element_at(
+            F.array(*[F.lit(x).cast("string") for x in
+                      ("NY", "FL", "CA", "TX", "WA", "99", None, "ZZ")]),
+            (k % 8 + 1).cast("int"),
+        ).alias("i94addr"),
+        F.when(k % 5 == 0, F.lit(None).cast("double")).otherwise(
+            (F.lit(19000) + k % 400 + k % 30).cast("double")
+        ).alias("depdate"),
+        (F.lit(1) + k % 3).cast("double").alias("i94visa"),
+        (F.lit(1950) + k % 50).cast("double").alias("biryear"),
+        F.element_at(
+            F.array(*[F.lit(x).cast("string") for x in ("M", "F", None)]),
+            (k % 3 + 1).cast("int"),
+        ).alias("gender"),
+        F.element_at(
+            F.array(*[F.lit(x).cast("string") for x in
+                      ("AA", "DL", "UA", None, "BA")]),
+            (k % 5 + 1).cast("int"),
+        ).alias("airline"),
+    )
+    m = F.col("c_custkey")
+    # fraction digits are 0-4 by construction so the reference's
+    # %.0f coarsening is tie-free (Java HALF_UP == C half-even here)
+    temp_stage = _t(spark, sf_dir, "customer").select(
+        F.date_add(F.lit("2016-05-01").cast("date"), (m % 28).cast("int"))
+        .cast("string").alias("dt"),
+        F.when(m % 11 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("1"), (m % 9).cast("string"), F.lit(".5"))
+        ).alias("AverageTemperature"),
+        F.concat(F.lit("City"), (m % 40).cast("string")).alias("City"),
+        F.when(m % 7 == 0, F.lit("Canada")).otherwise(
+            F.lit("United States")
+        ).alias("Country"),
+        F.concat((F.lit(25) + m % 20).cast("string"), F.lit("."),
+                 (m % 5).cast("string"), F.lit("N")).alias("Latitude"),
+        F.concat((F.lit(70) + m % 25).cast("string"), F.lit("."),
+                 (m * 3 % 5).cast("string"), F.lit("W")).alias("Longitude"),
+    )
+    s = F.col("s_suppkey")
+    air_stage = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("ident"),
+        F.when(s % 9 == 0, F.lit("CA")).otherwise(F.lit("US"))
+        .alias("iso_country"),
+        F.concat(
+            F.lit("US-"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in
+                          ("NY", "NJ", "FL", "CA", "TX", "U-A")]),
+                (s % 6 + 1).cast("int"),
+            ),
+        ).alias("iso_region"),
+        F.concat(F.lit("-"), (F.lit(70) + s % 25).cast("string"),
+                 F.lit("."), (s % 5).cast("string"), F.lit(", "),
+                 (F.lit(25) + s % 20).cast("string"), F.lit("."),
+                 (s * 3 % 5).cast("string")).alias("coordinates"),
+    )
+
+    imm = cap.clean_immigration(imm_stage, key_mode="monotonic")
+    temp = cap.clean_temperature(temp_stage)
+    air = cap.clean_airport_codes(air_stage)
+    state_temp = cap.build_state_temperature(
+        temp, air, use_window_argmax=True, key_mode="monotonic"
+    )
+    tables = cap.build_star_schema(
+        imm, state_temp, key_mode="row_number", persist_dims=False
+    )
+    counts = [
+        tables[name].agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("table_name"), "n_rows"
+        )
+        for name in sorted(tables)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("table_name")
 
 
 # ------------------------------------------------------------------
