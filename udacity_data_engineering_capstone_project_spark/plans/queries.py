@@ -2549,13 +2549,25 @@ def winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle twin for language_id — UNREGISTERED. Like the ngram_lm
-# oracle, DuckDB RETRAINS the same naive-Bayes model in SQL (same
-# lowercased char-3 shingles, same portable md5 bucket, same
-# round(1e6*ln p) integer weights) and must reproduce every argmax —
-# integer score sums make the comparison order-exact. The testdata's
-# lang labels are random w.r.t. the text, which only makes the parity
-# stricter: both engines must agree even on noise.
+# Oracle twin for language_id. DuckDB RETRAINS the same naive-Bayes
+# model in SQL (same lowercased char-3 shingles, same portable md5
+# bucket, same round(1e6*ln p) integer weights) and must reproduce
+# every argmax. The testdata's lang labels are random w.r.t. the
+# text, which only makes the parity stricter: both engines must agree
+# even on noise.
+#
+# GRADED CONTRACT (r6): pred_label + n_buckets only — the raw integer
+# score is NOT in the graded projection. Each engine recomputes every
+# ln() with its own libm; a 1-ulp difference at a round() half-boundary
+# shifts one weight by 1 and broke the r5 driver hash even though all
+# predictions agreed. pred_label itself is jitter-proof on this data:
+# a 1-ulp ln perturbation moves each integer weight by at most 1, so a
+# doc matching S buckets sees its top-2 margin move by at most
+# 2*(S+1); the measured minimum margin/jitter-bound ratio is >100x at
+# sf0.001/0.01/0.1 (pinned by test_language_id_margin_headroom).
+# n_buckets is an exact integer (md5 bucketing, no transcendentals).
+# Exact integer-score parity stays pinned in the local pytest
+# (test_language_id_exact_scores), where one libm computes both sides.
 LANGUAGE_ID_ORACLE = """
     WITH base AS (
         SELECT doc_id, lang AS label, lower(text) AS t
@@ -2590,17 +2602,19 @@ LANGUAGE_ID_ORACLE = """
         FROM n_docs, tot
     ),
     scored AS (
-        SELECT s.doc_id, d.label, sum(d.w) AS sw
+        SELECT s.doc_id, d.label, sum(d.w) AS sw,
+               count(*) AS n_buckets
         FROM (SELECT DISTINCT doc_id, bucket FROM sh) s
         JOIN dense d USING (bucket)
         GROUP BY 1, 2
     ),
     final AS (
         SELECT scored.doc_id, scored.label,
-               scored.sw + info.prior_w AS score
+               scored.sw + info.prior_w AS score,
+               scored.n_buckets
         FROM scored JOIN info USING (label)
     )
-    SELECT doc_id, label AS pred_label, score
+    SELECT doc_id, label AS pred_label, n_buckets
     FROM (SELECT *, row_number() OVER (
               PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
           FROM final)
@@ -2613,10 +2627,13 @@ LANGUAGE_ID_ORACLE = """
     LANGUAGE_ID_ORACLE,
     "Trained naive-Bayes language ID (operators/textstats.py:"
     "train_language_id/apply_language_id): hashed char-shingle "
-    "Bernoulli model with integer log-weights — order-exact argmax on "
-    "any engine. The DuckDB oracle retrains the model "
-    "in SQL and must reproduce every prediction.",
+    "Bernoulli model with integer log-weights. The DuckDB oracle "
+    "retrains the model in SQL and must reproduce every prediction. "
+    "Graded projection is (pred_label, n_buckets) — jitter-proof "
+    "under cross-libm ln() ulp differences (r5 driver hash lesson); "
+    "exact integer scores stay pinned in the local pytest.",
     # r5: promoted to a driver slot (rotation; was unregistered).
+    # r6: graded projection made platform-safe (score dropped).
 )
 def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.textstats import (
@@ -2630,7 +2647,7 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, info = train_language_id(docs, "text", "lang")
     return apply_language_id(
         docs.select("doc_id", "text"), "doc_id", "text", model, info
-    )
+    ).select("doc_id", "pred_label", "n_buckets")
 
 
 # Oracle twin for clustering_coefficient — UNREGISTERED; same
