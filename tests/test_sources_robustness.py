@@ -730,3 +730,46 @@ def test_streaming_bloom_maintenance(spark, tmp_path):
     flagged = bloom_might_contain(probe, stored, "k", m, 7)
     assert flagged.filter("NOT maybe_seen").count() == 0  # no false negatives
     assert run() == 0  # no new files, no new version
+
+
+def test_winsorize_auto_switches_to_sketch_at_scale(spark, monkeypatch):
+    """winsorize's default (approximate=None) shares numeric_drift's
+    optimizer-estimate gate: exact interpolated percentiles below the
+    threshold (oracle-comparable), the mergeable approx_percentile
+    sketch above it — exact percentiles buffer every value of every
+    clipped column in one aggregation state, a memory wall at 100 TB."""
+    from udacity_data_engineering_capstone_project_spark.operators import quality as q
+
+    df = spark.range(2_000).selectExpr(
+        "id", "CAST(id % 400 AS DOUBLE) AS a", "CAST(id % 7 AS DOUBLE) AS b"
+    )
+
+    # small input -> exact cuts (bit-identical to approximate=False)
+    auto_small = q.winsorize(df, ["a", "b"], 0.05, 0.95).collect()
+    exact = q.winsorize(df, ["a", "b"], 0.05, 0.95, approximate=False).collect()
+    assert sorted(map(tuple, auto_small)) == sorted(map(tuple, exact))
+
+    # simulated 100x regime: every estimate is over-threshold
+    monkeypatch.setattr(q, "APPROX_DRIFT_MIN_BYTES", 1)
+    auto_large = q.winsorize(df, ["a", "b"], 0.05, 0.95).collect()
+    approx = q.winsorize(df, ["a", "b"], 0.05, 0.95, approximate=True).collect()
+    assert sorted(map(tuple, auto_large)) == sorted(map(tuple, approx))
+
+    # plan pin (grouped path keeps the bounds aggregate in the returned
+    # frame): above the gate the cut-point aggregate must be a mergeable
+    # approx_percentile, never the exact value-buffering percentile
+    gdf = df.selectExpr("*", "id % 3 AS g")
+    plan = (
+        q.winsorize(gdf, ["a"], 0.05, 0.95, group_cols=["g"])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "approx_percentile" in plan
+    assert "percentile(" not in plan.replace("approx_percentile(", "")
+    # and below the gate the grouped path stays exact
+    monkeypatch.setattr(q, "APPROX_DRIFT_MIN_BYTES", 1 << 30)
+    plan_small = (
+        q.winsorize(gdf, ["a"], 0.05, 0.95, group_cols=["g"])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "approx_percentile" not in plan_small
+    assert "percentile(" in plan_small

@@ -262,13 +262,35 @@ def category_drift(
     )
 
 
-# Auto-switch point for numeric_drift's percentile path: above this
-# optimizer-estimated baseline size, bin edges come from the mergeable
+# Auto-switch point for the exact-vs-sketch percentile paths
+# (numeric_drift bin edges, winsorize cut points): above this
+# optimizer-estimated input size, quantiles come from the mergeable
 # approx_percentile sketch instead of exact interpolated percentiles
 # (which buffer every value of the column in the aggregation state —
 # fine at test scale, a memory wall at 100 TB). 1 GiB keeps every
 # test/oracle dataset on the exact, DuckDB-comparable path.
 APPROX_DRIFT_MIN_BYTES = 1 << 30
+
+
+def _estimated_size_exceeds(df: DataFrame, threshold: int) -> bool:
+    """True if the optimizer's size estimate for ``df`` exceeds
+    ``threshold`` bytes. On an unknowable estimate, stays False
+    (= the exact path): genuinely huge inputs are file scans with
+    working estimates, while an unestimable frame is far more likely a
+    small derived/local relation — and silently switching quantile
+    algorithms on an estimator hiccup would make results
+    non-deterministic across runs (and break oracle parity) in the
+    common case. Spark reports "unknown" for some relations (e.g.
+    Python-side LocalRelations) as Long.MaxValue rather than an
+    error — that sentinel is also treated as unknown, not huge."""
+    try:
+        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = est if isinstance(est, int) else int(est.toString())
+        if est >= (1 << 63) - 1:  # Long.MaxValue = stats unavailable
+            return False
+        return est > threshold
+    except Exception:
+        return False
 
 
 def drift_bin_edges(
@@ -327,18 +349,7 @@ def numeric_drift(
     in either snapshot.
     """
     if approximate is None:
-        try:
-            est = base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            est = est if isinstance(est, int) else int(est.toString())
-            approximate = est > APPROX_DRIFT_MIN_BYTES
-        except Exception:
-            # Unknown size: stay EXACT. Genuinely huge inputs are file
-            # scans with working estimates; an unestimable frame is far
-            # more likely a small derived/local relation, and silently
-            # switching edge algorithms on an estimator hiccup would
-            # make results non-deterministic across runs (and break
-            # oracle parity) in the common case.
-            approximate = False
+        approximate = _estimated_size_exceeds(base, APPROX_DRIFT_MIN_BYTES)
     qs = [i / bins for i in range(1, bins)]
     edges_row = drift_bin_edges(base, col, bins, approximate).collect()[0]
     edges = [edges_row[f"e{i}"] for i in range(len(qs))]
@@ -380,7 +391,7 @@ def winsorize(
     columns: Sequence[str],
     lower_q: float = 0.01,
     upper_q: float = 0.99,
-    approximate: bool = False,
+    approximate: bool | None = None,
     accuracy: int = 10_000,
     suffix: str = "",
     group_cols: Sequence[str] | None = None,
@@ -392,10 +403,18 @@ def winsorize(
     ONE aggregation computes both cut points for every column (a
     single scan, map-side partial, 2*len(columns) scalars to the
     driver — never the data), then the clip is a pure projection.
-    Exact interpolated percentiles by default (bit-comparable to SQL
-    ``percentile_cont``); ``approximate=True`` swaps in the
-    Greenwald-Khanna sketch for the at-scale path, same trade
-    `profile_columns` documents. NULLs pass through unclipped.
+    ``approximate`` selects the cut-point path: False = exact
+    interpolated percentiles (bit-comparable to SQL
+    ``percentile_cont``, but the aggregation state buffers every value
+    of each column); True = the mergeable Greenwald-Khanna
+    `approx_percentile` sketch, the 100 TB path (cut-point wobble is
+    bounded by 1/``accuracy`` of rank — invisible next to the 1%/99%
+    tails being clipped). The default (None) auto-switches on the
+    optimizer's size estimate, same gate as `numeric_drift`
+    (``APPROX_DRIFT_MIN_BYTES``): exact below it and whenever the size
+    is unknowable, sketch above — so the at-scale default can never
+    buffer a 100 TB column on one aggregation state. NULLs pass
+    through unclipped.
 
     ``suffix`` writes clipped values to ``<col><suffix>`` instead of
     overwriting. Output otherwise matches the input row-for-row.
@@ -412,6 +431,8 @@ def winsorize(
         raise ValueError(
             f"need 0 <= lower_q < upper_q <= 1, got {lower_q}, {upper_q}"
         )
+    if approximate is None:
+        approximate = _estimated_size_exceeds(df, APPROX_DRIFT_MIN_BYTES)
 
     def _pct(c: str, q: float):
         col = F.col(c).cast("double")
