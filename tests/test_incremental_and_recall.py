@@ -507,3 +507,42 @@ def test_evaluate_near_dup_pairs_sampling_restricts_both_sides(spark):
     assert 0 < m["n_sample_docs"] < 200
     assert m["tp"] <= m["n_true_pairs"] and m["tp"] <= m["n_predicted_pairs"]
     assert m["fp"] >= 0 and m["fn"] >= 0
+
+
+def test_auto_num_planes_holds_bucket_occupancy(spark, sf_dir):
+    """num_planes=None sizes the hyperplane count from one corpus
+    count: 8 planes (256 buckets/table) up to 5k vectors, +1 plane per
+    corpus doubling after that, capped at 30 (packed bucket stays a
+    long). This keeps expected random bucket occupancy n/2^k — and
+    with it per-bucket quadratic join work — constant as the corpus
+    grows, instead of relying on the hot-bucket cap to truncate recall
+    (the r4 100x probe failure mode)."""
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        auto_num_planes,
+        lsh_near_dup_pairs,
+    )
+
+    assert auto_num_planes(0) == 8
+    assert auto_num_planes(5_000) == 8
+    assert auto_num_planes(5_001) == 9
+    assert auto_num_planes(10_000) == 9
+    assert auto_num_planes(20_000) == 10
+    assert auto_num_planes(500_000) == 15
+    # occupancy invariance: n/2^planes is (within the ceil) flat
+    assert auto_num_planes(5_000_000_000) == 28
+    assert auto_num_planes(10**18) == 30  # cap
+
+    # the default path (no num_planes) must produce exactly the pairs
+    # of the explicit auto size — count() feeds the same formula
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    auto = lsh_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.2, dim=64, num_tables=2
+    )
+    explicit = lsh_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.2,
+        num_planes=auto_num_planes(n), dim=64, num_tables=2,
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )

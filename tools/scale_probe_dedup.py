@@ -97,20 +97,16 @@ def main() -> None:
     import math
 
     def embedding_probe(df, copies):
-        # Operating rule from the operator docstring: size num_planes
-        # so random collisions stay sub-quadratic. 8 planes = 256
-        # buckets/table is right for 2k vectors (~8/bucket); a corpus
-        # 10x/100x larger needs log2(growth) more planes to hold
-        # bucket OCCUPANCY (hence per-bucket quadratic work) constant.
-        # Probing 100x at 8 planes instead measures the hot-bucket cap
-        # discarding degenerate buckets — bounded work, lost recall.
-        planes = 8 + max(0, math.ceil(math.log2(copies)))
+        # num_planes is left to the operator's auto_num_planes default
+        # (8 + log2(n/5000) from one corpus count) — the probe verifies
+        # the autosizing holds bucket occupancy (hence per-bucket
+        # quadratic join work) constant at 10x/100x without the caller
+        # hand-deriving the old log2(growth) rule.
         return sim.lsh_near_dup_pairs(
             df,
             id_col="vec_id",
             vec_col="embedding",
             threshold=0.2,
-            num_planes=planes,
             dim=64,
             num_tables=8,
         ).count()

@@ -180,12 +180,29 @@ def hyperplane_lsh_buckets(
     return with_dots.withColumn("buckets", F.expr(f"array({entries})")).drop("__dots")
 
 
+def auto_num_planes(n: int, target_bucket: int = 20) -> int:
+    """Plane count that holds expected RANDOM bucket occupancy
+    (n / 2^k per table) roughly constant as the corpus grows:
+    ``8 + ceil(log2(n / 5000))``, floored at 8 and capped at 30 (the
+    packed bucket is a long; 2^30 buckets already exceeds any
+    realistic row count per partition). 8 planes = 256 buckets/table
+    is right for ~5k vectors; every 2x of corpus needs one more plane
+    or per-bucket quadratic join work grows linearly until the
+    max_bucket_size cap starts truncating recall instead (measured in
+    the 100x probe, BASELINE.md r4)."""
+    import math
+
+    if n <= 5000:
+        return 8
+    return min(30, 8 + math.ceil(math.log2(n / 5000.0)))
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     dim: int = 64,
     num_tables: int = 8,
     max_bucket_size: int | None = 256,
@@ -195,9 +212,13 @@ def lsh_near_dup_pairs(
     of per-table bucket collisions (equi-join on (table, bucket) after
     exploding each vector's L buckets), replacing the all-pairs cross
     join; recall = 1 - (1 - p^num_planes)^num_tables where
-    p = 1 - angle/pi. Size num_planes to keep random collisions
-    sub-quadratic (2^-k per table) and num_tables to hit the recall
-    target at the similarity band you care about; sign-LSH is
+    p = 1 - angle/pi. ``num_planes=None`` (the default) autosizes from
+    the corpus row count via `auto_num_planes` — one scalar count()
+    against the input, then 8 + log2(n/5000) planes so random-collision
+    bucket occupancy (and with it per-bucket quadratic join work) stays
+    constant as the corpus grows; pass an explicit value to pin
+    candidate volume (and avoid the count) instead. num_tables sets the
+    recall target at the similarity band you care about; sign-LSH is
     effective for genuinely-similar pairs — hunting low-similarity
     neighbors (cos < ~0.5) at high recall is IVF's job, not LSH's.
 
@@ -224,6 +245,8 @@ def lsh_near_dup_pairs(
     # ContextCleaner as soon as the result plan is dropped. Measured
     # at sf0.1: 1.53 s vs 1.92 s for persist + eager candidate
     # checkpoint, identical pairs.
+    if num_planes is None:
+        num_planes = auto_num_planes(df.count())
     b = hyperplane_lsh_buckets(
         df, id_col, vec_col, num_planes, dim, num_tables=num_tables
     ).select(
