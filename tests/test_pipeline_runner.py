@@ -111,3 +111,40 @@ def test_run_pipeline_validation(spark):
         run_pipeline(spark.range(1), [("a b", lambda d: d), ("a_b", lambda d: d)])
     with pytest.raises(ValueError, match="usable"):
         run_pipeline(spark.range(1), [("///", lambda d: d)])
+
+
+def test_run_pipeline_prune_orphans(spark, tmp_path):
+    """Version bumps orphan the previous p<fingerprint>/ tree forever
+    (deliberate — rollback safety), so prune_orphans=True must delete
+    every non-current sibling tree, and orphaned_checkpoint_trees must
+    list exactly those (ADVICE r5 disk-leak note)."""
+    import os
+
+    from udacity_data_engineering_capstone_project_spark.plans.pipeline import (
+        orphaned_checkpoint_trees,
+        run_pipeline,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    stages = [("double", lambda d: d.selectExpr("id * 2 AS id"))]
+    run_pipeline(spark.range(10), stages, checkpoint_dir=ckpt, version="v1")
+    run_pipeline(spark.range(10), stages, checkpoint_dir=ckpt, version="v2")
+    trees = sorted(os.listdir(ckpt))
+    assert len(trees) == 2  # v1 tree is now an orphan
+
+    # listing names the orphan only
+    import hashlib
+
+    fp3 = hashlib.sha256(b"double\x00v3").hexdigest()[:12]
+    orphans = orphaned_checkpoint_trees(spark, ckpt, fp3)
+    assert len(orphans) == 2  # both old trees relative to v3
+
+    out, res = run_pipeline(
+        spark.range(10), stages, checkpoint_dir=ckpt,
+        version="v3", prune_orphans=True,
+    )
+    assert sorted(r["id"] for r in out.collect()) == [i * 2 for i in range(10)]
+    trees = sorted(os.listdir(ckpt))
+    assert trees == [f"p{fp3}"]
+    # pruning an empty/missing dir is a no-op, not an error
+    assert orphaned_checkpoint_trees(spark, str(tmp_path / "nope"), "x") == []

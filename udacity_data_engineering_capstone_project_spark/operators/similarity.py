@@ -991,9 +991,9 @@ def train_pq_codebooks(
     v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
         # assignment IS encoding against the current codebook — reuse
-        # the map-only numpy kernel (identical 9 dp-rounded distances);
-        # no join, no m*k-fanout of scored rows. The per-iteration
-        # codebook collect is model-sized (m*k rows).
+        # the map-only numpy kernel (identical floor(d*1e9)-quantized
+        # distances); no join, no m*k-fanout of scored rows. The
+        # per-iteration codebook collect is model-sized (m*k rows).
         enc = pq_encode(slim, cents, vec_col, out_col="__codes")
         means = (
             enc.select(v.alias("__v"), F.posexplode("__codes").alias("sub", "cell"))

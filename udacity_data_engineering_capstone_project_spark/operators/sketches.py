@@ -244,19 +244,24 @@ def heavy_hitters(
     NULLs are never heavy hitters.
 
     Output: (value <input type>, count bigint, frac double r6),
-    descending count, ties by value. ``min_frac`` floor is 1e-4
-    (freqItems' own support floor — and 10k exact groups is where the
+    descending count, ties by value. ``min_frac`` floor is 1e-4/0.99
+    (just above freqItems' own 1e-4 support floor, so the boundary
+    headroom below always exists — and 10k exact groups is where the
     bounded-shuffle premise starts to fray anyway).
     """
-    if not 1e-4 <= min_frac <= 1:
-        raise ValueError(f"min_frac must be in [1e-4, 1], got {min_frac}")
+    if not 1e-4 / 0.99 <= min_frac <= 1:
+        raise ValueError(
+            f"min_frac must be in [1e-4/0.99, 1], got {min_frac}"
+        )
     # candidate list is <= ceil(1/support) scalars — driver-safe.
     # freqItems' superset guarantee covers frequencies STRICTLY greater
     # than the support; a value at exactly min_frac could be absent at
     # support=min_frac yet pass the >= verify filter below. Run the
     # candidate pass at a slightly lower support so the boundary value
-    # is guaranteed into the superset (floored at freqItems' own 1e-4).
-    support = max(min_frac * 0.99, 1e-4)
+    # is guaranteed into the superset; the validation floor keeps this
+    # product at or above freqItems' 1e-4 minimum, so the inclusive >=
+    # contract holds for every accepted min_frac.
+    support = min_frac * 0.99
     cands = [c for c in df.stat.freqItems([col], support=support).first()[0]
              if c is not None]
     schema_t = dict(df.dtypes)[col]

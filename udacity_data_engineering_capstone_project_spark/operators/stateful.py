@@ -32,9 +32,22 @@ def decay_score(
     ts_col: str,
     value_col: str,
     half_life_seconds: float = 3600.0,
+    round_dp: int = 6,
 ) -> DataFrame:
     """Final exponential-decay score per key after replaying its events
-    in time order. Output: (key, n_events, final_score r6)."""
+    in time order. Output: (key, n_events, final_score rounded to
+    ``round_dp`` decimals).
+
+    The recurrence's closed form, sum(v_i * exp(-lam*(t_max - t_i))),
+    has only non-positive exponents — no overflow — so an independent
+    engine CAN replicate the final score directly; the sequential scan
+    and the closed form then differ by accumulated float error of
+    order n_events * eps * |score| (~1e-10 for thousands of events).
+    Cross-engine graders should round coarsely enough that no score
+    sits near a rounding boundary (the language-id libm lesson):
+    round_dp=3 carries >1000x measured headroom on the graded
+    testdata (pinned by test_decay_score_rounding_headroom), while
+    round_dp=6 is for same-libm comparisons only."""
     lam = math.log(2.0) / half_life_seconds
     schema = StructType(
         [
@@ -59,7 +72,7 @@ def decay_score(
             {
                 key_col: [int(pdf[key_col].iloc[0])],
                 "n_events": [len(pdf)],
-                "final_score": [round(score, 6)],
+                "final_score": [round(score, round_dp)],
             }
         )
 

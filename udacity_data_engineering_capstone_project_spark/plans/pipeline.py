@@ -7,7 +7,9 @@ places a BARRIER so downstream actions never replay upstream lineage
 (the quadratic-recompute trap documented in the example):
 
 - with ``checkpoint_dir``: each stage's output is written as parquet
-  to ``<dir>/<i>_<name>`` and read back — a DURABLE checkpoint. On a
+  to ``<dir>/p<fingerprint>/<i>_<name>`` and read back — a DURABLE
+  checkpoint (the fingerprint segment keys the tree to the stage list
+  + version, see `run_pipeline`). On a
   rerun, stages whose directory is committed (``_SUCCESS``) are
   SKIPPED entirely (their fn is never invoked) and the stored output
   feeds the next stage — the real 100 TB failure-recovery shape: a
@@ -57,6 +59,25 @@ def _committed(spark, path: str) -> bool:
     return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()).exists(p)
 
 
+def orphaned_checkpoint_trees(
+    spark, checkpoint_dir: str, keep_fingerprint: str
+) -> list[str]:
+    """Fingerprint trees (``p*/`` children of ``checkpoint_dir``) that
+    no longer match ``keep_fingerprint`` — the disk the current
+    pipeline version will never read again."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("p") and name != f"p{keep_fingerprint}":
+            out.append(str(st.getPath()))
+    return sorted(out)
+
+
 def run_pipeline(
     df: DataFrame,
     stages: Sequence[tuple[str, Callable[[DataFrame], DataFrame]]],
@@ -64,6 +85,7 @@ def run_pipeline(
     resume: bool = True,
     count_rows: bool = False,
     version: str | None = None,
+    prune_orphans: bool = False,
 ):
     """Run ``stages`` over ``df`` with a barrier between each — see the
     module docstring for the durability/resume contract.
@@ -75,6 +97,17 @@ def run_pipeline(
     hashed (closures make that unreliable); when stage code or the
     input snapshot changes, bump ``version`` — checkpoints land under
     ``<dir>/p<fingerprint>/`` so old trees are simply never matched.
+
+    The never-matched trees are also never DELETED by default: each
+    fingerprint change (stage rename, version bump) permanently
+    orphans the previous tree, so a long-lived ``checkpoint_dir``
+    grows by one full pipeline footprint per version — deliberate
+    (the old tree may belong to a still-running or rollback-able
+    deployment), but unbounded. Pass ``prune_orphans=True`` to delete
+    every sibling ``p*/`` tree that is not the current fingerprint
+    before running, or call `orphaned_checkpoint_trees` to list them
+    and decide; prune only when no other pipeline version shares the
+    directory.
 
     Returns ``(final_df, [StageResult, ...])``. ``final_df`` reads
     from the last barrier (stored parquet or local checkpoint blocks),
@@ -90,6 +123,12 @@ def run_pipeline(
         ("\x1f".join(names) + "\x00" + (version or "")).encode()
     ).hexdigest()[:12]
     spark = df.sparkSession
+    if prune_orphans and checkpoint_dir:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for tree in orphaned_checkpoint_trees(spark, checkpoint_dir, fp):
+            tp = jvm.org.apache.hadoop.fs.Path(tree)
+            tp.getFileSystem(hconf).delete(tp, True)
     cur = df
     results: list[StageResult] = []
     for i, ((name, fn), slug) in enumerate(zip(stages, names)):

@@ -20,6 +20,7 @@ rows-only check.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -611,7 +612,10 @@ def events_json_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Window-function breadth: rank / dense_rank / ntile / lag / lead "
     "over one spec + running-total cumulative frame and row_number "
     "over a second spec — both specs share the o_custkey partitioning "
-    "so one exchange serves every window.",
+    "so one exchange serves every window. Ceded its driver slot in r6 "
+    "(rotation; window shapes stay graded via scd2_history, "
+    "dup_spans_q islands, asof_last_click); hash-pinned locally.",
+    registered=False,
 )
 def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -811,7 +815,10 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Multi-path scan (union-by-position of homogeneous parts — S1, "
     "etl.py:56: monthly i94 parquet files) + full-row dedup over a "
     "projection (D1/D2, etl.py:111,229): the doubled input collapses "
-    "back to the distinct set.",
+    "back to the distinct set. Ceded its driver slot in r6 (rotation; "
+    "multi-path scan + distinct stay graded via dedup_exact and every "
+    "parquet-dir reader); hash-pinned locally.",
+    registered=False,
 )
 def multi_file_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.sources.readers import read_parquet
@@ -893,7 +900,11 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     "Left-semi / left-anti joins (EXISTS / NOT EXISTS shapes) and "
-    "INTERSECT / EXCEPT set algebra, summarized in one relation.",
+    "INTERSECT / EXCEPT set algebra, summarized in one relation. "
+    "Ceded its driver slot in r6 (rotation; semi/anti shapes stay "
+    "graded via contamination_check + streaming_dedup); hash-pinned "
+    "locally.",
+    registered=False,
 )
 def set_and_semi_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -1065,11 +1076,41 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for decay_score. The per-key recurrence
+# s_i = v_i + s_{i-1} * exp(-lam*dt) telescopes to the closed form
+# sum(v_i * exp(-lam*(t_max - t_i))) whose exponents are all <= 0 (no
+# overflow), so DuckDB replicates the FINAL score without replaying
+# the scan. The sequential scan and the closed form differ by
+# accumulated float error ~n_events*eps*|score| (~1e-10 here); the
+# graded projection rounds to 3 decimals, where the static testdata's
+# nearest rounding boundary is >6e-6 away (>25,000x headroom, pinned
+# by test_decay_score_rounding_headroom) — the same
+# keep-transcendentals-off-the-hash-boundary contract as
+# language_id_q. lambda is embedded as an exact double literal so both
+# engines exponentiate the identical constant.
+_DECAY_LAM = math.log(2.0) / 3600.0
+DECAY_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) / 1e6 AS tsec, value FROM events
+    ),
+    m AS (SELECT user_id, max(tsec) AS tmax FROM e GROUP BY 1)
+    SELECT e.user_id, count(*) AS n_events,
+           round(sum(value * exp(-{_DECAY_LAM!r} * (m.tmax - e.tsec))), 3)
+               AS final_score
+    FROM e JOIN m USING (user_id)
+    GROUP BY e.user_id
+"""
+
+
 @_register(
     "decay_scores",
-    None,  # sequential per-key recurrence — not SQL-expressible at scale
+    DECAY_ORACLE,
     "Custom stateful operator (applyInPandas): per-user exponential "
-    "time-decay activity score replayed over the event history.",
+    "time-decay activity score replayed over the event history. The "
+    "DuckDB oracle evaluates the telescoped closed form "
+    "sum(v*exp(-lam*(t_max-t))) — graded at 3 decimals so accumulated "
+    "float error (~1e-10) cannot reach a rounding boundary.",
+    # r6: no_oracle -> hash-checked via the closed form.
 )
 def decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.stateful import decay_score
@@ -1080,6 +1121,7 @@ def decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         value_col="value",
         half_life_seconds=3600.0,
+        round_dp=3,
     )
 
 
@@ -1300,7 +1342,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_dot_product(a.v, b.v) /
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
     """,
-    "Embedding near-dup: exact cosine within a blocking key (label).",
+    "Embedding near-dup: exact cosine within a blocking key (label). "
+    "Ceded its driver slot in r6 (rotation; the strategy pair stays "
+    "graded via dedup_embedding_lsh + ann_topk); hash-pinned "
+    "locally.",
+    registered=False,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_near_dup_pairs(
@@ -2425,8 +2471,7 @@ TOKEN_BUDGET_ORACLE = """
     "Weighted per-source budget cap (operators/sampling.py:"
     "cap_tokens_per_group): hash-ordered documents kept while their "
     "cumulative size starts under 2000 chars per source — the "
-    "token-budget mixing step. Unregistered; hash-pinned locally.",
-    registered=False,
+    "token-budget mixing step. Promoted to a driver slot in r6 (rotation).",
 )
 def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.sampling import (
@@ -2477,8 +2522,7 @@ CORPUS_DIFF_ORACLE = """
     "Corpus-version content diff (operators/dedup.py:corpus_diff): "
     "added/removed/changed/unchanged per id from fingerprint "
     "comparison — one id-shuffle full-outer join, content-size-"
-    "independent. Unregistered; hash-pinned.",
-    registered=False,
+    "independent. Promoted to a driver slot in r6 (rotation).",
 )
 def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.dedup import corpus_diff
@@ -2692,8 +2736,7 @@ CLUSTERING_COEFF_ORACLE = """
     CLUSTERING_COEFF_ORACLE,
     "Local clustering coefficient (operators/graph.py:"
     "clustering_coefficient) over the supplier co-occurrence graph — "
-    "the link-farm density signal. Unregistered; hash-pinned.",
-    registered=False,
+    "the link-farm density signal. Promoted to a driver slot in r6 (rotation).",
 )
 def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.graph import (
@@ -2740,8 +2783,7 @@ QUANTILE_SKETCH_ORACLE = """
     " over document lengths per language: geometric buckets with 1%%"
     " relative error, exact integer counts, mergeable forever."
     " Unregistered; hash-pinned against DuckDB's independent ln/ceil"
-    " bucketing.",
-    registered=False,
+    " bucketing. Promoted to a driver slot in r6 (rotation).",
 )
 def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.sketches import (
@@ -2904,6 +2946,20 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.sketches import heavy_hitters
 
     return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", min_frac=0.006)
+
+
+def heavy_hitters_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only variant (not registered, not graded): at sf0.1 the
+    events table has ~10x the users of sf0.01 with the same flat
+    distribution, so the graded 0.6%% threshold returns 0 rows and the
+    bench measured only the scans, never the candidate->verify join
+    (r5 finding). 0.05%% sits just below the flat per-user share, so
+    the freqItems candidate pass, the exact recount, and the verify
+    join all do real work at sf0.1. Semantics stay pinned by the
+    graded heavy_hitters_q at sf0.01."""
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", min_frac=0.0005)
 
 
 # Oracle twin for gopher_quality — UNREGISTERED; DuckDB reproduces the
