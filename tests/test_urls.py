@@ -177,3 +177,64 @@ def test_canonicalize_hostile_inputs_total_and_idempotent(spark):
     # non-URL shapes pass through trimmed
     assert by_in["not a url at all"] == "not a url at all"
     assert by_in["mailto:someone@example.com"] == "mailto:someone@example.com"
+
+
+def test_registered_domain_psl_swap_seam(spark, tmp_path):
+    """The multi_suffixes parameter swaps the built-in shortlist for a
+    real Public Suffix List: 3-label suffixes take one more label,
+    exact-suffix hosts pass through, wildcard/exception PSL rules are
+    skipped honestly by the loader."""
+    from udacity_data_engineering_capstone_project_spark.functions.urls import (
+        load_public_suffixes,
+        registered_domain,
+    )
+
+    psl = tmp_path / "psl.dat"
+    psl.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "co.uk\n"
+        "pvt.k12.ma.us\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "\n"
+        "// comment\n"
+        "blogspot.com\n"
+    )
+    suf = load_public_suffixes(str(psl))
+    assert suf == ("co.uk", "pvt.k12.ma.us", "blogspot.com")
+
+    df = spark.createDataFrame(
+        [
+            ("news.bbc.co.uk",),
+            ("school.pvt.k12.ma.us",),       # 3-label suffix -> 4 labels
+            ("deep.school.pvt.k12.ma.us",),  # still 4 labels
+            ("pvt.k12.ma.us",),              # the suffix itself: pass through
+            ("myblog.blogspot.com",),        # private-section suffix
+            ("a.b.example.com",),
+            ("10.1.2.3",),
+        ],
+        "host string",
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            registered_domain("host", multi_suffixes=suf).alias("d")
+        ).collect()
+    ]
+    assert got == [
+        "bbc.co.uk",
+        "school.pvt.k12.ma.us",
+        "school.pvt.k12.ma.us",
+        "pvt.k12.ma.us",
+        "myblog.blogspot.com",
+        "example.com",
+        "10.1.2.3",
+    ]
+
+    # default shortlist path unchanged
+    base = [
+        r["d"]
+        for r in df.select(registered_domain("host").alias("d")).collect()
+    ]
+    assert base[0] == "bbc.co.uk" and base[-2] == "example.com"

@@ -131,25 +131,73 @@ def canonicalize_url(
     return F.when(scheme != "", rebuilt).otherwise(c)
 
 
-def registered_domain(host: Column | str) -> Column:
-    """The registrable domain of a host: last two labels, or last
-    THREE when the last two are a known multi-label public suffix
-    (news.bbc.co.uk -> bbc.co.uk, a.b.example.com -> example.com).
-    Hosts with fewer labels (and IPv4 literals) pass through
-    unchanged. PSL approximation — see module docstring."""
+def load_public_suffixes(path: str) -> tuple[str, ...]:
+    """Parse a Public Suffix List file (publicsuffix.org
+    ``public_suffix_list.dat`` format) into the multi-label suffix
+    tuple `registered_domain` consumes — the production swap for the
+    built-in ``_MULTI_SUFFIXES`` shortlist.
+
+    Keeps every plain rule with >= 2 labels (single-label TLDs are
+    already the default behavior). HONEST BOUNDARY: wildcard rules
+    (``*.ck``) and exception rules (``!www.ck``) — a few dozen of the
+    ~9,000 entries — are skipped with the same approximation the
+    shortlist makes; model them behind this seam if those zones
+    matter. Input must be pre-punycoded (the on-disk PSL ships both;
+    IDN labels in their unicode form will simply never match a
+    punycoded host)."""
+    out = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith(("*", "!")):
+                continue  # wildcard/exception rules: out of scope
+            if "." in line:
+                out.append(line.lower())
+    return tuple(out)
+
+
+def registered_domain(
+    host: Column | str,
+    multi_suffixes: tuple[str, ...] | None = None,
+) -> Column:
+    """The registrable domain of a host: one label more than the
+    longest matching public suffix (news.bbc.co.uk -> bbc.co.uk,
+    a.b.example.com -> example.com). Hosts with fewer labels (and
+    IPv4 literals) pass through unchanged.
+
+    ``multi_suffixes`` is the swap seam: the default is the built-in
+    shortlist of common 2-label suffixes (PSL approximation — see
+    module docstring); pass `load_public_suffixes(<psl file>)` for the
+    full list. Suffixes of ANY label depth are honored, longest match
+    first (per PSL semantics); a host that IS a listed suffix passes
+    through unchanged. Each suffix set compiles to a literal isin()
+    list keyed on the host's trailing labels — pure codegen,
+    broadcast-free, no UDF."""
     h = F.lower(F.col(host) if isinstance(host, str) else host)
+    suffixes = _MULTI_SUFFIXES if multi_suffixes is None else multi_suffixes
+    by_len: dict[int, list[str]] = {}
+    for s in suffixes:
+        by_len.setdefault(s.count(".") + 1, []).append(s)
     parts = F.split(h, r"\.")
     n = F.size(parts)
     is_ip = h.rlike(r"^\d+\.\d+\.\d+\.\d+$")
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
-    )
-    return (
-        F.when(is_ip | (n <= 2), h)
-        .when(last2.isin(*_MULTI_SUFFIXES) & (n >= 3), last3)
-        .otherwise(last2)
-    )
+
+    def last_k(k: int) -> Column:
+        # try_element_at: NULL (not an ANSI error) beyond the array,
+        # and concat_ws skips NULLs — a host shorter than k labels
+        # yields its full join, which can never equal a k-label suffix
+        # (dot counts differ), so the isin below stays correct.
+        return F.concat_ws(
+            ".", *[F.try_element_at(parts, F.lit(-i)) for i in range(k, 0, -1)]
+        )
+
+    out = F.when(is_ip | (n <= 2), h)
+    for k in sorted(by_len, reverse=True):  # longest suffix wins
+        hit = last_k(k).isin(*by_len[k])
+        out = out.when(hit & (n >= k + 1), last_k(k + 1)).when(hit, h)
+    return out.otherwise(last_k(2))
 
 
 def domain_counts(df: DataFrame, url_col: str) -> DataFrame:
