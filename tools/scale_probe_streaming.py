@@ -201,7 +201,9 @@ def main() -> None:
         print(f"# sessionize: {entry}", file=sys.stderr)
 
     if not only or "index_dedup" in only.split(","):
-        from tools.replicate import doc_copies
+        import random
+        import string
+
         from udacity_data_engineering_capstone_project_spark.operators.dedup import (
             stream_dedup_against_index,
             write_dedup_index,
@@ -212,16 +214,25 @@ def main() -> None:
         )
         entry = {}
         # index tiers: 1 batch, then `max(copies)` batches of the base
-        # size — per-batch wall growth shows the cost of screening
-        # against an ever-larger persisted index.
+        # size, each under its OWN letter-permutation bijection (same
+        # replication model as scale_probe_dedup — a batch of all-dups
+        # would admit nothing and measure screening only), so the
+        # persisted index grows ~base-corpus rows per batch and the
+        # per-batch wall shows the screening cost against it.
+        lower = string.ascii_lowercase
         n_batches = min(max(copies_list), 10)
         for label, batches in (("x1", 1), (f"x{n_batches}", n_batches)):
             landing = f"{work}/landing_{label}"
             os.makedirs(landing)
             for i in range(batches):
-                doc_copies(docs1, 1).select(
+                perm = list(lower)
+                random.Random(i).shuffle(perm)
+                perm = "".join(perm)
+                docs1.select(
                     (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                    "text",
+                    F.translate(
+                        F.col("text"), lower + lower.upper(), perm + perm.upper()
+                    ).alias("text"),
                 ).coalesce(1).write.mode("append").parquet(landing)
                 time.sleep(0.05)
             idx = f"{work}/idx_{label}"

@@ -340,3 +340,331 @@ def video_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_extract, schema)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO Base Media File Format (ISO/IEC 14496-12) container tier.
+#
+# Same honesty contract as the AVI tier: the CONTAINER parse (box walk,
+# track metadata, the stsc/stsz/stco sample-to-offset table that makes
+# seek-based sampling possible) is real and tested; the compressed
+# bitstream decode (H.264/H.265/VP9 entropy decoding) is the documented
+# boundary — `sample_mp4_frames` raises NotImplementedError at the
+# decode step, and a production deployment plugs ffmpeg/pyav into the
+# identical mapInPandas plumbing.
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + fourcc + payload
+
+
+def _full_box(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+_MP4_IDENTITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4(
+    width: int,
+    height: int,
+    sample_sizes: list[int],
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    codec: bytes = b"avc1",
+    brand: bytes = b"isom",
+) -> bytes:
+    """Synthesize a minimal valid single-video-track MP4 (ISO BMFF):
+    ftyp + mdat + moov with a complete stbl (stsd/stts/stsc/stsz/stco),
+    one chunk holding all samples. The mdat payload is deterministic
+    OPAQUE bytes, not a decodable H.264 stream — this generator exists
+    so the container parser and the sample-table walk have a real file
+    shape to test against, exactly like `encode_avi` for RIFF.
+    """
+    n = len(sample_sizes)
+    duration = n * sample_delta
+    mdat_payload = b"".join(
+        bytes((i + j) & 0xFF for j in range(sz))
+        for i, sz in enumerate(sample_sizes)
+    )
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0x200) + b"isomiso2avc1mp41")
+    mdat = _box(b"mdat", mdat_payload)
+    chunk_offset = len(ftyp) + len(mdat) - len(mdat_payload)
+
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate, volume
+        + b"\x00" * 10
+        + _MP4_IDENTITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _full_box(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0)  # ctime mtime track_id reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)  # layer group volume reserved
+        + _MP4_IDENTITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0,
+        b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    # VisualSampleEntry: the parser needs fourcc + width/height; the
+    # avcC decoder config carries zero SPS/PPS (no bitstream here).
+    avcc = _box(b"avcC", bytes([1, 0x64, 0x00, 0x1F, 0xFF, 0xE0, 0x00]))
+    entry = _box(
+        codec,
+        b"\x00" * 6 + struct.pack(">H", 1)          # data_ref_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                       # frame_count
+        + b"\x00" * 32                               # compressorname
+        + struct.pack(">Hh", 24, -1)                 # depth, predefined
+        + avcc,
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full_box(
+        b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta)
+    )
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sample_sizes),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full_box(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
+    )
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for the box sequence
+    in b[start:end]; handles 64-bit largesize and size-0 (to end)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        fourcc = b[i + 4 : i + 8]
+        if size == 1:
+            if i + 16 > end:
+                break
+            (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            payload = i + 16
+        elif size == 0:
+            size = end - i
+            payload = i + 8
+        else:
+            payload = i + 8
+        if size < 8 or i + size > end:
+            break
+        yield fourcc, payload, i + size
+        i += size
+
+
+def _mp4_find(b: bytes, path: list[bytes], start: int, end: int):
+    """(payload_start, payload_end) of the first box at `path` (a
+    fourcc chain descended through container boxes), or None."""
+    for fourcc, ps, pe in _mp4_boxes(b, start, end):
+        if fourcc == path[0]:
+            if len(path) == 1:
+                return ps, pe
+            return _mp4_find(b, path[1:], ps, pe)
+    return None
+
+
+def parse_mp4_meta(b: bytes) -> dict:
+    """Container-level metadata of an ISO BMFF payload: brand, movie
+    timescale/duration, and the FIRST video track's codec fourcc,
+    pixel dimensions, and sample count. Raises ValueError for
+    non-MP4 payloads (the AVI twin is `parse_avi_meta`)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload")
+    brand = b[8:12].decode("latin-1")
+    moov = _mp4_find(b, [b"moov"], 0, len(b))
+    if moov is None:
+        raise ValueError("missing moov box")
+    ms, me = moov
+    mvhd = _mp4_find(b, [b"mvhd"], ms, me)
+    if mvhd is None:
+        raise ValueError("missing mvhd box")
+    version = b[mvhd[0]]
+    if version == 1:
+        timescale, duration = struct.unpack(
+            ">IQ", b[mvhd[0] + 20 : mvhd[0] + 32]
+        )
+    else:
+        timescale, duration = struct.unpack(
+            ">II", b[mvhd[0] + 12 : mvhd[0] + 20]
+        )
+    for fourcc, ts, te in _mp4_boxes(b, ms, me):
+        if fourcc != b"trak":
+            continue
+        hdlr = _mp4_find(b, [b"mdia", b"hdlr"], ts, te)
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        tkhd = _mp4_find(b, [b"tkhd"], ts, te)
+        stsd = _mp4_find(b, [b"mdia", b"minf", b"stbl", b"stsd"], ts, te)
+        stsz = _mp4_find(b, [b"mdia", b"minf", b"stbl", b"stsz"], ts, te)
+        if tkhd is None or stsd is None:
+            continue
+        w16, h16 = struct.unpack(">II", b[tkhd[1] - 8 : tkhd[1]])
+        first_entry = next(_mp4_boxes(b, stsd[0] + 8, stsd[1]), None)
+        codec = first_entry[0].decode("latin-1") if first_entry else None
+        n_samples = None
+        if stsz is not None:
+            _, n_samples = struct.unpack(">II", b[stsz[0] + 4 : stsz[0] + 12])
+        return {
+            "brand": brand,
+            "timescale": timescale,
+            "duration": duration,
+            "codec": codec,
+            "width": w16 >> 16,
+            "height": h16 >> 16,
+            "n_samples": n_samples,
+        }
+    raise ValueError("no video track")
+
+
+def mp4_sample_table(b: bytes) -> list[tuple[int, int]]:
+    """(offset, size) of every sample of the first video track — the
+    stsc/stsz/stco walk that makes seek-based frame sampling possible
+    without touching non-selected bytes. This IS the production seek
+    plumbing; only the codec decode downstream is stubbed."""
+    moov = _mp4_find(b, [b"moov"], 0, len(b))
+    if moov is None:
+        raise ValueError("missing moov box")
+    for fourcc, ts, te in _mp4_boxes(b, *moov):
+        if fourcc != b"trak":
+            continue
+        hdlr = _mp4_find(b, [b"mdia", b"hdlr"], ts, te)
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        stbl_path = [b"mdia", b"minf", b"stbl"]
+        stsz = _mp4_find(b, stbl_path + [b"stsz"], ts, te)
+        stsc = _mp4_find(b, stbl_path + [b"stsc"], ts, te)
+        stco = _mp4_find(b, stbl_path + [b"stco"], ts, te)
+        co64 = _mp4_find(b, stbl_path + [b"co64"], ts, te)
+        if stsz is None or stsc is None or (stco is None and co64 is None):
+            raise ValueError("incomplete sample table")
+        fixed, n = struct.unpack(">II", b[stsz[0] + 4 : stsz[0] + 12])
+        sizes = (
+            [fixed] * n
+            if fixed
+            else list(
+                struct.unpack(f">{n}I", b[stsz[0] + 12 : stsz[0] + 12 + 4 * n])
+            )
+        )
+        if stco is not None:
+            (nc,) = struct.unpack(">I", b[stco[0] + 4 : stco[0] + 8])
+            offs = struct.unpack(f">{nc}I", b[stco[0] + 8 : stco[0] + 8 + 4 * nc])
+        else:
+            (nc,) = struct.unpack(">I", b[co64[0] + 4 : co64[0] + 8])
+            offs = struct.unpack(f">{nc}Q", b[co64[0] + 8 : co64[0] + 8 + 8 * nc])
+        (ne,) = struct.unpack(">I", b[stsc[0] + 4 : stsc[0] + 8])
+        entries = [
+            struct.unpack(">III", b[stsc[0] + 8 + 12 * i : stsc[0] + 20 + 12 * i])
+            for i in range(ne)
+        ]
+        # expand stsc runs: entry i covers chunks [first_i, first_{i+1})
+        per_chunk = []
+        for i, (first, spc, _desc) in enumerate(entries):
+            last = entries[i + 1][0] if i + 1 < ne else nc + 1
+            per_chunk.extend([spc] * (last - first))
+        out = []
+        si = 0
+        for ci, off in enumerate(offs):
+            pos = off
+            for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                if si >= n:
+                    break
+                out.append((pos, sizes[si]))
+                pos += sizes[si]
+                si += 1
+        return out
+    raise ValueError("no video track")
+
+
+def decode_mp4_meta(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Container-level MP4 decode via Arrow-batched mapInPandas:
+    (id, width, height, codec, brand, fps, n_samples, duration_ms).
+    Unrecognized payloads yield nulls. Header-only — no sample bytes
+    are touched (the MP4 twin of `decode_video_meta`'s AVI path)."""
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("codec", StringType()),
+            StructField("brand", StringType()),
+            StructField("fps", DoubleType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_ms", LongType()),
+        ]
+    )
+    cols = [
+        id_col, "width", "height", "codec", "brand", "fps", "n_samples",
+        "duration_ms",
+    ]
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = parse_mp4_meta(bytes(payload))
+                    dur_s = m["duration"] / m["timescale"] if m["timescale"] else None
+                    fps = (
+                        round(m["n_samples"] / dur_s, 6)
+                        if dur_s and m["n_samples"] is not None
+                        else None
+                    )
+                    rows.append(
+                        (int(rid), m["width"], m["height"], m["codec"],
+                         m["brand"], fps, m["n_samples"],
+                         int(dur_s * 1000) if dur_s is not None else None)
+                    )
+                except (ValueError, struct.error):
+                    rows.append((int(rid),) + (None,) * 7)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, schema)
+
+
+def sample_mp4_frames(*_args, **_kwargs):
+    """HONEST BOUNDARY: frame sampling from MP4 requires decoding the
+    compressed bitstream (H.264/H.265/VP9 entropy decode + inter-frame
+    reconstruction), which this engine does not reimplement. The
+    container-side plumbing is real and tested — `mp4_sample_table`
+    yields every (offset, size) a decoder would seek to, and
+    `sample_video_frames` shows the identical mapInPandas stage shape
+    on the uncompressed AVI tier. Plug ffmpeg/pyav here when the
+    deployment image carries it."""
+    raise NotImplementedError(
+        "MP4 frame sampling needs a compressed-bitstream codec "
+        "(H.264/H.265/VP9); use mp4_sample_table for the seek table "
+        "and plug ffmpeg/pyav into the sample_video_frames stage shape"
+    )
