@@ -197,3 +197,71 @@ def test_video_frames_to_image_dedup_pipeline(spark):
     )
     hashed = image_dhash(keyed, "fid")
     assert hashed.filter(F.col("dhash").isNull()).count() == 0
+
+
+def test_mp4_container_roundtrip(spark):
+    """encode_mp4 -> parse_mp4_meta/mp4_sample_table roundtrip: brand,
+    codec fourcc, 16.16 tkhd dimensions, mvhd timescale/duration,
+    stsz count, and the exact (offset, size) of every sample — the
+    seek table a codec plugin would consume."""
+    from udacity_data_engineering_capstone_project_spark.operators.video import (
+        encode_mp4,
+        mp4_sample_table,
+        parse_mp4_meta,
+    )
+
+    sizes = [100, 250, 75, 300]
+    b = encode_mp4(320, 240, sizes, timescale=600, sample_delta=20)
+    m = parse_mp4_meta(b)
+    assert m["brand"] == "isom" and m["codec"] == "avc1"
+    assert (m["width"], m["height"]) == (320, 240)
+    assert m["timescale"] == 600 and m["duration"] == 4 * 20
+    assert m["n_samples"] == 4
+
+    table = mp4_sample_table(b)
+    assert [s for _, s in table] == sizes
+    # offsets are consecutive within the single chunk and inside mdat
+    for (o1, s1), (o2, _) in zip(table, table[1:]):
+        assert o2 == o1 + s1
+    # first sample's first byte matches the deterministic generator
+    assert b[table[0][0]] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an ISO BMFF"):
+        parse_mp4_meta(b"RIFF0000AVI ")
+    with _pytest.raises(ValueError, match="moov"):
+        parse_mp4_meta(b[: len(b) // 4])  # ftyp+partial mdat only
+
+
+def test_decode_mp4_meta_stage(spark):
+    """decode_mp4_meta: Arrow-batched container decode over a binary
+    column; corrupt payloads yield null rows, never task failures; the
+    H.264 frame decode is the documented NotImplementedError
+    boundary."""
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.video import (
+        decode_mp4_meta,
+        encode_mp4,
+        sample_mp4_frames,
+    )
+
+    rows = [
+        (1, encode_mp4(64, 48, [10] * 25, timescale=1000, sample_delta=40)),
+        (2, encode_mp4(128, 96, [7, 7], timescale=100, sample_delta=50,
+                       codec=b"hvc1", brand=b"mp42")),
+        (3, b"not a video at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    got = {r["id"]: r for r in decode_mp4_meta(df, "id").collect()}
+    assert (got[1]["width"], got[1]["height"]) == (64, 48)
+    assert got[1]["codec"] == "avc1" and got[1]["brand"] == "isom"
+    assert got[1]["fps"] == 25.0 and got[1]["duration_ms"] == 1000
+    assert got[2]["codec"] == "hvc1" and got[2]["brand"] == "mp42"
+    assert got[2]["n_samples"] == 2 and got[2]["duration_ms"] == 1000
+    assert got[3]["width"] is None and got[4]["codec"] is None
+
+    with _pytest.raises(NotImplementedError, match="codec"):
+        sample_mp4_frames(df, "id")

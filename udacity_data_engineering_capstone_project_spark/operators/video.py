@@ -212,7 +212,8 @@ def decode_video_meta(
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    w, h, usec, n = parse_avi_meta(bytes(payload))
+                    # payload may be NULL — bytes(None) is TypeError
+                    w, h, usec, n = parse_avi_meta(bytes(payload or b""))
                     fps = round(1_000_000 / usec, 6) if usec else None
                     rows.append((int(rid), w, h, fps, n, n * usec // 1000))
                 except ValueError:
@@ -257,7 +258,7 @@ def sample_video_frames(
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(payload)
+                b = bytes(payload or b"")  # NULL payload -> unparseable
                 # the frame decode sits under the same per-row guard as
                 # the header parse: a truncated movi chunk must skip the
                 # row (docstring contract), not kill the Spark task
@@ -312,7 +313,7 @@ def video_features(
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(payload)
+                b = bytes(payload or b"")  # NULL payload -> unparseable
                 # same per-row guard as sample_video_frames: corrupt
                 # headers OR truncated frame chunks yield a null row
                 try:
@@ -635,7 +636,8 @@ def decode_mp4_meta(
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    m = parse_mp4_meta(bytes(payload))
+                    # payload may be NULL — bytes(None) is TypeError
+                    m = parse_mp4_meta(bytes(payload or b""))
                     dur_s = m["duration"] / m["timescale"] if m["timescale"] else None
                     fps = (
                         round(m["n_samples"] / dur_s, 6)
