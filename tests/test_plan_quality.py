@@ -10,7 +10,10 @@ from udacity_data_engineering_capstone_project_spark.plans.queries import REGIST
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    return REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # plan pins survive slot rotation: a query demoted to the
+    # UNREGISTERED gate keeps its physical-plan contract
+    spec = REGISTRY.get(name) or UNREGISTERED[name]
+    return spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
 
 def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
