@@ -270,9 +270,26 @@ def heavy_hitters(
     )
     if not cands:
         return empty
-    key = F.when(F.col(col).isin(cands), F.col(col))
+    if len(cands) <= 64:
+        keyed = df.select(
+            F.when(F.col(col).isin(cands), F.col(col)).alias("value")
+        )
+    else:
+        # Large candidate lists must NOT become isin literals: each
+        # literal is a py4j round trip, and building the expression for
+        # ~1,500 candidates measured 0.7-1.3 s of pure DRIVER time per
+        # invocation — more than the whole distributed recount. Ship
+        # the list as one Arrow batch and broadcast-hash-join instead:
+        # same candidate-or-null key (NULL col never equi-matches, a
+        # non-candidate joins nothing), O(1) expression construction.
+        cdf = df.sparkSession.createDataFrame(
+            [(c,) for c in cands], f"__cand {schema_t}"
+        )
+        keyed = df.join(
+            F.broadcast(cdf), on=F.col(col) == F.col("__cand"), how="left"
+        ).select(F.col("__cand").alias("value"))
     counts = (
-        df.groupBy(key.alias("value"))
+        keyed.groupBy("value")
         .agg(F.count(F.lit(1)).alias("count"))
         .localCheckpoint(eager=True)  # <= 1/min_frac + 1 rows
     )
