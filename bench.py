@@ -62,9 +62,18 @@ BENCH_QUERIES = [
     "heavy_hitters_bench",
     # round 4 session 4: crawl-hygiene URL canonicalization (one
     # codegen projection over synthetic URLs) and DDSketch quantile
-    # partials (one aggregation) — both UNREGISTERED parity queries
+    # partials (one aggregation)
     "url_canon_q",
     "quantile_sketch_q",
+    # round 6: the queries promoted into driver slots this round join
+    # the bench — per-source token budget (window + running sum),
+    # corpus-version diff (full-outer id join), clustering coefficient
+    # (wedge join over the supplier co-occurrence graph), and the
+    # closed-form-oracled decay recurrence (applyInPandas scan)
+    "token_budget_q",
+    "corpus_diff_q",
+    "clustering_coeff_q",
+    "decay_scores",
 ]
 
 

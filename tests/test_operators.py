@@ -519,6 +519,24 @@ def test_decay_score_recurrence_on_constructed_events(spark):
     assert out[7][0] == 3 and abs(out[7][1] - s) < 1e-9
     assert out[8] == (1, 5.0)
 
+    # the applyInPandas sequential scan (the no-closed-form general
+    # path) must agree with the default algebraic rewrite
+    scan = {
+        r["user_id"]: (r["n_events"], r["final_score"])
+        for r in decay_score(
+            df, "user_id", "ts", "value", 3600.0, method="scan"
+        ).collect()
+    }
+    assert set(scan) == set(out)
+    for k in out:
+        assert scan[k][0] == out[k][0]
+        assert abs(scan[k][1] - out[k][1]) < 1e-9, (k, scan[k], out[k])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        decay_score(df, "user_id", "ts", "value", 3600.0, method="nope")
+
 
 @pytest.mark.parametrize(
     "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]

