@@ -179,3 +179,43 @@ def test_jpeg_decoder_total_on_garbage(header, tail):
         assert arr.shape == (h, w, ch)
     except (ValueError, _struct.error, IndexError):
         pass
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_mp4_parsers_total_on_garbage(data):
+    """The ISO BMFF box walk must be total on arbitrary bytes —
+    terminate (no size-0/negative-size loops) and raise only
+    ValueError/struct.error, never hang or index-error."""
+    import struct
+
+    from udacity_data_engineering_capstone_project_spark.operators.video import (
+        mp4_sample_table,
+        parse_mp4_meta,
+    )
+
+    for fn in (parse_mp4_meta, mp4_sample_table):
+        try:
+            fn(data)
+        except (ValueError, struct.error):
+            pass
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_mp4_parsers_total_on_ftyp_prefixed_garbage(data):
+    """Same totality with a valid-looking ftyp header splice — the
+    adversarial shape: magic passes, every box after it is hostile."""
+    import struct
+
+    from udacity_data_engineering_capstone_project_spark.operators.video import (
+        mp4_sample_table,
+        parse_mp4_meta,
+    )
+
+    spliced = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00" + data
+    for fn in (parse_mp4_meta, mp4_sample_table):
+        try:
+            fn(spliced)
+        except (ValueError, struct.error):
+            pass
