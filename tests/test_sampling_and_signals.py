@@ -1022,3 +1022,56 @@ def test_language_id_exact_scores_vs_duckdb(spark, sf_dir):
     compare_frames(
         out.toPandas(), run_oracle(score_oracle, sf_dir), "language_id_scores"
     )
+
+
+def test_cap_tokens_distributed_prefix_equals_single_window(spark):
+    """The default hash-order path decomposes the per-group running
+    sum into 256 contiguous md5-prefix ranges (offsets + within-range
+    windows) — an EXACT distributed prefix sum. Pin equality against
+    the naive single-window formulation, and pin that the big window
+    really partitions by (group, bucket), not group alone (the one-
+    task-per-50TB-source wall the decomposition exists to remove)."""
+    from pyspark.sql import Window
+
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        cap_tokens_per_group,
+        hash_bucket,
+    )
+
+    rows = [
+        (i, f"src{i % 3}", (i * 37) % 500 + 1) for i in range(400)
+    ] + [(1000, "src0", None), (1001, None, 50)]  # null weight + null group
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n bigint")
+
+    got = cap_tokens_per_group(df, ["source"], "n", 900, key_col="doc_id")
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(hash_bucket("doc_id", 8), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        df.withColumn(
+            "__s", F.sum(F.coalesce(F.col("n"), F.lit(0))).over(w)
+            - F.coalesce(F.col("n"), F.lit(0))
+        )
+        .filter(F.col("__s") < 900)
+        .drop("__s")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    # schema untouched by the internal columns
+    assert got.columns == df.columns
+
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    # every full-input running-sum window must carry the bucket in its
+    # partition spec; the offsets window (over the tiny totals frame)
+    # is the only group-only window allowed
+    big_windows = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition(source" in ln and "__b" not in ln
+    ]
+    assert not big_windows, big_windows

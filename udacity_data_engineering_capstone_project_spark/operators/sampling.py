@@ -283,25 +283,63 @@ def cap_tokens_per_group(
     Pass ``order_cols`` (with a total-order tiebreaker) to spend the
     budget by quality score instead.
 
-    One shuffle on the group key (the running sum needs the group
-    co-located, same cost class as `cap_per_group`); nothing else
-    moves. NULL weights count as 0.
+    Scale shape (default hash order): a naive per-group running sum is
+    ONE window task per group — a 50 TB source would sort on a single
+    executor. Because the hash order's leading component is an md5
+    prefix, its first two hex chars split every group into 256
+    CONTIGUOUS sort ranges, so the running sum decomposes exactly:
+    per-(group, range) totals (one partial-aggregated pass, tiny
+    result) cumulate into range offsets, and the within-range window
+    runs 256-way parallel per group. Identical kept set, identical
+    order — a distributed prefix sum, not an approximation. With
+    caller-supplied ``order_cols`` no such split is inferable and the
+    single per-group window applies (bucket your own leading column
+    the same way if the groups are huge). NULL weights count as 0.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
-    if order_cols is None:
-        if key_col is None:
-            raise ValueError("pass key_col (for hash order) or order_cols")
-        order_cols = [hash_bucket(key_col, 8), F.col(key_col)]
-    w = (
-        Window.partitionBy(*[F.col(c) for c in group_cols])
-        .orderBy(*order_cols)
+    wgt = F.coalesce(F.col(weight_col), F.lit(0))
+    gcols = [F.col(c) for c in group_cols]
+    if order_cols is not None:
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        started_at = F.sum(wgt).over(w) - wgt
+        return (
+            df.withColumn("__spent", started_at)
+            .filter(F.col("__spent") < budget)
+            .drop("__spent")
+        )
+    if key_col is None:
+        raise ValueError("pass key_col (for hash order) or order_cols")
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+    with_b = df.withColumn("__b", bucket)
+    totals = with_b.groupBy(*gcols, F.col("__b")).agg(F.sum(wgt).alias("__bt"))
+    woff = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("__b").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    spent = F.sum(F.coalesce(F.col(weight_col), F.lit(0))).over(w)
-    started_at = spent - F.coalesce(F.col(weight_col), F.lit(0))
+    offsets = totals.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col("__b").alias("__b2"),
+        (F.sum("__bt").over(woff) - F.col("__bt")).alias("__off"),
+    )
+    cond = [
+        F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in group_cols
+    ] + [F.col("__b").eqNullSafe(F.col("__b2"))]
+    win = (
+        Window.partitionBy(*gcols, F.col("__b"))
+        .orderBy(hash_bucket(key_col, 8), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    started_at = F.col("__off") + F.sum(wgt).over(win) - wgt
     return (
-        df.withColumn("__spent", started_at)
+        with_b.join(offsets, on=cond, how="left")
+        .withColumn("__spent", started_at)
         .filter(F.col("__spent") < budget)
-        .drop("__spent")
+        .drop("__spent", "__b", "__b2", "__off",
+              *[f"__g_{c}" for c in group_cols])
     )
