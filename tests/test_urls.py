@@ -238,3 +238,40 @@ def test_registered_domain_psl_swap_seam(spark, tmp_path):
         for r in df.select(registered_domain("host").alias("d")).collect()
     ]
     assert base[0] == "bbc.co.uk" and base[-2] == "example.com"
+
+
+def test_with_registered_domain_broadcast_path_matches_expression(spark):
+    """with_registered_domain (the full-PSL broadcast-join scale path,
+    forced by a >64-entry list) must agree with the isin-expression
+    form on every host shape, preserve row count and columns, and keep
+    no helper columns."""
+    from udacity_data_engineering_capstone_project_spark.functions.urls import (
+        registered_domain,
+        with_registered_domain,
+    )
+
+    # >64 suffixes forces the join path; include 3- and 4-label rules
+    suf = tuple(f"co.x{i}" for i in range(70)) + (
+        "co.uk", "pvt.k12.ma.us", "blogspot.com",
+    )
+    rows = [
+        ("news.bbc.co.uk",), ("a.b.example.com",), ("school.pvt.k12.ma.us",),
+        ("pvt.k12.ma.us",), ("myblog.blogspot.com",), ("10.1.2.3",),
+        ("localhost",), ("x.co.x7",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    joined = with_registered_domain(df, "host", "domain", suf)
+    assert joined.columns == ["host", "domain"]
+    assert joined.count() == len(rows)
+    expr = df.select(
+        "host", registered_domain("host", suf).alias("domain")
+    )
+    key = lambda t: tuple("" if v is None else v for v in t)  # noqa: E731
+    assert sorted(map(tuple, joined.collect()), key=key) == sorted(
+        map(tuple, expr.collect()), key=key
+    )
+
+    # small lists delegate to the pure-expression form (no join)
+    small = with_registered_domain(df, "host", "domain", ("co.uk",))
+    plan = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan

@@ -265,3 +265,58 @@ def test_decode_mp4_meta_stage(spark):
 
     with _pytest.raises(NotImplementedError, match="codec"):
         sample_mp4_frames(df, "id")
+
+
+def test_mp4_parser_hostile_nested_shapes(spark):
+    """Adversarial container shapes the random fuzz can't construct
+    (review findings, r6): an empty mvhd at end-of-buffer must raise
+    ValueError (not IndexError — mapInPandas catches only ValueError/
+    struct.error), a ~100-byte stsz/stsc bomb must be rejected before
+    allocating billions of list elements, and an undersized largesize
+    must not yield a box whose payload starts beyond its end."""
+    import struct as s
+
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.video import (
+        encode_mp4,
+        mp4_sample_table,
+        parse_mp4_meta,
+    )
+
+    def box(fourcc, payload):
+        return s.pack(">I", len(payload) + 8) + fourcc + payload
+
+    ftyp = box(b"ftyp", b"isom" + s.pack(">I", 0x200))
+
+    # empty mvhd ending the buffer: version byte would index b[len(b)]
+    empty_mvhd = ftyp + box(b"moov", box(b"mvhd", b""))
+    with _pytest.raises(ValueError, match="mvhd"):
+        parse_mp4_meta(empty_mvhd)
+
+    # stsz bomb: sample_count=0xFFFFFFFF with fixed size 1 — the walk
+    # must reject it (count > payload bytes), not allocate 4B entries.
+    # Patch the located stsz fields (fixed at +8, count at +12 from
+    # the fourcc) — a byte-pattern replace could hit another box.
+    good = encode_mp4(32, 32, [5, 5, 5])
+    i = good.index(b"stsz")
+    bomb = (
+        good[: i + 4] + s.pack(">I", 0)  # version/flags
+        + s.pack(">II", 1, 0xFFFFFFFF) + good[i + 16 :]
+    )
+    with _pytest.raises(ValueError):
+        mp4_sample_table(bomb)
+
+    # stsc gap bomb: first_chunk run spanning ~2^32 chunks
+    j = good.index(b"stsc")
+    bomb2 = (
+        good[: j + 4] + s.pack(">I", 0)
+        + s.pack(">IIII", 1, 0xFFFFFFF0, 3, 1) + good[j + 24 :]
+    )
+    with _pytest.raises(ValueError):
+        mp4_sample_table(bomb2)
+
+    # largesize < 16: box header lies about covering itself
+    tiny_large = ftyp + s.pack(">I", 1) + b"moov" + s.pack(">Q", 10) + b"\x00" * 8
+    with _pytest.raises(ValueError):
+        parse_mp4_meta(tiny_large)

@@ -169,12 +169,18 @@ def registered_domain(
 
     ``multi_suffixes`` is the swap seam: the default is the built-in
     shortlist of common 2-label suffixes (PSL approximation — see
-    module docstring); pass `load_public_suffixes(<psl file>)` for the
-    full list. Suffixes of ANY label depth are honored, longest match
-    first (per PSL semantics); a host that IS a listed suffix passes
-    through unchanged. Each suffix set compiles to a literal isin()
-    list keyed on the host's trailing labels — pure codegen,
-    broadcast-free, no UDF."""
+    module docstring); pass a curated list to widen it. Suffixes of
+    ANY label depth are honored, longest match first (per PSL
+    semantics); a host that IS a listed suffix passes through
+    unchanged. Each suffix set compiles to a literal isin() list keyed
+    on the host's trailing labels — pure codegen, no UDF — which is
+    right for shortlists but NOT for the full ~9,000-entry PSL: each
+    isin literal is a py4j round trip, so expression CONSTRUCTION
+    alone costs seconds of driver time at that size (the same cost
+    class heavy_hitters' recount moved off of). For
+    `load_public_suffixes(<full psl>)`-sized lists use
+    `with_registered_domain`, which broadcast-joins the suffix table
+    instead."""
     h = F.lower(F.col(host) if isinstance(host, str) else host)
     suffixes = _MULTI_SUFFIXES if multi_suffixes is None else multi_suffixes
     by_len: dict[int, list[str]] = {}
@@ -198,6 +204,68 @@ def registered_domain(
         hit = last_k(k).isin(*by_len[k])
         out = out.when(hit & (n >= k + 1), last_k(k + 1)).when(hit, h)
     return out.otherwise(last_k(2))
+
+
+def _last_k_labels(h: Column, k: int) -> Column:
+    """Trailing k labels of a lowercased host as one dotted string
+    (NULL-safe beyond the host's depth — see registered_domain)."""
+    parts = F.split(h, r"\.")
+    return F.concat_ws(
+        ".", *[F.try_element_at(parts, F.lit(-i)) for i in range(k, 0, -1)]
+    )
+
+
+def with_registered_domain(
+    df: DataFrame,
+    host_col: str,
+    out_col: str = "domain",
+    multi_suffixes: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Add the registered-domain column — the FULL-PSL scale path.
+
+    Same semantics as `registered_domain` (longest suffix wins, exact
+    suffix passes through, IPv4/short hosts unchanged), but each
+    suffix-depth class ships to the cluster as ONE broadcast frame and
+    matches via a broadcast hash join on the host's trailing labels,
+    instead of compiling thousands of isin literals (a py4j round trip
+    each — seconds of pure driver time for the ~9,000-entry PSL, paid
+    on every expression build). Suffix lists at or under 64 entries
+    just delegate to the expression form. Row count and all other
+    columns are preserved.
+    """
+    suffixes = _MULTI_SUFFIXES if multi_suffixes is None else multi_suffixes
+    if len(suffixes) <= 64:
+        return df.withColumn(
+            out_col, registered_domain(F.col(host_col), tuple(suffixes))
+        )
+    spark = df.sparkSession
+    by_len: dict[int, list[str]] = {}
+    for s in suffixes:
+        by_len.setdefault(s.count(".") + 1, []).append(s)
+    h = F.lower(F.col(host_col))
+    work = df.withColumn("__h", h)
+    hits = []
+    for k in sorted(by_len, reverse=True):
+        sdf = spark.createDataFrame(
+            [(s,) for s in by_len[k]], f"__sfx{k} string"
+        )
+        work = work.join(
+            F.broadcast(sdf),
+            on=_last_k_labels(F.col("__h"), k) == F.col(f"__sfx{k}"),
+            how="left",
+        )
+        hits.append((k, F.col(f"__sfx{k}").isNotNull()))
+    n = F.size(F.split(F.col("__h"), r"\."))
+    is_ip = F.col("__h").rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    out = F.when(is_ip | (n <= 2), F.col("__h"))
+    for k, hit in hits:  # already longest-first
+        out = out.when(
+            hit & (n >= k + 1), _last_k_labels(F.col("__h"), k + 1)
+        ).when(hit, F.col("__h"))
+    out = out.otherwise(_last_k_labels(F.col("__h"), 2))
+    return work.withColumn(out_col, out).drop(
+        "__h", *[f"__sfx{k}" for k in by_len]
+    )
 
 
 def domain_counts(df: DataFrame, url_col: str) -> DataFrame:

@@ -272,23 +272,40 @@ def category_drift(
 APPROX_DRIFT_MIN_BYTES = 1 << 30
 
 
+# Leaf node names whose Long.MaxValue size estimate means "tiny local
+# data with no stats", not "unbounded external source": python-side
+# createDataFrame relations and literal one-row plans.
+_LOCAL_LEAF_NODES = frozenset(
+    {"LocalRelation", "OneRowRelation", "LogicalRDD", "Range"}
+)
+
+
 def _estimated_size_exceeds(df: DataFrame, threshold: int) -> bool:
     """True if the optimizer's size estimate for ``df`` exceeds
-    ``threshold`` bytes. On an unknowable estimate, stays False
-    (= the exact path): genuinely huge inputs are file scans with
-    working estimates, while an unestimable frame is far more likely a
-    small derived/local relation — and silently switching quantile
-    algorithms on an estimator hiccup would make results
-    non-deterministic across runs (and break oracle parity) in the
-    common case. Spark reports "unknown" for some relations (e.g.
-    Python-side LocalRelations) as Long.MaxValue rather than an
-    error — that sentinel is also treated as unknown, not huge."""
+    ``threshold`` bytes — the exact-vs-sketch gate.
+
+    Spark reports "no stats" as Long.MaxValue rather than an error,
+    and the sentinel is AMBIGUOUS: a python-side LocalRelation (a few
+    hundred test rows) and a JDBC/DSv2 relation with
+    defaultSizeInBytes (possibly multi-TB) both report it. Resolve by
+    the plan's leaves: if every leaf is a known local/in-memory node,
+    treat unknown as small (exact path — deterministic, oracle-
+    comparable); if any leaf is an external source, treat unknown as
+    huge (sketch path — an unstatted external relation must never be
+    value-buffered in one aggregation state). On reflection failure,
+    stay exact: file scans — the genuinely huge common case — always
+    have working estimates, so the failure mode is a derived local
+    frame."""
     try:
         est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         est = est if isinstance(est, int) else int(est.toString())
-        if est >= (1 << 63) - 1:  # Long.MaxValue = stats unavailable
-            return False
-        return est > threshold
+        if est < (1 << 63) - 1:  # real estimate
+            return est > threshold
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        for i in range(leaves.size()):
+            if leaves.apply(i).nodeName() not in _LOCAL_LEAF_NODES:
+                return True  # unstatted EXTERNAL source: assume huge
+        return False  # unstatted but fully local: assume small
     except Exception:
         return False
 

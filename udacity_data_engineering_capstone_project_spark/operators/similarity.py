@@ -182,19 +182,26 @@ def hyperplane_lsh_buckets(
 
 def auto_num_planes(n: int, target_bucket: int = 20) -> int:
     """Plane count that holds expected RANDOM bucket occupancy
-    (n / 2^k per table) roughly constant as the corpus grows:
-    ``8 + ceil(log2(n / 5000))``, floored at 8 and capped at 30 (the
-    packed bucket is a long; 2^30 buckets already exceeds any
-    realistic row count per partition). 8 planes = 256 buckets/table
-    is right for ~5k vectors; every 2x of corpus needs one more plane
-    or per-bucket quadratic join work grows linearly until the
-    max_bucket_size cap starts truncating recall instead (measured in
-    the 100x probe, BASELINE.md r4)."""
+    (n / 2^k per table) at roughly ``target_bucket`` rows as the
+    corpus grows: ``8 + ceil(log2(n / (250 * target_bucket)))``,
+    floored at 8 and capped at 30 (the packed bucket is a long; 2^30
+    buckets already exceeds any realistic row count per partition).
+    The default target (20 rows/bucket; 8 planes = 256 buckets/table
+    up to ~5k vectors) matches the r4 probe's operating point; every
+    corpus doubling past it needs one more plane or per-bucket
+    quadratic join work grows linearly until the max_bucket_size cap
+    starts truncating recall instead (measured in the 100x probe,
+    BASELINE.md r4). Lower ``target_bucket`` for more planes (fewer
+    random collisions, lower candidate recall), raise it for the
+    opposite trade."""
     import math
 
-    if n <= 5000:
+    if target_bucket <= 0:
+        raise ValueError(f"target_bucket must be > 0, got {target_bucket}")
+    pivot = 250.0 * target_bucket
+    if n <= pivot:
         return 8
-    return min(30, 8 + math.ceil(math.log2(n / 5000.0)))
+    return min(30, 8 + math.ceil(math.log2(n / pivot)))
 
 
 def lsh_near_dup_pairs(

@@ -1212,7 +1212,7 @@ def apply_language_id(
     weights embed round(scale*ln p), so a 1-ulp libm difference moves
     a weight by 1 and `score` by up to n_buckets+1, while the argmax
     only flips if the top-2 margin is below 2*(n_buckets+1) — see
-    tests/test_textstats.py::test_language_id_margin_headroom.
+    tests/test_sampling_and_signals.py::test_language_id_margin_headroom.
     """
     sh = (
         df.select(F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("__g"))

@@ -471,6 +471,8 @@ def _mp4_boxes(b: bytes, start: int, end: int):
                 break
             (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
             payload = i + 16
+            if size < 16:  # largesize must cover its own 16-byte header
+                break
         elif size == 0:
             size = end - i
             payload = i + 8
@@ -508,8 +510,15 @@ def parse_mp4_meta(b: bytes) -> dict:
     mvhd = _mp4_find(b, [b"mvhd"], ms, me)
     if mvhd is None:
         raise ValueError("missing mvhd box")
+    # bounds-check against the BOX end, not just the buffer: an empty
+    # or truncated mvhd must be a ValueError, never an IndexError (the
+    # mapInPandas stages catch only ValueError/struct.error)
+    if mvhd[1] - mvhd[0] < 20:
+        raise ValueError("truncated mvhd box")
     version = b[mvhd[0]]
     if version == 1:
+        if mvhd[1] - mvhd[0] < 32:
+            raise ValueError("truncated mvhd box")
         timescale, duration = struct.unpack(
             ">IQ", b[mvhd[0] + 20 : mvhd[0] + 32]
         )
@@ -528,11 +537,13 @@ def parse_mp4_meta(b: bytes) -> dict:
         stsz = _mp4_find(b, [b"mdia", b"minf", b"stbl", b"stsz"], ts, te)
         if tkhd is None or stsd is None:
             continue
+        if tkhd[1] - tkhd[0] < 16:
+            raise ValueError("truncated tkhd box")
         w16, h16 = struct.unpack(">II", b[tkhd[1] - 8 : tkhd[1]])
         first_entry = next(_mp4_boxes(b, stsd[0] + 8, stsd[1]), None)
         codec = first_entry[0].decode("latin-1") if first_entry else None
         n_samples = None
-        if stsz is not None:
+        if stsz is not None and stsz[1] - stsz[0] >= 12:
             _, n_samples = struct.unpack(">II", b[stsz[0] + 4 : stsz[0] + 12])
         return {
             "brand": brand,
@@ -567,29 +578,53 @@ def mp4_sample_table(b: bytes) -> list[tuple[int, int]]:
         co64 = _mp4_find(b, stbl_path + [b"co64"], ts, te)
         if stsz is None or stsc is None or (stco is None and co64 is None):
             raise ValueError("incomplete sample table")
+        if stsz[1] - stsz[0] < 12:
+            raise ValueError("truncated stsz box")
         fixed, n = struct.unpack(">II", b[stsz[0] + 4 : stsz[0] + 12])
-        sizes = (
-            [fixed] * n
-            if fixed
-            else list(
+        # All counts below are attacker-controlled 32-bit fields; every
+        # allocation must be bounded by what the BYTES present can
+        # actually describe, or a ~150-byte payload could demand a
+        # 4-billion-element list before any data is touched. n samples
+        # need 4n size entries (variable) or n declared bytes of mdat
+        # coverage (fixed) — either way n can never exceed len(b).
+        if n > len(b):
+            raise ValueError("stsz sample count exceeds payload size")
+        if fixed:
+            sizes = [fixed] * n
+        else:
+            if stsz[1] - stsz[0] - 12 < 4 * n:
+                raise ValueError("truncated stsz size table")
+            sizes = list(
                 struct.unpack(f">{n}I", b[stsz[0] + 12 : stsz[0] + 12 + 4 * n])
             )
-        )
         if stco is not None:
             (nc,) = struct.unpack(">I", b[stco[0] + 4 : stco[0] + 8])
+            if stco[1] - stco[0] - 8 < 4 * nc:
+                raise ValueError("truncated stco offset table")
             offs = struct.unpack(f">{nc}I", b[stco[0] + 8 : stco[0] + 8 + 4 * nc])
         else:
             (nc,) = struct.unpack(">I", b[co64[0] + 4 : co64[0] + 8])
+            if co64[1] - co64[0] - 8 < 8 * nc:
+                raise ValueError("truncated co64 offset table")
             offs = struct.unpack(f">{nc}Q", b[co64[0] + 8 : co64[0] + 8 + 8 * nc])
         (ne,) = struct.unpack(">I", b[stsc[0] + 4 : stsc[0] + 8])
+        if stsc[1] - stsc[0] - 8 < 12 * ne:
+            raise ValueError("truncated stsc run table")
         entries = [
             struct.unpack(">III", b[stsc[0] + 8 + 12 * i : stsc[0] + 20 + 12 * i])
             for i in range(ne)
         ]
-        # expand stsc runs: entry i covers chunks [first_i, first_{i+1})
+        # expand stsc runs: entry i covers chunks [first_i, first_{i+1});
+        # run bounds are clamped to the nc chunks that actually exist,
+        # so a hostile first_chunk gap cannot inflate the expansion
         per_chunk = []
         for i, (first, spc, _desc) in enumerate(entries):
+            if first < 1 or first > nc + 1:
+                raise ValueError("stsc first_chunk out of range")
             last = entries[i + 1][0] if i + 1 < ne else nc + 1
+            last = min(last, nc + 1)
+            if last < first:
+                raise ValueError("stsc runs not ascending")
             per_chunk.extend([spc] * (last - first))
         out = []
         si = 0

@@ -71,9 +71,14 @@ def orphaned_checkpoint_trees(
     if not fs.exists(p):
         return []
     out = []
+    fp_shape = re.compile(r"^p[0-9a-f]{12}$")  # exactly a fingerprint tree
     for st in fs.listStatus(p):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("p") and name != f"p{keep_fingerprint}":
+        if (
+            st.isDirectory()
+            and fp_shape.match(name)
+            and name != f"p{keep_fingerprint}"
+        ):
             out.append(str(st.getPath()))
     return sorted(out)
 
@@ -104,10 +109,12 @@ def run_pipeline(
     grows by one full pipeline footprint per version — deliberate
     (the old tree may belong to a still-running or rollback-able
     deployment), but unbounded. Pass ``prune_orphans=True`` to delete
-    every sibling ``p*/`` tree that is not the current fingerprint
-    before running, or call `orphaned_checkpoint_trees` to list them
-    and decide; prune only when no other pipeline version shares the
-    directory.
+    every sibling fingerprint tree that is not the current one before
+    running, or call `orphaned_checkpoint_trees` to list them and
+    decide; prune only when no other pipeline version shares the
+    directory. Only directories matching the exact fingerprint shape
+    (``p`` + 12 hex chars) are ever listed or deleted — an unrelated
+    ``prod/`` or ``parts/`` sibling is never touched.
 
     Returns ``(final_df, [StageResult, ...])``. ``final_df`` reads
     from the last barrier (stored parquet or local checkpoint blocks),

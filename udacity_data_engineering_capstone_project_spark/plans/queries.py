@@ -2667,7 +2667,7 @@ def winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.001/0.01/0.1 (pinned by test_language_id_margin_headroom).
 # n_buckets is an exact integer (md5 bucketing, no transcendentals).
 # Exact integer-score parity stays pinned in the local pytest
-# (test_language_id_exact_scores), where one libm computes both sides.
+# (test_language_id_exact_scores_vs_duckdb), where one libm computes both sides.
 LANGUAGE_ID_ORACLE = """
     WITH base AS (
         SELECT doc_id, lang AS label, lower(text) AS t
@@ -2838,8 +2838,8 @@ QUANTILE_SKETCH_ORACLE = """
     "DDSketch quantile partials (operators/sketches.py:quantile_sketch)"
     " over document lengths per language: geometric buckets with 1%%"
     " relative error, exact integer counts, mergeable forever."
-    " Unregistered; hash-pinned against DuckDB's independent ln/ceil"
-    " bucketing. Promoted to a driver slot in r6 (rotation).",
+    " Hash-checked against DuckDB's independent ln/ceil bucketing."
+    " Promoted to a driver slot in r6 (rotation).",
 )
 def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.sketches import (
