@@ -773,3 +773,47 @@ def test_winsorize_auto_switches_to_sketch_at_scale(spark, monkeypatch):
     )
     assert "approx_percentile" not in plan_small
     assert "percentile(" in plan_small
+
+
+def test_configure_s3_sets_hadoop_conf(spark):
+    """S5 (etl.py:15-18): the s3a connector config must land in the
+    live hadoopConfiguration — testable without S3, since the keys are
+    read by the filesystem at first s3a:// access. None-valued
+    credentials must leave the chain untouched (instance-profile
+    deployments pass no keys)."""
+    from udacity_data_engineering_capstone_project_spark.session import configure_s3
+
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    before_ak = conf.get("fs.s3a.access.key", None)
+    try:
+        configure_s3(
+            spark, access_key="AKTEST", secret_key="SKTEST",
+            endpoint="http://minio.local:9000",
+        )
+        assert conf.get("fs.s3a.access.key") == "AKTEST"
+        assert conf.get("fs.s3a.secret.key") == "SKTEST"
+        assert conf.get("fs.s3a.endpoint") == "http://minio.local:9000"
+        assert conf.get("fs.s3a.impl") == "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        # credential-less call (instance profile): keys stay as-is
+        conf.unset("fs.s3a.access.key")
+        configure_s3(spark)
+        assert conf.get("fs.s3a.access.key", None) is None
+    finally:
+        for k in ("fs.s3a.access.key", "fs.s3a.secret.key", "fs.s3a.endpoint"):
+            conf.unset(k)
+        if before_ak is not None:
+            conf.set("fs.s3a.access.key", before_ak)
+
+
+def test_job_group_scopes_spark_jobs(spark):
+    """C2 (etl.py:54,94): jobs launched inside the context manager
+    carry the group id (visible in the UI/REST and cancellable via
+    cancelJobGroup); leaving the scope clears it."""
+    from udacity_data_engineering_capstone_project_spark.session import job_group
+
+    sc = spark.sparkContext
+    with job_group(spark, "unit-test-group", "desc"):
+        assert sc.getLocalProperty("spark.jobGroup.id") == "unit-test-group"
+        assert sc.getLocalProperty("spark.job.description") == "desc"
+        spark.range(10).count()  # a real job runs under the group
+    assert sc.getLocalProperty("spark.jobGroup.id") in (None, "")
