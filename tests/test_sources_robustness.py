@@ -817,3 +817,76 @@ def test_job_group_scopes_spark_jobs(spark):
         assert sc.getLocalProperty("spark.job.description") == "desc"
         spark.range(10).count()  # a real job runs under the group
     assert sc.getLocalProperty("spark.jobGroup.id") in (None, "")
+
+
+def test_streaming_freq_sketch_maintenance(spark, tmp_path):
+    """Streaming Count-Min rollup (the frequency member of the sketch
+    trio): two event drops; after each run the persisted per-group CMS
+    must bound every key's true all-time count from above within
+    eps * N, replay processes nothing, and state is sketch rows (KBs),
+    never event rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        estimate_counts,
+    )
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        merge_stream_into_freq_sketch,
+        read_dimension,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    path = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, keys):
+        pq.write_table(
+            pa.table(
+                {
+                    "g": pa.array([k % 2 for k in keys], type=pa.int32()),
+                    "k": pa.array([f"u{k}" for k in keys]),
+                }
+            ),
+            str(landing / name),
+        )
+
+    def run():
+        stream = spark.readStream.schema("g INT, k STRING").parquet(str(landing))
+        return merge_stream_into_freq_sketch(
+            spark, stream, path, ckpt, ["g"], "k", eps=0.001
+        )
+
+    day1 = [i % 50 for i in range(3000)]          # 60 hits per key
+    drop("d1.parquet", day1)
+    assert run() == 1
+    day2 = [i % 20 for i in range(2000)]          # keys 0..19 get +100
+    drop("d2.parquet", day2)
+    assert run() == 1
+
+    # all-time truth per (group, key)
+    from collections import Counter
+
+    truth: Counter = Counter()
+    for k in day1 + day2:
+        truth[(k % 2, f"u{k}")] += 1
+    n_per_group = Counter(g for g, _ in truth.elements())
+    for g, _k in truth:
+        n_per_group[g] = sum(v for (gg, _), v in truth.items() if gg == g)
+
+    sk_rows = {r["g"]: bytes(r["sketch"])
+               for r in read_dimension(spark, path).collect()}
+    assert set(sk_rows) == {0, 1}
+    for g in (0, 1):
+        items = sorted({k for (gg, k) in truth if gg == g})
+        est = estimate_counts(spark, sk_rows[g], items)
+        n = n_per_group[g]
+        for k in items:
+            exact = truth[(g, k)]
+            assert est[k] >= exact, (g, k, est[k], exact)
+            assert est[k] <= exact + 0.001 * n + 1, (g, k, est[k], exact)
+
+    # replay with no new files processes nothing and keeps the state
+    assert run() == 0
+    assert {r["g"] for r in read_dimension(spark, path).collect()} == {0, 1}

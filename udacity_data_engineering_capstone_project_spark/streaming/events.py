@@ -415,6 +415,62 @@ def merge_stream_into_quantile_sketch(
     return _run_versioned_merge(spark, stream, sketch_path, checkpoint_dir, merge)
 
 
+def merge_stream_into_freq_sketch(
+    spark: SparkSession,
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint_dir: str,
+    group_cols,
+    value_col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> int:
+    """Streaming frequency maintenance — the Count-Min member of the
+    sketch trio (quantiles = DDSketch above, membership = Bloom below,
+    frequencies = this): each micro-batch reduces to one CMS row per
+    group (`operators.sketches.freq_sketch`), merged into the
+    persisted all-time sketch through the same versioned writer
+    (immutable ``v=<batch_id>`` dirs, crash-replay rebuilds from the
+    version below, `_SUCCESS` commit, `read_dimension` time travel).
+
+    The per-version merge unions the batch's sketch rows with the
+    previous version and merges per group via Spark's own JVM
+    CountMinSketch.mergeInPlace — a group-count-sized collect of
+    KB-sized binaries (the same driver-bounded shape
+    `merge_freq_sketches` documents), never the raw events. All
+    batches must share (eps, confidence, seed) — persist them next to
+    the path. Returns batches processed this run.
+    """
+    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
+        freq_sketch,
+    )
+
+    gcols = list(group_cols)
+
+    def merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        sk = freq_sketch(batch_df, gcols, value_col, eps, confidence, seed)
+        if prev is None:
+            return sk
+        both = sk.unionByName(prev.select(sk.columns)).collect()
+        CMS = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+        merged: dict = {}
+        for r in both:
+            key = tuple(r[c] for c in gcols)
+            cms = CMS.readFrom(bytes(r["sketch"]))
+            if key in merged:
+                merged[key].mergeInPlace(cms)
+            else:
+                merged[key] = cms
+        rows = [
+            (*key, bytearray(cms.toByteArray()))
+            for key, cms in sorted(merged.items(), key=lambda kv: str(kv[0]))
+        ]
+        return spark.createDataFrame(rows, schema=sk.schema)
+
+    return _run_versioned_merge(spark, stream, sketch_path, checkpoint_dir, merge)
+
+
 def merge_stream_into_bloom(
     spark: SparkSession,
     stream: DataFrame,
