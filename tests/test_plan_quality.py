@@ -480,3 +480,49 @@ def test_global_plan_hygiene_sweep(spark, sf_dir):
             if flags:
                 offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_rank_caps_keep_window_group_limit(spark, sf_dir):
+    """Every per-group rank cap (cap_per_group, top_per_group,
+    weighted_hash_sample's strata path) must keep Catalyst's
+    WindowGroupLimit rewrite: row_number + rank<=k filter becomes a
+    PARTIAL top-k per map partition before the shuffle, so a 50 TB
+    group never single-task-sorts (the same wall cap_tokens_per_group
+    removes with its prefix-sum decomposition). The rewrite is
+    pattern-sensitive — rank expressions wrapped in casts/derivations
+    or non-literal limits silently lose it."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        top_per_group,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        cap_per_group,
+        weighted_hash_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plans = {
+        "cap_per_group": cap_per_group(
+            docs, ["source"], [F.col("doc_id")], 5
+        ),
+        "top_per_group": top_per_group(
+            docs.select("source", "doc_id", "n_chars"),
+            ["source"],
+            [F.col("n_chars").desc(), F.col("doc_id")],
+            n=3,
+        ),
+        "weighted_hash_sample": weighted_hash_sample(
+            docs.select("doc_id", "source", "n_chars"),
+            "doc_id",
+            "n_chars",
+            quota=5,
+            strata=["source"],
+        ),
+    }
+    for name, q in plans.items():
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, (
+            f"{name}: rank cap lost the WindowGroupLimit rewrite - "
+            "per-group work is no longer bounded before the shuffle"
+        )
