@@ -526,3 +526,89 @@ def test_rank_caps_keep_window_group_limit(spark, sf_dir):
             f"{name}: rank cap lost the WindowGroupLimit rewrite - "
             "per-group work is no longer bounded before the shuffle"
         )
+
+
+def test_plan_linter_flags_known_scale_smells(spark, sf_dir, monkeypatch):
+    """lint_plan must catch each encoded failure mode on a constructed
+    offender, and pass the engine's own graded plans clean (no
+    error-severity findings). The global-window rule is size-aware:
+    warning at dimension scale (the surrogate-key idiom), error once
+    the child estimate crosses the gate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from udacity_data_engineering_capstone_project_spark.plans import lint as lint_mod
+    from udacity_data_engineering_capstone_project_spark.plans.lint import (
+        assert_scalable,
+        lint_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def rules(df):
+        return {f["rule"] for f in lint_plan(df)}
+
+    # global window (empty partition spec)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    assert "global-window" in rules(
+        docs.withColumn("rs", SF.sum("n_chars").over(w))
+    )
+
+    # global sort without a limit vs the fine top-k form
+    assert "global-sort" in rules(docs.orderBy("n_chars"))
+    assert "global-sort" not in rules(docs.orderBy("n_chars").limit(10))
+
+    # exact percentile aggregate vs the sketch
+    assert "exact-percentile" in rules(
+        docs.agg(SF.percentile("n_chars", SF.lit(0.5)).alias("p50"))
+    )
+    assert "exact-percentile" not in rules(
+        docs.agg(SF.approx_percentile("n_chars", SF.lit(0.5), SF.lit(1000)))
+    )
+
+    # cartesian product (true cross join of two non-broadcast sides)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "cartesian-product" in rules(
+            docs.select("doc_id").crossJoin(docs.select(SF.col("source")))
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # row-at-a-time Python UDF vs the Arrow path
+    from pyspark.sql.functions import pandas_udf, udf
+
+    slow = udf(lambda s: (s or "")[:3])
+    assert "row-python-udf" in rules(docs.select(slow("source")))
+
+    # lambda form: module-level `from __future__ import annotations`
+    # turns def-style hints into unresolvable strings here
+    fast = pandas_udf(lambda s: s.str.slice(0, 3), "string")
+    assert "row-python-udf" not in rules(docs.select(fast("source")))
+
+    # size-awareness: on the tiny test input the global window is a
+    # WARNING (the dimension surrogate-key idiom); simulate the 100x
+    # regime by zeroing the gate and it becomes an error
+    gw = docs.withColumn("rs", SF.sum("n_chars").over(w))
+    assert {f["severity"] for f in lint_plan(gw)
+            if f["rule"] == "global-window"} == {"warning"}
+    monkeypatch.setattr(lint_mod, "GLOBAL_WINDOW_MAX_BYTES", 0)
+
+    # assert_scalable: raises on errors, returns warnings, honors allow
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="global-window"):
+        assert_scalable(gw)
+    assert assert_scalable(gw, allow=("global-window",)) == []
+    monkeypatch.setattr(
+        lint_mod, "GLOBAL_WINDOW_MAX_BYTES", 64 * 1024 * 1024
+    )
+    warns = assert_scalable(docs.orderBy("n_chars"))
+    assert [f["rule"] for f in warns] == ["global-sort"]
+
+    # the engine's own graded plans come back clean of errors
+    for name in ("pricing_summary", "star_schema_fact", "dup_spans_q",
+                 "text_profile", "analyst_top_segments"):
+        spec = REGISTRY.get(name) or UNREGISTERED[name]
+        assert_scalable(spec.fn(spark, sf_dir))

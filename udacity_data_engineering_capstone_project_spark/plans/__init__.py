@@ -1,6 +1,21 @@
+from udacity_data_engineering_capstone_project_spark.plans.lint import (
+    assert_scalable,
+    lint_plan,
+)
+from udacity_data_engineering_capstone_project_spark.plans.pipeline import (
+    orphaned_checkpoint_trees,
+    run_pipeline,
+)
 from udacity_data_engineering_capstone_project_spark.plans.star import (
     build_dimension,
     build_fact,
 )
 
-__all__ = ["build_dimension", "build_fact"]
+__all__ = [
+    "assert_scalable",
+    "build_dimension",
+    "build_fact",
+    "lint_plan",
+    "orphaned_checkpoint_trees",
+    "run_pipeline",
+]
