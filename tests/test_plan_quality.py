@@ -612,3 +612,22 @@ def test_plan_linter_flags_known_scale_smells(spark, sf_dir, monkeypatch):
                  "text_profile", "analyst_top_segments"):
         spec = REGISTRY.get(name) or UNREGISTERED[name]
         assert_scalable(spec.fn(spark, sf_dir))
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(set(REGISTRY) | set(UNREGISTERED)),
+)
+def test_every_query_plan_passes_scale_lint(spark, sf_dir, name):
+    """The standing gate: no query in either registry may carry an
+    error-severity scale smell (cartesian product, large/unknown-input
+    global window, row-at-a-time Python UDF never errors but cartesian
+    and big-window do). Warnings are allowed — the dimension
+    surrogate-key windows and bounded post-aggregation sorts are
+    documented idioms."""
+    from udacity_data_engineering_capstone_project_spark.plans.lint import (
+        assert_scalable,
+    )
+
+    spec = REGISTRY.get(name) or UNREGISTERED[name]
+    assert_scalable(spec.fn(spark, sf_dir))

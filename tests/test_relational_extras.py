@@ -152,6 +152,38 @@ def test_profile_columns_approximate_mode(spark, sf_dir):
         assert abs(a[p] - e[p]) / e[p] < 0.01, (p, a[p], e[p])
 
 
+def test_profile_columns_auto_switches_to_sketch_at_scale(spark, monkeypatch):
+    """The default (approximate=None) shares winsorize/numeric_drift's
+    optimizer-estimate gate: exact interpolated percentiles below the
+    threshold (oracle-comparable), the mergeable approx_percentile
+    sketch above it — the exact aggregate buffers every value of every
+    profiled column in one aggregation state, a memory wall when the
+    pre-ingest quality sweep runs over a 100 TB drop."""
+    from udacity_data_engineering_capstone_project_spark.operators import quality as q
+
+    df = spark.range(4_000).selectExpr(
+        "CAST(id % 700 AS DOUBLE) AS a", "CAST(id AS DOUBLE) AS b"
+    )
+
+    # small input -> exact (bit-identical to approximate=False)
+    auto_small = q.profile_columns(df, ["a", "b"], percentiles=(0.5, 0.9)).collect()
+    exact = q.profile_columns(
+        df, ["a", "b"], percentiles=(0.5, 0.9), approximate=False
+    ).collect()
+    assert sorted(map(tuple, auto_small)) == sorted(map(tuple, exact))
+
+    # simulated 100x regime: every estimate is over-threshold -> the
+    # percentile aggregate must be the mergeable sketch, never the
+    # exact value-buffering form
+    monkeypatch.setattr(q, "APPROX_DRIFT_MIN_BYTES", 1)
+    plan = (
+        q.profile_columns(df, ["a", "b"], percentiles=(0.5, 0.9))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "approx_percentile" in plan
+    assert "percentile(" not in plan.replace("approx_percentile(", "")
+
+
 # ---------------------------------------------------------------------------
 # SCD maintenance (operators/scd.py)
 

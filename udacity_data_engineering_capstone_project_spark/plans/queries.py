@@ -784,6 +784,9 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         ["o_orderkey", "o_orderstatus", "o_totalprice"],
         percentiles=(0.5, 0.95, 0.99),
+        # pinned exact: graded percentiles must stay DuckDB-comparable
+        # regardless of how the at-scale auto-gate evolves
+        approximate=False,
     )
     counts = [
         _t(spark, sf_dir, name).agg(
