@@ -181,6 +181,89 @@ def test_streaming_merge_into_dimension(spark, tmp_path):
     assert {r["k"]: r["attr"] for r in read_dimension(spark, dim).collect()} == snap2
 
 
+def test_write_training_shards_deterministic_and_manifested(spark, tmp_path):
+    """The training-export contract: (1) shard assignment is a pure
+    function of (key, seed) — identical across input partition layouts;
+    (2) a new seed is a different permutation; (3) the _MANIFEST.json
+    describes exactly what is on disk (rows sum to the input, bytes and
+    files counted from the committed directories); (4) within-shard
+    order is decorrelated from key order (the whole point of the
+    export)."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.sources.sinks import (
+        write_training_shards,
+    )
+
+    df = spark.range(2_000).selectExpr(
+        "concat('doc-', id) AS doc_id", "md5(cast(id AS string)) AS text"
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, "doc_id", num_shards=8, seed=1)
+
+    assert [m["shard"] for m in manifest] == list(range(8))
+    assert sum(m["rows"] for m in manifest) == 2_000
+    assert all(m["files"] >= 1 and m["bytes"] > 0 for m in manifest)
+    # no pathological imbalance (binomial: mean 250, sd ~15)
+    assert all(150 <= m["rows"] <= 350 for m in manifest)
+    # the manifest on disk is the returned one
+    with open(f"{path}/_MANIFEST.json") as fh:
+        assert json.load(fh) == manifest
+
+    back = spark.read.parquet(path)
+    assert back.count() == 2_000
+    # shard is the documented pure function of (key, seed)
+    mismatch = back.filter(
+        F.col("shard") != F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(8))
+    ).count()
+    assert mismatch == 0
+
+    # same seed, adversarial input layout -> byte-identical assignment
+    path2 = str(tmp_path / "shards_relayout")
+    write_training_shards(
+        df.repartition(3).sortWithinPartitions("text"),
+        path2, "doc_id", num_shards=8, seed=1,
+    )
+    a = {r["doc_id"]: r["shard"] for r in back.select("doc_id", "shard").collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(path2).select("doc_id", "shard").collect()
+    }
+    assert a == b
+
+    # a new seed actually reshuffles
+    path3 = str(tmp_path / "shards_epoch2")
+    write_training_shards(df, path3, "doc_id", num_shards=8, seed=2)
+    c = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(path3).select("doc_id", "shard").collect()
+    }
+    assert a != c
+
+    # within one shard file, rows are NOT in key order (decorrelated)
+    import pyarrow.parquet as pq
+
+    f0 = sorted(glob.glob(f"{path}/shard=0/part-*.parquet"))[0]
+    ids = pq.read_table(f0, columns=["doc_id"]).column(0).to_pylist()
+    assert len(ids) > 10 and ids != sorted(ids)
+
+    # files_per_shard splits output files; rows/assignment unchanged
+    path4 = str(tmp_path / "shards_split")
+    m4 = write_training_shards(
+        df, path4, "doc_id", num_shards=4, seed=1, files_per_shard=3
+    )
+    assert sum(m["rows"] for m in m4) == 2_000
+    assert sum(m["files"] for m in m4) >= 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_training_shards(df, path, "doc_id", num_shards=0)
+
+
 def test_compact_parquet_merges_small_files(spark, tmp_path):
     """64 tiny files compact into the byte-budgeted file count with
     identical rows; sorted mode restores per-file clustering (footer

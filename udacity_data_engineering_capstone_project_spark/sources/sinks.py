@@ -257,3 +257,96 @@ def compact_parquet(
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(out_path or f"{path}__compacted")
     return n_files
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int,
+    seed: int = 0,
+    files_per_shard: int = 1,
+) -> list[dict]:
+    """Sharded, globally-shuffled training-data export — the last mile
+    of a corpus pipeline: trainers consume N equal-ish shards whose row
+    order is decorrelated from ingestion order, and every epoch wants a
+    DIFFERENT but reproducible permutation.
+
+    Shard assignment is ``pmod(xxhash64(key, seed), num_shards)`` and
+    within-shard order is an independent second hash of the same key —
+    both pure functions of (key, seed), so the export is byte-stable
+    across cluster layouts and retries, and a new ``seed`` is a fresh
+    epoch-level reshuffle with no extra state. NULL keys hash as the
+    empty-input digest and land together in one shard (document ids
+    should never be NULL; upstream gates enforce that).
+
+    Physical shape: one hash repartition into
+    ``num_shards * files_per_shard`` tasks (rows pre-clustered by
+    shard, so the partitioned writer emits contiguous files — no
+    small-file spray), sortWithinPartitions for the decorrelated
+    order, then ``partitionBy(shard)`` directories. ``files_per_shard``
+    bounds file sizes at scale: a 100 TB corpus in 1024 shards needs
+    ~100 GB per shard split across many readable files, not one.
+
+    Returns the manifest — ``[{shard, rows, files, bytes}, ...]`` —
+    and writes it as ``_MANIFEST.json`` beside the shard directories.
+    Rows are recounted from the committed files (metadata-weight scan:
+    zero columns projected), bytes/files from the filesystem, so the
+    manifest describes what is actually on disk, not what was planned.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    if num_shards < 1 or files_per_shard < 1:
+        raise ValueError("num_shards and files_per_shard must be >= 1")
+    key = F.col(key_col).cast("string")
+    # independent hashes: different seeds decorrelate shard choice from
+    # within-shard order (golden-ratio offset keeps seeds distinct for
+    # every caller seed without int64 overflow for any sane input)
+    h_shard = F.xxhash64(key, F.lit(seed))
+    h_order = F.xxhash64(key, F.lit(seed + 0x9E3779B9))
+    staged = (
+        df.withColumn("shard", F.pmod(h_shard, F.lit(num_shards)).cast("int"))
+        .withColumn("__grp", F.pmod(h_order, F.lit(files_per_shard)).cast("int"))
+        .withColumn("__ord", h_order)
+        .repartition(num_shards * files_per_shard, F.col("shard"), F.col("__grp"))
+        .sortWithinPartitions("shard", "__ord")
+        .drop("__grp", "__ord")
+    )
+    staged.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+    spark = df.sparkSession
+    rows = {
+        r["shard"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    manifest = []
+    for shard in range(num_shards):
+        d = jvm.org.apache.hadoop.fs.Path(path, f"shard={shard}")
+        files = n_bytes = 0
+        if fs.exists(d):
+            it = fs.listStatus(d)
+            for st in it:
+                if st.isFile() and not st.getPath().getName().startswith(("_", ".")):
+                    files += 1
+                    n_bytes += int(st.getLen())
+        manifest.append(
+            {
+                "shard": shard,
+                "rows": int(rows.get(shard, 0)),
+                "files": files,
+                "bytes": n_bytes,
+            }
+        )
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(root, "_MANIFEST.json"), True)
+    out.write(bytearray(json.dumps(manifest, indent=1).encode()))
+    out.close()
+    return manifest
