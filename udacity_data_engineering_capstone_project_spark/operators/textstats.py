@@ -1260,3 +1260,160 @@ def apply_language_id(
             F.coalesce(F.col("__S"), F.lit(0)).cast("long").alias("n_buckets"),
         )
     )
+
+
+def train_importance_model(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str,
+    num_buckets: int = 4096,
+    ngram_n: int = 2,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance model (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): estimate hashed
+    n-gram bucket distributions over a small TARGET corpus (the domain
+    you want more of) and the RAW pool, and emit the per-bucket
+    log-likelihood ratio. A document's importance weight is then the
+    sum of its buckets' ratios — cheap enough to score 100 TB, because
+    the "model" is just two bucket histograms.
+
+    Returns one row per bucket 0..num_buckets-1:
+    ``(bucket, log_ratio)`` with
+    ``log_ratio = ln p_target(bucket) - ln p_raw(bucket)`` under
+    add-``smoothing`` (Laplace) estimates, so unseen buckets are
+    finite on both sides. The frame is ``num_buckets`` rows — persist
+    it with parquet, broadcast-join it at scoring time.
+
+    Distributed shape: one explode + bucket-count shuffle per corpus
+    (partial-aggregated; the heavy input is the raw pool, scanned
+    once), then a ``spark.range(num_buckets)`` left join against the
+    two histograms with the 1-row totals broadcast — no value
+    buffering, model size independent of corpus size. Feature space is
+    the portable md5-prefix bucket (`_ngram_bucket`), shared with the
+    hashed classifier so a DuckDB oracle can reproduce scores exactly.
+    """
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (unseen buckets need finite mass)")
+    spark = target.sparkSession
+
+    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
+        grams = _ensure_parallelism(df.select(text_col), text_col).select(
+            F.explode(word_ngrams(_word_array(text_col), ngram_n)).alias("__g")
+        )
+        return (
+            grams.select(_ngram_bucket(F.col("__g"), num_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    t_counts = bucket_counts(target, "__ct")
+    r_counts = bucket_counts(raw, "__cr")
+    totals = t_counts.agg(F.sum("__ct").alias("__tt")).crossJoin(
+        r_counts.agg(F.sum("__cr").alias("__tr"))
+    )
+    a, b = F.lit(float(smoothing)), F.lit(float(smoothing * num_buckets))
+    return (
+        spark.range(num_buckets)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(t_counts, on="bucket", how="left")
+        .join(r_counts, on="bucket", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("__ct"), F.lit(0)) + a)
+                      / (F.coalesce(F.col("__tt"), F.lit(0)) + b))
+                - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + a)
+                        / (F.coalesce(F.col("__tr"), F.lit(0)) + b))
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    num_buckets: int = 4096,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight:
+    ``log_w = sum_b tf(b) * log_ratio(b)`` over the document's hashed
+    n-gram buckets. ``model`` is a `train_importance_model` frame
+    (``num_buckets``/``ngram_n`` must match — the bucket space is the
+    contract). Documents with no n-grams (shorter than ``ngram_n``
+    words) get log_w = 0.0, never dropped.
+
+    One featurization shuffle (`hashed_ngram_features`), a broadcast
+    join against the bucket-sized model, one per-doc sum — the scoring
+    pass is corpus-linear with no per-doc Python. Returns
+    ``(id_col, log_w)``.
+    """
+    feats = hashed_ngram_features(df, id_col, text_col, num_buckets, ngram_n)
+    scored = (
+        feats.join(F.broadcast(model), on="bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("log_ratio")).alias("log_w"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(F.col(id_col), F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"))
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    k: int,
+    seed: int = 0,
+    num_buckets: int = 4096,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """DSIR selection: draw ``k`` documents WITHOUT replacement with
+    probability proportional to their importance weight exp(log_w) —
+    the resampling half of Xie et al. 2023 — deterministically.
+
+    Sampling uses the Gumbel-top-k trick (equivalent to
+    Efraimidis-Spirakis order sampling, but in LOG space so huge
+    log-weights never overflow exp()): each doc draws a hash-derived
+    uniform u and ranks by ``log_w + (-ln(-ln u))`` descending. u is a
+    pure function of (id, seed) via the same portable md5-prefix hash
+    as `weighted_hash_sample`, so the selected set is reproducible
+    across runs, engines, retries, and cluster layouts, and a new seed
+    is a fresh independent draw.
+
+    Selection is a global top-k (orderBy + limit =
+    TakeOrderedAndProject — k rows per partition then k at the driver,
+    never a full sort), so the whole pipeline is: score (linear) +
+    top-k. Returns the selected input rows with ``log_w`` and the
+    deterministic ``gumbel_key``, highest key first.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    weights = importance_weights(df, id_col, text_col, model, num_buckets, ngram_n)
+    # u in (0, 1): 13 md5 hex digits -> [0, 16^13), +0.5 to dodge both
+    # endpoints (ln(0) and ln(-ln(1)) are the two poles of the Gumbel)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**13))
+    keyed = weights.withColumn("gumbel_key", F.col("log_w") - F.log(-F.log(u)))
+    picked = keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc()).limit(k)
+    return df.join(picked, on=id_col).orderBy(
+        F.col("gumbel_key").desc(), F.col(id_col).asc()
+    )
