@@ -437,6 +437,165 @@ def add_to_ivf_index(
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
 
 
+def _fs_path(spark, p: str):
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(p)
+    return path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), path
+
+
+def _read_ivf_delta(spark, path: str, before: int | None = None):
+    """Read the streaming delta area of an IVF index (None if absent):
+    per-batch ``{path}/delta/batch=<id>`` trees in the index's own
+    storage format. ``before`` keeps only batches < it (exclusive) —
+    the crash-replay guard."""
+    fs, root = _fs_path(spark, f"{path}/delta")
+    if not fs.exists(root):
+        return None
+    delta = spark.read.parquet(f"{path}/delta")
+    if before is not None:
+        delta = delta.filter(F.col("batch") < before)
+    return delta.drop("batch")
+
+
+def add_to_ivf_delta(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    batch_id: int,
+) -> None:
+    """Append a batch of vectors into the index's DELTA area instead of
+    its base cells: assignment and storage format match the base
+    (`add_to_ivf_index`), but rows land under
+    ``{path}/delta/batch=<batch_id>`` with overwrite semantics — so a
+    replayed streaming batch rewrites its own directory instead of
+    duplicating rows, which plain ``mode(append)`` into the base cells
+    cannot promise. Search picks deltas up via
+    ``search_ivf_index(include_delta=True)``; fold them into a fresh
+    base periodically with `compact_ivf_index` (per-batch directories
+    accumulate file-listing cost, not correctness debt)."""
+    cents = spark.read.parquet(f"{path}/_centroids")
+    assigned = assign_cells(new_vectors, cents, id_col, vec_col)
+    layout = _ivf_cells_layout(spark, path)
+    if layout == "q8":
+        assigned = quantize_embeddings_int8(assigned, vec_col, "__q8").drop(vec_col)
+    elif layout == "pq":
+        cb = spark.read.parquet(f"{path}/_pq_codebooks")
+        assigned = pq_encode(assigned, cb, vec_col).drop(vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/delta/batch={batch_id}"
+    )
+
+
+def compact_ivf_index(spark, path: str, out_path: str) -> None:
+    """Fold an index's streaming delta into a fresh self-contained
+    index at ``out_path``: base cells + all delta batches rewritten as
+    one per-cell partition layout, quantizer (and PQ codebooks) copied
+    forward. Writes a NEW path rather than mutating in place — an
+    in-place base append + delta delete has a crash window that
+    double-counts rows; pointer-swap to the compacted path instead
+    (and only then retire the old one)."""
+    cells = spark.read.parquet(f"{path}/cells")
+    delta = _read_ivf_delta(spark, path)
+    if delta is not None:
+        cells = cells.unionByName(delta.select(cells.columns))
+    spark.read.parquet(f"{path}/_centroids").write.mode("overwrite").parquet(
+        f"{out_path}/_centroids"
+    )
+    fs, cb_path = _fs_path(spark, f"{path}/_pq_codebooks")
+    if fs.exists(cb_path):
+        spark.read.parquet(f"{path}/_pq_codebooks").write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/_pq_codebooks")
+    cells.write.mode("overwrite").partitionBy("cell").parquet(f"{out_path}/cells")
+
+
+def stream_screen_against_ivf(
+    spark,
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    nprobe: int = 1,
+    admit: str = "novel",
+) -> int:
+    """Streaming semantic screen — the embedding twin of
+    `stream_dedup_against_index`, the continuous-ingest shape for
+    semantic dedup / decontamination: each micro-batch of (id, vector)
+    rows (1) searches its nearest indexed neighbor (base cells + every
+    delta admitted by EARLIER batches), (2) writes verdicts to
+    ``{out_path}/batch=<id>`` — (id, neighbor_id, cos_sim,
+    is_near_dup) with cos_sim >= ``threshold`` flagging a near-dup —
+    and (3) with ``admit='novel'`` (default) adds the batch's novel
+    vectors to the index's delta area so the NEXT batch screens
+    against them; ``admit='none'`` is pure audit mode.
+
+    Crash safety mirrors the dedup twin: the checkpoint commits only
+    after foreachBatch returns, verdicts and delta both overwrite
+    their own ``batch=<id>`` directory, and screening passes
+    ``delta_before=batch_id`` so a replayed batch never screens
+    against its own half-committed delta (it would flag its rows as
+    dups of themselves, then overwrite the delta empty — losing them
+    for good). The admit step re-reads the COMMITTED verdict parquet,
+    so verdict and admission can't diverge on retry.
+
+    Works on full-precision and int8 indexes (both score ``cos_sim``,
+    int8 with ~0.4%-of-max|x| quantization error — set ``threshold``
+    with that margin in mind). An IVFPQ index is rejected: ADC
+    distance has no fixed cosine-threshold semantics and reranking
+    needs the full corpus. Vectors never shuffle beyond the probed
+    cells' join; per-batch state is the batch itself. Returns batches
+    processed this run."""
+    if admit not in ("novel", "none"):
+        raise ValueError(f"admit must be 'novel' or 'none', got {admit!r}")
+    if _ivf_cells_layout(spark, index_path) == "pq":
+        raise ValueError(
+            "stream_screen_against_ivf needs cos_sim scores; an IVFPQ "
+            "index scores ADC distance — use a full or int8 index"
+        )
+    counter = {"batches": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        top1 = search_ivf_index(
+            spark, index_path, batch_df, None, id_col, vec_col,
+            k=1, nprobe=nprobe, include_delta=True, delta_before=batch_id,
+        )
+        verdicts = (
+            batch_df.select(id_col, vec_col)
+            .join(
+                top1.withColumnRenamed("query_id", id_col).drop("rank"),
+                on=id_col,
+                how="left",
+            )
+            .select(
+                id_col,
+                vec_col,
+                "neighbor_id",
+                "cos_sim",
+                F.coalesce(
+                    F.col("cos_sim") >= F.lit(threshold), F.lit(False)
+                ).alias("is_near_dup"),
+            )
+        )
+        vdir = f"{out_path}/batch={batch_id}"
+        verdicts.write.mode("overwrite").parquet(vdir)
+        if admit == "novel":
+            committed = spark.read.parquet(vdir)
+            novel = committed.filter(~F.col("is_near_dup")).select(id_col, vec_col)
+            add_to_ivf_delta(spark, index_path, novel, id_col, vec_col, batch_id)
+        counter["batches"] += 1
+
+    q = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return counter["batches"]
+
+
 def _ivf_cells_layout(spark, path: str) -> str:
     """Detect the index storage format ("full" | "q8" | "pq") from ONE
     leaf file's footer. Opening the whole `{path}/cells` dataset just
@@ -475,6 +634,8 @@ def search_ivf_index(
     nprobe: int = 1,
     rerank_with: DataFrame | None = None,
     rerank_factor: int = 4,
+    include_delta: bool = False,
+    delta_before: int | None = None,
 ) -> DataFrame:
     """Search a materialized IVF index. The join on ``cell`` against the
     partitioned parquet prunes to the probed cells' files only.
@@ -497,10 +658,22 @@ def search_ivf_index(
     distance tables (ascending squared L2 — on an L2-normalized corpus
     that IS descending cosine order) and the score column is
     ``adc_dist`` instead of ``cos_sim``; ``rerank_with`` restores
-    exact cosine (recommended — PQ is the coarsest storage tier)."""
+    exact cosine (recommended — PQ is the coarsest storage tier).
+
+    ``include_delta=True`` additionally searches vectors admitted into
+    the index's streaming delta area (`add_to_ivf_delta` /
+    `stream_screen_against_ivf`) — per-batch directories under
+    ``{path}/delta`` sharing the base storage format.
+    ``delta_before=N`` bounds the read to batches < N (the streaming
+    replay guard: a batch must never screen against its own
+    half-committed delta)."""
     if centroids is None:
         centroids = spark.read.parquet(f"{path}/_centroids")
     cells = spark.read.parquet(f"{path}/cells")
+    if include_delta:
+        delta = _read_ivf_delta(spark, path, delta_before)
+        if delta is not None:
+            cells = cells.unionByName(delta.select(cells.columns))
     if "__q8" in cells.columns:
         q8 = F.col("__q8")
         cells = cells.withColumn(
