@@ -180,3 +180,39 @@ def test_admit_none_is_pure_audit(spark, tmp_path):
         stream_screen_against_ivf(
             spark, stream, idx, "x", "y", "vec_id", "embedding", admit="all"
         )
+
+
+def test_stream_screen_all_dup_first_batch(spark, tmp_path):
+    """Regression: a first batch that is ENTIRELY near-dups admits zero
+    rows, leaving a delta area whose only batch directory has no
+    parquet footers. The next batch must still screen (an all-empty
+    delta reads as 'no delta', not a schema-inference crash) and must
+    be able to admit rows afterwards."""
+    idx = _base_index(spark, tmp_path)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(
+            "vec_id LONG, embedding ARRAY<DOUBLE>"
+        ).parquet(str(landing))
+        return stream_screen_against_ivf(
+            spark, stream, idx, out, ckpt, "vec_id", "embedding", threshold=0.9
+        )
+
+    # batch 0: both rows duplicate base ids -> novel set is empty
+    _drop(landing, "d1.parquet", [(100, [1.0, 0.02]), (101, [0.01, 1.0])])
+    assert run() == 1
+    v0 = {r["vec_id"]: r for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert v0[100]["is_near_dup"] and v0[101]["is_near_dup"]
+
+    # batch 1 screens against base + (empty) delta without crashing,
+    # and its novel row is admitted into the previously-empty delta
+    _drop(landing, "d2.parquet", [(200, [0.8, 0.6])])
+    assert run() == 1
+    v1 = {r["vec_id"]: r for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert not v1[200]["is_near_dup"]
+    delta = spark.read.parquet(f"{idx}/delta")
+    assert {r["vec_id"] for r in delta.collect()} == {200}

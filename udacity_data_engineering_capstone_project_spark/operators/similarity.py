@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -451,7 +452,17 @@ def _read_ivf_delta(spark, path: str, before: int | None = None):
     fs, root = _fs_path(spark, f"{path}/delta")
     if not fs.exists(root):
         return None
-    delta = spark.read.parquet(f"{path}/delta")
+    try:
+        delta = spark.read.parquet(f"{path}/delta")
+    except AnalysisException as ex:
+        # every committed batch admitted zero rows: the batch=<id> dirs
+        # exist (overwrite semantics require writing them even when
+        # empty, or a replayed empty recomputation would leave stale
+        # rows) but hold no parquet footers, so schema inference fails
+        # — an empty delta, not corruption
+        if "UNABLE_TO_INFER_SCHEMA" in str(ex):
+            return None
+        raise
     if before is not None:
         delta = delta.filter(F.col("batch") < before)
     return delta.drop("batch")
