@@ -462,6 +462,7 @@ def test_global_plan_hygiene_sweep(spark, sf_dir):
         "numeric_drift_q",   # 1-row decile cut aggregate
         "language_id_q",     # label_info grid (n_labels rows)
         "pq_ann_q",          # per-query ADC distance-table literals
+        "skew_report_q",     # 1-row total/mean aggregate per key report
     }
     offenders = {}
     for coll in (REGISTRY, UNREGISTERED):

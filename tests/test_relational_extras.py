@@ -399,3 +399,55 @@ def test_winsorize_grouped_null_key_rows_still_clip(spark):
     # the NULL group's outlier must clip against the NULL group's cuts
     assert out[100] < 10_000.0
     assert out[200] == 5.0
+
+
+def test_rolling_zscore_flags_spike_and_gates_history(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        rolling_zscore,
+    )
+
+    # series a: mild noise then a spike; series b: constant (zero var)
+    rows = [("a", t, 10 + (t % 2)) for t in range(30)] + [("a", 30, 100)]
+    rows += [("b", t, 5) for t in range(15)]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    out = {
+        (r["k"], r["t"]): r
+        for r in rolling_zscore(
+            df, ["k"], "t", "v", lookback=24, min_history=8, threshold=3.0
+        ).collect()
+    }
+    spike = out[("a", 30)]
+    assert spike["is_anomaly"] is True and spike["z"] > 3.0
+    # trailing baseline never includes the current row
+    assert spike["trail_mean"] < 11.0
+    # fewer than min_history trailing points -> unknown, not normal
+    early = out[("a", 3)]
+    assert early["z"] is None and early["is_anomaly"] is None
+    # zero variance -> unknown (a constant series can't score deviation)
+    assert out[("b", 14)]["z"] is None
+    # an in-window normal point is not flagged
+    normal = out[("a", 20)]
+    assert normal["is_anomaly"] is False
+
+
+def test_key_skew_report_branches_and_topk(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        key_skew_report,
+    )
+
+    # hot: 600/1045 = 57% share -> salt; warm: 45 rows = 4.39x the mean
+    # group size but only 4.3% share -> watch; cold keys -> ok
+    rows = (
+        [("hot",)] * 600
+        + [("warm",)] * 45
+        + [(f"k{i:02d}",) for i in range(100) for _ in range(4)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    rep = key_skew_report(df, ["k"], top_n=3).collect()
+    assert [r["k"] for r in rep] == ["hot", "warm", "k00"]  # ties -> key asc
+    by = {r["k"]: r for r in rep}
+    assert by["hot"]["suggestion"] == "salt"
+    assert by["warm"]["suggestion"] == "watch"
+    assert by["k00"]["suggestion"] == "ok"
+    assert abs(by["hot"]["share"] - 600 / 1045) < 1e-6
+    assert by["warm"]["skew_ratio"] > 4.0

@@ -603,3 +603,118 @@ def run_expectations(
         rows, "check string, passed boolean, detail string"
     )
     return ok, report
+
+
+def rolling_zscore(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    lookback: int = 24,
+    min_history: int = 8,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score per series — the volume-anomaly monitor
+    a pipeline runs over its own intake (an hourly ingest count that
+    jumps 5 sigma means a crawler loop or an upstream outage, and both
+    poison downstream training mixes if they sail through).
+
+    For each row, the baseline is the previous ``lookback`` OBSERVED
+    periods of its series (``ROWS BETWEEN lookback PRECEDING AND 1
+    PRECEDING`` — never the current row, so a spike cannot mask
+    itself). Rows with fewer than ``min_history`` trailing points or
+    zero variance get NULL z (not 0: "unknown", not "normal").
+
+    Cross-engine determinism by construction: the window aggregates
+    are SUM/COUNT over the raw values and their squares — for integer
+    series (counts) these are EXACT integers in any engine, and mean/
+    variance/z are then derived through one fixed expression tree of
+    IEEE double ops (+ a correctly-rounded sqrt), so the same inputs
+    give bit-identical z everywhere — no engine-internal Welford /
+    two-pass variance divergence, which is why this does NOT use the
+    built-in stddev window function.
+
+    One window pass, shuffles once on the series key; state per task
+    is the ``lookback`` frame. Output: input columns +
+    ``(trail_n, trail_mean, z, is_anomaly)``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in partition_cols])
+        .orderBy(F.col(order_col))
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col).cast("double")
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    cnt = F.count(v).over(w)
+    mean = s1 / cnt
+    # sample variance from exact sums: (ss - n*mean^2) / (n-1)
+    var = (s2 - s1 * s1 / cnt) / (cnt - F.lit(1))
+    z = F.when(
+        (cnt >= F.lit(min_history)) & (var > F.lit(0.0)),
+        (v - mean) / F.sqrt(var),
+    )
+    return (
+        df.withColumn("trail_n", cnt)
+        .withColumn("trail_mean", F.when(cnt > 0, mean))
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(z.isNotNull(), F.abs(z) >= F.lit(threshold)),
+        )
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 20,
+    salt_share: float = 0.05,
+) -> DataFrame:
+    """Hot-key diagnostic for a planned join/aggregation key: the
+    top-``top_n`` heaviest key values with their row share and the
+    key's overall skew ratio (max/mean group size) — the number that
+    predicts whether one reducer eats the stage. Run this BEFORE the
+    100 TB join; pair with `salted_join` when it comes back hot.
+
+    ``suggestion`` encodes the operating rule this repo's probes
+    settled on: a key value holding >= ``salt_share`` of all rows
+    wants salting (one task's share no longer amortizes across the
+    cluster no matter how many executors); anything above 4x the mean
+    group size is worth watching under AQE skew-join; the rest are
+    fine.
+
+    Physical shape: one partial-aggregated groupBy on the key, a
+    1-row global aggregate broadcast back, top-k via orderBy+limit
+    (TakeOrderedAndProject — never a full sort). Driver traffic is
+    ``top_n`` rows.
+
+    Output: key cols + (n_rows, share, skew_ratio, suggestion),
+    heaviest first; share/skew_ratio rounded to 6dp.
+    """
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.avg("n_rows").alias("__mean"),
+    )
+    share = F.col("n_rows") / F.col("__total")
+    ratio = F.col("n_rows") / F.col("__mean")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(share, 6).alias("share"),
+            F.round(ratio, 6).alias("skew_ratio"),
+            F.when(share >= F.lit(salt_share), F.lit("salt"))
+            .when(ratio > F.lit(4.0), F.lit("watch"))
+            .otherwise(F.lit("ok"))
+            .alias("suggestion"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(top_n)
+    )

@@ -3334,6 +3334,159 @@ def capstone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("table_name")
 
 
+
+# Oracle twin for rolling_zscore — UNREGISTERED. Determinism by
+# construction: the window aggregates are SUM/COUNT over integer
+# hourly counts (exact in both engines), and mean/variance/z are one
+# fixed IEEE expression tree (+ correctly-rounded sqrt) — no
+# engine-internal stddev algorithm in the hash path.
+INGEST_ANOMALY_ORACLE = """
+    WITH hc AS (
+        SELECT event_type,
+               epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), w AS (
+        SELECT event_type, hour_us, n,
+               sum(CAST(n AS DOUBLE)) OVER win AS s1,
+               sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER win AS s2,
+               count(CAST(n AS DOUBLE)) OVER win AS cnt
+        FROM hc
+        WINDOW win AS (PARTITION BY event_type ORDER BY hour_us
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_us, n,
+           cnt AS trail_n,
+           CASE WHEN cnt > 0 THEN round(s1 / cnt, 6) END AS trail_mean,
+           CASE WHEN cnt >= 8 AND (s2 - s1 * s1 / cnt) / (cnt - 1) > 0
+                THEN round((CAST(n AS DOUBLE) - s1 / cnt)
+                           / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 6)
+           END AS z,
+           CASE WHEN cnt < 8 OR (s2 - s1 * s1 / cnt) / (cnt - 1) <= 0
+                     THEN 'insufficient'
+                WHEN abs((CAST(n AS DOUBLE) - s1 / cnt)
+                         / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1))) >= 3.0
+                     THEN 'anomaly'
+                ELSE 'normal' END AS verdict
+    FROM w
+"""
+
+
+@_register(
+    "ingest_anomaly_q",
+    INGEST_ANOMALY_ORACLE,
+    "Trailing-window z-score volume anomalies over hourly ingest "
+    "counts (operators/quality.py:rolling_zscore) — the intake "
+    "monitor that catches crawler loops / upstream outages before "
+    "they poison a training mix. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def ingest_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts per type -> trailing-24h z-score
+    (operators/quality.py:rolling_zscore). Unregistered; pinned by
+    `test_unregistered_query_parity[ingest_anomaly_q]`."""
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        rolling_zscore,
+    )
+
+    hc = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                "'1970-01-01 00:00:00', date_trunc('hour', ts))"
+            ).alias("hour_us"),
+        )
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = rolling_zscore(
+        hc, ["event_type"], "hour_us", "n", lookback=24, min_history=8
+    )
+    # verdict as a NON-NULL string: a nullable boolean would compare
+    # None (Spark) against NaN (DuckDB .df()) in the hash frame
+    return out.select(
+        "event_type",
+        "hour_us",
+        "n",
+        "trail_n",
+        F.round("trail_mean", 6).alias("trail_mean"),
+        F.round("z", 6).alias("z"),
+        F.when(F.col("z").isNull(), F.lit("insufficient"))
+        .when(F.col("is_anomaly"), F.lit("anomaly"))
+        .otherwise(F.lit("normal"))
+        .alias("verdict"),
+    )
+
+
+# Oracle twin for key_skew_report — UNREGISTERED. Shares and ratios
+# derive from exact integer group counts through one fixed division;
+# both engines agree bit-for-bit before the 6dp rounding.
+SKEW_REPORT_ORACLE = """
+    WITH lk AS (
+        SELECT lang AS key_value, count(*) AS n_rows
+        FROM documents GROUP BY 1
+    ), lt AS (SELECT sum(n_rows) AS total, avg(n_rows) AS mean FROM lk),
+    l AS (
+        SELECT 'documents.lang' AS key, key_value, n_rows,
+               round(n_rows / total, 6) AS share,
+               round(n_rows / mean, 6) AS skew_ratio,
+               CASE WHEN n_rows / total >= 0.05 THEN 'salt'
+                    WHEN n_rows / mean > 4.0 THEN 'watch'
+                    ELSE 'ok' END AS suggestion
+        FROM lk, lt ORDER BY n_rows DESC, key_value ASC LIMIT 20
+    ), uk AS (
+        SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS n_rows
+        FROM events GROUP BY 1
+    ), ut AS (SELECT sum(n_rows) AS total, avg(n_rows) AS mean FROM uk),
+    u AS (
+        SELECT 'events.user_id' AS key, key_value, n_rows,
+               round(n_rows / total, 6) AS share,
+               round(n_rows / mean, 6) AS skew_ratio,
+               CASE WHEN n_rows / total >= 0.05 THEN 'salt'
+                    WHEN n_rows / mean > 4.0 THEN 'watch'
+                    ELSE 'ok' END AS suggestion
+        FROM uk, ut ORDER BY n_rows DESC, key_value ASC LIMIT 5
+    )
+    SELECT * FROM l UNION ALL SELECT * FROM u
+"""
+
+
+@_register(
+    "skew_report_q",
+    SKEW_REPORT_ORACLE,
+    "Hot-key diagnostics for two planned join keys "
+    "(operators/quality.py:key_skew_report) — share + max/mean skew "
+    "ratio + the salt/watch/ok operating rule, run before the 100 TB "
+    "join. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew reports over documents.lang and events.user_id
+    (operators/quality.py:key_skew_report). Unregistered; pinned by
+    `test_unregistered_query_parity[skew_report_q]`."""
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        key_skew_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("key_value")
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key_value")
+    )
+    r1 = key_skew_report(docs, ["key_value"], top_n=20).withColumn(
+        "key", F.lit("documents.lang")
+    )
+    r2 = key_skew_report(ev, ["key_value"], top_n=5).withColumn(
+        "key", F.lit("events.user_id")
+    )
+    return r1.unionByName(r2).select(
+        "key", "key_value", "n_rows", "share", "skew_ratio", "suggestion"
+    )
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
