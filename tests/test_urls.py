@@ -182,8 +182,8 @@ def test_canonicalize_hostile_inputs_total_and_idempotent(spark):
 def test_registered_domain_psl_swap_seam(spark, tmp_path):
     """The multi_suffixes parameter swaps the built-in shortlist for a
     real Public Suffix List: 3-label suffixes take one more label,
-    exact-suffix hosts pass through, wildcard/exception PSL rules are
-    skipped honestly by the loader."""
+    exact-suffix hosts pass through; the plain-rules loader shim keeps
+    skipping wildcard/exception rules (load_psl_rules carries them)."""
     from udacity_data_engineering_capstone_project_spark.functions.urls import (
         load_public_suffixes,
         registered_domain,
@@ -275,3 +275,92 @@ def test_with_registered_domain_broadcast_path_matches_expression(spark):
     small = with_registered_domain(df, "host", "domain", ("co.uk",))
     plan = small._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+def test_registered_domain_psl_wildcard_and_exception_rules(spark, tmp_path):
+    """Official publicsuffix.org semantics for the full rule grammar:
+    wildcard rules (*.ck) make every single label under the base a
+    public suffix, exception rules (!www.ck) override every other
+    matching rule, and longest-match is CROSS-CLASS (*.platform.sh
+    must beat the coexisting plain platform.sh rule — both are in the
+    real list). Expected values are the publicsuffix.org test vectors
+    with this repo's null->pass-through convention."""
+    from udacity_data_engineering_capstone_project_spark.functions.urls import (
+        load_psl_rules,
+        registered_domain,
+    )
+
+    psl = tmp_path / "psl.dat"
+    psl.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\nco.uk\n*.ck\n!www.ck\n*.kobe.jp\n!city.kobe.jp\n"
+        "platform.sh\n*.platform.sh\n"
+    )
+    rules = load_psl_rules(str(psl))
+    assert rules.plain == ("co.uk", "platform.sh")
+    assert rules.wildcards == ("ck", "kobe.jp", "platform.sh")
+    assert rules.exceptions == ("www.ck", "city.kobe.jp")
+
+    cases = [
+        # publicsuffix.org test_psl.txt, ck zone
+        ("test.ck", "test.ck"),            # wildcard suffix itself
+        ("b.test.ck", "b.test.ck"),
+        ("a.b.test.ck", "b.test.ck"),
+        ("www.ck", "www.ck"),              # exception: registrable
+        ("www.www.ck", "www.ck"),
+        # kobe.jp zone (deep wildcard + deep exception)
+        ("kobe.jp", "kobe.jp"),
+        ("c.kobe.jp", "c.kobe.jp"),
+        ("b.c.kobe.jp", "b.c.kobe.jp"),
+        ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+        ("city.kobe.jp", "city.kobe.jp"),
+        ("www.city.kobe.jp", "city.kobe.jp"),
+        # cross-class longest match
+        ("foo.platform.sh", "foo.platform.sh"),
+        ("a.foo.platform.sh", "a.foo.platform.sh"),
+        ("b.a.foo.platform.sh", "a.foo.platform.sh"),
+        # plain rules still work beside the specials
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("a.b.example.com", "example.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [
+        r["d"]
+        for r in df.select(
+            registered_domain(
+                "host", rules.plain, rules.wildcards, rules.exceptions
+            ).alias("d")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_with_registered_domain_specials_match_expression(spark):
+    """The broadcast-join scale path honors wildcard/exception rules
+    identically to the expression form (specials stay literal — they
+    are dozens in the real PSL; only plain rules join)."""
+    from udacity_data_engineering_capstone_project_spark.functions.urls import (
+        registered_domain,
+        with_registered_domain,
+    )
+
+    plain = tuple(f"co.x{i}" for i in range(70)) + ("co.uk", "platform.sh")
+    wilds = ("ck", "kobe.jp", "platform.sh")
+    excs = ("www.ck", "city.kobe.jp")
+    rows = [
+        ("a.b.test.ck",), ("www.www.ck",), ("a.b.c.kobe.jp",),
+        ("www.city.kobe.jp",), ("b.a.foo.platform.sh",),
+        ("news.bbc.co.uk",), ("a.b.example.com",), ("x.co.x7",),
+        ("10.1.2.3",), ("localhost",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    joined = with_registered_domain(df, "host", "domain", plain, wilds, excs)
+    assert joined.columns == ["host", "domain"]
+    expr = df.select(
+        "host",
+        registered_domain("host", plain, wilds, excs).alias("domain"),
+    )
+    key = lambda t: tuple("" if v is None else v for v in t)  # noqa: E731
+    assert sorted(map(tuple, joined.collect()), key=key) == sorted(
+        map(tuple, expr.collect()), key=key
+    )

@@ -19,18 +19,24 @@ from udacity_data_engineering_capstone_project_spark.functions.urls import (
     canonicalize_url,
     domain_counts,
     filter_blocked_domains,
+    load_psl_rules,
+    load_public_suffixes,
     registered_domain,
     url_host,
     url_path,
+    with_registered_domain,
 )
 
 __all__ = [
     "canonicalize_url",
     "domain_counts",
     "filter_blocked_domains",
+    "load_psl_rules",
+    "load_public_suffixes",
     "registered_domain",
     "url_host",
     "url_path",
+    "with_registered_domain",
     "sas_date_to_date",
     "with_date_parts",
     "add_surrogate_key",

@@ -8,14 +8,18 @@ CCNet pipelines all canonicalize before URL-level dedup). Everything
 here is a pure Column expression — whole-stage codegen, no Python —
 so canonicalization runs at scan speed over 100 TB of WARC metadata.
 
-Limits, stated honestly: `registered_domain` approximates the Public
-Suffix List with the common multi-label suffixes below; a production
-deployment should swap in the full PSL (a ~10k-entry broadcast map)
-at the marked seam. Userinfo (`user:pass@host`) is lowercased along
+Limits, stated honestly: `registered_domain` DEFAULTS to a shortlist
+of common multi-label suffixes below; a production deployment should
+swap in the full PSL at the marked seam — `load_psl_rules` parses the
+complete rule grammar (plain, ``*.`` wildcard, ``!`` exception) and
+`with_registered_domain` broadcast-joins the ~9k plain rules while
+the dozens of special rules stay literal expressions. Userinfo (`user:pass@host`) is lowercased along
 with the host — crawl URLs do not carry credentials.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -131,36 +135,60 @@ def canonicalize_url(
     return F.when(scheme != "", rebuilt).otherwise(c)
 
 
-def load_public_suffixes(path: str) -> tuple[str, ...]:
-    """Parse a Public Suffix List file (publicsuffix.org
-    ``public_suffix_list.dat`` format) into the multi-label suffix
-    tuple `registered_domain` consumes — the production swap for the
-    built-in ``_MULTI_SUFFIXES`` shortlist.
+class PslRules(NamedTuple):
+    """The three rule classes of a parsed Public Suffix List.
+    ``plain`` are literal multi-label suffixes (``co.uk``);
+    ``wildcards`` are the BASES of ``*.<base>`` rules (``ck`` for
+    ``*.ck`` — any single label under the base is a public suffix);
+    ``exceptions`` are ``!``-rules (``www.ck``) — hosts at or under
+    one are registrable at the exception's own depth, overriding any
+    other matching rule (the PSL's stated precedence)."""
 
-    Keeps every plain rule with >= 2 labels (single-label TLDs are
-    already the default behavior). HONEST BOUNDARY: wildcard rules
-    (``*.ck``) and exception rules (``!www.ck``) — a few dozen of the
-    ~9,000 entries — are skipped with the same approximation the
-    shortlist makes; model them behind this seam if those zones
-    matter. Input must be pre-punycoded (the on-disk PSL ships both;
-    IDN labels in their unicode form will simply never match a
-    punycoded host)."""
-    out = []
+    plain: tuple[str, ...]
+    wildcards: tuple[str, ...]
+    exceptions: tuple[str, ...]
+
+
+def load_psl_rules(path: str) -> PslRules:
+    """Parse a Public Suffix List file (publicsuffix.org
+    ``public_suffix_list.dat`` format) into the three rule classes
+    `registered_domain` / `with_registered_domain` consume — the
+    production swap for the built-in ``_MULTI_SUFFIXES`` shortlist,
+    now covering the full rule grammar (plain, ``*.`` wildcard, ``!``
+    exception).
+
+    Plain rules keep >= 2 labels only (single-label TLDs are already
+    the default ``last two labels`` behavior); wildcard bases and
+    exceptions keep every depth. Input must be pre-punycoded (the
+    on-disk PSL ships both; IDN labels in their unicode form will
+    simply never match a punycoded host)."""
+    plain, wilds, excs = [], [], []
     with open(path, encoding="utf-8") as fh:
         for line in fh:
             line = line.strip()
             if not line or line.startswith("//"):
                 continue
-            if line.startswith(("*", "!")):
-                continue  # wildcard/exception rules: out of scope
-            if "." in line:
-                out.append(line.lower())
-    return tuple(out)
+            line = line.split()[0].lower()
+            if line.startswith("*."):
+                wilds.append(line[2:])
+            elif line.startswith("!"):
+                excs.append(line[1:])
+            elif "." in line:
+                plain.append(line)
+    return PslRules(tuple(plain), tuple(wilds), tuple(excs))
+
+
+def load_public_suffixes(path: str) -> tuple[str, ...]:
+    """Back-compat shim: the plain rules only (see `load_psl_rules`,
+    which also returns the wildcard and exception classes)."""
+    return load_psl_rules(path).plain
 
 
 def registered_domain(
     host: Column | str,
     multi_suffixes: tuple[str, ...] | None = None,
+    wildcards: tuple[str, ...] = (),
+    exceptions: tuple[str, ...] = (),
 ) -> Column:
     """The registrable domain of a host: one label more than the
     longest matching public suffix (news.bbc.co.uk -> bbc.co.uk,
@@ -180,12 +208,20 @@ def registered_domain(
     class heavy_hitters' recount moved off of). For
     `load_public_suffixes(<full psl>)`-sized lists use
     `with_registered_domain`, which broadcast-joins the suffix table
-    instead."""
+    instead.
+
+    ``wildcards`` / ``exceptions`` complete the PSL rule grammar
+    (`load_psl_rules` supplies all three classes): a wildcard base
+    ``ck`` (from ``*.ck``) makes EVERY single label under it a public
+    suffix (``a.b.test.ck -> b.test.ck``), and an exception ``www.ck``
+    (from ``!www.ck``) overrides every other matching rule, making
+    hosts at or under it registrable at the exception's own depth
+    (``www.www.ck -> www.ck``) — the PSL's stated precedence, so
+    exceptions are checked first here. Both classes are a few dozen
+    entries in the real list, so they stay literal expressions even
+    on the broadcast-join scale path."""
     h = F.lower(F.col(host) if isinstance(host, str) else host)
     suffixes = _MULTI_SUFFIXES if multi_suffixes is None else multi_suffixes
-    by_len: dict[int, list[str]] = {}
-    for s in suffixes:
-        by_len.setdefault(s.count(".") + 1, []).append(s)
     parts = F.split(h, r"\.")
     n = F.size(parts)
     is_ip = h.rlike(r"^\d+\.\d+\.\d+\.\d+$")
@@ -200,8 +236,36 @@ def registered_domain(
         )
 
     out = F.when(is_ip | (n <= 2), h)
-    for k in sorted(by_len, reverse=True):  # longest suffix wins
-        hit = last_k(k).isin(*by_len[k])
+    # exceptions beat every other matching rule (PSL precedence):
+    # a host at or under one is registrable at the exception's depth
+    exc_by: dict[int, list[str]] = {}
+    for s in exceptions:
+        exc_by.setdefault(s.count(".") + 1, []).append(s)
+    for k in sorted(exc_by, reverse=True):
+        out = out.when(last_k(k).isin(*exc_by[k]), last_k(k))
+    # plain and wildcard classes merged by EFFECTIVE suffix depth —
+    # PSL longest-match is cross-class (*.platform.sh must beat the
+    # coexisting plain platform.sh rule, and a depth-3 plain rule must
+    # beat a depth-2 wildcard)
+    hits_by_len: dict[int, list[Column]] = {}
+    by_len: dict[int, list[str]] = {}
+    for s in suffixes:
+        by_len.setdefault(s.count(".") + 1, []).append(s)
+    for k, vals in by_len.items():
+        hits_by_len.setdefault(k, []).append(last_k(k).isin(*vals))
+    wild_by: dict[int, list[str]] = {}
+    for base in wildcards:
+        wild_by.setdefault(base.count(".") + 1, []).append(base)
+    for d, bases in wild_by.items():
+        # n >= d+1: the wildcard needs a label under the base — the
+        # base itself matches no rule here and falls to the default
+        hits_by_len.setdefault(d + 1, []).append(
+            last_k(d).isin(*bases) & (n >= d + 1)
+        )
+    for k in sorted(hits_by_len, reverse=True):  # longest suffix wins
+        hit = hits_by_len[k][0]
+        for extra in hits_by_len[k][1:]:
+            hit = hit | extra
         out = out.when(hit & (n >= k + 1), last_k(k + 1)).when(hit, h)
     return out.otherwise(last_k(2))
 
@@ -220,6 +284,8 @@ def with_registered_domain(
     host_col: str,
     out_col: str = "domain",
     multi_suffixes: tuple[str, ...] | None = None,
+    wildcards: tuple[str, ...] = (),
+    exceptions: tuple[str, ...] = (),
 ) -> DataFrame:
     """Add the registered-domain column — the FULL-PSL scale path.
 
@@ -236,7 +302,10 @@ def with_registered_domain(
     suffixes = _MULTI_SUFFIXES if multi_suffixes is None else multi_suffixes
     if len(suffixes) <= 64:
         return df.withColumn(
-            out_col, registered_domain(F.col(host_col), tuple(suffixes))
+            out_col,
+            registered_domain(
+                F.col(host_col), tuple(suffixes), wildcards, exceptions
+            ),
         )
     spark = df.sparkSession
     by_len: dict[int, list[str]] = {}
@@ -244,7 +313,7 @@ def with_registered_domain(
         by_len.setdefault(s.count(".") + 1, []).append(s)
     h = F.lower(F.col(host_col))
     work = df.withColumn("__h", h)
-    hits = []
+    hits_by_len: dict[int, list[Column]] = {}
     for k in sorted(by_len, reverse=True):
         sdf = spark.createDataFrame(
             [(s,) for s in by_len[k]], f"__sfx{k} string"
@@ -254,11 +323,32 @@ def with_registered_domain(
             on=_last_k_labels(F.col("__h"), k) == F.col(f"__sfx{k}"),
             how="left",
         )
-        hits.append((k, F.col(f"__sfx{k}").isNotNull()))
+        hits_by_len.setdefault(k, []).append(F.col(f"__sfx{k}").isNotNull())
     n = F.size(F.split(F.col("__h"), r"\."))
     is_ip = F.col("__h").rlike(r"^\d+\.\d+\.\d+\.\d+$")
     out = F.when(is_ip | (n <= 2), F.col("__h"))
-    for k, hit in hits:  # already longest-first
+    # exceptions first (PSL precedence), as literal expressions — the
+    # real list has a few dozen of each special class, far under the
+    # py4j-cost scale that pushed the PLAIN rules into broadcast joins
+    exc_by: dict[int, list[str]] = {}
+    for s in exceptions:
+        exc_by.setdefault(s.count(".") + 1, []).append(s)
+    for k in sorted(exc_by, reverse=True):
+        out = out.when(
+            _last_k_labels(F.col("__h"), k).isin(*exc_by[k]),
+            _last_k_labels(F.col("__h"), k),
+        )
+    wild_by: dict[int, list[str]] = {}
+    for base in wildcards:
+        wild_by.setdefault(base.count(".") + 1, []).append(base)
+    for d, bases in wild_by.items():
+        hits_by_len.setdefault(d + 1, []).append(
+            _last_k_labels(F.col("__h"), d).isin(*bases) & (n >= d + 1)
+        )
+    for k in sorted(hits_by_len, reverse=True):  # longest suffix wins
+        hit = hits_by_len[k][0]
+        for extra in hits_by_len[k][1:]:
+            hit = hit | extra
         out = out.when(
             hit & (n >= k + 1), _last_k_labels(F.col("__h"), k + 1)
         ).when(hit, F.col("__h"))
