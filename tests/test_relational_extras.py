@@ -451,3 +451,52 @@ def test_key_skew_report_branches_and_topk(spark):
     assert by["k00"]["suggestion"] == "ok"
     assert abs(by["hot"]["share"] - 600 / 1045) < 1e-6
     assert by["warm"]["skew_ratio"] > 4.0
+
+
+def test_quantile_bins_equal_frequency_and_edges(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        quantile_bins,
+    )
+
+    # 100 distinct uniform values -> quartiles split 25/25/25/25
+    df = spark.createDataFrame([(i, i * 10) for i in range(100)], "id int, v int")
+    out = quantile_bins(df, "v", 4, approximate=False)
+    sizes = {
+        r["bin"]: r["n"]
+        for r in out.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {0: 25, 1: 25, 2: 25, 3: 25}
+    # monotone: every value in bin k is <= every value in bin k+1
+    rows = sorted((r["bin"], r["v"]) for r in out.collect())
+    assert all(
+        rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1)
+        if rows[i][0] == rows[i + 1][0] - 1
+    )
+    # NULL value -> NULL bin, never bin 0
+    with_null = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 10)], "id int, v int"
+    )
+    got = {r["id"]: r["bin"] for r in
+           quantile_bins(with_null, "v", 2, approximate=False).collect()}
+    assert got[2] is None and got[1] == 0 and got[3] == 1
+
+    # heavy ties collapse bins (mass on the cut): all-equal -> one bin
+    ties = spark.createDataFrame([(i, 7) for i in range(40)], "id int, v int")
+    bins = {r["bin"] for r in quantile_bins(ties, "v", 4, approximate=False).collect()}
+    assert bins == {0}
+
+    # per-group cuts: each group binned against its own distribution
+    g = spark.createDataFrame(
+        [("a", i) for i in range(20)] + [("b", 1000 + i) for i in range(20)],
+        "k string, v int",
+    )
+    gb = quantile_bins(g, "v", 2, group_cols=["k"], approximate=False)
+    per = {
+        (r["k"], r["bin"]): r["n"]
+        for r in gb.groupBy("k", "bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {("a", 0): 10, ("a", 1): 10, ("b", 0): 10, ("b", 1): 10}
+
+    # approximate path: same shape, bins stay in range
+    ap = quantile_bins(df, "v", 4, approximate=True)
+    assert {r["bin"] for r in ap.collect()} <= {0, 1, 2, 3}

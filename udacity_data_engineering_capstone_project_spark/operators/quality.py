@@ -718,3 +718,59 @@ def key_skew_report(
         .orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols])
         .limit(top_n)
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    group_cols: Sequence[str] | None = None,
+    approximate: bool | None = None,
+    accuracy: int = 10_000,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency (equi-depth) binning: assign each row the
+    0-based quantile bin of ``value_col`` — the curriculum/strata
+    primitive (quality deciles for ordered training mixes, length
+    strata for balanced eval slices). Heavy ties collapse bins (a
+    value mass sitting on a cut leaves the upper bin thin or empty) —
+    inherent to equi-depth binning, not a defect.
+
+    The cut points (``n_bins - 1`` interior quantiles) come from ONE
+    aggregation; assignment is then a pure projection counting cuts
+    strictly below the value (``size(filter(cuts, c -> c < v))``) —
+    no per-bin join, no window, no global sort (the ntile() spelling
+    of this is a one-task wall at scale). NULL values get a NULL bin.
+
+    ``approximate`` follows `winsorize`'s contract: exact interpolated
+    percentiles (cross-engine comparable) below the optimizer-size
+    gate or when False; the mergeable `approx_percentile` sketch above
+    it or when True (bin-edge wobble bounded by 1/``accuracy`` of
+    rank; sketch cuts are engine-specific, so graded queries pin
+    approximate=False).
+
+    ``group_cols`` computes per-group cuts (per-language deciles):
+    one grouped aggregation + a group-count-sized broadcast join.
+    Without groups the cuts frame is ONE row.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    if approximate is None:
+        approximate = _estimated_size_exceeds(df, APPROX_DRIFT_MIN_BYTES)
+    qs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    v = F.col(value_col)
+    cut_agg = (
+        F.approx_percentile(v, qs, F.lit(accuracy))
+        if approximate
+        else F.percentile(v, qs)
+    ).alias("__cuts")
+    if group_cols:
+        cuts = df.groupBy(*[F.col(c) for c in group_cols]).agg(cut_agg)
+        work = df.join(F.broadcast(cuts), on=list(group_cols), how="left")
+    else:
+        work = df.crossJoin(F.broadcast(df.agg(cut_agg)))
+    bin_expr = F.when(
+        v.isNotNull() & F.col("__cuts").isNotNull(),
+        F.size(F.filter(F.col("__cuts"), lambda c: c < v)),
+    )
+    return work.withColumn(out_col, bin_expr).drop("__cuts")

@@ -3487,6 +3487,60 @@ def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Oracle twin for quantile_bins — UNREGISTERED. Exact interpolated
+# percentiles: Spark percentile == DuckDB quantile_cont bit-for-bit
+# on the static testdata (same linear interpolation over the same
+# doubles), and bin assignment counts cuts strictly below the value —
+# integer-exact given identical cuts.
+QUALITY_BINS_ORACLE = """
+    WITH cuts AS (
+        SELECT lang,
+               quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS c
+        FROM documents GROUP BY lang
+    ), binned AS (
+        SELECT d.lang, d.doc_id, d.n_chars,
+               CASE WHEN d.n_chars IS NULL THEN NULL
+                    ELSE len(list_filter(c, x -> x < d.n_chars)) END AS bin
+        FROM documents d JOIN cuts USING (lang)
+    )
+    SELECT lang, bin,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM binned GROUP BY 1, 2
+"""
+
+
+@_register(
+    "quality_bins_q",
+    QUALITY_BINS_ORACLE,
+    "Per-language length quartiles via equi-depth binning "
+    "(operators/quality.py:quantile_bins) — the curriculum/strata "
+    "primitive, one grouped percentile aggregation + a broadcast "
+    "cut join, never ntile's global sort. Unregistered; hash-pinned "
+    "locally.",
+    registered=False,
+)
+def quality_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile bins of document length per language
+    (operators/quality.py:quantile_bins). Unregistered; pinned by
+    `test_unregistered_query_parity[quality_bins_q]`."""
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        quantile_bins,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    binned = quantile_bins(
+        docs, "n_chars", 4, group_cols=["lang"], approximate=False
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
