@@ -500,3 +500,46 @@ def test_quantile_bins_equal_frequency_and_edges(spark):
     # approximate path: same shape, bins stay in range
     ap = quantile_bins(df, "v", 4, approximate=True)
     assert {r["bin"] for r in ap.collect()} <= {0, 1, 2, 3}
+
+
+def test_classifier_pr_curve_hand_computed(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        classifier_pr_curve,
+    )
+
+    # scores/labels chosen so every confusion cell is hand-checkable:
+    # positives at 0.9, 0.6, 0.3; negatives at 0.8, 0.2; NULLs ignored
+    rows = [
+        (0.9, 1), (0.6, 1), (0.3, 1), (0.8, 0), (0.2, 0),
+        (None, 1), (0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {
+        r["threshold"]: r
+        for r in classifier_pr_curve(df, "score", "label", n_thresholds=10).collect()
+    }
+    assert len(out) == 11
+    # t=0.0: everything predicted positive
+    r0 = out[0.0]
+    assert (r0["tp"], r0["fp"], r0["fn"]) == (3, 2, 0)
+    assert r0["precision"] == 0.6 and r0["recall"] == 1.0
+    # t=0.5: positives {0.9, 0.6}, negatives {0.8}
+    r5 = out[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"]) == (2, 1, 1)
+    assert r5["precision"] == round(2 / 3, 6) and r5["recall"] == round(2 / 3, 6)
+    assert r5["f1"] == round(2 * 2 / (2 * 2 + 1 + 1), 6)
+    # t=0.7: predicted {0.9, 0.8} -> tp=1 fp=1
+    r7 = out[0.7]
+    assert (r7["tp"], r7["fp"], r7["fn"]) == (1, 1, 2)
+    # t=1.0: nothing clears it (scores < 1.0) -> precision undefined
+    r10 = out[1.0]
+    assert (r10["tp"], r10["fp"]) == (0, 0)
+    assert r10["precision"] is None and r10["recall"] == 0.0 and r10["f1"] == 0.0
+    # score exactly 1.0 clamps into the top bucket and survives t=1.0
+    df2 = spark.createDataFrame([(1.0, 1), (0.0, 0)], "score double, label int")
+    top = {
+        r["threshold"]: r
+        for r in classifier_pr_curve(df2, "score", "label", n_thresholds=4).collect()
+    }
+    assert top[1.0]["tp"] == 1 and top[1.0]["fp"] == 0
+    assert top[0.0]["fp"] == 1

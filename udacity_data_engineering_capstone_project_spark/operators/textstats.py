@@ -1417,3 +1417,82 @@ def importance_resample(
     return df.join(picked, on=id_col).orderBy(
         F.col("gumbel_key").desc(), F.col(id_col).asc()
     )
+
+
+def classifier_pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_thresholds: int = 100,
+) -> DataFrame:
+    """Precision/recall/F1 at every threshold ``i / n_thresholds`` —
+    the operating-point sweep that turns a trained quality/language/
+    toxicity classifier score into a deployable cutoff (pairs with
+    `train_hashed_classifier`; a 100 TB corpus screen wants the
+    threshold chosen from the curve, not a hunch).
+
+    A row is predicted positive at threshold t when ``score >= t``.
+    One pass over the data: each row lands in bucket
+    ``floor(score * n)`` (clamped to [0, n]), grouped into integer
+    (positives, negatives) counts; TP/FP at every threshold are then
+    suffix-cumulative sums over the (n+1)-row bucket spine — the
+    window is bucket-spine-sized, never data-sized. Rows with NULL
+    score or label are ignored.
+
+    All ratios derive from exact integer counts through fixed
+    expression trees (F1 via the 2TP/(2TP+FP+FN) identity — no
+    NULL-able precision/recall intermediate), so the curve is
+    engine-reproducible. Scores are expected in [0, 1]; outside
+    values clamp into the end buckets.
+
+    Output: (threshold, tp, fp, fn, precision, recall, f1) — one row
+    per threshold 0..n, ratios rounded to 6dp, NULL where undefined
+    (no predicted / no actual positives).
+    """
+    from pyspark.sql import Window
+
+    if n_thresholds < 1:
+        raise ValueError("n_thresholds must be >= 1")
+    n = n_thresholds
+    spark = df.sparkSession
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("long")
+    scored = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    bucket = F.least(
+        F.greatest(F.floor(F.col("__s") * n), F.lit(0)), F.lit(n)
+    ).cast("int")
+    counts = scored.groupBy(bucket.alias("__b")).agg(
+        F.sum("__y").alias("__pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__neg"),
+    )
+    spine = spark.range(0, n + 1).select(F.col("id").cast("int").alias("__b"))
+    filled = spine.join(counts, on="__b", how="left").select(
+        "__b",
+        F.coalesce("__pos", F.lit(0)).alias("__pos"),
+        F.coalesce("__neg", F.lit(0)).alias("__neg"),
+    )
+    w_tail = (
+        Window.orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    tp = F.sum("__pos").over(w_tail)
+    fp = F.sum("__neg").over(w_tail)
+    total_pos = F.sum("__pos").over(w_all)
+    fn = total_pos - tp
+    return filled.select(
+        F.round(F.col("__b").cast("double") / n, 6).alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.when(tp + fp > 0, F.round(tp / (tp + fp), 6)).alias("precision"),
+        F.when(total_pos > 0, F.round(tp / total_pos, 6)).alias("recall"),
+        F.when(
+            2 * tp + fp + fn > 0, F.round(2 * tp / (2 * tp + fp + fn), 6)
+        ).alias("f1"),
+    )

@@ -3541,6 +3541,90 @@ def quality_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Oracle twin for classifier_pr_curve — UNREGISTERED. Every cell
+# derives from exact integer confusion counts (bucketing uses the
+# same float multiply + floor in both engines on the same doubles);
+# F1 uses the 2TP/(2TP+FP+FN) identity so no intermediate can go
+# NULL-divergent.
+PR_CURVE_ORACLE = """
+    WITH scored AS (
+        SELECT CASE WHEN len(ws) > 0
+                    THEN CAST(len(list_filter(ws, w -> w IN
+                         ('the','and','of','to','in','is','that','it',
+                          'for','was'))) AS DOUBLE) / len(ws)
+                    ELSE 0.0 END AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws,
+                     lang
+              FROM documents)
+    ), counts AS (
+        SELECT LEAST(GREATEST(CAST(floor(s * 100) AS INT), 0), 100) AS b,
+               sum(y) AS pos, sum(1 - y) AS neg
+        FROM scored GROUP BY 1
+    ), spine AS (
+        SELECT unnest(generate_series(0, 100)) AS b
+    ), filled AS (
+        SELECT spine.b,
+               coalesce(pos, 0) AS pos, coalesce(neg, 0) AS neg
+        FROM spine LEFT JOIN counts ON spine.b = counts.b
+    ), cum AS (
+        SELECT b,
+               sum(pos) OVER (ORDER BY b DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS tp,
+               sum(neg) OVER (ORDER BY b DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS fp,
+               sum(pos) OVER () AS total_pos
+        FROM filled
+    )
+    SELECT round(CAST(b AS DOUBLE) / 100, 6) AS threshold,
+           tp, fp, total_pos - tp AS fn,
+           CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END
+               AS precision,
+           CASE WHEN total_pos > 0 THEN round(tp / total_pos, 6) END
+               AS recall,
+           CASE WHEN 2 * tp + fp + (total_pos - tp) > 0
+                THEN round(2 * tp / (2 * tp + fp + (total_pos - tp)), 6)
+           END AS f1
+    FROM cum
+"""
+
+
+@_register(
+    "pr_curve_q",
+    PR_CURVE_ORACLE,
+    "Precision/recall/F1 threshold sweep "
+    "(operators/textstats.py:classifier_pr_curve) for a stopword-"
+    "density is-English scorer — the operating-point picker for any "
+    "corpus-screen classifier. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def pr_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR curve of an English-stopword-density classifier against the
+    lang=='en' label (operators/textstats.py:classifier_pr_curve).
+    Unregistered; pinned by `test_unregistered_query_parity`."""
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        classifier_pr_curve,
+    )
+
+    stop = ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was")
+    docs = _t(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*stop)))
+    scored = docs.select(
+        F.when(
+            F.size(words) > 0,
+            n_stop.cast("double") / F.size(words),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return classifier_pr_curve(scored, "score", "label", n_thresholds=100)
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
