@@ -11,9 +11,11 @@ all lazy DataFrame plans until each stage's action:
             --(minhash LSH + connected components)--> drop near-dups
             --(stratified_hash_sample + cap_per_group)--> mix corpus
             --(hash_split + deterministic_shuffle)--> train split order
+            --(DSIR importance resample)--> domain-matched train set
             --(join embeddings, IVF index)--> similarity search
             --(chunk_documents + pack_sequences)--> training windows
             --(write_clustered by lang,source)--> curated corpus files
+            --(write_training_shards)--> manifested epoch shards
 
 Usage: python examples/run_corpus_pipeline.py [sf_dir] [out_dir]
 """
@@ -33,7 +35,10 @@ from udacity_data_engineering_capstone_project_spark.operators import dedup as d
 from udacity_data_engineering_capstone_project_spark.operators import similarity as sim
 from udacity_data_engineering_capstone_project_spark.operators import textstats as ts
 from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
-from udacity_data_engineering_capstone_project_spark.sources.sinks import write_clustered
+from udacity_data_engineering_capstone_project_spark.sources.sinks import (
+    write_clustered,
+    write_training_shards,
+)
 
 
 def main() -> None:
@@ -262,6 +267,32 @@ def main() -> None:
         mixed.filter(F.col("split") == "train"), "doc_id", seed=1
     )
     n_train = train.count()
+
+    # 4b. DSIR: tilt the train mix toward a target domain (here the
+    #     corpus's own English slice as the exemplar) — the importance
+    #     model is two bucket histograms, scoring is one featurization
+    #     pass + a broadcast join, and Gumbel top-k keeps the draw
+    #     reproducible on any cluster layout
+    target = docs_n.filter(F.col("lang") == "en").select("text")
+    imp_model = ts.train_importance_model(
+        target, train.select("text"), "text", num_buckets=1024
+    )
+    train = ts.importance_resample(
+        train, "doc_id", "text", imp_model,
+        k=max(int(n_train * 0.8), 1), num_buckets=1024,
+    )
+    n_dsir = train.count()
+    tick("dsir-resample")
+
+    # 4c. manifested epoch shards: shard id and within-shard order are
+    #     pure hashes of (doc_id, seed) — byte-stable export, and the
+    #     manifest is recounted from the committed files
+    shard_manifest = write_training_shards(
+        train.select("doc_id", "text"),
+        os.path.join(out_dir, "shards"),
+        "doc_id", num_shards=4, seed=1,
+    )
+    tick("shard-export")
     chunks = ts.chunk_documents(train, "doc_id", "text", chunk_tokens=128, stride=96)
     chunks = chunks.withColumn(
         "chunk_key", F.col("doc_id") * 10_000 + F.col("chunk_id")
@@ -331,7 +362,9 @@ def main() -> None:
         f"-> pii+segment-scrub={n_scrub} -> exact-dedup={n_exact} "
         f"-> near-dedup={n_near}; dup spans={n_spans}; "
         f"semantic dups dropped={n_sem}; ann hits={n_hits}; "
-        f"train split={n_train}; {n_chunks} chunks in {n_packs} packs; "
+        f"train split={n_train} -> dsir-kept={n_dsir} "
+        f"(shards={[m['rows'] for m in shard_manifest]}); "
+        f"{n_chunks} chunks in {n_packs} packs; "
         f"day-2 screen={screen_summary} "
         f"(bloom fast-passed {n_bloom_fast}/3); "
         f"top sources={[(r['value'], r['count']) for r in top_sources]}; "
