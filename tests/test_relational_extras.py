@@ -543,3 +543,27 @@ def test_classifier_pr_curve_hand_computed(spark):
     }
     assert top[1.0]["tp"] == 1 and top[1.0]["fp"] == 0
     assert top[0.0]["fp"] == 1
+
+
+def test_calibration_bins_hand_computed(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        calibration_bins,
+    )
+
+    rows = [
+        # bucket 0 (scores < 0.5): 1 of 3 positive
+        (0.1, 0), (0.2, 0), (0.3, 1),
+        # bucket 1 (scores >= 0.5, incl. the 1.0 clamp): 2 of 3 positive
+        (0.6, 1), (0.8, 0), (1.0, 1),
+        # ignored
+        (None, 1), (0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in calibration_bins(df, "score", "label", 2).collect()}
+    assert set(out) == {0, 1}
+    b0, b1 = out[0], out[1]
+    assert (b0["n"], b0["n_pos"], b0["frac_pos"]) == (3, 1, round(1 / 3, 6))
+    assert b0["mean_score"] == round((0.1 + 0.2 + 0.3) / 3, 6)
+    assert b0["bin_lo"] == 0.0
+    assert (b1["n"], b1["n_pos"], b1["frac_pos"]) == (3, 2, round(2 / 3, 6))
+    assert b1["mean_score"] == 0.8 and b1["bin_lo"] == 0.5

@@ -7,9 +7,16 @@ from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
     normalize_unicode,
 )
 from udacity_data_engineering_capstone_project_spark.operators.quality import (
+    key_skew_report,
+    quantile_bins,
+    rolling_zscore,
     run_expectations,
     schema_drift,
     winsorize,
+)
+from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+    calibration_bins,
+    classifier_pr_curve,
 )
 from udacity_data_engineering_capstone_project_spark.operators.sketches import (
     estimate_sketch_intersection,
@@ -49,6 +56,11 @@ __all__ = [
     "run_expectations",
     "schema_drift",
     "winsorize",
+    "key_skew_report",
+    "quantile_bins",
+    "rolling_zscore",
+    "calibration_bins",
+    "classifier_pr_curve",
     "estimate_sketch_intersection",
     "heavy_hitters",
     "merge_quantile_sketches",

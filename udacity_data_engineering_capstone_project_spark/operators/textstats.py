@@ -1496,3 +1496,52 @@ def classifier_pr_curve(
             2 * tp + fp + fn > 0, F.round(2 * tp / (2 * tp + fp + fn), 6)
         ).alias("f1"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: bucket
+    rows by predicted score and compare each bucket's mean prediction
+    to its observed positive rate — the calibration check that decides
+    whether a corpus-screen classifier's scores can be READ as
+    probabilities (miscalibrated scores make threshold choices from
+    `classifier_pr_curve` non-transferable across corpora).
+
+    One grouped aggregation over ``bucket = floor(score * n_bins)``
+    (clamped so score 1.0 lands in the top bin); rows with NULL score
+    or label are ignored. ``frac_pos`` is integer-derived
+    (positives/count); ``mean_score`` is a float mean — both rounded
+    to 6dp. Empty buckets are omitted (a reliability diagram plots
+    observed buckets).
+
+    Output: (bin, bin_lo, n, n_pos, frac_pos, mean_score), one row per
+    non-empty bucket; ``bin_lo`` is the bucket's inclusive lower edge.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("long")
+    scored = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    bucket = F.least(
+        F.greatest(F.floor(F.col("__s") * n_bins), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        scored.groupBy(bucket.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.round(F.sum("__y") / F.count(F.lit(1)), 6).alias("frac_pos"),
+            F.round(F.sum("__s") / F.count(F.lit(1)), 6).alias("mean_score"),
+        )
+        .withColumn(
+            "bin_lo", F.round(F.col("bin").cast("double") / n_bins, 6)
+        )
+        .select("bin", "bin_lo", "n", "n_pos", "frac_pos", "mean_score")
+    )
