@@ -1311,23 +1311,36 @@ def train_importance_model(
 
     t_counts = bucket_counts(target, "__ct")
     r_counts = bucket_counts(raw, "__cr")
-    totals = t_counts.agg(F.sum("__ct").alias("__tt")).crossJoin(
-        r_counts.agg(F.sum("__cr").alias("__tr"))
+    # histogram frames are <= num_buckets rows: broadcast them (the
+    # optimizer can't know that) so the spine join never shuffles —
+    # and never tempts the runtime bloom-filter rewrite into
+    # re-running the corpus-heavy subtree as a filter build. Then
+    # checkpoint the model-sized frame so the two corpus passes run
+    # exactly ONCE; totals derive from the 4096-row result, not from
+    # a second traversal of the raw pool.
+    filled = (
+        spark.range(num_buckets)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(F.broadcast(t_counts), on="bucket", how="left")
+        .join(F.broadcast(r_counts), on="bucket", how="left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("__ct"), F.lit(0)).alias("__ct"),
+            F.coalesce(F.col("__cr"), F.lit(0)).alias("__cr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = filled.agg(
+        F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
     )
     a, b = F.lit(float(smoothing)), F.lit(float(smoothing * num_buckets))
     return (
-        spark.range(num_buckets)
-        .select(F.col("id").cast("long").alias("bucket"))
-        .join(t_counts, on="bucket", how="left")
-        .join(r_counts, on="bucket", how="left")
-        .crossJoin(F.broadcast(totals))
+        filled.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             (
-                F.log((F.coalesce(F.col("__ct"), F.lit(0)) + a)
-                      / (F.coalesce(F.col("__tt"), F.lit(0)) + b))
-                - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + a)
-                        / (F.coalesce(F.col("__tr"), F.lit(0)) + b))
+                F.log((F.col("__ct") + a) / (F.col("__tt") + b))
+                - F.log((F.col("__cr") + a) / (F.col("__tr") + b))
             ).alias("log_ratio"),
         )
     )
