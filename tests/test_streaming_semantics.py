@@ -274,3 +274,96 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     drop("d3.parquet", [(3, t0 + 7_260)])
     run()
     assert sorted(e for e, _ in collected) == [1, 2, 3, 3, 4]
+
+
+def test_stream_anomaly_monitor_batch_twin_and_bounded_state(spark, tmp_path):
+    """The live intake monitor: additive versioned state, bounded by
+    retention; per-batch verdicts equal the batch rolling_zscore over
+    the full concatenated history for every touched bucket; a spike
+    flags the batch it arrives; replay processes nothing twice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        rolling_zscore,
+    )
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        stream_anomaly_monitor,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, pairs):
+        ks = [k for k, _ in pairs]
+        bs = [b for _, b in pairs]
+        pq.write_table(
+            pa.table({"k": pa.array(ks), "b": pa.array(bs, type=pa.int64())}),
+            str(landing / name),
+        )
+
+    def run():
+        stream = spark.readStream.schema("k STRING, b LONG").parquet(
+            str(landing)
+        )
+        return stream_anomaly_monitor(
+            spark, stream, state, ckpt, ["k"], "b",
+            out_path=out, lookback=10, min_history=5, retain_buckets=20,
+        )
+
+    # batch 0: buckets 0..29, 4/5/6 events each (deterministic noise —
+    # a CONSTANT baseline has zero variance and scores 'insufficient')
+    drop("d1.parquet", [("a", b) for b in range(30) for _ in range(4 + b % 3)])
+    assert run() == 1
+    v0 = spark.read.parquet(f"{state}/v=0")
+    assert v0.count() == 20  # retention pruned 30 -> 20 buckets
+    assert v0.agg({"b": "min"}).collect()[0][0] == 10
+
+    # batch 1: buckets 30..39 baseline + a 50-event spike at bucket 40
+    drop("d2.parquet",
+         [("a", b) for b in range(30, 40) for _ in range(4 + b % 3)]
+         + [("a", 40)] * 50)
+    assert run() == 1
+    verd = {r["b"]: r for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert set(verd) == set(range(30, 41))
+    assert verd[40]["verdict"] == "anomaly" and verd[40]["z"] > 3
+    assert all(verd[b]["verdict"] == "normal" for b in range(30, 40))
+
+    # batch twin: full-history rolling_zscore agrees on every touched
+    # bucket (bucket 30's window reaches into history the new version
+    # aged out of storage — scoring pre-prune makes this exact)
+    full = spark.createDataFrame(
+        [("a", b, 4 + b % 3) for b in range(40)] + [("a", 40, 50)],
+        "k string, b long, n long",
+    )
+    twin = {
+        r["b"]: r
+        for r in rolling_zscore(
+            full, ["k"], "b", "n", lookback=10, min_history=5
+        ).collect()
+        if r["b"] >= 30
+    }
+    for b in range(30, 41):
+        assert twin[b]["z"] == verd[b]["z"], b
+        assert twin[b]["trail_n"] == verd[b]["trail_n"], b
+
+    # state stays bounded and now ends at bucket 40
+    v1 = spark.read.parquet(f"{state}/v=1")
+    assert v1.count() == 20
+    assert v1.agg({"b": "max"}).collect()[0][0] == 40
+
+    # nothing new -> nothing processed
+    assert run() == 0
+
+    # retention floor is enforced
+    import pytest
+
+    with pytest.raises(ValueError, match="retain_buckets"):
+        stream_anomaly_monitor(
+            spark,
+            spark.readStream.schema("k STRING, b LONG").parquet(str(landing)),
+            state, ckpt, ["k"], "b", lookback=10, retain_buckets=10,
+        )

@@ -790,3 +790,134 @@ def read_dimension(
             + (f" at or below v={version}" if version is not None else "")
         )
     return spark.read.parquet(f"{dim_path}/v={v}")
+
+
+def stream_anomaly_monitor(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    key_cols,
+    bucket_col: str,
+    out_path: str | None = None,
+    lookback: int = 24,
+    min_history: int = 8,
+    threshold: float = 3.0,
+    retain_buckets: int | None = None,
+) -> int:
+    """Streaming twin of `operators.quality.rolling_zscore` — the live
+    intake monitor: each micro-batch's rows are counted per
+    (series key, time bucket), merged ADDITIVELY into a persisted
+    per-series history (same versioned ``v=<batch_id>`` writer as the
+    dimension/sketch maintainers: crash replays resolve the version
+    below their own id, `_SUCCESS` commit), and the batch's touched
+    buckets are scored against the trailing window of the merged
+    history — so a volume spike is flagged the batch it arrives, with
+    verdicts at ``{out_path}/batch=<id>`` as
+    (keys..., bucket, n, trail_n, trail_mean, z, verdict).
+
+    ``bucket_col`` is a caller-computed integral period (e.g. hour-
+    epoch micros via the NTZ-safe ``timestampdiff`` idiom) — the
+    operator stays timezone- and granularity-agnostic.
+
+    State is BOUNDED: each version keeps only the newest
+    ``retain_buckets`` (default ``4 * lookback``) buckets per series,
+    so state rows are series x retention forever, not series x
+    lifetime. The horizon contract matches watermarked aggregation:
+    rows must not arrive for buckets older than the retention horizon
+    (their partial history was pruned; they would rejoin with a
+    truncated count). Scoring runs on the PRE-prune merge, so a
+    touched bucket's trailing window may reach into history the new
+    version ages out of storage; verdicts equal the batch
+    `rolling_zscore` over the concatenated history as long as every
+    touched bucket's ``lookback`` lay within the previous version's
+    retention (3x ``lookback`` of slack at the default) — pinned by
+    the batch-twin test.
+
+    Returns batches processed this run.
+    """
+    from pyspark.sql import Window
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        rolling_zscore,
+    )
+
+    gcols = list(key_cols)
+    retain = retain_buckets if retain_buckets is not None else 4 * lookback
+    if retain < lookback + 1:
+        raise ValueError(
+            f"retain_buckets must be >= lookback + 1 ({lookback + 1}), "
+            f"got {retain} — a touched bucket needs its full trailing "
+            "window retained for the z-score to be history-complete"
+        )
+    counter = {"batches": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        binc = batch_df.groupBy(
+            *[F.col(c) for c in gcols], F.col(bucket_col)
+        ).agg(F.count(F.lit(1)).alias("n"))
+        prev_v = _latest_dimension_version(spark, state_path, below=batch_id)
+        if prev_v is None:
+            merged = binc
+        else:
+            prev = spark.read.parquet(f"{state_path}/v={prev_v}")
+            merged = (
+                prev.select(binc.columns)
+                .unionByName(binc)
+                .groupBy(*gcols, bucket_col)
+                .agg(F.sum("n").alias("n"))
+            )
+        # score BEFORE pruning: a touched bucket's trailing window may
+        # reach into history that this version is about to age out of
+        # storage (scoring is still replay-deterministic — merged is a
+        # pure function of the committed previous version + the batch)
+        merged = merged.localCheckpoint(eager=True)
+        rank = F.row_number().over(
+            Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+                F.col(bucket_col).desc()
+            )
+        )
+        pruned = (
+            merged.withColumn("__r", rank)
+            .filter(F.col("__r") <= retain)
+            .drop("__r")
+        )
+        vdir = f"{state_path}/v={batch_id}"
+        pruned.write.mode("overwrite").parquet(vdir)
+        _commit_version(spark, vdir)
+        if out_path is not None:
+            scored = rolling_zscore(
+                merged,
+                gcols,
+                bucket_col,
+                "n",
+                lookback=lookback,
+                min_history=min_history,
+                threshold=threshold,
+            )
+            touched = binc.select(*gcols, bucket_col)
+            verdicts = scored.join(touched, on=gcols + [bucket_col]).select(
+                *gcols,
+                bucket_col,
+                "n",
+                "trail_n",
+                "trail_mean",
+                "z",
+                F.when(F.col("z").isNull(), F.lit("insufficient"))
+                .when(F.col("is_anomaly"), F.lit("anomaly"))
+                .otherwise(F.lit("normal"))
+                .alias("verdict"),
+            )
+            verdicts.write.mode("overwrite").parquet(
+                f"{out_path}/batch={batch_id}"
+            )
+        counter["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counter["batches"]
