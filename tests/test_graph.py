@@ -155,3 +155,70 @@ def test_triangle_count_keeps_self_loop_only_nodes(spark):
     }
     assert cc["a"] == (0, 0.0)
     assert cc["b"] == (2, 1.0)
+
+
+def _reference_ppr(edges, n, seeds, damping=0.85, iters=60):
+    M = np.zeros((n, n))
+    for u, v in edges:
+        M[v, u] += 1.0
+    deg = M.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        M = np.where(deg > 0, M / deg, 0.0)
+    dangling = deg == 0
+    reset = np.zeros(n)
+    reset[list(seeds)] = 1.0 / len(seeds)
+    r = reset.copy()
+    for _ in range(iters):
+        r = (1 - damping) * reset + damping * (M @ r + r[dangling].sum() * reset)
+    return r
+
+
+def test_personalized_pagerank_matches_dense_reference(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = EDGES + [(3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            df, [0, 3], max_iter=60, tol=1e-12
+        ).collect()
+    }
+    exp = _reference_ppr(edges, 6, [0, 3])
+    for i in range(6):
+        assert got[i] == pytest.approx(exp[i], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # proximity semantics: the seeds' neighborhood outranks the far side
+    assert got[0] > got[5]
+
+
+def test_personalized_pagerank_isolated_seed_and_locality(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # two disjoint triangles; seed in the first one only
+    tri_a = [(0, 1), (1, 2), (2, 0)]
+    tri_b = [(10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(tri_a + tri_b, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, [0], max_iter=60).collect()
+    }
+    # mass never reaches the unlinked community
+    assert got[10] == got[11] == got[12] == 0.0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    # a seed absent from the edge list is a dangling teleport target:
+    # it holds rank itself and feeds nothing
+    got2 = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, [99], max_iter=40).collect()
+    }
+    assert 99 in got2 and got2[99] == pytest.approx(1.0, abs=1e-9)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        personalized_pagerank(df, [])

@@ -235,3 +235,113 @@ def clustering_coefficient(
     return degs.join(tri, on="node").select(
         "node", "degree", "n_triangles", coeff.alias("coefficient")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the SEED set
+    instead of everywhere — rank becomes "proximity to the seeds", the
+    seed-set-expansion primitive of corpus curation (grow a trusted
+    domain whitelist from a vetted core; find documents related to an
+    exemplar set through the link graph).
+
+    Standard formulation: reset distribution uniform over the seeds,
+    rank = (1-d)*reset + d*(in-mass + dangling_mass*reset), ranks sum
+    to 1, parallel edges count as weight. Seeds absent from the edge
+    list are still teleport targets (they join the node set), so no
+    mass is lost. Same execution discipline as `pagerank`: one join +
+    one aggregation per round shuffling on node id, localCheckpoint
+    lineage truncation, scalar-only driver traffic.
+
+    ``seeds`` is a list of node ids or a one-column DataFrame.
+    Output: (node, rank double).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    if isinstance(seeds, DataFrame):
+        seed_df = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    else:
+        if not seeds:
+            raise ValueError("seeds must be non-empty")
+        seed_df = spark.createDataFrame(
+            [(s,) for s in set(seeds)], ["node"]
+        )
+    seed_df = seed_df.filter(F.col("node").isNotNull())
+    n_seeds = seed_df.count()
+    if n_seeds == 0:
+        raise ValueError("seeds must contain at least one non-null node id")
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .unionByName(seed_df)
+        .distinct()
+        .join(seed_df.withColumn("__s", F.lit(True)), on="node", how="left")
+        .select(
+            "node",
+            F.when(F.col("__s"), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("__reset"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    w = (
+        e.join(out_deg, on="u")
+        .select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    has_out = out_deg.select(F.col("u").alias("node"), F.lit(True).alias("__o"))
+    ranks = nodes.select(
+        "node", F.col("__reset").alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        dangling = (
+            ranks.join(has_out, on="node", how="left")
+            .filter(F.col("__o").isNull())
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            w.join(ranks.withColumnRenamed("node", "u"), on="u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("rank")).alias("__in"))
+        )
+        new_ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                "__reset",
+                (
+                    F.lit(1.0 - damping) * F.col("__reset")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.lit(dangling) * F.col("__reset")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.join(
+                ranks.select("node", F.col("rank").alias("__old")), on="node"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks.select("node", "rank")
+        if delta < tol:
+            break
+    return ranks
