@@ -222,3 +222,40 @@ def test_personalized_pagerank_isolated_seed_and_locality(spark):
 
     with _pt.raises(ValueError):
         personalized_pagerank(df, [])
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    # two 5-cliques joined by ONE bridge: one connected component,
+    # two communities
+    edges = clique(range(5)) + clique(range(10, 15)) + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+    a_labels = {got[i] for i in range(5)}
+    b_labels = {got[i] for i in range(10, 15)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    # determinism: a second run returns the identical assignment
+    again = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+    assert again == got
+
+
+def test_label_propagation_bounded_on_bipartite_oscillator(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # K2,2: synchronous LPA can oscillate; max_iter must bound it and
+    # the result must still be a valid (node -> label) map
+    df = spark.createDataFrame(
+        [(0, 2), (0, 3), (1, 2), (1, 3)], "src long, dst long"
+    )
+    out = label_propagation(df, max_iter=4).collect()
+    assert {r["node"] for r in out} == {0, 1, 2, 3}
+    assert all(r["label"] in (0, 1, 2, 3) for r in out)

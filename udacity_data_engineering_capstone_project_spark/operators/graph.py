@@ -345,3 +345,77 @@ def personalized_pagerank(
         if delta < tol:
             break
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts as its own label; each round it
+    adopts the most frequent label among its neighbors (ties -> the
+    smallest label, so rounds are deterministic — the classic
+    randomized LPA is not reproducible run-to-run, which disqualifies
+    it for corpus-pipeline use where reruns must agree). Communities
+    are finer-grained than `connected_components` (a bridge edge joins
+    two cliques into one component but NOT one community) — the
+    spam-ring / mirror-farm grouping signal.
+
+    Per round: one join of the adjacency against the label table and
+    one (node, label) count + one windowed argmax, all shuffling on
+    node id; driver traffic is one changed-label count scalar. Labels
+    are checkpointed every round (iterative lineage). Synchronous
+    updates can oscillate on bipartite structure — ``max_iter`` bounds
+    that honestly; the changed-count early-exit fires on convergence.
+
+    Output: (node, label) — label is the smallest member id in
+    well-formed communities.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+    )
+    adj = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(max_iter):
+        new_labels = (
+            adj.join(
+                labels.select(F.col("node").alias("v"), "label"), on="v"
+            )
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("__old")),
+                on="node",
+            )
+            .filter(F.col("label") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
