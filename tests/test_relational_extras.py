@@ -567,3 +567,65 @@ def test_calibration_bins_hand_computed(spark):
     assert b0["bin_lo"] == 0.0
     assert (b1["n"], b1["n_pos"], b1["frac_pos"]) == (3, 2, round(2 / 3, 6))
     assert b1["mean_score"] == 0.8 and b1["bin_lo"] == 0.5
+
+
+def test_expect_accepted_values_and_foreign_key(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        QualityError,
+        expect_accepted_values,
+        expect_foreign_key,
+        run_expectations,
+    )
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "fr", 20), (3, "xx", 99), (4, None, 10)],
+        "id int, lang string, dim_id int",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "dim_key int")
+
+    # accepted_values: 'xx' offends; NULL passes
+    with pytest.raises(QualityError, match="xx"):
+        expect_accepted_values(df, "lang", ["en", "fr", "de"])
+    expect_accepted_values(df.filter("id != 3"), "lang", ["en", "fr"])
+
+    # foreign_key: 99 is an orphan; NULL FK passes
+    with pytest.raises(QualityError, match="99"):
+        expect_foreign_key(df, "dim_id", dim, "dim_key")
+    expect_foreign_key(df.filter("id != 3"), "dim_id", dim, "dim_key")
+    with_null_fk = spark.createDataFrame(
+        [(1, None)], "id int, dim_id int"
+    )
+    expect_foreign_key(with_null_fk, "dim_id", dim, "dim_key")
+
+    # both kinds ride the declarative battery
+    ok, report = run_expectations(
+        df,
+        [
+            ("accepted_values", "lang", ["en", "fr", "de"]),
+            ("foreign_key", "dim_id", dim, "dim_key"),
+            ("min_row_count", 1),
+        ],
+    )
+    assert not ok
+    got = {r["check"].split("(")[0]: r["passed"] for r in report.collect()}
+    assert got == {
+        "accepted_values": False,
+        "foreign_key": False,
+        "min_row_count": True,
+    }
+
+
+def test_diagnose_skew_delegates_to_key_skew_report(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        diagnose_skew,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    out = diagnose_skew(df, ["k"], top=2).collect()
+    assert [(r["k"], r["n_rows"], r["row_share"]) for r in out] == [
+        ("a", 6, 0.6),
+        ("b", 3, 0.3),
+    ]

@@ -170,6 +170,65 @@ def expect_non_null(df: DataFrame, columns: Sequence[str], name: str = "datafram
         raise QualityError(f"{name}: null values found: {bad}")
 
 
+def expect_accepted_values(
+    df: DataFrame,
+    column: str,
+    values: Sequence,
+    name: str = "dataframe",
+) -> None:
+    """Assert every non-null value of ``column`` is in ``values`` (the
+    dbt accepted_values test): one filtered count; the first few
+    offending values are named in the error. NULLs pass — gate them
+    with ``non_null`` explicitly."""
+    bad = (
+        df.filter(
+            F.col(column).isNotNull() & ~F.col(column).isin(list(values))
+        )
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col(column))
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        found = {r[column]: r["n"] for r in bad}
+        raise QualityError(
+            f"{name}.{column}: values outside the accepted set: {found}"
+        )
+
+
+def expect_foreign_key(
+    df: DataFrame,
+    column: str,
+    ref: DataFrame,
+    ref_column: str,
+    name: str = "dataframe",
+) -> None:
+    """Assert referential integrity: every non-null ``column`` value
+    exists in ``ref[ref_column]`` (the dbt relationships test). One
+    left-anti join — the reference side is dimension-sized in the
+    star-schema use and broadcasts on its own; NULL foreign keys pass
+    (gate with ``non_null`` if they shouldn't exist)."""
+    orphans = (
+        df.filter(F.col(column).isNotNull())
+        .join(
+            ref.select(F.col(ref_column).alias("__ref")).distinct(),
+            on=F.col(column) == F.col("__ref"),
+            how="left_anti",
+        )
+    )
+    n_bad = orphans.count()
+    if n_bad:
+        sample = [
+            r[column]
+            for r in orphans.select(column).distinct().orderBy(column).limit(5).collect()
+        ]
+        raise QualityError(
+            f"{name}.{column}: {n_bad} rows reference keys absent from "
+            f"the target (e.g. {sample})"
+        )
+
+
 def diagnose_skew(
     df: DataFrame, key_cols: Sequence[str], top: int = 10
 ) -> DataFrame:
@@ -179,23 +238,12 @@ def diagnose_skew(
     TB ("is this key saltable-uniform or does one value own 40% of the
     table?").
 
-    One partial-aggregatable count pass + a distributed top-k
-    (orderBy.limit = TakeOrderedAndProject, no global sort). The total
-    rides in as a 1-row broadcast.
+    Thin compatibility wrapper over `key_skew_report` (the superset:
+    adds the max/mean skew ratio and the salt/watch/ok operating
+    rule); kept for the simpler (keys..., n_rows, row_share) shape.
     """
-    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
-    total = df.agg(F.count(F.lit(1)).alias("__total"))
-    return (
-        counts.orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols])
-        .limit(top)
-        .crossJoin(F.broadcast(total))
-        .select(
-            *key_cols,
-            "n_rows",
-            F.round(F.col("n_rows") / F.col("__total"), 6).alias("row_share"),
-        )
+    return key_skew_report(df, key_cols, top_n=top).select(
+        *key_cols, "n_rows", F.col("share").alias("row_share")
     )
 
 
@@ -564,6 +612,8 @@ def run_expectations(
     - ``("non_null", [columns...])``
     - ``("unique_key", [key_cols...])``
     - ``("schema", [(col, type), ...])``
+    - ``("accepted_values", column, [values...])``
+    - ``("foreign_key", column, ref_df, ref_column)``
 
     Returns ``(passed: bool, report)`` where report rows are
     ``(check, passed, detail)`` — detail carries the QualityError
@@ -591,6 +641,10 @@ def run_expectations(
                 expect_unique_key(df, args[0], name)
             elif kind == "schema":
                 expect_schema(df, args[0], name)
+            elif kind == "accepted_values":
+                expect_accepted_values(df, args[0], args[1], name)
+            elif kind == "foreign_key":
+                expect_foreign_key(df, args[0], args[1], args[2], name)
             else:
                 raise ValueError(f"unknown check kind: {kind!r}")
             rows.append((label, True, None))
