@@ -575,3 +575,28 @@ def test_evaluate_near_dup_pairs_drops_null_id_rows(spark):
     ).collect()[0]
     assert clean_m.asDict() == noisy_m.asDict()
     assert noisy_m["precision"] == 1.0
+
+
+def test_embedding_drift_detects_shift_and_dim_mismatch(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0])], "id long, v array<double>"
+    )
+    b = spark.createDataFrame(
+        [(3, [2.0, 5.0]), (4, [2.0, 7.0])], "id long, v array<double>"
+    )
+    got = {r["dim"]: r for r in embedding_drift(a, b, "v").collect()}
+    assert got[0]["mean_a"] == 2.0 and got[0]["mean_b"] == 2.0
+    assert got[0]["abs_shift"] == 0.0
+    assert got[1]["mean_a"] == 0.0 and got[1]["mean_b"] == 6.0
+    assert got[1]["abs_shift"] == 6.0
+
+    # mismatched dimensionality surfaces as NULL means, never dropped
+    c = spark.createDataFrame([(5, [1.0, 2.0, 9.0])], "id long, v array<double>")
+    rows = {r["dim"]: r for r in embedding_drift(a, c, "v").collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[2]["mean_a"] is None and rows[2]["mean_b"] == 9.0
+    assert rows[2]["abs_shift"] is None

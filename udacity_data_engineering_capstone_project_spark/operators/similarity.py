@@ -1674,3 +1674,44 @@ def diverse_topk(
         sims = U @ U[best]
         max_sel_sim = np.maximum(max_sel_sim, sims)
     return corpus.sparkSession.createDataFrame(out_rows, out_schema)
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-dimension centroid drift between two embedding corpora —
+    the model-ops check before mixing corpus versions or swapping an
+    encoder: if version B's centroid moved, every cosine threshold
+    tuned on A (near-dup cutoffs, IVF cell boundaries, semantic-screen
+    thresholds) silently means something else on B.
+
+    One posexplode + per-dimension average per side (partial-agg
+    shuffles carry dim-count keys, never vectors), full-outer joined
+    on dimension so mismatched dimensionalities surface as NULL means
+    instead of being silently dropped. Output: (dim, mean_a, mean_b,
+    abs_shift) rounded to ``round_dp``, one row per dimension —
+    centroid cosine or L2 shift are one aggregation over this frame.
+    """
+
+    def centroid(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+            .groupBy("dim")
+            .agg(F.avg("__v").alias(out))
+        )
+    a = centroid(df_a, "__ma")
+    b = centroid(df_b, "__mb")
+    return (
+        a.join(b, on="dim", how="full_outer")
+        .select(
+            "dim",
+            F.round("__ma", round_dp).alias("mean_a"),
+            F.round("__mb", round_dp).alias("mean_b"),
+            F.round(F.abs(F.col("__ma") - F.col("__mb")), round_dp).alias(
+                "abs_shift"
+            ),
+        )
+    )

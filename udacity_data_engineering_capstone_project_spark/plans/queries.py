@@ -3625,6 +3625,52 @@ def pr_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_pr_curve(scored, "score", "label", n_thresholds=100)
 
 
+
+# Oracle twin for embedding_drift — UNREGISTERED. Per-dimension means
+# of the same doubles; 6dp rounding absorbs summation-order ulps (the
+# established avg-aggregate precedent, e.g. pricing_summary).
+EMBEDDING_DRIFT_ORACLE = """
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    ), a AS (
+        SELECT dim, avg(v) AS ma FROM ex WHERE vec_id % 2 = 0 GROUP BY dim
+    ), b AS (
+        SELECT dim, avg(v) AS mb FROM ex WHERE vec_id % 2 = 1 GROUP BY dim
+    )
+    SELECT a.dim, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(abs(ma - mb), 6) AS abs_shift
+    FROM a FULL OUTER JOIN b ON a.dim = b.dim
+"""
+
+
+@_register(
+    "embedding_drift_q",
+    EMBEDDING_DRIFT_ORACLE,
+    "Per-dimension embedding centroid drift between two corpus "
+    "versions (operators/similarity.py:embedding_drift) — the "
+    "model-ops gate before mixing versions or swapping encoders. "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid drift between the even- and odd-id halves of the
+    embeddings table (operators/similarity.py:embedding_drift).
+    Unregistered; pinned by `test_unregistered_query_parity`."""
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "embedding",
+    )
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
