@@ -632,3 +632,29 @@ def test_every_query_plan_passes_scale_lint(spark, sf_dir, name):
 
     spec = REGISTRY.get(name) or UNREGISTERED[name]
     assert_scalable(spec.fn(spark, sf_dir))
+
+
+def test_plan_summary_counts_known_shapes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.plans import plan_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # projection+filter: pushdown and pruning visible, no shuffle
+    simple = docs.filter(F.col("n_chars") > 100).select("doc_id")
+    s = plan_summary(simple)
+    assert s["exchanges"] == 0 and s["scans"] == 1
+    assert any("n_chars" in p for p in s["scan_pushed_filters"])
+    assert all("text" not in rs for rs in s["scan_read_schemas"])
+    assert s["python_evals"] == {"arrow": 0, "row": 0}
+
+    # groupBy -> one shuffle; broadcast join counted
+    agg = docs.groupBy("lang").count()
+    s2 = plan_summary(agg)
+    assert s2["exchanges"] >= 1 and s2["sortmerge_joins"] == 0
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+    s3 = plan_summary(joined)
+    assert s3["broadcast_joins"] == 1 and s3["bnl_joins"] == 0

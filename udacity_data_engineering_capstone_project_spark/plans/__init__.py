@@ -1,6 +1,7 @@
 from udacity_data_engineering_capstone_project_spark.plans.lint import (
     assert_scalable,
     lint_plan,
+    plan_summary,
 )
 from udacity_data_engineering_capstone_project_spark.plans.pipeline import (
     orphaned_checkpoint_trees,
@@ -16,6 +17,7 @@ __all__ = [
     "build_dimension",
     "build_fact",
     "lint_plan",
+    "plan_summary",
     "orphaned_checkpoint_trees",
     "run_pipeline",
 ]

@@ -174,3 +174,54 @@ def assert_scalable(df: DataFrame, allow: tuple[str, ...] = ()) -> list[dict]:
             + "; ".join(f"[{f['rule']}] {f['detail']}" for f in errors)
         )
     return [f for f in findings if f["severity"] != "error"]
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """Mechanical inventory of a plan's physical cost drivers — the
+    numbers a reviewer pulls from `.explain("formatted")` by eye,
+    machine-readable so dashboards and regression tests can pin them:
+
+    - ``exchanges``: shuffle count (each is a full network pass at
+      100 TB) and ``reused_exchanges`` (runtime-shared subtrees that
+      LOOK duplicated in the static plan — see BASELINE's
+      static-scan-count lesson).
+    - ``scans``: parquet/file scans with their pushed filters and read
+      schemas — a scan whose ReadSchema lists every column for a
+      2-column projection is a pruning failure.
+    - ``wholestage_codegen_spans``: fused JVM pipelines (wider = more
+      of the plan stays compiled).
+    - ``python_evals``: Arrow-batched + row-at-a-time Python stages
+      (the latter also carries a lint warning).
+    - ``broadcast_joins`` / ``sortmerge_joins`` / ``bnl_joins``: join
+      strategy mix.
+
+    Driver-side only; no job runs. Counts come from the EXECUTED plan
+    (post-AQE-initial), the same surface `lint_plan`'s physical rules
+    read.
+    """
+    qe = df._jdf.queryExecution()
+    plan_str = qe.executedPlan().toString()
+    final = plan_str.split("== Initial Plan ==")[0]
+    import re as _re
+
+    pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", final)
+    schemas = _re.findall(r"ReadSchema: ([^\n]+)", final)
+    return {
+        "exchanges": final.count("Exchange "),
+        "reused_exchanges": final.count("ReusedExchange"),
+        "scans": final.count("Scan "),
+        "scan_pushed_filters": [p for p in pushed],
+        "scan_read_schemas": [s.strip() for s in schemas],
+        "wholestage_codegen_spans": len(
+            set(_re.findall(r"WholeStageCodegen \((\d+)\)", final))
+        ),
+        "python_evals": {
+            "arrow": final.count("ArrowEvalPython")
+            + final.count("MapInPandas")
+            + final.count("FlatMapGroupsInPandas"),
+            "row": final.count("BatchEvalPython"),
+        },
+        "broadcast_joins": final.count("BroadcastHashJoin"),
+        "sortmerge_joins": final.count("SortMergeJoin"),
+        "bnl_joins": final.count("BroadcastNestedLoopJoin"),
+    }
