@@ -597,3 +597,83 @@ def test_decay_score_closed_form_parity_vs_duckdb(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = decay_score(ev, "user_id", "ts", "value", 3600.0, round_dp=6)
     compare_frames(out.toPandas(), run_oracle(oracle, sf_dir), "decay_6dp")
+
+
+# ---------------------------------------------------------------------------
+# filter cascade (operators/quality.py:annotate_filter_cascade /
+# apply_filter_cascade)
+# ---------------------------------------------------------------------------
+
+
+def test_filter_cascade_first_fail_attribution_and_audit(spark):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        apply_filter_cascade,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 50, 0.9),     # fails r1 AND r2 -> attributed to r1 only
+            (2, 500, 0.9),    # kept
+            (3, 500, 0.1),    # fails r2
+            (4, None, 0.9),   # NULL signal -> fails r1 (null = fail)
+            (5, 200, None),   # NULL signal -> fails r2
+        ],
+        "id bigint, n int, score double",
+    )
+    rules = [
+        ("min_n", F.col("n") >= 100),
+        ("min_score", F.col("score") >= 0.5),
+    ]
+    kept, audit = apply_filter_cascade(df, rules)
+    assert [r.id for r in kept.orderBy("id").collect()] == [2]
+    assert kept.columns == df.columns  # verdict column dropped
+    rows = {r.rule: (r.rule_index, r.rows) for r in audit.collect()}
+    assert rows == {"min_n": (0, 2), "min_score": (1, 2), "kept": (2, 1)}
+    # rejected counts sum to total - kept
+    assert sum(v[1] for k, v in rows.items() if k != "kept") == 5 - 1
+
+
+def test_filter_cascade_zero_reject_rule_still_reported(spark):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        apply_filter_cascade,
+    )
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, n int")
+    kept, audit = apply_filter_cascade(df, [("noop", F.col("n") > 0)])
+    assert kept.count() == 2
+    rows = {r.rule: r.rows for r in audit.collect()}
+    assert rows == {"noop": 0, "kept": 2}
+
+
+def test_filter_cascade_rejects_bad_rule_names(spark):
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        annotate_filter_cascade,
+    )
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="duplicate"):
+        annotate_filter_cascade(df, [("a", F.lit(True)), ("a", F.lit(True))])
+    with pytest.raises(ValueError, match="reserved"):
+        annotate_filter_cascade(df, [("kept", F.lit(True))])
+
+
+def test_filter_cascade_single_projection_no_shuffle(spark):
+    """The annotate pass is ONE codegen projection: no Exchange in the
+    analyzed plan (the audit's group-by is the only shuffle, sized by
+    rule count not rows)."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        annotate_filter_cascade,
+    )
+
+    df = spark.range(100).withColumn("n", F.col("id") * 2)
+    ann = annotate_filter_cascade(df, [("r1", F.col("n") > 10), ("r2", F.col("n") < 180)])
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

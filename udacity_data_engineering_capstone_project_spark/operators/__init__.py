@@ -7,6 +7,8 @@ from udacity_data_engineering_capstone_project_spark.operators.cleaning import (
     normalize_unicode,
 )
 from udacity_data_engineering_capstone_project_spark.operators.quality import (
+    annotate_filter_cascade,
+    apply_filter_cascade,
     key_skew_report,
     quantile_bins,
     rolling_zscore,
@@ -52,6 +54,8 @@ from udacity_data_engineering_capstone_project_spark.operators.bloom import (
 )
 
 __all__ = [
+    "annotate_filter_cascade",
+    "apply_filter_cascade",
     "fix_mojibake",
     "run_expectations",
     "schema_drift",

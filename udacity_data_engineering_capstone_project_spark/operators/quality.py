@@ -828,3 +828,76 @@ def quantile_bins(
         F.size(F.filter(F.col("__cuts"), lambda c: c < v)),
     )
     return work.withColumn(out_col, bin_expr).drop("__cuts")
+
+
+def annotate_filter_cascade(
+    df: DataFrame,
+    rules: Sequence[tuple[str, "F.Column"]],
+    verdict_col: str = "verdict",
+) -> DataFrame:
+    """Tag every row with the FIRST quality rule it fails, or ``'kept'``.
+
+    ``rules`` is an ordered list of ``(name, keep_predicate)`` pairs —
+    the C4/Gopher-style filter battery shape, where a document is
+    rejected by exactly one (the first) failing rule so rejection
+    counts attribute cleanly and sum to ``total - kept``. A NULL
+    predicate counts as a failure (a document whose signal cannot be
+    computed is not silently kept).
+
+    The whole cascade is ONE ``CASE WHEN`` chain in a single codegen
+    projection: no shuffle, no second scan, and later (possibly
+    expensive) rule expressions are lazily skipped for rows an earlier
+    rule already rejected — exactly how you want a 100 TB corpus
+    screen to run.
+    """
+    if not rules:
+        return df.withColumn(verdict_col, F.lit("kept"))
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    if "kept" in set(names):
+        raise ValueError("'kept' is the reserved pass verdict")
+    expr = None
+    for name, pred in rules:
+        fail = ~F.coalesce(pred.cast("boolean"), F.lit(False))
+        expr = F.when(fail, F.lit(name)) if expr is None else expr.when(fail, F.lit(name))
+    return df.withColumn(verdict_col, expr.otherwise(F.lit("kept")))
+
+
+def apply_filter_cascade(
+    df: DataFrame,
+    rules: Sequence[tuple[str, "F.Column"]],
+    verdict_col: str = "verdict",
+) -> tuple[DataFrame, DataFrame]:
+    """Run the cascade and return ``(kept, audit)``.
+
+    ``kept`` is the surviving frame (verdict column dropped — same
+    schema as the input); ``audit`` is one row per rule plus the
+    ``'kept'`` row: ``(rule, rule_index, rows)``, where ``rule_index``
+    preserves cascade order (kept = index ``len(rules)``) and rows of
+    rules that rejected nothing still appear (count 0) so a
+    mis-configured no-op rule is visible. Audit is a partial-agg
+    group-by over the annotated frame — one job, group count sized by
+    the number of rules, never by the corpus.
+    """
+    ann = annotate_filter_cascade(df, rules, verdict_col=verdict_col)
+    kept = ann.filter(F.col(verdict_col) == "kept").drop(verdict_col)
+    order = {name: i for i, (name, _) in enumerate(rules)}
+    order["kept"] = len(rules)
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(name, idx) for name, idx in order.items()], "rule string, rule_index int"
+    )
+    counts = ann.groupBy(F.col(verdict_col).alias("rule")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    audit = (
+        spine.join(counts, on="rule", how="left")
+        .select(
+            "rule",
+            "rule_index",
+            F.coalesce(F.col("rows"), F.lit(0)).cast("bigint").alias("rows"),
+        )
+        .orderBy("rule_index")
+    )
+    return kept, audit

@@ -3671,6 +3671,78 @@ def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for apply_filter_cascade — UNREGISTERED. The verdict is
+# a CASE chain over integer lengths/counts and one IEEE-exact ratio
+# (distinct/words, both engines round-half-even the same division);
+# NULL keep-predicates fail via the coalesce form on both sides.
+CASCADE_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ), v AS (
+        SELECT doc_id,
+               CASE
+                 WHEN NOT coalesce(length(text) >= 100, false)
+                   THEN 'too_short'
+                 WHEN NOT coalesce(length(text) <= 450, false)
+                   THEN 'too_long'
+                 WHEN NOT coalesce(len(words) >= 30, false)
+                   THEN 'too_few_words'
+                 WHEN NOT coalesce(
+                     len(list_distinct(words)) * 1.0 / len(words) >= 0.45,
+                     false)
+                   THEN 'low_diversity'
+                 ELSE 'kept'
+               END AS verdict
+        FROM w
+    )
+    SELECT v.verdict AS rule,
+           CAST(r.rule_index AS INTEGER) AS rule_index,
+           count(*) AS rows
+    FROM v
+    JOIN (VALUES ('too_short', 0), ('too_long', 1), ('too_few_words', 2),
+                 ('low_diversity', 3), ('kept', 4)) AS r(rule, rule_index)
+      ON v.verdict = r.rule
+    GROUP BY 1, 2
+"""
+
+
+@_register(
+    "filter_cascade_q",
+    CASCADE_ORACLE,
+    "C4/Gopher-style ordered filter battery with first-failing-rule "
+    "audit attribution (operators/quality.py:apply_filter_cascade) — "
+    "one CASE-chain codegen pass, audit group count sized by rules "
+    "not corpus. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def filter_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-rule quality cascade over documents: length bounds, word
+    count, distinct-word diversity (operators/quality.py:
+    apply_filter_cascade). Every rule's rejection count plus the
+    survivor count in one partial-agg pass. Unregistered; pinned by
+    `test_unregistered_query_parity[filter_cascade_q]`."""
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        apply_filter_cascade,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    diversity = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
+    rules = [
+        ("too_short", F.length("text") >= 100),
+        ("too_long", F.length("text") <= 450),
+        ("too_few_words", F.size(words) >= 30),
+        ("low_diversity", diversity >= 0.45),
+    ]
+    _kept, audit = apply_filter_cascade(docs, rules)
+    # Rules that reject nothing keep a 0 row locally, but the oracle's
+    # inner join cannot see them — on this data every verdict is
+    # populated at both driver scales (pinned by the parity test).
+    return audit.filter(F.col("rows") > 0)
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
