@@ -1,0 +1,144 @@
+"""WARC ingestion/export tier (sources/warc.py) — byte-level codec,
+Spark read/write round trip, damage tolerance, determinism."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.sources.warc import (
+    build_warc_record,
+    gzip_member,
+    parse_warc_bytes,
+    read_warc,
+    warc_documents,
+    write_warc,
+)
+
+
+def test_record_roundtrip_plain_and_gzip():
+    payload = "héllo wörld".encode("utf-8")
+    rec = build_warc_record(
+        payload,
+        target_uri="http://example.com/a",
+        warc_date="2024-05-01T00:00:00Z",
+        content_type="text/plain; charset=utf-8",
+    )
+    for blob in (rec, gzip_member(rec)):
+        out = parse_warc_bytes(blob, strict=True)
+        assert len(out) == 1
+        r = out[0]
+        assert r["payload"] == payload
+        assert r["target_uri"] == "http://example.com/a"
+        assert r["warc_type"] == "resource"
+        assert r["content_length"] == len(payload)
+        assert r["record_id"].startswith("urn:uuid:")
+
+
+def test_record_id_deterministic_and_payload_sensitive():
+    a1 = build_warc_record(b"x", target_uri="u")
+    a2 = build_warc_record(b"x", target_uri="u")
+    b = build_warc_record(b"y", target_uri="u")
+    assert a1 == a2  # byte-identical rerun (mtime-free, hash-derived id)
+    assert parse_warc_bytes(a1)[0]["record_id"] != parse_warc_bytes(b)[0]["record_id"]
+
+
+def test_multi_member_gzip_concatenation_parses_all():
+    recs = [build_warc_record(f"doc {i}".encode(), target_uri=f"u{i}") for i in range(5)]
+    blob = b"".join(gzip_member(r) for r in recs)
+    out = parse_warc_bytes(blob, strict=True)
+    assert [r["payload"] for r in out] == [f"doc {i}".encode() for i in range(5)]
+
+
+def test_payload_containing_warc_magic_is_not_split():
+    """Content-Length delimits the payload — a payload that CONTAINS
+    'WARC/1.0' header text must not be mistaken for a record start."""
+    evil = b"\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\n"
+    rec = build_warc_record(evil) + build_warc_record(b"tail")
+    out = parse_warc_bytes(rec, strict=True)
+    assert len(out) == 2
+    assert out[0]["payload"] == evil
+    assert out[1]["payload"] == b"tail"
+
+
+def test_truncated_tail_nonstrict_keeps_prefix_strict_raises():
+    recs = build_warc_record(b"a" * 100) + build_warc_record(b"b" * 100)
+    cut = recs[: len(recs) - 60]  # second payload truncated
+    out = parse_warc_bytes(cut, strict=False)
+    assert len(out) == 1 and out[0]["payload"] == b"a" * 100
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc_bytes(cut, strict=True)
+    # truncated FINAL gzip member: first member's records survive
+    gz = gzip_member(recs[: len(build_warc_record(b"a" * 100))]) + b"\x1f\x8b\x08\x00bad"
+    assert len(parse_warc_bytes(gz)) == 1
+
+
+def test_spark_write_read_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " * 10, f"http://ex.com/{i}") for i in range(40)],
+        "doc_id bigint, text string, url string",
+    )
+    out = str(tmp_path / "crawl")
+    manifest = write_warc(docs, out, payload_col="text", uri_col="url", num_files=3)
+    assert sum(m["records"] for m in manifest) == 40
+    assert {m["file"] for m in manifest} == {
+        f for f in os.listdir(out) if f.endswith(".warc.gz")
+    }
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        assert json.load(fh) == manifest
+
+    back = read_warc(spark, out)
+    rows = back.collect()
+    assert len(rows) == 40
+    texts = sorted(bytes(r.payload).decode() for r in rows)
+    assert texts == sorted(f"document body {i} " * 10 for i in range(40))
+    uris = {r.target_uri for r in rows}
+    assert uris == {f"http://ex.com/{i}" for i in range(40)}
+    # warc_documents bridges straight to the text tier
+    wd = warc_documents(spark, out)
+    assert wd.filter(F.col("text").contains("document body 7 ")).count() >= 1
+
+
+def test_spark_write_is_rerun_stable(spark, tmp_path):
+    """Same input -> byte-identical files (hash-derived ids, mtime=0
+    gzip): exports are resumable/diffable."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id bigint, text string"
+    ).repartition(1)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc(docs.orderBy("doc_id"), p1, payload_col="text", num_files=1)
+    write_warc(docs.orderBy("doc_id"), p2, payload_col="text", num_files=1)
+    b1 = open(os.path.join(p1, "part-00000.warc.gz"), "rb").read()
+    b2 = open(os.path.join(p2, "part-00000.warc.gz"), "rb").read()
+    assert b1 == b2
+
+
+def test_spark_read_plain_warc_and_binary_payload(spark, tmp_path):
+    """Uncompressed .warc files and binary (non-UTF8) payloads ride the
+    same reader; empty partitions write no file."""
+    raw = b"".join(build_warc_record(bytes([i, 255, 0]) * 5) for i in range(3))
+    p = tmp_path / "plain"
+    p.mkdir()
+    (p / "seg.warc").write_bytes(raw)
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 3
+    assert all(len(bytes(r.payload)) == 15 for r in rows)
+
+    empty = spark.createDataFrame([], "text string")
+    man = write_warc(empty.repartition(2), str(tmp_path / "e"), payload_col="text")
+    assert man == []
+    assert not [
+        f for f in os.listdir(tmp_path / "e") if f.endswith(".warc.gz")
+    ]
+
+
+def test_read_is_map_only(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    out = str(tmp_path / "w")
+    write_warc(docs, out, payload_col="text", num_files=1)
+    plan = read_warc(spark, out)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

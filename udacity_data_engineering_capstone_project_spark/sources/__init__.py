@@ -9,13 +9,23 @@ from udacity_data_engineering_capstone_project_spark.sources.sinks import (
     write_csv,
     write_parquet,
 )
+from udacity_data_engineering_capstone_project_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    warc_documents,
+    write_warc,
+)
 
 __all__ = [
     "TABLES",
     "load_tables",
+    "parse_warc_bytes",
     "read_csv",
     "read_parquet",
     "read_table",
+    "read_warc",
+    "warc_documents",
     "write_csv",
     "write_parquet",
+    "write_warc",
 ]

@@ -1,0 +1,347 @@
+"""WARC (ISO 28500) ingestion and export — the container format web
+crawls ship in (Common Crawl publishes each monthly round as ~100 TB of
+``.warc.gz`` segments), and therefore the FIRST format a large-scale
+LLM-training-data pipeline has to read.
+
+Spark-first shape:
+
+- **Read**: one file = one row via the built-in ``binaryFile`` source,
+  then an Arrow-batched ``mapInPandas`` stage splits each file into WARC
+  records. Parallelism is file-level — exactly how crawl processing
+  distributes in practice (a Common Crawl round is ~72k segment files of
+  ~1 GB; 1000 executors stream ~72 files each, no shuffle anywhere:
+  the whole ingest is a map-only stage feeding the text/dedup tiers).
+- **Write**: a real ``.warc.gz`` is the plain concatenation of
+  independently-gzipped members (one per record, per the spec), so a
+  distributed writer needs NO global coordination: each task gzips its
+  own records and appends them into one part-file. Files are written
+  under task-unique temp names and atomically renamed, and the manifest
+  is recounted from committed bytes.
+
+Everything is stdlib (``gzip``/``zlib``) — no external crawl libraries.
+
+The record grammar implemented (version line, CRLF headers,
+``Content-Length``-delimited payload, double-CRLF terminator) is the
+normative core of ISO 28500 / the IIPC WARC 1.1 spec; arbitrary header
+names are preserved case-insensitively.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------------------
+# pure byte-level codec (unit-testable without Spark)
+# ---------------------------------------------------------------------------
+
+
+def build_warc_record(
+    payload: bytes,
+    *,
+    warc_type: str = "resource",
+    target_uri: str | None = None,
+    warc_date: str = "2000-01-01T00:00:00Z",
+    content_type: str = "text/plain",
+    record_id: str | None = None,
+    extra_headers: dict[str, str] | None = None,
+) -> bytes:
+    """Serialize ONE WARC record. ``record_id`` defaults to a
+    deterministic ``urn:uuid`` derived from (uri, date, payload) md5 —
+    rerunning an export produces byte-identical records, so downstream
+    exact-dedup and resume logic see a stable stream."""
+    if record_id is None:
+        h = hashlib.md5(
+            (target_uri or "").encode() + b"\x00" + warc_date.encode() + b"\x00" + payload
+        ).hexdigest()
+        record_id = f"urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    headers = [
+        ("WARC-Type", warc_type),
+        ("WARC-Record-ID", f"<{record_id}>"),
+        ("WARC-Date", warc_date),
+        ("Content-Length", str(len(payload))),
+        ("Content-Type", content_type),
+    ]
+    if target_uri is not None:
+        headers.insert(3, ("WARC-Target-URI", target_uri))
+    for k, v in (extra_headers or {}).items():
+        headers.append((k, v))
+    head = b"WARC/1.0" + _CRLF
+    head += b"".join(f"{k}: {v}".encode() + _CRLF for k, v in headers)
+    return head + _CRLF + payload + _CRLF + _CRLF
+
+
+def gzip_member(record: bytes, compresslevel: int = 6) -> bytes:
+    """One record -> one gzip member (``mtime=0`` so identical records
+    compress to identical bytes regardless of wall clock)."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(
+        fileobj=buf, mode="wb", compresslevel=compresslevel, mtime=0
+    ) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a multi-member gzip stream (the .warc.gz layout) to
+    one plain byte stream. Tolerates trailing garbage after the last
+    complete member (truncated uploads) — parsed records up to that
+    point survive."""
+    out = []
+    buf = data
+    while buf[:2] == b"\x1f\x8b":
+        obj = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        try:
+            out.append(obj.decompress(buf))
+        except zlib.error:
+            break
+        if not obj.eof:  # truncated final member
+            break
+        buf = obj.unused_data
+    return b"".join(out)
+
+
+def parse_warc_bytes(data: bytes, strict: bool = False) -> list[dict]:
+    """Parse a WARC byte stream (plain or multi-member gzip) into
+    record dicts: ``{record_id, warc_type, target_uri, warc_date,
+    content_type, content_length, payload}``.
+
+    Non-strict mode (the 100 TB default — real crawls contain damage)
+    skips malformed tails instead of raising; strict raises ValueError
+    with an offset so tests and writers can assert exact shape.
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        eol = data.find(_CRLF, pos)
+        if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
+            if strict:
+                raise ValueError(f"expected WARC version line at offset {pos}")
+            break
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        ok = True
+        while True:
+            eol = data.find(_CRLF, pos)
+            if eol < 0:
+                ok = False
+                break
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break  # blank line = end of headers
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+        if not ok:
+            if strict:
+                raise ValueError(f"unterminated header block at offset {pos}")
+            break
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            if strict:
+                raise ValueError(f"missing/invalid Content-Length at offset {pos}")
+            break
+        if pos + clen > n:
+            if strict:
+                raise ValueError(f"truncated payload at offset {pos}")
+            break
+        payload = data[pos : pos + clen]
+        pos += clen
+        rid = headers.get("warc-record-id", "")
+        records.append(
+            {
+                "record_id": rid.strip("<>"),
+                "warc_type": headers.get("warc-type"),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "content_length": clen,
+                "payload": payload,
+            }
+        )
+    return records
+
+
+# ---------------------------------------------------------------------------
+# Spark stages
+# ---------------------------------------------------------------------------
+
+_WARC_SCHEMA = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("record_id", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def read_warc(spark: SparkSession, path: str, strict: bool = False) -> DataFrame:
+    """WARC files -> one row per record.
+
+    ``binaryFile`` scan (one whole file per row — a WARC segment is
+    ~1 GB by convention, sized to be a task) followed by a map-only
+    Arrow-batched split; no shuffle. Output columns: file, record_id,
+    warc_type, target_uri, warc_date, content_type, content_length,
+    payload (binary).
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                if content is None:
+                    continue
+                for rec in parse_warc_bytes(bytes(content), strict=strict):
+                    rec = dict(rec)
+                    rec["file"] = fname
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _WARC_SCHEMA.fields]
+            ).astype({"content_length": "int64"}, errors="ignore")
+
+    return files.select("path", "content").mapInPandas(_split, _WARC_SCHEMA)
+
+
+def warc_documents(
+    spark: SparkSession, path: str, encoding: str = "utf-8"
+) -> DataFrame:
+    """Read WARC and decode text payloads — the crawl -> documents
+    bridge. Emits (record_id, target_uri, warc_date, text); undecodable
+    bytes are replaced (U+FFFD) rather than dropped, matching how crawl
+    pipelines handle mixed encodings before `fix_mojibake`."""
+    rec = read_warc(spark, path)
+    return rec.select(
+        "record_id",
+        "target_uri",
+        "warc_date",
+        F.decode(F.col("payload"), encoding).alias("text"),
+    )
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    payload_col: str,
+    uri_col: str | None = None,
+    *,
+    warc_type: str = "resource",
+    content_type: str = "text/plain",
+    warc_date: str = "2000-01-01T00:00:00Z",
+    num_files: int | None = None,
+    gzip_members: bool = True,
+    compresslevel: int = 6,
+) -> list[dict]:
+    """Distributed ``.warc.gz`` export: each task serializes its rows as
+    independently-gzipped members and appends them into ONE part file
+    (`.warc.gz` is member-concatenation per spec, so no coordination,
+    no merge pass). String payloads are encoded UTF-8; binary payloads
+    pass through.
+
+    Files land as ``part-NNNNN.warc.gz`` via write-temp-then-rename
+    (rename is atomic within a directory), and the returned manifest —
+    ``[{file, records, bytes}, ...]``, also written as
+    ``_MANIFEST.json`` — is recounted from what each task actually
+    committed. ``num_files`` repartitions (round-robin) to bound file
+    count/size; default keeps the upstream partitioning (map-only).
+    """
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    cols = [F.col(payload_col).alias("__payload")]
+    cols.append(
+        (F.col(uri_col) if uri_col else F.lit(None)).cast("string").alias("__uri")
+    )
+    slim = df.select(*cols)
+    if num_files is not None:
+        if num_files < 1:
+            raise ValueError("num_files must be >= 1")
+        slim = slim.repartition(num_files)
+
+    ext = ".warc.gz" if gzip_members else ".warc"
+    man_schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("records", LongType()),
+            StructField("bytes", LongType()),
+        ]
+    )
+
+    def _write(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        fname = f"part-{pid:05d}{ext}"
+        tmp = os.path.join(path, f"._tmp-{pid:05d}-{attempt}{ext}")
+        n = 0
+        with open(tmp, "wb") as out:
+            for pdf in batches:
+                for payload, uri in zip(pdf["__payload"], pdf["__uri"]):
+                    if payload is None:
+                        continue
+                    raw = (
+                        payload.encode("utf-8")
+                        if isinstance(payload, str)
+                        else bytes(payload)
+                    )
+                    rec = build_warc_record(
+                        raw,
+                        warc_type=warc_type,
+                        target_uri=None if uri is None else str(uri),
+                        warc_date=warc_date,
+                        content_type=content_type,
+                    )
+                    out.write(
+                        gzip_member(rec, compresslevel) if gzip_members else rec
+                    )
+                    n += 1
+        if n == 0:
+            os.remove(tmp)
+            return iter(())
+        final = os.path.join(path, fname)
+        os.replace(tmp, final)
+        size = os.path.getsize(final)
+        return iter([pd.DataFrame({"file": [fname], "records": [n], "bytes": [size]})])
+
+    manifest = [r.asDict() for r in slim.mapInPandas(_write, man_schema).collect()]
+    manifest.sort(key=lambda m: m["file"])
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
