@@ -1075,3 +1075,56 @@ def test_cap_tokens_distributed_prefix_equals_single_window(spark):
         if "windowspecdefinition(source" in ln and "__b" not in ln
     ]
     assert not big_windows, big_windows
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio (operators/textstats.py) — zlib crawl-quality signal
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_orders_spam_below_prose_and_junk_above(spark):
+    import os
+
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        compression_ratio,
+    )
+
+    spam = "buy cheap pills " * 200                      # template repetition
+    prose = (
+        "The committee convened at dawn; arguments ranged from fiscal "
+        "prudence to outright alarm, and no two members agreed on the "
+        "remedy, though all conceded the diagnosis was sound. "
+    ) * 8
+    junk = bytes(os.urandom(1500)).hex()  # incompressible-ish hex soup
+    df = spark.createDataFrame(
+        [(1, spam), (2, prose), (3, junk), (4, None), (5, "")],
+        "id bigint, text string",
+    )
+    out = {r.id: r.compress_ratio for r in compression_ratio(df, "id").collect()}
+    assert out[1] < 0.1                   # spam compresses drastically
+    assert 0.1 < out[2] < 0.75            # prose in the natural band
+    assert out[3] > out[2] > out[1]       # monotone quality ordering
+    assert out[4] is None and out[5] is None
+
+    # deterministic across runs (no wall-clock in the deflate stream)
+    again = {r.id: r.compress_ratio for r in compression_ratio(df, "id").collect()}
+    assert out == again
+
+
+def test_compression_ratio_validates_level_and_is_map_only(spark):
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        compression_ratio,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id bigint, text string")
+    with _pytest.raises(ValueError, match="level"):
+        compression_ratio(df, "id", level=0)
+    plan = (
+        compression_ratio(df, "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -1582,3 +1582,49 @@ def calibration_bins(
         )
         .select("bin", "bin_lo", "n", "n_pos", "frac_pos", "mean_score")
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    level: int = 6,
+    out_col: str = "compress_ratio",
+) -> DataFrame:
+    """zlib-compressibility quality signal — the classic crawl screen
+    (used by Gopher/RefinedWeb-style pipelines): boilerplate and
+    keyword-stuffed spam compress far better than natural prose, while
+    already-compressed or encrypted gibberish barely compresses at all.
+
+    Adds ``out_col = len(zlib(text)) / len(utf8(text))`` (double; NULL
+    for NULL/empty text). Typical operating rules: ratio < ~0.35 ->
+    template/repetition spam; ratio > ~1.0 -> binary junk in a text
+    field. Feed it to `apply_filter_cascade` as one rule among many.
+
+    Runs as ONE Arrow-batched scalar pandas_udf (zlib's C deflate per
+    row — no per-char Python), map-only, so it streams over a 100 TB
+    corpus at roughly deflate speed. The ratio is deterministic for a
+    given zlib version/level (pinned level, no wall-clock or dict
+    state); it is NOT guaranteed bit-identical across zlib builds, so
+    it stays a filter signal, never a cross-engine-graded hash column.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= level <= 9:
+        raise ValueError(f"zlib level must be 1..9, got {level}")
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))
