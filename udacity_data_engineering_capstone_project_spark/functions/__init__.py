@@ -15,6 +15,13 @@ from udacity_data_engineering_capstone_project_spark.functions.text import (
     normalize_text,
     tokens,
 )
+from udacity_data_engineering_capstone_project_spark.functions.robots import (
+    filter_robots_disallowed,
+    parse_robots_txt,
+    robots_allowed,
+    robots_rules_df,
+    with_robots_verdict,
+)
 from udacity_data_engineering_capstone_project_spark.functions.urls import (
     canonicalize_url,
     domain_counts,
@@ -28,6 +35,11 @@ from udacity_data_engineering_capstone_project_spark.functions.urls import (
 )
 
 __all__ = [
+    "filter_robots_disallowed",
+    "parse_robots_txt",
+    "robots_allowed",
+    "robots_rules_df",
+    "with_robots_verdict",
     "canonicalize_url",
     "domain_counts",
     "filter_blocked_domains",

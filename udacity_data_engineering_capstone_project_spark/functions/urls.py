@@ -59,15 +59,17 @@ _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host, NULL for non-URLs. `parse_url` is Spark's
-    built-in (Hive-compatible) URL parser — JVM-side."""
+    """Lowercased host, NULL for non-URLs. `try_parse_url` is Spark's
+    built-in (Hive-compatible) URL parser — JVM-side. (The non-try
+    variant THROWS on malformed URIs under Spark 4 ANSI, which would
+    kill a whole crawl scan for one bad row — NULL is the contract.)"""
     return F.lower(
-        F.parse_url(F.col(url) if isinstance(url, str) else url, F.lit("HOST"))
+        F.try_parse_url(F.col(url) if isinstance(url, str) else url, F.lit("HOST"))
     )
 
 
 def url_path(url: Column | str) -> Column:
-    return F.parse_url(F.col(url) if isinstance(url, str) else url, F.lit("PATH"))
+    return F.try_parse_url(F.col(url) if isinstance(url, str) else url, F.lit("PATH"))
 
 
 def canonicalize_url(

@@ -3743,6 +3743,73 @@ def filter_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.filter(F.col("rows") > 0)
 
 
+# Synthetic crawl-URL construction shared by the Spark query and the
+# DuckDB oracle; the oracle derives the RFC 9309 verdict directly from
+# the (host, path-kind) residue cases — an independent derivation, not
+# a port of the longest-match algorithm.
+_ROBOTS_URL_SQL = (
+    "'http://h' || CAST(doc_id % 3 AS {T}) || '.com' || "
+    "CASE doc_id % 5 "
+    "WHEN 0 THEN '/private/x' || CAST(doc_id AS {T}) "
+    "WHEN 1 THEN '/private/ok' || CAST(doc_id AS {T}) "
+    "WHEN 2 THEN '/doc' || CAST(doc_id AS {T}) || '.pdf' "
+    "WHEN 3 THEN '/doc' || CAST(doc_id AS {T}) || '.pdfx' "
+    "ELSE '/page/' || CAST(doc_id AS {T}) END"
+)
+
+ROBOTS_FILTER_ORACLE = f"""
+    SELECT doc_id,
+           {_ROBOTS_URL_SQL.format(T="VARCHAR")} AS url,
+           CASE
+             WHEN doc_id % 3 = 0 AND doc_id % 5 = 0 THEN 'deny'
+             WHEN doc_id % 3 = 1 AND doc_id % 5 = 2 THEN 'deny'
+             WHEN doc_id % 3 = 1 AND doc_id % 5 = 4 THEN 'deny'
+             ELSE 'allow'
+           END AS verdict
+    FROM documents
+"""
+
+_ROBOTS_TXT = {
+    "h0.com": "User-agent: *\nDisallow: /private/\nAllow: /private/ok",
+    "h1.com": "User-agent: *\nDisallow: /*.pdf$\nDisallow: /page",
+    # h2.com publishes no robots.txt -> everything allowed
+}
+
+
+@_register(
+    "robots_filter_q",
+    ROBOTS_FILTER_ORACLE,
+    "RFC 9309 robots.txt screen (functions/robots.py): per-host rule "
+    "frames broadcast-joined to the URL corpus, longest-match wins "
+    "with allow on ties, $-anchoring via the LIKE translation, "
+    "ruleless hosts allowed. Hash-checked against a residue-derived "
+    "verdict oracle. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance verdicts over synthetic per-doc URLs: three
+    hosts x five path shapes exercise prefix rules, allow-overrides,
+    $-anchored wildcards and the no-robots default
+    (functions/robots.py:with_robots_verdict). Unregistered; pinned by
+    `test_unregistered_query_parity[robots_filter_q]`."""
+    from udacity_data_engineering_capstone_project_spark.functions.robots import (
+        robots_rules_df,
+        with_robots_verdict,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    df = docs.withColumn("url", F.expr(_ROBOTS_URL_SQL.format(T="STRING")))
+    rules = robots_rules_df(spark, sorted(_ROBOTS_TXT.items()))
+    out = with_robots_verdict(df, rules, "url")
+    return out.select(
+        "doc_id",
+        "url",
+        F.when(F.col("robots_allowed"), F.lit("allow"))
+        .otherwise(F.lit("deny"))
+        .alias("verdict"),
+    )
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
