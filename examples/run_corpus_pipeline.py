@@ -57,9 +57,55 @@ def main() -> None:
         print(f"[stage] {label}: {now - _t[0]:.1f}s", file=sys.stderr)
         _t[0] = now
 
-    docs = read_table(spark, sf_dir, "documents")
+    # -1. crawl intake seam: the corpus arrives as .warc.gz segments
+    #     (Common Crawl's wire format). Round-trip the raw docs through
+    #     a real WARC export + binaryFile/mapInPandas record split so
+    #     every later stage runs on crawl-shaped input.
+    from udacity_data_engineering_capstone_project_spark.sources.warc import (
+        warc_documents,
+        write_warc,
+    )
+
+    raw = read_table(spark, sf_dir, "documents")
+    warc_dir = os.path.join(out_dir, "crawl_warc")
+    warc_manifest = write_warc(
+        raw.withColumn(
+            "url", F.concat(F.lit("http://h"), (F.col("doc_id") % 3).cast("string"),
+                            F.lit(".com/p/"), F.col("doc_id").cast("string")),
+        ),
+        warc_dir, payload_col="text", uri_col="url", num_files=4,
+    )
+    crawled = warc_documents(spark, warc_dir).select(
+        F.col("target_uri").alias("url"), "text"
+    )
+    # re-attach ids + table metadata by the URL key the WARC carried
+    docs = raw.drop("text").join(
+        crawled.withColumn(
+            "doc_id", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("bigint")
+        ).drop("url"),
+        on="doc_id",
+    )
     n_raw = docs.count()
-    tick("read+count")
+    assert n_raw == sum(m["records"] for m in warc_manifest)
+    tick("warc-roundtrip+read")
+
+    # -1b. robots.txt compliance screen: per-host rule frames broadcast
+    #      against the URL column; h1.com's crawl policy blocks /p/
+    from udacity_data_engineering_capstone_project_spark.functions.robots import (
+        filter_robots_disallowed,
+        robots_rules_df,
+    )
+
+    docs = docs.withColumn(
+        "url", F.concat(F.lit("http://h"), (F.col("doc_id") % 3).cast("string"),
+                        F.lit(".com/p/"), F.col("doc_id").cast("string")),
+    )
+    rules = robots_rules_df(
+        spark, [("h1.com", "User-agent: *\nDisallow: /p/1\nAllow: /p/1*2")]
+    )
+    docs = filter_robots_disallowed(docs, rules, "url").drop("url")
+    n_robots = docs.count()
+    tick("robots-screen")
 
     # 0. canonicalize: HTML -> visible text (no-op whitespace collapse
     #    on plain text) and NFKC unicode normalization, so every
@@ -104,8 +150,27 @@ def main() -> None:
         stopwords=("the", "a"),
     ).filter(F.col("keep")).select("doc_id")
     docs_q = docs.join(quality_ids, on="doc_id").join(gopher_keep, on="doc_id")
+
+    # 1a. ordered filter cascade with per-rule audit: length bounds +
+    #     zlib compressibility (template spam compresses < 0.2) in one
+    #     CASE-chain pass; the audit row set attributes every rejection
+    #     to exactly one rule
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        apply_filter_cascade,
+    )
+
+    with_ratio = ts.compression_ratio(docs_q, "doc_id", "text")
+    docs_q, cascade_audit = apply_filter_cascade(
+        with_ratio,
+        [
+            ("too_short", F.length("text") >= 40),
+            ("compress_spam", F.col("compress_ratio") >= 0.2),
+        ],
+    )
+    docs_q = docs_q.drop("compress_ratio")
+    cascade_counts = {r.rule: r.rows for r in cascade_audit.collect()}
     n_quality = docs_q.count()
-    tick("quality_gate")
+    tick("quality_gate+cascade")
 
     # 1b. boilerplate filter: drop highly repetitive docs, then
     #     decontaminate against the benchmark slice (doc_id % 97 == 0)
@@ -357,7 +422,9 @@ def main() -> None:
     }
 
     print(
-        f"raw={n_raw} -> quality={n_quality} -> clean={n_clean} "
+        f"raw={n_raw} (warc files={len(warc_manifest)}) "
+        f"-> robots={n_robots} -> quality={n_quality} "
+        f"(cascade audit={cascade_counts}) -> clean={n_clean} "
         f"(clf-high={n_clf_high}, ppl-ok={n_ppl_ok}) "
         f"-> pii+segment-scrub={n_scrub} -> exact-dedup={n_exact} "
         f"-> near-dedup={n_near}; dup spans={n_spans}; "
