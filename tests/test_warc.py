@@ -142,3 +142,67 @@ def test_read_is_map_only(spark, tmp_path):
     write_warc(docs, out, payload_col="text", num_files=1)
     plan = read_warc(spark, out)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_streaming_warc_intake(spark, tmp_path):
+    """read_warc_stream is the live twin of read_warc: segments landing
+    across micro-batches parse to the same records, maxFilesPerTrigger
+    bounds per-batch work, and a second availableNow run over a kept
+    checkpoint processes nothing new (file-source exactly-once)."""
+    from udacity_data_engineering_capstone_project_spark.sources.warc import read_warc_stream
+
+    crawl = tmp_path / "landing"
+    crawl.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(seg: int, n: int) -> None:
+        blob = b"".join(
+            gzip_member(
+                build_warc_record(
+                    f"seg{seg} doc{i}".encode(), target_uri=f"http://s{seg}.com/{i}"
+                )
+            )
+            for i in range(n)
+        )
+        (crawl / f"seg-{seg}.warc.gz").write_bytes(blob)
+
+    land(0, 3)
+    land(1, 2)
+
+    out_dir = str(tmp_path / "records")
+    stream = read_warc_stream(spark, str(crawl), max_files_per_trigger=1)
+    assert stream.isStreaming
+
+    def run_once():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 5
+    assert {r.target_uri for r in got.collect()} == {
+        f"http://s{s}.com/{i}" for s, n in [(0, 3), (1, 2)] for i in range(n)
+    }
+
+    # replay with the same checkpoint: no new files -> no new rows
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 5
+
+    # a THIRD segment lands; only its records append
+    land(2, 4)
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 9
+
+
+def test_streaming_warc_validates_trigger():
+    from udacity_data_engineering_capstone_project_spark.sources.warc import read_warc_stream
+
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        read_warc_stream(None, "/tmp/x", max_files_per_trigger=0)

@@ -12,6 +12,7 @@ from udacity_data_engineering_capstone_project_spark.sources.sinks import (
 from udacity_data_engineering_capstone_project_spark.sources.warc import (
     parse_warc_bytes,
     read_warc,
+    read_warc_stream,
     warc_documents,
     write_warc,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "read_parquet",
     "read_table",
     "read_warc",
+    "read_warc_stream",
     "warc_documents",
     "write_csv",
     "write_parquet",

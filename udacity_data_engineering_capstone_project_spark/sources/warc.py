@@ -208,18 +208,8 @@ _WARC_SCHEMA = StructType(
 )
 
 
-def read_warc(spark: SparkSession, path: str, strict: bool = False) -> DataFrame:
-    """WARC files -> one row per record.
-
-    ``binaryFile`` scan (one whole file per row — a WARC segment is
-    ~1 GB by convention, sized to be a task) followed by a map-only
-    Arrow-batched split; no shuffle. Output columns: file, record_id,
-    warc_type, target_uri, warc_date, content_type, content_length,
-    payload (binary).
-    """
+def _record_splitter(strict: bool):
     import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path)
 
     def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -235,7 +225,56 @@ def read_warc(spark: SparkSession, path: str, strict: bool = False) -> DataFrame
                 rows, columns=[f.name for f in _WARC_SCHEMA.fields]
             ).astype({"content_length": "int64"}, errors="ignore")
 
-    return files.select("path", "content").mapInPandas(_split, _WARC_SCHEMA)
+    return _split
+
+
+def read_warc(spark: SparkSession, path: str, strict: bool = False) -> DataFrame:
+    """WARC files -> one row per record.
+
+    ``binaryFile`` scan (one whole file per row — a WARC segment is
+    ~1 GB by convention, sized to be a task) followed by a map-only
+    Arrow-batched split; no shuffle. Output columns: file, record_id,
+    warc_type, target_uri, warc_date, content_type, content_length,
+    payload (binary).
+    """
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        _record_splitter(strict), _WARC_SCHEMA
+    )
+
+
+#: binaryFile's fixed schema (streaming readers must declare it).
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    strict: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming crawl intake: watch a directory for new WARC segments
+    and emit records per micro-batch — the live twin of `read_warc`
+    (same splitter, same schema), feeding the streaming dedup /
+    screen / anomaly tiers as segments land from the fetcher fleet.
+
+    ``max_files_per_trigger`` bounds per-batch work (a segment is
+    ~1 GB, so the default of 'all new files' is only right for catch-up
+    runs); file-granularity checkpointing comes from the file source
+    itself — a crashed batch replays its files, and downstream sinks
+    are idempotent per record id.
+    """
+    if max_files_per_trigger is not None and max_files_per_trigger < 1:
+        raise ValueError("max_files_per_trigger must be >= 1")
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(path)
+    return files.select("path", "content").mapInPandas(
+        _record_splitter(strict), _WARC_SCHEMA
+    )
 
 
 def warc_documents(
