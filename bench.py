@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     "corpus_diff_q",
     "clustering_coeff_q",
     "decay_scores",
+    # round 6 continuation: crawl-hygiene additions — RFC 9309 robots
+    # screen (broadcast rules + struct-argmax) and the ordered quality
+    # filter cascade (one CASE-chain pass + rule-sized audit agg)
+    "robots_filter_q",
+    "filter_cascade_q",
 ]
 
 

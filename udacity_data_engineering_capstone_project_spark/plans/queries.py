@@ -3810,6 +3810,60 @@ def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic HTML wrappings shared by the Spark query and the oracle.
+# The oracle does NOT replay the regex chain: it derives the expected
+# visible text from the extraction INVARIANT — the corpus text is
+# single-spaced lowercase words (pinned below), so wrapping it in
+# head/script/comment chrome and block tags must return it verbatim
+# (plus the one visible list item m2 adds). An independent derivation.
+_HTML_WRAP_SQL = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN '<html><head><title>meta junk</title></head><body><p>' "
+    "|| text || '</p></body></html>' "
+    "WHEN 1 THEN '<div class=\"a\">' || text || "
+    "'</div><script type=\"text/javascript\">var x = \"<p>\";</script>' "
+    "WHEN 2 THEN '<ul><li>' || text || "
+    "'</li><li>extra &amp; more</li></ul><!-- hidden -->' "
+    "ELSE text END"
+)
+
+STRIP_HTML_ORACLE = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 2
+                THEN text || chr(10) || 'extra & more'
+                ELSE text END AS stripped
+    FROM documents
+    WHERE regexp_matches(text, '^[a-z]+( [a-z]+)*$')
+"""
+
+
+@_register(
+    "strip_html_q",
+    STRIP_HTML_ORACLE,
+    "HTML -> visible text extraction (operators/textstats.py:"
+    "strip_html): head/script/comment chrome dropped, block tags to "
+    "newlines, entities decoded, whitespace collapsed — one "
+    "whole-stage-codegen regexp chain. Hash-checked against the "
+    "extraction invariant (wrapped clean text comes back verbatim). "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def strip_html_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four HTML wrappings (full page, div+script, list+comment,
+    plain) over every document, extracted back to visible text
+    (operators/textstats.py:strip_html). The WHERE mirrors the
+    oracle's clean-text precondition — on this corpus it keeps all
+    rows (the invariant's premise, pinned by equal row counts).
+    Unregistered; pinned by `test_unregistered_query_parity`."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike(r"^[a-z]+( [a-z]+)*$"))
+        .withColumn("html", F.expr(_HTML_WRAP_SQL))
+    )
+    stripped = ts.strip_html(docs.select("doc_id", "html"), "html", "stripped")
+    return stripped.select("doc_id", "stripped")
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
