@@ -1128,3 +1128,76 @@ def test_compression_ratio_validates_level_and_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# screen_blocked_terms (operators/textstats.py) — blocklist phrase screen
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_whole_word_semantics(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        screen_blocked_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A Bad  Actor! appeared"),      # case + punct + doublespace
+            (2, "the badge actor arrives"),     # no mid-word bleed
+            (3, "embaddactor"),                 # no substring bleed
+            (4, "bad actors"),                  # 'actors' != 'actor'
+            (5, "so bad actor bad actor"),      # dedup to one row
+            (6, None),                          # NULL text -> no rows
+            (7, "spark here"),                  # single-word phrase
+        ],
+        "id bigint, text string",
+    )
+    out = screen_blocked_terms(df, "id", ["bad actor", "spark"])
+    got = {(r.id, r.phrase) for r in out.collect()}
+    assert got == {(1, "bad actor"), (5, "bad actor"), (7, "spark")}
+
+
+def test_blocklist_matches_bruteforce_randomized(spark):
+    """Token-prefilter plan == brute-force padded-contains over random
+    word soup (the declarative contract, independent of the join
+    shape)."""
+    import random
+
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        screen_blocked_terms,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(150)
+    ]
+    phrases = ["alpha beta", "gamma", "beta gamma delta", "eps eps"]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {(r.id, r.phrase) for r in screen_blocked_terms(df, "id", phrases).collect()}
+    want = {
+        (i, p)
+        for i, t in rows
+        for p in phrases
+        if f" {p} " in f" {t} "
+    }
+    assert got == want
+
+
+def test_blocklist_validation_and_plan(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        screen_blocked_terms,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id bigint, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        screen_blocked_terms(df, "id", ["  ", ""])
+    with pytest.raises(ValueError, match="duplicate"):
+        screen_blocked_terms(df, "id", ["A  b", "a b"])
+    plan = (
+        screen_blocked_terms(df, "id", ["a b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # phrases broadcast; the corpus side never shuffles before the join
+    assert "BroadcastHashJoin" in plan

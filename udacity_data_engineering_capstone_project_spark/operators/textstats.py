@@ -1628,3 +1628,67 @@ def compression_ratio(
         return texts.map(one)
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+def screen_blocked_terms(
+    df: DataFrame,
+    id_col: str,
+    phrases: Sequence[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocklist screen: which documents contain which blocked phrases.
+
+    Match contract: case-insensitive WHOLE-WORD phrase match after
+    ``\\W+`` tokenization — "bad actor" matches "Bad  actor!" but not
+    "badge actor" or "embaddactor". (Word-anchored is the coherent
+    blocklist semantic; raw-substring contracts flag "grass" for
+    "ass". Homoglyph evasion is a normalization concern — compose with
+    `normalize_unicode`/`fix_mojibake` upstream.)
+
+    Returns one row per (document, matched phrase): ``(id, phrase)``.
+    Documents matching nothing emit no rows — aggregate or anti-join
+    downstream for keep/drop decisions.
+
+    Scale shape: NEVER documents x phrases. Each doc explodes to its
+    word tokens once — a map-side projection — and a broadcast join
+    against each phrase's FIRST word prunes candidates to docs that
+    could possibly match; a delimiter-padded `contains` then verifies
+    the whole phrase. The only shuffle is the dedup of verified
+    matches, sized by matches (tiny), never by corpus x blocklist. A
+    100k-entry blocklist is a few MB broadcast; the corpus never
+    re-shuffles.
+    """
+    cleaned = []
+    for p in phrases:
+        norm = " ".join((p or "").lower().split())
+        if norm:
+            cleaned.append((p, norm))
+    if not cleaned:
+        raise ValueError("phrases must contain at least one non-empty term")
+    if len({n for _, n in cleaned}) != len(cleaned):
+        raise ValueError("duplicate phrases after lowercase/whitespace-normalize")
+    spark = df.sparkSession
+    # padded form: whole-word-sequence match == substring match on the
+    # space-delimited normalizations of both sides
+    pframe = spark.createDataFrame(
+        [(orig, f" {norm} ", norm.split()[0]) for orig, norm in cleaned],
+        "phrase string, padded string, first_tok string",
+    )
+    norm_text = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+", " "
+        ),
+        F.lit(" "),
+    )
+    toks = df.select(
+        F.col(id_col),
+        norm_text.alias("__nt"),
+        F.explode(F.split(norm_text, " ")).alias("first_tok"),
+    ).filter(F.col("first_tok") != "")
+    return (
+        toks.join(F.broadcast(pframe), on="first_tok")
+        .filter(F.col("__nt").contains(F.col("padded")))
+        .select(id_col, "phrase")
+        .dropDuplicates([id_col, "phrase"])
+    )

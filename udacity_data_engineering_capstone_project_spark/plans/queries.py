@@ -3864,6 +3864,46 @@ def strip_html_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stripped.select("doc_id", "stripped")
 
 
+# Oracle twin for screen_blocked_terms — UNREGISTERED. The oracle
+# brute-forces documents x phrases (fine at driver scale) with the
+# same padded-contains match definition; the Spark side must reach the
+# identical match set through its token-prefilter broadcast join — an
+# independent PLAN, same declarative contract.
+BLOCKLIST_ORACLE = """
+    WITH p(phrase) AS (VALUES ('slow scan'), ('merge window'),
+                              ('customer data'), ('spark')),
+    d AS (SELECT doc_id,
+                 ' ' || regexp_replace(lower(text), '\\W+', ' ', 'g') || ' '
+                 AS nt
+          FROM documents)
+    SELECT doc_id, phrase
+    FROM d, p
+    WHERE contains(nt, ' ' || phrase || ' ')
+"""
+
+
+@_register(
+    "blocklist_screen_q",
+    BLOCKLIST_ORACLE,
+    "Blocklist phrase screen (operators/textstats.py:"
+    "screen_blocked_terms): whole-word case-insensitive phrase "
+    "matches via first-token broadcast prefilter + padded-contains "
+    "verify — never documents x phrases. Hash-checked against a "
+    "brute-force cross-join oracle. Unregistered; hash-pinned "
+    "locally.",
+    registered=False,
+)
+def blocklist_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phrase) match rows for a 4-entry blocklist over
+    documents (operators/textstats.py:screen_blocked_terms).
+    Unregistered; pinned by `test_unregistered_query_parity`."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts.screen_blocked_terms(
+        docs, "doc_id",
+        ["slow scan", "merge window", "customer data", "spark"],
+    )
+
+
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the
 # FIRST 50 registered queries only. Keep the registry <= 50 total and
