@@ -206,3 +206,148 @@ def test_streaming_warc_validates_trigger():
 
     with pytest.raises(ValueError, match="max_files_per_trigger"):
         read_warc_stream(None, "/tmp/x", max_files_per_trigger=0)
+
+
+# ---------------------------------------------------------------------------
+# HTTP response records + link extraction (the Common Crawl intake path)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_http_response_roundtrip_and_tolerance():
+    from udacity_data_engineering_capstone_project_spark.sources.warc import (
+        build_http_response,
+        parse_http_response,
+    )
+
+    body = "<html>héllo</html>".encode("utf-8")
+    raw = build_http_response(body, 200, "text/html; charset=utf-8",
+                              {"X-Crawl": "test"})
+    status, headers, got = parse_http_response(raw)
+    assert (status, got) == (200, body)
+    assert headers["content-type"] == "text/html; charset=utf-8"
+    assert headers["x-crawl"] == "test"
+    # bare body (no HTTP framing) passes through as status 0
+    s2, h2, b2 = parse_http_response(b"just text")
+    assert (s2, h2, b2) == (0, {}, b"just text")
+    # mangled status line -> tolerated, body preserved
+    s3, _, b3 = parse_http_response(b"HTTP/1.1 abc\r\n\r\nx")
+    assert (s3, b3) == (0, b"HTTP/1.1 abc\r\n\r\nx")
+
+
+def test_warc_http_documents_decodes_charset_and_filters_status(spark, tmp_path):
+    from udacity_data_engineering_capstone_project_spark.sources.warc import (
+        build_http_response,
+        warc_http_documents,
+    )
+
+    recs = [
+        build_warc_record(
+            build_http_response("Müller".encode("latin-1"), 200,
+                                "text/html; charset=ISO-8859-1"),
+            warc_type="response", target_uri="http://a.com/1",
+        ),
+        build_warc_record(
+            build_http_response(b"gone", 404, "text/plain"),
+            warc_type="response", target_uri="http://a.com/404",
+        ),
+        build_warc_record(
+            build_http_response(b"ok utf8", 200, "text/plain"),
+            warc_type="response", target_uri="http://a.com/2",
+        ),
+        # charset label nobody knows -> utf-8 fallback, not a crash
+        build_warc_record(
+            build_http_response(b"weird", 200, "text/plain; charset=x-unknown-1"),
+            warc_type="response", target_uri="http://a.com/3",
+        ),
+        # request records never surface as documents
+        build_warc_record(b"GET / HTTP/1.1\r\n\r\n", warc_type="request",
+                          target_uri="http://a.com/1"),
+    ]
+    p = tmp_path / "resp"
+    p.mkdir()
+    (p / "seg.warc").write_bytes(b"".join(recs))
+    out = {r.target_uri: r for r in warc_http_documents(spark, str(p)).collect()}
+    assert set(out) == {"http://a.com/1", "http://a.com/2", "http://a.com/3"}
+    assert out["http://a.com/1"].text == "Müller"
+    assert out["http://a.com/1"].http_status == 200
+    assert out["http://a.com/3"].text == "weird"
+    # ok_only=False keeps the 404
+    all_rows = warc_http_documents(spark, str(p), ok_only=False)
+    assert all_rows.count() == 4
+
+
+def test_extract_links_resolution_matrix(spark):
+    from udacity_data_engineering_capstone_project_spark.functions.urls import (
+        extract_links,
+    )
+
+    html = (
+        '<a href="https://ext.com/x">a</a> '
+        "<a href='//cdn.com/lib.js'>b</a> "
+        '<a href="/root.html">c</a> '
+        '<a href="rel/page.html">d</a> '
+        '<a href="#frag">e</a> '
+        '<a href="mailto:x@y.z">f</a> '
+        '<A HREF="HTTP://UP.COM/">g</A>'
+    )
+    df = spark.createDataFrame(
+        [(1, html, "https://base.com/dir/index.html"), (2, "<p>no links</p>", "https://b.com/")],
+        "id bigint, html string, url string",
+    )
+    got = sorted(r.link for r in extract_links(df, "id", "html", "url").collect())
+    assert got == sorted(
+        [
+            "https://ext.com/x",
+            "https://cdn.com/lib.js",
+            "https://base.com/root.html",
+            "https://base.com/dir/rel/page.html",
+            "HTTP://UP.COM/",
+        ]
+    )
+    # without a base only absolute links survive
+    noba = extract_links(df, "id", "html")
+    assert noba.count() == 2
+    # map-only plan: no join, no shuffle
+    plan = extract_links(df, "id", "html", "url")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_crawl_to_pagerank_composition(spark, tmp_path):
+    """The full bridge: WARC responses -> documents -> link edges ->
+    PageRank. The synthetic site links page i -> page (i+1)%5 plus
+    everyone -> page 0; page 0 must rank first."""
+    from udacity_data_engineering_capstone_project_spark.functions.urls import (
+        extract_links,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.graph import pagerank
+    from udacity_data_engineering_capstone_project_spark.sources.warc import (
+        build_http_response,
+        warc_http_documents,
+    )
+
+    recs = []
+    for i in range(5):
+        html = (
+            f'<a href="/p{(i + 1) % 5}">next</a> <a href="/p0">home</a>'
+        ).encode()
+        recs.append(
+            build_warc_record(
+                build_http_response(html, 200, "text/html; charset=utf-8"),
+                warc_type="response",
+                target_uri=f"http://site.com/p{i}",
+            )
+        )
+    p = tmp_path / "site"
+    p.mkdir()
+    (p / "seg.warc").write_bytes(b"".join(recs))
+
+    pages = warc_http_documents(spark, str(p)).select(
+        F.col("target_uri").alias("url"), F.col("text").alias("html")
+    )
+    edges = extract_links(pages, "url", "html", "url").select(
+        F.col("url").alias("src"), F.col("link").alias("dst")
+    )
+    assert edges.count() == 10
+    ranks = pagerank(edges, max_iter=10).collect()
+    top = max(ranks, key=lambda r: r.rank)
+    assert top.node == "http://site.com/p0"

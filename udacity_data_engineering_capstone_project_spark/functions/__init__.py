@@ -24,6 +24,7 @@ from udacity_data_engineering_capstone_project_spark.functions.robots import (
 )
 from udacity_data_engineering_capstone_project_spark.functions.urls import (
     canonicalize_url,
+    extract_links,
     domain_counts,
     filter_blocked_domains,
     load_psl_rules,
@@ -35,6 +36,7 @@ from udacity_data_engineering_capstone_project_spark.functions.urls import (
 )
 
 __all__ = [
+    "extract_links",
     "filter_robots_disallowed",
     "parse_robots_txt",
     "robots_allowed",

@@ -398,3 +398,76 @@ def filter_blocked_domains(
         .join(bl, F.col("__domain") == F.col("__blocked_domain"), "left_anti")
         .drop("__domain")
     )
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    base_col: str | None = None,
+    out_col: str = "link",
+) -> DataFrame:
+    """href extraction + absolutization — the crawl -> link-graph
+    bridge (feed the (page, link) edges to PageRank / registered-domain
+    counts / the frontier scheduler).
+
+    Emits one row per extracted link: ``(id, out_col)``. Handles, per
+    RFC 3986 basics, entirely in codegen (regexp + conditionals, no
+    Python): absolute http(s) links pass through; with ``base_col``
+    set, protocol-relative ``//host/x``, root-relative ``/x`` and
+    simple relative ``y/z`` links resolve against the base URL
+    (directory of its path; ``..`` segments are NOT normalized —
+    documented boundary). Fragment-only, ``mailto:``/``javascript:``
+    and other non-http schemes are dropped. Without a base, only
+    absolute links survive.
+    """
+    href = F.explode(
+        F.expr(
+            f"regexp_extract_all({html_col}, "
+            "'(?i)href\\\\s*=\\\\s*[\"\\']([^\"\\'>]+)[\"\\']', 1)"
+        )
+    ).alias("__href")
+    # base rides THROUGH the explode projection — no join back to the
+    # page row, the whole extraction is one map-only generate+project
+    carry = [F.col(id_col)] + ([F.col(base_col).alias("__base")] if base_col else [])
+    work = df.select(*carry, href).withColumn("__href", F.trim(F.col("__href")))
+    is_abs = F.col("__href").rlike("(?i)^https?://")
+    has_scheme = F.col("__href").rlike("(?i)^[a-z][a-z0-9+.-]*:")
+    if base_col is None:
+        out = work.withColumn(out_col, F.when(is_abs, F.col("__href")))
+    else:
+        scheme = F.regexp_extract("__base", r"(?i)^(https?):", 1)
+        origin = F.regexp_extract("__base", r"(?i)^(https?://[^/?#]*)", 1)
+        # directory of the base path, always ending in '/'
+        basedir = F.concat(
+            origin,
+            F.regexp_replace(
+                F.regexp_extract("__base", r"(?i)^https?://[^/?#]*([^?#]*)", 1),
+                r"[^/]*$",
+                "",
+            ),
+        )
+        basedir = F.when(
+            F.regexp_extract("__base", r"(?i)^https?://[^/?#]*([^?#]*)", 1) == "",
+            F.concat(origin, F.lit("/")),
+        ).otherwise(basedir)
+        out = work.withColumn(
+            out_col,
+            F.when(is_abs, F.col("__href"))
+            .when(
+                F.col("__href").startswith("//") & (scheme != ""),
+                F.concat(scheme, F.lit(":"), F.col("__href")),
+            )
+            .when(
+                F.col("__href").startswith("/") & (origin != ""),
+                F.concat(origin, F.col("__href")),
+            )
+            .when(
+                ~has_scheme
+                & ~F.col("__href").startswith("#")
+                & (F.col("__href") != "")
+                & (origin != ""),
+                F.concat(basedir, F.col("__href")),
+            ),
+        )
+    return out.filter(F.col(out_col).isNotNull()).select(id_col, out_col)

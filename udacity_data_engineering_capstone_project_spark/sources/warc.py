@@ -384,3 +384,117 @@ def write_warc(
     with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# HTTP response payloads (WARC-Type: response records carry the raw
+# HTTP message — status line + headers + body — per ISO 28500 §6.3)
+# ---------------------------------------------------------------------------
+
+
+def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Split one raw HTTP/1.x response into (status, headers, body).
+    Header names lowercase; repeated headers keep the LAST value.
+    Returns ``(0, {}, payload)`` when the payload is not HTTP (some
+    crawlers write bare bodies into response records) — the body
+    passes through rather than being lost."""
+    sep = payload.find(b"\r\n\r\n")
+    if not payload.startswith(b"HTTP/") or sep < 0:
+        return 0, {}, payload
+    head, body = payload[:sep], payload[sep + 4 :]
+    lines = head.split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return 0, {}, payload
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        if _:
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+    return status, headers, body
+
+
+def _charset_of(content_type: str | None) -> str:
+    if content_type:
+        for part in content_type.split(";")[1:]:
+            k, _, v = part.partition("=")
+            if k.strip().lower() == "charset" and v.strip():
+                return v.strip().strip("\"'")
+    return "utf-8"
+
+
+def warc_http_documents(
+    spark: SparkSession, path: str, ok_only: bool = True
+) -> DataFrame:
+    """Crawl responses -> decoded text documents: the Common Crawl
+    intake path. Reads WARC, keeps ``response`` records, splits the
+    HTTP message, decodes the body with the header-declared charset
+    (fallback utf-8; undecodable bytes replaced, never dropped).
+
+    Output: (record_id, target_uri, warc_date, http_status,
+    content_type, text). ``ok_only`` keeps 2xx statuses plus status 0
+    (bare-body records with no HTTP framing — their content is still
+    the document). Map-only end to end, like `read_warc`.
+    """
+    import pandas as pd
+
+    rec = read_warc(spark, path).filter(F.col("warc_type") == "response")
+    schema = StructType(
+        [
+            StructField("record_id", StringType()),
+            StructField("target_uri", StringType()),
+            StructField("warc_date", StringType()),
+            StructField("http_status", LongType()),
+            StructField("content_type", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, uri, date, payload in zip(
+                pdf["record_id"], pdf["target_uri"], pdf["warc_date"], pdf["payload"]
+            ):
+                if payload is None:
+                    continue
+                status, headers, body = parse_http_response(bytes(payload))
+                ctype = headers.get("content-type")
+                try:
+                    text = body.decode(_charset_of(ctype), errors="replace")
+                except LookupError:  # unknown charset label in the wild
+                    text = body.decode("utf-8", errors="replace")
+                rows.append((rid, uri, date, status, ctype, text))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    out = rec.select(
+        "record_id", "target_uri", "warc_date", "payload"
+    ).mapInPandas(_decode, schema)
+    if ok_only:
+        out = out.filter(
+            (F.col("http_status") == 0)
+            | ((F.col("http_status") >= 200) & (F.col("http_status") < 300))
+        )
+    return out
+
+
+def build_http_response(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+    extra_headers: dict[str, str] | None = None,
+) -> bytes:
+    """Serialize an HTTP/1.1 response (tests + writer support for
+    response-type WARC records)."""
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
+        status, "Status"
+    )
+    lines = [f"HTTP/1.1 {status} {reason}", f"Content-Type: {content_type}",
+             f"Content-Length: {len(body)}"]
+    for k, v in (extra_headers or {}).items():
+        lines.append(f"{k}: {v}")
+    return "\r\n".join(lines).encode("latin-1") + b"\r\n\r\n" + body
