@@ -159,7 +159,7 @@ def main() -> None:
         apply_filter_cascade,
     )
 
-    with_ratio = ts.compression_ratio(docs_q, "doc_id", "text")
+    with_ratio = ts.compression_ratio(docs_q, "text")
     docs_q, cascade_audit = apply_filter_cascade(
         with_ratio,
         [

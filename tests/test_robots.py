@@ -71,7 +71,10 @@ def test_wildcard_and_anchor_matching():
     assert _pattern_matches("/a/b/c.pdf", "/*.pdf$")
     assert not _pattern_matches("/a/b/c.pdfx", "/*.pdf$")
     assert _pattern_matches("/x/mid/y", "/x/*/y")
-    assert not _pattern_matches("/x/y", "/x/*/y$") or True  # * may be empty
+    # '*' may be empty, but the literal '/' separators still have to
+    # appear: /x/*/y with *='' is /x//y, which /x/y is not
+    assert not _pattern_matches("/x/y", "/x/*/y$")
+    assert _pattern_matches("/x//y", "/x/*/y$")
     assert _pattern_matches("/ab", "/a*$")  # trailing *$ = prefix
     assert _pattern_matches("/fish.php?id=1", "/fish*.php")
     assert not _pattern_matches("/Fish.PHP", "/fish*.php")  # case-sensitive
@@ -147,3 +150,31 @@ def test_verdict_join_is_row_preserving_and_broadcasts(spark):
 def test_empty_disallow_and_comments_ignored():
     txt = "User-agent: *\nDisallow:\nAllow: /a # inline comment\nCrawl-delay: 5\n"
     assert parse_robots_txt(txt) == [("/a", True)]
+
+
+def test_verdict_deterministic_after_shuffle(spark):
+    """Review regression: the verdict must not depend on row identity
+    (the old monotonically_increasing_id join-back mis-assigned
+    verdicts when the two lineages recomputed ids differently). A
+    shuffled/aggregated upstream with duplicate URLs must verdict every
+    row by URL content alone, repeatably."""
+    rules = robots_rules_df(
+        spark, [("ex.com", "User-agent: *\nDisallow: /blocked")]
+    )
+    df = (
+        spark.range(2000)
+        .withColumn(
+            "url",
+            F.when(F.col("id") % 2 == 0, F.lit("http://ex.com/blocked/x"))
+            .otherwise(F.lit("http://ex.com/fine")),
+        )
+        .repartition(16, "id")  # force a shuffle upstream
+    )
+    for _ in range(3):
+        out = with_robots_verdict(df, rules, "url")
+        bad = out.filter(
+            (F.col("url").contains("blocked") & F.col("robots_allowed"))
+            | (F.col("url").contains("fine") & ~F.col("robots_allowed"))
+        )
+        assert bad.count() == 0
+        assert out.count() == 2000

@@ -1100,14 +1100,14 @@ def test_compression_ratio_orders_spam_below_prose_and_junk_above(spark):
         [(1, spam), (2, prose), (3, junk), (4, None), (5, "")],
         "id bigint, text string",
     )
-    out = {r.id: r.compress_ratio for r in compression_ratio(df, "id").collect()}
+    out = {r.id: r.compress_ratio for r in compression_ratio(df).collect()}
     assert out[1] < 0.1                   # spam compresses drastically
     assert 0.1 < out[2] < 0.75            # prose in the natural band
     assert out[3] > out[2] > out[1]       # monotone quality ordering
     assert out[4] is None and out[5] is None
 
     # deterministic across runs (no wall-clock in the deflate stream)
-    again = {r.id: r.compress_ratio for r in compression_ratio(df, "id").collect()}
+    again = {r.id: r.compress_ratio for r in compression_ratio(df).collect()}
     assert out == again
 
 
@@ -1120,9 +1120,9 @@ def test_compression_ratio_validates_level_and_is_map_only(spark):
 
     df = spark.createDataFrame([(1, "x")], "id bigint, text string")
     with _pytest.raises(ValueError, match="level"):
-        compression_ratio(df, "id", level=0)
+        compression_ratio(df, level=0)
     plan = (
-        compression_ratio(df, "id")
+        compression_ratio(df)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -1201,3 +1201,21 @@ def test_blocklist_validation_and_plan(spark):
     )
     # phrases broadcast; the corpus side never shuffles before the join
     assert "BroadcastHashJoin" in plan
+
+
+def test_blocklist_phrases_with_punctuation_match_tokenized_text(spark):
+    """Review regression: 'bad-actor' must match 'bad-actor' in text —
+    phrase-side normalization uses the same ASCII \\W+ rule as the
+    document side (it used to match nothing, silently)."""
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        screen_blocked_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "he is a bad-actor today"), (2, "credit card no. 1234"),
+         (3, "clean text")],
+        "id bigint, text string",
+    )
+    got = {(r.id, r.phrase) for r in
+           screen_blocked_terms(df, "id", ["bad-actor", "card no."]).collect()}
+    assert got == {(1, "bad-actor"), (2, "card no.")}

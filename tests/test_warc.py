@@ -351,3 +351,55 @@ def test_crawl_to_pagerank_composition(spark, tmp_path):
     ranks = pagerank(edges, max_iter=10).collect()
     top = max(ranks, key=lambda r: r.rank)
     assert top.node == "http://site.com/p0"
+
+
+# ---------------------------------------------------------------------------
+# review-finding regressions (round-6 continuation-3 self-review)
+# ---------------------------------------------------------------------------
+
+
+def test_negative_content_length_cannot_loop():
+    """A negative Content-Length used to move the parse cursor BACKWARD
+    and re-parse the same record forever; now it's malformed damage."""
+    evil = b"WARC/1.0\r\nContent-Length: -33\r\n\r\n"
+    assert parse_warc_bytes(evil, strict=False) == []
+    with pytest.raises(ValueError, match="negative"):
+        parse_warc_bytes(evil, strict=True)
+
+
+def test_header_crlf_injection_refused_and_utf8_roundtrip():
+    with pytest.raises(ValueError, match="CR/LF"):
+        build_warc_record(b"x", target_uri="http://e.com/a\r\nWARC-Type: evil")
+    # non-ASCII URI survives the round trip (UTF-8 both sides; used to
+    # come back as mojibake via a latin-1 read of utf-8 bytes)
+    uri = "http://ex.com/ümlaut/路径"
+    rec = build_warc_record(b"x", target_uri=uri)
+    assert parse_warc_bytes(rec, strict=True)[0]["target_uri"] == uri
+    # damaged latin-1 header bytes still parse (total fallback)
+    raw = rec.replace("ümlaut/路径".encode(), b"\xfcmlaut")
+    assert parse_warc_bytes(raw)[0]["target_uri"] == "http://ex.com/\xfcmlaut"
+
+
+def test_warc_documents_replaces_undecodable_bytes(spark, tmp_path):
+    """One non-UTF8 payload must not kill the scan (Spark's decode()
+    throws under ANSI; ours replaces with U+FFFD per the contract)."""
+    recs = build_warc_record(b"\xff\xfe broken") + build_warc_record(b"fine")
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "seg.warc").write_bytes(recs)
+    texts = sorted(r.text for r in warc_documents(spark, str(p)).collect())
+    assert texts == ["fine", "�� broken"]
+
+
+def test_extract_links_query_only_href(spark):
+    from udacity_data_engineering_capstone_project_spark.functions.urls import (
+        extract_links,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '<a href="?page=2">next</a>', "https://b.com/dir/index.html?page=1")],
+        "id bigint, html string, url string",
+    )
+    got = [r.link for r in extract_links(df, "id", "html", "url").collect()]
+    # keeps the document path, replaces the query (RFC 3986 §5.3)
+    assert got == ["https://b.com/dir/index.html?page=2"]

@@ -156,33 +156,38 @@ def with_robots_verdict(
 ) -> DataFrame:
     """Add ``out_col``: RFC 9309 verdict for every URL.
 
-    Plan shape: project (host, path) from the URL in codegen ->
-    broadcast-join the rule frame on host -> keep matching rules
-    (``path LIKE like_pattern``) -> argmax by (pattern_len, allow) via
-    one ``max(struct(...))`` aggregation on the row's unique key ->
-    left-join back (row-preserving; unmatched/ruleless URLs allowed).
-    The only shuffle is the verdict aggregation, keyed by URL row —
-    and with the rules broadcast, AQE keeps it one exchange.
+    Plan shape: the rule frame pre-aggregates to ONE row per host
+    (``collect_list`` of its rules — still broadcast-sized), which
+    left-joins the URL frame 1:1 on host; the longest-match argmax is
+    then a pure array expression per row (``filter`` by LIKE ->
+    ``array_max`` over (pattern_len, allow) structs). Row-preserving
+    with NO row multiplication, NO synthetic row ids (an earlier
+    join-back on ``monotonically_increasing_id`` computed the id in
+    two lineages — nondeterministic under shuffle/retry, review
+    finding), and zero shuffles beyond the broadcast itself.
+    Unmatched / ruleless / unparseable-host URLs are allowed.
     """
-    work = df.withColumn("__rk", F.monotonically_increasing_id())
-    keyed = work.select(
-        "__rk",
-        url_host(F.col(url_col)).alias("__host"),
-        F.coalesce(url_path(F.col(url_col)), F.lit("/")).alias("__path"),
+    rules_by_host = rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct(F.col("pattern_len"), F.col("allow"), F.col("like_pattern"))
+        ).alias("__rset")
     )
-    matched = (
-        keyed.join(F.broadcast(rules), keyed["__host"] == rules["host"], "inner")
-        .filter(F.expr("__path LIKE like_pattern ESCAPE '\\\\'"))
-        .groupBy("__rk")
-        .agg(
-            F.max(F.struct(F.col("pattern_len"), F.col("allow"))).alias("__best")
-        )
-        .select("__rk", F.col("__best.allow").alias("__verdict"))
+    work = df.withColumn("__host", url_host(F.col(url_col))).withColumn(
+        "__path", F.coalesce(url_path(F.col(url_col)), F.lit("/"))
+    )
+    joined = work.join(
+        F.broadcast(rules_by_host),
+        work["__host"] == rules_by_host["host"],
+        "left",
+    )
+    best = F.expr(
+        "array_max(transform("
+        "  filter(__rset, r -> __path LIKE r.like_pattern ESCAPE '\\\\'),"
+        "  r -> struct(r.pattern_len, r.allow)))"
     )
     return (
-        work.join(matched, on="__rk", how="left")
-        .withColumn(out_col, F.coalesce(F.col("__verdict"), F.lit(True)))
-        .drop("__rk", "__verdict")
+        joined.withColumn(out_col, F.coalesce(best["allow"], F.lit(True)))
+        .drop("__host", "__path", "host", "__rset")
     )
 
 

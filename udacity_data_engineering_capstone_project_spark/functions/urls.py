@@ -463,6 +463,15 @@ def extract_links(
                 F.concat(origin, F.col("__href")),
             )
             .when(
+                # query-only links replace the base's query, keeping
+                # the full document path (RFC 3986 §5.3) — NOT the
+                # base directory (review finding: '?page=2' pagination)
+                F.col("__href").startswith("?") & (origin != ""),
+                F.concat(
+                    F.regexp_extract("__base", r"^([^?#]*)", 1), F.col("__href")
+                ),
+            )
+            .when(
                 ~has_scheme
                 & ~F.col("__href").startswith("#")
                 & (F.col("__href") != "")

@@ -1586,7 +1586,6 @@ def calibration_bins(
 
 def compression_ratio(
     df: DataFrame,
-    id_col: str,
     text_col: str = "text",
     level: int = 6,
     out_col: str = "compress_ratio",
@@ -1658,15 +1657,22 @@ def screen_blocked_terms(
     100k-entry blocklist is a few MB broadcast; the corpus never
     re-shuffles.
     """
+    import re
+
     cleaned = []
     for p in phrases:
-        norm = " ".join((p or "").lower().split())
+        # the SAME \W+ normalization the document side gets — a phrase
+        # with punctuation ('bad-actor', 'card no.') must match its
+        # tokenized occurrence, not silently match nothing. re.ASCII:
+        # Java regex \W is ASCII-classed by default, Python's is
+        # unicode-classed — 'café' must tokenize identically on both.
+        norm = re.sub(r"\W+", " ", (p or "").lower(), flags=re.ASCII).strip()
         if norm:
             cleaned.append((p, norm))
     if not cleaned:
         raise ValueError("phrases must contain at least one non-empty term")
     if len({n for _, n in cleaned}) != len(cleaned):
-        raise ValueError("duplicate phrases after lowercase/whitespace-normalize")
+        raise ValueError("duplicate phrases after \\W+-normalize/lowercase")
     spark = df.sparkSession
     # padded form: whole-word-sequence match == substring match on the
     # space-delimited normalizations of both sides

@@ -48,6 +48,16 @@ from pyspark.sql.types import (
 _CRLF = b"\r\n"
 
 
+def _hdecode(raw: bytes) -> str:
+    """Header bytes -> str: UTF-8 (the WARC 1.1 header encoding, and
+    what the writer emits) with a latin-1 total fallback so damaged
+    wild-crawl headers never kill the parse."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 # ---------------------------------------------------------------------------
 # pure byte-level codec (unit-testable without Spark)
 # ---------------------------------------------------------------------------
@@ -72,6 +82,14 @@ def build_warc_record(
             (target_uri or "").encode() + b"\x00" + warc_date.encode() + b"\x00" + payload
         ).hexdigest()
         record_id = f"urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    for name, val in (("warc_type", warc_type), ("target_uri", target_uri),
+                      ("warc_date", warc_date), ("content_type", content_type),
+                      ("record_id", record_id),
+                      *(extra_headers or {}).items()):
+        if val is not None and ("\r" in str(val) or "\n" in str(val)):
+            # a CRLF in a header value would forge headers / desync the
+            # record stream (confirmed injection in review) — refuse
+            raise ValueError(f"CR/LF in WARC header value for {name!r}")
     headers = [
         ("WARC-Type", warc_type),
         ("WARC-Record-ID", f"<{record_id}>"),
@@ -156,9 +174,9 @@ def parse_warc_bytes(data: bytes, strict: bool = False) -> list[dict]:
             if not line:
                 break  # blank line = end of headers
             k, _, v = line.partition(b":")
-            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
-                "latin-1"
-            )
+            # symmetric with the writer's UTF-8 encoding; latin-1 is
+            # the total fallback for wild-crawl bytes (never raises)
+            headers[_hdecode(k.strip()).lower()] = _hdecode(v.strip())
         if not ok:
             if strict:
                 raise ValueError(f"unterminated header block at offset {pos}")
@@ -168,6 +186,13 @@ def parse_warc_bytes(data: bytes, strict: bool = False) -> list[dict]:
         except ValueError:
             if strict:
                 raise ValueError(f"missing/invalid Content-Length at offset {pos}")
+            break
+        if clen < 0:
+            # a negative length would move the cursor BACKWARD and
+            # re-parse the same record forever (confirmed hang in
+            # review) — malformed either way
+            if strict:
+                raise ValueError(f"negative Content-Length at offset {pos}")
             break
         if pos + clen > n:
             if strict:
@@ -283,14 +308,41 @@ def warc_documents(
     """Read WARC and decode text payloads — the crawl -> documents
     bridge. Emits (record_id, target_uri, warc_date, text); undecodable
     bytes are replaced (U+FFFD) rather than dropped, matching how crawl
-    pipelines handle mixed encodings before `fix_mojibake`."""
+    pipelines handle mixed encodings before `fix_mojibake`. The decode
+    runs in the Arrow stage with ``errors='replace'`` — Spark's own
+    ``decode()`` THROWS on malformed bytes under ANSI (review-confirmed
+    on a one-byte-bad payload), which would kill a whole-segment scan.
+    """
+    import pandas as pd
+
     rec = read_warc(spark, path)
-    return rec.select(
-        "record_id",
-        "target_uri",
-        "warc_date",
-        F.decode(F.col("payload"), encoding).alias("text"),
+    schema = StructType(
+        [
+            StructField("record_id", StringType()),
+            StructField("target_uri", StringType()),
+            StructField("warc_date", StringType()),
+            StructField("text", StringType()),
+        ]
     )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "record_id": pdf["record_id"],
+                    "target_uri": pdf["target_uri"],
+                    "warc_date": pdf["warc_date"],
+                    "text": pdf["payload"].map(
+                        lambda b: None
+                        if b is None
+                        else bytes(b).decode(encoding, errors="replace")
+                    ),
+                }
+            )
+
+    return rec.select(
+        "record_id", "target_uri", "warc_date", "payload"
+    ).mapInPandas(_decode, schema)
 
 
 def write_warc(
