@@ -63,6 +63,13 @@ def _hdecode(raw: bytes) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _default_record_id(target_uri: str | None, warc_date: str, payload: bytes) -> str:
+    h = hashlib.md5(
+        (target_uri or "").encode() + b"\x00" + warc_date.encode() + b"\x00" + payload
+    ).hexdigest()
+    return f"urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+
 def build_warc_record(
     payload: bytes,
     *,
@@ -78,10 +85,7 @@ def build_warc_record(
     rerunning an export produces byte-identical records, so downstream
     exact-dedup and resume logic see a stable stream."""
     if record_id is None:
-        h = hashlib.md5(
-            (target_uri or "").encode() + b"\x00" + warc_date.encode() + b"\x00" + payload
-        ).hexdigest()
-        record_id = f"urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        record_id = _default_record_id(target_uri, warc_date, payload)
     for name, val in (("warc_type", warc_type), ("target_uri", target_uri),
                       ("warc_date", warc_date), ("content_type", content_type),
                       ("record_id", record_id),
@@ -357,6 +361,7 @@ def write_warc(
     num_files: int | None = None,
     gzip_members: bool = True,
     compresslevel: int = 6,
+    index: bool = False,
 ) -> list[dict]:
     """Distributed ``.warc.gz`` export: each task serializes its rows as
     independently-gzipped members and appends them into ONE part file
@@ -370,6 +375,17 @@ def write_warc(
     ``_MANIFEST.json`` — is recounted from what each task actually
     committed. ``num_files`` repartitions (round-robin) to bound file
     count/size; default keeps the upstream partitioning (map-only).
+
+    ``index=True`` additionally writes a CDX-style random-access index
+    (the Common Crawl index pattern) as parquet under ``<path>/_cdx``:
+    one row per record — ``(file, offset, length, record_id,
+    target_uri)`` — where (offset, length) bound the record's own gzip
+    member, so `fetch_warc_records` can seek-read ANY record without
+    scanning its segment. The underscore prefix keeps the index
+    invisible to `read_warc`'s binaryFile listing. The index is
+    distributed parquet (never collected); the manifest aggregates
+    from it. Tasks write deterministically, so a retried task's
+    re-rename is idempotent.
     """
     import json
 
@@ -385,11 +401,13 @@ def write_warc(
         slim = slim.repartition(num_files)
 
     ext = ".warc.gz" if gzip_members else ".warc"
-    man_schema = StructType(
+    idx_schema = StructType(
         [
             StructField("file", StringType()),
-            StructField("records", LongType()),
-            StructField("bytes", LongType()),
+            StructField("offset", LongType()),
+            StructField("length", LongType()),
+            StructField("record_id", StringType()),
+            StructField("target_uri", StringType()),
         ]
     )
 
@@ -401,7 +419,8 @@ def write_warc(
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         fname = f"part-{pid:05d}{ext}"
         tmp = os.path.join(path, f"._tmp-{pid:05d}-{attempt}{ext}")
-        n = 0
+        rows = []
+        pos = 0
         with open(tmp, "wb") as out:
             for pdf in batches:
                 for payload, uri in zip(pdf["__payload"], pdf["__uri"]):
@@ -419,23 +438,98 @@ def write_warc(
                         warc_date=warc_date,
                         content_type=content_type,
                     )
-                    out.write(
-                        gzip_member(rec, compresslevel) if gzip_members else rec
+                    member = gzip_member(rec, compresslevel) if gzip_members else rec
+                    out.write(member)
+                    rows.append(
+                        (
+                            fname,
+                            pos,
+                            len(member),
+                            _default_record_id(
+                                None if uri is None else str(uri),
+                                warc_date, raw,
+                            ),
+                            None if uri is None else str(uri),
+                        )
                     )
-                    n += 1
-        if n == 0:
+                    pos += len(member)
+        if not rows:
             os.remove(tmp)
             return iter(())
-        final = os.path.join(path, fname)
-        os.replace(tmp, final)
-        size = os.path.getsize(final)
-        return iter([pd.DataFrame({"file": [fname], "records": [n], "bytes": [size]})])
+        os.replace(tmp, os.path.join(path, fname))
+        return iter([pd.DataFrame(rows, columns=[f.name for f in idx_schema.fields])])
 
-    manifest = [r.asDict() for r in slim.mapInPandas(_write, man_schema).collect()]
+    idx = slim.mapInPandas(_write, idx_schema)
+    spark = df.sparkSession
+    if index:
+        # the index parquet write IS the single action that runs the
+        # export; the manifest aggregates from the committed index
+        idx.write.mode("overwrite").parquet(os.path.join(path, "_cdx"))
+        idx_back = spark.read.parquet(os.path.join(path, "_cdx"))
+        manifest = [
+            {"file": r["file"], "records": r["records"], "bytes": r["bytes"]}
+            for r in idx_back.groupBy("file")
+            .agg(
+                F.count(F.lit(1)).alias("records"),
+                F.sum("length").alias("bytes"),
+            )
+            .collect()
+        ]
+    else:
+        manifest = [
+            {"file": r["file"], "records": r["records"], "bytes": r["bytes"]}
+            for r in idx.groupBy("file")
+            .agg(
+                F.count(F.lit(1)).alias("records"),
+                F.sum("length").alias("bytes"),
+            )
+            .collect()
+        ]
     manifest.sort(key=lambda m: m["file"])
     with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def read_warc_index(spark: SparkSession, path: str) -> DataFrame:
+    """The CDX index a `write_warc(..., index=True)` export carries:
+    (file, offset, length, record_id, target_uri) per record."""
+    return spark.read.parquet(os.path.join(path, "_cdx"))
+
+
+def fetch_warc_records(
+    spark: SparkSession, path: str, index: DataFrame
+) -> DataFrame:
+    """Random-access record fetch: seek-read exactly the (offset,
+    length) spans the (filtered) index names — a point lookup never
+    scans a segment. Each task opens its files once (rows grouped by
+    file within the partition), reads the member bytes, and parses the
+    single record. Output matches `read_warc`'s schema.
+
+    This is the serving path of the Common Crawl index pattern: join
+    your URL/id list against `read_warc_index`, pass the result here,
+    and pay I/O proportional to the records FETCHED, not the corpus.
+    """
+    import pandas as pd
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, grp in pdf.groupby("file", sort=True):
+                with open(os.path.join(path, fname), "rb") as fh:
+                    for off, ln in zip(grp["offset"], grp["length"]):
+                        fh.seek(int(off))
+                        for rec in parse_warc_bytes(fh.read(int(ln))):
+                            rec = dict(rec)
+                            rec["file"] = fname
+                            rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _WARC_SCHEMA.fields]
+            ).astype({"content_length": "int64"}, errors="ignore")
+
+    return index.select("file", "offset", "length").mapInPandas(
+        _fetch, _WARC_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
