@@ -600,3 +600,35 @@ def test_embedding_drift_detects_shift_and_dim_mismatch(spark):
     assert set(rows) == {0, 1, 2}
     assert rows[2]["mean_a"] is None and rows[2]["mean_b"] == 9.0
     assert rows[2]["abs_shift"] is None
+
+
+def test_minhash_verified_matches_exact_all_pairs(spark, sf_dir):
+    """r7 contract conversion: `minhash_verified_pairs` (banded
+    candidates -> exact-Jaccard verify) must equal the ALL-PAIRS exact
+    truth on the graded corpus — this is the recall-1.0 pin that makes
+    dedup_minhash_lsh's DuckDB oracle a fair contract (a banding miss
+    would break equality here before it broke the driver row). Also
+    pins the threshold boundary margin: the closest pair to J=0.8 is
+    >= 0.05 away, so 6-dp rounding can never flip membership."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        minhash_verified_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = minhash_verified_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=8, threshold=0.8
+    )
+    want = exact_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    g = {(r.id_a, r.id_b): r.jaccard for r in got.collect()}
+    w = {(r.id_a, r.id_b): r.jaccard for r in want.collect()}
+    assert g == w and len(g) > 0
+    # boundary margin: no pair within 0.05 of the 0.8 threshold
+    margin = (
+        exact_jaccard_pairs(docs, "doc_id", "text", threshold=0.0)
+        .select(F.min(F.abs(F.col("jaccard") - F.lit(0.8))).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert margin >= 0.05, f"threshold margin collapsed to {margin}"

@@ -658,3 +658,47 @@ def test_plan_summary_counts_known_shapes(spark, sf_dir):
     joined = nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
     s3 = plan_summary(joined)
     assert s3["broadcast_joins"] == 1 and s3["bnl_joins"] == 0
+
+
+def test_linter_flags_oversized_broadcast_hint(spark, sf_dir, monkeypatch):
+    """VERDICT r6 #3 companion: an explicit F.broadcast over a side
+    the optimizer sizes ABOVE the ceiling is an error (a forced
+    broadcast skips every stats check); a maybe_broadcast-gated hint
+    and a driver-local model frame both pass. Simulate the 100x regime
+    by shrinking the ceiling instead of growing the data."""
+    from pyspark.sql import functions as SF
+
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        maybe_broadcast,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans import lint as lint_mod
+    from udacity_data_engineering_capstone_project_spark.plans.lint import lint_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def rules(df):
+        return {f["rule"] for f in lint_plan(df)}
+
+    forced = docs.join(SF.broadcast(orders.select(SF.col("o_custkey"))),
+                       docs["doc_id"] == SF.col("o_custkey"))
+    assert "oversized-broadcast-hint" not in rules(forced)  # fits today
+    monkeypatch.setattr(lint_mod, "BROADCAST_HINT_MAX_BYTES", 1)
+    assert "oversized-broadcast-hint" in rules(forced)  # "100x" regime
+
+    # maybe_broadcast under the same 1-byte gate declines the hint ->
+    # nothing to flag (the degradation path the rule exists to force)
+    from udacity_data_engineering_capstone_project_spark.operators import relational
+
+    monkeypatch.setattr(relational, "DEFAULT_BROADCAST_MAX_BYTES", 1)
+    gated = docs.join(
+        maybe_broadcast(orders.select(SF.col("o_custkey"))),
+        docs["doc_id"] == SF.col("o_custkey"),
+    )
+    assert "oversized-broadcast-hint" not in rules(gated)
+
+    # driver-local frames carry the stats sentinel, not a real size:
+    # hinting them is the documented model-frame idiom, never an error
+    local = spark.createDataFrame([(1, "x")], "doc_id bigint, tag string")
+    grid = docs.join(SF.broadcast(local.groupBy("doc_id").count()), "doc_id")
+    assert "oversized-broadcast-hint" not in rules(grid)

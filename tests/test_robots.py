@@ -178,3 +178,57 @@ def test_verdict_deterministic_after_shuffle(spark):
         )
         assert bad.count() == 0
         assert out.count() == 2000
+
+
+def test_caller_host_column_survives_verdict(spark):
+    """Review regression (r6 ADVICE): the verdict join used to
+    drop("host") AFTER the join, which removes EVERY column named
+    host — a caller frame that already carries its own `host` column
+    (very plausible in a crawl pipeline) silently lost it."""
+    rules = robots_rules_df(
+        spark, [("ex.com", "User-agent: *\nDisallow: /b")]
+    )
+    df = spark.createDataFrame(
+        [(1, "http://ex.com/a", "precomputed-host"),
+         (2, "http://ex.com/b", "other-host")],
+        "id bigint, url string, host string",
+    )
+    out = with_robots_verdict(df, rules, "url")
+    assert out.columns == ["id", "url", "host", "robots_allowed"]
+    got = {(r.id, r.host, r.robots_allowed) for r in out.collect()}
+    assert got == {(1, "precomputed-host", True), (2, "other-host", False)}
+    kept = filter_robots_disallowed(df, rules, "url")
+    assert kept.columns == ["id", "url", "host"]  # row schema unchanged
+
+
+def test_rules_broadcast_is_size_gated(spark, monkeypatch, tmp_path):
+    """VERDICT r6 #3: a WEB-SCALE rules frame (external storage — a
+    10^8-host robots census ships as parquet, never createDataFrame)
+    must degrade to a shuffle join, not a forced broadcast. Simulate
+    100x by shrinking the maybe_broadcast gate to 1 byte: the verdict
+    stays identical and the plan carries no forced-broadcast hint.
+    Driver-local rules keep the hint (they are driver-memory-sized by
+    construction — the sentinel-resolution path)."""
+    from udacity_data_engineering_capstone_project_spark.operators import relational
+
+    local_rules = robots_rules_df(
+        spark, [("ex.com", "User-agent: *\nDisallow: /b")]
+    )
+    local_rules.write.parquet(str(tmp_path / "rules"))
+    rules = spark.read.parquet(str(tmp_path / "rules"))
+    df = spark.createDataFrame(
+        [(1, "http://ex.com/a"), (2, "http://ex.com/b")],
+        "id bigint, url string",
+    )
+    want = {(1, True), (2, False)}
+    out_hinted = with_robots_verdict(df, rules, "url")
+    assert {(r.id, r.robots_allowed) for r in out_hinted.collect()} == want
+    monkeypatch.setattr(relational, "DEFAULT_BROADCAST_MAX_BYTES", 1)
+    out_gated = with_robots_verdict(df, rules, "url")
+    logical = out_gated._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in logical.lower()  # hint NOT applied
+    assert {(r.id, r.robots_allowed) for r in out_gated.collect()} == want
+    # driver-local rules: sentinel resolved by leaves -> still hinted
+    out_local = with_robots_verdict(df, local_rules, "url")
+    logical_local = out_local._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in logical_local.lower()

@@ -403,3 +403,81 @@ def test_extract_links_query_only_href(spark):
     got = [r.link for r in extract_links(df, "id", "html", "url").collect()]
     # keeps the document path, replaces the query (RFC 3986 §5.3)
     assert got == ["https://b.com/dir/index.html?page=2"]
+
+
+def test_damage_resync_keeps_records_after_corruption():
+    """Review regression (r6 ADVICE): one corrupt record mid-segment
+    must cost itself, NOT the rest of the segment — the parser resyncs
+    to the next record boundary and keeps counting what it skipped."""
+    from udacity_data_engineering_capstone_project_spark.sources.warc import parse_warc_bytes
+
+    good = [build_warc_record(f"doc{i}".encode()) for i in range(5)]
+    # corrupt record 2's version line (damage mid-stream)
+    bad = good[2].replace(b"WARC/1.0", b"JUNK/9.9", 1)
+    stream = good[0] + good[1] + bad + good[3] + good[4]
+    stats = {}
+    out = parse_warc_bytes(stream, strict=False, stats=stats)
+    assert [r["payload"] for r in out] == [b"doc0", b"doc1", b"doc3", b"doc4"]
+    assert stats["resync_events"] >= 1
+    assert stats["skipped_bytes"] >= len(bad) - 4
+    with pytest.raises(ValueError, match="version line"):
+        parse_warc_bytes(stream, strict=True)
+
+    # corrupt Content-Length mid-stream: later records still survive
+    bad2 = good[2].replace(b"Content-Length: 4", b"Content-Length: xx", 1)
+    out2 = parse_warc_bytes(good[0] + bad2 + good[3], strict=False)
+    assert [r["payload"] for r in out2] == [b"doc0", b"doc3"]
+
+    # oversized (corrupt) length that would swallow the next record:
+    # resync recovers everything after the damaged one
+    bad3 = good[2].replace(b"Content-Length: 4", b"Content-Length: 4000", 1)
+    out3 = parse_warc_bytes(good[0] + bad3 + good[3] + good[4], strict=False)
+    assert b"doc0" in [r["payload"] for r in out3]
+    assert b"doc4" in [r["payload"] for r in out3]
+
+    # all-good stream: zero skipped, zero resyncs
+    stats_ok = {}
+    parse_warc_bytes(b"".join(good), strict=False, stats=stats_ok)
+    assert stats_ok == {"skipped_bytes": 0, "resync_events": 0}
+
+
+def test_splitter_emits_bounded_batches(spark, tmp_path, monkeypatch):
+    """Review regression (r6 ADVICE): the Spark splitter must not
+    buffer a whole inflated segment into one pandas/Arrow batch —
+    shrink the batch budget and verify multi-batch emission preserves
+    every record exactly once."""
+    from udacity_data_engineering_capstone_project_spark.sources import warc as warc_mod
+
+    recs = b"".join(
+        build_warc_record(f"payload-{i:03d}".encode() * 20) for i in range(25)
+    )
+    p = tmp_path / "seg"
+    p.mkdir()
+    (p / "part-00000.warc").write_bytes(recs)
+    monkeypatch.setattr(warc_mod, "_SPLIT_BATCH_RECORDS", 4)
+    out = read_warc(spark, str(p))
+    payloads = sorted(r["payload"] for r in out.collect())
+    assert payloads == sorted(
+        (f"payload-{i:03d}".encode() * 20) for i in range(25)
+    )
+    # byte-budget trigger too (records bigger than the budget)
+    monkeypatch.setattr(warc_mod, "_SPLIT_BATCH_RECORDS", 4096)
+    monkeypatch.setattr(warc_mod, "_SPLIT_BATCH_BYTES", 64)
+    out2 = read_warc(spark, str(p))
+    assert out2.count() == 25
+
+
+def test_http_response_header_crlf_injection_refused():
+    """Review regression (r6 ADVICE): build_http_response applies the
+    same CR/LF rejection as build_warc_record — a value with CRLF
+    would forge headers / smuggle a body into the message."""
+    from udacity_data_engineering_capstone_project_spark.sources.warc import build_http_response
+
+    ok = build_http_response(b"body", extra_headers={"X-A": "v"})
+    assert ok.startswith(b"HTTP/1.1 200 OK\r\n") and ok.endswith(b"body")
+    with pytest.raises(ValueError, match="CR/LF"):
+        build_http_response(b"b", content_type="text/html\r\nX-Forged: 1")
+    with pytest.raises(ValueError, match="CR/LF"):
+        build_http_response(b"b", extra_headers={"X-A": "v\r\nX-Forged: 1"})
+    with pytest.raises(ValueError, match="CR/LF"):
+        build_http_response(b"b", extra_headers={"X-A\r\nX-Forged: 1": "v"})

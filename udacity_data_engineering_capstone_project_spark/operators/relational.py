@@ -24,6 +24,25 @@ from pyspark.sql import functions as F
 # optimizer's own stats check, so the gate lives here instead.
 DEFAULT_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
+#: Estimates at/above this are sentinel-propagated garbage, not real
+#: sizes (Spark's "no stats" Long.MaxValue leaks through operators as
+#: slightly-smaller huge numbers). 1 EiB: no real broadcast side.
+_SENTINEL_FLOOR = 1 << 60
+
+#: Logical leaves that are driver-local by construction; their unknown
+#: size means "a few in-memory rows", not an unstatted external table.
+#: LogicalRDD is included (matching quality._LOCAL_LEAF_NODES): python
+#: createDataFrame frames arrive RDD-backed, and they are the
+#: rules/model-frame case this resolution exists for. The residual
+#: risk — a huge localCheckpoint'd frame also reads as LogicalRDD —
+#: is bounded by the caller: checkpointed frames in this engine are
+#: pair/model outputs, and a caller who hands a checkpointed fact
+#: table to a dim-join helper had a forced broadcast before this gate
+#: existed.
+_LOCAL_LEAF_NODES = frozenset(
+    {"LocalRelation", "OneRowRelation", "Range", "LogicalRDD"}
+)
+
 
 def maybe_broadcast(
     df: DataFrame, max_bytes: int | None = None
@@ -46,15 +65,32 @@ def maybe_broadcast(
     plan is remote) or too large, the input is returned UNHINTED — the
     safe default, since AQE still converts to broadcast-hash at runtime
     from the actual shuffle sizes when the side turns out small.
+
+    Sentinel handling: Spark reports "no stats" as Long.MaxValue, and
+    python-side LocalRelations carry that sentinel — worse, operators
+    ABOVE one propagate it as a garbage near-MaxValue "estimate" (a
+    groupBy over a createDataFrame frame reads as ~5 EB). Any estimate
+    above `_SENTINEL_FLOOR` (1 EiB — nothing real broadcasts at that
+    scale) is therefore resolved by the plan's LEAVES: all-local
+    leaves mean driver-memory-sized data (hint it — that is exactly
+    the rules/model-frame case), while any external leaf means the
+    size is genuinely unknowable (stay unhinted).
     """
     if max_bytes is None:
         # read the module constant at CALL time so a deployment (or a
         # plan test simulating 100x inputs) can retune one global
         max_bytes = DEFAULT_BROADCAST_MAX_BYTES
     try:
-        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        plan = df._jdf.queryExecution().optimizedPlan()
+        est = plan.stats().sizeInBytes()
         # py4j maps scala BigInt to int when it fits; stringify otherwise
         est = est if isinstance(est, int) else int(est.toString())
+        if est >= _SENTINEL_FLOOR:
+            leaves = plan.collectLeaves()
+            for i in range(leaves.size()):
+                if leaves.apply(i).nodeName() not in _LOCAL_LEAF_NODES:
+                    return df  # unstatted external source: assume huge
+            return F.broadcast(df)  # fully driver-local: sentinel lies
     except Exception:
         return df
     return F.broadcast(df) if est <= max_bytes else df

@@ -830,13 +830,22 @@ def ivf_topk(
     """
     corpus_cells = assign_cells(corpus, centroids, id_col, vec_col)
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    # Materialize the probe assignment (queries x nprobe rows — small
+    # by the ANN-batch contract) before hinting: the optimizer's
+    # estimate for the un-materialized frame rides through
+    # assign_cells' crossJoin and reads as tens of GB for a handful of
+    # queries, so a bare F.broadcast here was an UNSIZED hint (caught
+    # by the oversized-broadcast-hint lint rule, r7). After the eager
+    # checkpoint the frame is leaf-sized and maybe_broadcast gates it
+    # honestly — an actually-huge query batch degrades to a shuffle
+    # join instead of a forced executor-resident copy.
     q = _with_norm(
         query_cells.select(
             F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"), F.col("cell")
         ),
         "__qvec",
         "__qn",
-    )
+    ).localCheckpoint(eager=True)
     c = _with_norm(
         corpus_cells.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), F.col("cell")
@@ -844,8 +853,10 @@ def ivf_topk(
         "__cvec",
         "__cn",
     )
+    from udacity_data_engineering_capstone_project_spark.operators.relational import maybe_broadcast
+
     scored = (
-        c.join(F.broadcast(q), on="cell")
+        c.join(maybe_broadcast(q), on="cell")
         .filter(F.col("neighbor_id") != F.col(query_id))
         .withColumn(
             "cos_sim",

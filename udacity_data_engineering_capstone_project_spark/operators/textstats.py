@@ -1249,8 +1249,10 @@ def apply_language_id(
         .groupBy(id_col, "label")
         .agg(F.sum("w").alias("__sum_w"), F.count(F.lit(1)).alias("__cnt"))
     )
-    # every doc x every label (docs with zero matches included)
-    grid = df.select(id_col).distinct().crossJoin(label_info)
+    # every doc x every label (docs with zero matches included);
+    # label_info is labels-sized — hint it explicitly like every
+    # sibling crossJoin site instead of leaving AQE to pick BNLJ
+    grid = df.select(id_col).distinct().crossJoin(F.broadcast(label_info))
     scored = (
         grid.join(per_doc, on=id_col, how="left")
         .join(matched, on=[id_col, "label"], how="left")
@@ -1648,14 +1650,18 @@ def screen_blocked_terms(
     Documents matching nothing emit no rows — aggregate or anti-join
     downstream for keep/drop decisions.
 
-    Scale shape: NEVER documents x phrases. Each doc explodes to its
-    word tokens once — a map-side projection — and a broadcast join
-    against each phrase's FIRST word prunes candidates to docs that
-    could possibly match; a delimiter-padded `contains` then verifies
-    the whole phrase. The only shuffle is the dedup of verified
-    matches, sized by matches (tiny), never by corpus x blocklist. A
-    100k-entry blocklist is a few MB broadcast; the corpus never
-    re-shuffles.
+    Scale shape: NEVER documents x phrases, and the full normalized
+    text never rides an explode. A one-row broadcast of the blocklist
+    first-token SET prefilters docs via ``arrays_overlap`` (one
+    projection — docs without any candidate token drop before any row
+    multiplication); surviving docs explode their DISTINCT tokens (so
+    a token repeated 10k times in one doc yields ONE candidate row,
+    not 10k copies of the padded text — review finding) and
+    broadcast-join each phrase's first word; a delimiter-padded
+    `contains` verifies the whole phrase. Zero shuffles: distinct
+    tokens x unique-normalized phrases make (id, phrase) unique by
+    construction, so no dedup pass is needed. A 100k-entry blocklist
+    is a few MB broadcast; the corpus never re-shuffles.
     """
     import re
 
@@ -1687,14 +1693,21 @@ def screen_blocked_terms(
         ),
         F.lit(" "),
     )
-    toks = df.select(
-        F.col(id_col),
-        norm_text.alias("__nt"),
-        F.explode(F.split(norm_text, " ")).alias("first_tok"),
-    ).filter(F.col("first_tok") != "")
+    # the first-token SET as ONE broadcast row (an isin()/literal-array
+    # form would pay py4j plan-construction per entry — the
+    # heavy_hitters lesson); arrays_overlap prunes before any explode
+    ftoks = pframe.select(F.collect_set("first_tok").alias("__fset"))
+    docs = df.select(F.col(id_col), norm_text.alias("__nt")).withColumn(
+        "__toks", F.array_distinct(F.split(F.col("__nt"), " "))
+    )
+    cand = docs.crossJoin(F.broadcast(ftoks)).filter(
+        F.arrays_overlap(F.col("__toks"), F.col("__fset"))
+    )
     return (
-        toks.join(F.broadcast(pframe), on="first_tok")
+        cand.select(
+            F.col(id_col), F.col("__nt"), F.explode("__toks").alias("first_tok")
+        )
+        .join(F.broadcast(pframe), on="first_tok")
         .filter(F.col("__nt").contains(F.col("padded")))
         .select(id_col, "phrase")
-        .dropDuplicates([id_col, "phrase"])
     )

@@ -25,6 +25,13 @@ function instead of a review habit, so a pipeline can gate CI on
 - ``exact-percentile``: F.percentile buffers every value of the column
   in one aggregation state — the wall `winsorize`/`numeric_drift`
   auto-gate around (use approx_percentile above memory scale).
+- ``oversized-broadcast-hint``: a join carrying an explicit broadcast
+  hint whose hinted side the optimizer estimates ABOVE the broadcast
+  ceiling (or cannot size and the side reads an external source). A
+  bare ``F.broadcast`` skips every stats check, so a side that is
+  broadcast-sized at test SF becomes a multi-GB forced broadcast into
+  every executor at 100x; route hints through ``maybe_broadcast``
+  (``operators/relational.py``) instead.
 
 The linter reads the ANALYZED logical plan (rules about intent) plus
 the executed plan string (rules about physical strategy) — both
@@ -44,6 +51,52 @@ from pyspark.sql import DataFrame
 #: Above this optimizer estimate a partition-less window stops being
 #: the small-dimension surrogate-key idiom and becomes a one-task wall.
 GLOBAL_WINDOW_MAX_BYTES = 64 * 1024 * 1024
+
+#: Ceiling for an explicitly hinted broadcast side. Mirrors
+#: operators.relational.DEFAULT_BROADCAST_MAX_BYTES (the gate
+#: maybe_broadcast enforces at hint time); module-level so a plan test
+#: can simulate 100x inputs by shrinking it.
+BROADCAST_HINT_MAX_BYTES = 64 * 1024 * 1024
+
+#: Logical leaf nodes that are driver-local by construction — their
+#: "unknown size" sentinel means a few in-memory rows, not an
+#: unstatted multi-TB external relation (see quality._estimated_size_
+#: exceeds for the full rationale).
+_LOCAL_LEAF_NODES = frozenset(
+    {"LocalRelation", "OneRowRelation", "Range", "LogicalRDD"}
+)
+
+
+#: Estimates at/above this are sentinel-propagated garbage, not real
+#: sizes: Spark's Long.MaxValue "no stats" sentinel leaks through
+#: operators above a LocalRelation as slightly-smaller huge numbers
+#: (a groupBy over a createDataFrame frame "estimates" ~5 EB). Kept in
+#: sync with operators.relational._SENTINEL_FLOOR.
+_SENTINEL_FLOOR = 1 << 60
+
+
+def _leaf_resolved_size(plan) -> tuple[int, bool]:
+    """(estimated size, is_external) for a logical subtree: estimates
+    above `_SENTINEL_FLOOR` are resolved by the subtree's leaves —
+    all-local leaves mean a small in-memory frame (the sentinel lies),
+    any external leaf means the size is genuinely unknowable."""
+    sentinel = (1 << 63) - 1
+    try:
+        est = plan.stats().sizeInBytes()
+        est = est if isinstance(est, int) else int(est.toString())
+    except Exception:
+        return sentinel, False
+    external = False
+    if est >= _SENTINEL_FLOOR:
+        try:
+            leaves = plan.collectLeaves()
+            for i in range(leaves.size()):
+                if leaves.apply(i).nodeName() not in _LOCAL_LEAF_NODES:
+                    external = True
+                    break
+        except Exception:
+            external = False
+    return est, external
 
 
 def _walk(node, parent=None):
@@ -129,6 +182,55 @@ def lint_plan(df: DataFrame) -> list[dict]:
                             "or a size gate above memory scale",
                         }
                     )
+
+    # Broadcast-hint sizing reads the OPTIMIZED plan: the optimizer
+    # folds ResolvedHint nodes into each Join's JoinHint, and its
+    # stats are the same post-pruning estimates maybe_broadcast gates
+    # on (analyzed-plan stats would over-report un-pruned subtrees).
+    for node, _parent in _walk(qe.optimizedPlan()):
+        if _simple_name(node) != "Join":
+            continue
+        try:
+            hint = node.hint()
+            sides = (
+                (hint.leftHint(), node.left(), "left"),
+                (hint.rightHint(), node.right(), "right"),
+            )
+        except Exception:
+            continue
+        for opt, child, side in sides:
+            try:
+                if not (
+                    opt.isDefined()
+                    and "broadcast" in opt.get().toString().lower()
+                ):
+                    continue
+            except Exception:
+                continue
+            est, external = _leaf_resolved_size(child)
+            sentinel = est >= _SENTINEL_FLOOR
+            if sentinel and not external:
+                continue  # local in-memory frame: the sentinel lies
+            if est > BROADCAST_HINT_MAX_BYTES:
+                findings.append(
+                    {
+                        "rule": "oversized-broadcast-hint",
+                        "severity": "error",
+                        "detail": (
+                            f"{side} side of a join carries an explicit "
+                            "broadcast hint but "
+                            + (
+                                "reads an external source with no size "
+                                "estimate"
+                                if sentinel
+                                else f"is estimated at {est} B "
+                                f"(> {BROADCAST_HINT_MAX_BYTES} B)"
+                            )
+                            + "; a forced broadcast skips every stats "
+                            "check — size-gate it via maybe_broadcast"
+                        ),
+                    }
+                )
 
     plan_str = qe.executedPlan().toString()
     final = plan_str.split("== Initial Plan ==")[0]

@@ -90,6 +90,8 @@ def build_warc_record(
                       ("warc_date", warc_date), ("content_type", content_type),
                       ("record_id", record_id),
                       *(extra_headers or {}).items()):
+        if "\r" in name or "\n" in name:
+            raise ValueError(f"CR/LF in WARC header name {name!r}")
         if val is not None and ("\r" in str(val) or "\n" in str(val)):
             # a CRLF in a header value would forge headers / desync the
             # record stream (confirmed injection in review) — refuse
@@ -140,20 +142,49 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc_bytes(data: bytes, strict: bool = False) -> list[dict]:
-    """Parse a WARC byte stream (plain or multi-member gzip) into
-    record dicts: ``{record_id, warc_type, target_uri, warc_date,
-    content_type, content_length, payload}``.
+#: Record-boundary magic used for damage resync: every record ends
+#: with CRLF CRLF and the next starts with its version line.
+_RESYNC_MAGIC = b"\r\n\r\nWARC/"
+
+
+def iter_warc_records(
+    data: bytes, strict: bool = False, stats: dict | None = None
+) -> Iterator[dict]:
+    """Generator over the records of a PLAIN (already-decompressed)
+    WARC byte stream — the incremental core `parse_warc_bytes` and the
+    Spark splitter share, so a multi-GB inflated segment never has to
+    materialize its full record list at once.
 
     Non-strict mode (the 100 TB default — real crawls contain damage)
-    skips malformed tails instead of raising; strict raises ValueError
-    with an offset so tests and writers can assert exact shape.
+    RESYNCS after a malformed record: it scans forward for the next
+    record-boundary magic (``CRLF CRLF "WARC/"``) and continues, so one
+    corrupt record costs itself, not the rest of a ~1 GB segment
+    (review finding: the old break-on-damage silently discarded the
+    remainder). Strict raises ValueError with an offset.
+
+    ``stats``, when given, is filled in-place with ``skipped_bytes``
+    and ``resync_events`` so silent loss stays observable.
     """
-    if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
-    records: list[dict] = []
     pos = 0
     n = len(data)
+    skipped = 0
+    resyncs = 0
+
+    def _damage(at: int, msg: str) -> int:
+        """Handle non-strict damage at offset ``at``: return the next
+        parse position (or ``n`` when no later record boundary
+        exists). Strict mode raises instead."""
+        nonlocal skipped, resyncs
+        if strict:
+            raise ValueError(msg)
+        nxt = data.find(_RESYNC_MAGIC, at)
+        resyncs += 1
+        if nxt < 0:
+            skipped += n - at
+            return n
+        skipped += (nxt + 4) - at
+        return nxt + 4
+
     while pos < n:
         # skip inter-record padding
         while pos < n and data[pos : pos + 2] == _CRLF:
@@ -162,9 +193,9 @@ def parse_warc_bytes(data: bytes, strict: bool = False) -> list[dict]:
             break
         eol = data.find(_CRLF, pos)
         if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
-            if strict:
-                raise ValueError(f"expected WARC version line at offset {pos}")
-            break
+            pos = _damage(pos, f"expected WARC version line at offset {pos}")
+            continue
+        rec_start = pos
         pos = eol + 2
         headers: dict[str, str] = {}
         ok = True
@@ -182,41 +213,60 @@ def parse_warc_bytes(data: bytes, strict: bool = False) -> list[dict]:
             # the total fallback for wild-crawl bytes (never raises)
             headers[_hdecode(k.strip()).lower()] = _hdecode(v.strip())
         if not ok:
-            if strict:
-                raise ValueError(f"unterminated header block at offset {pos}")
-            break
+            pos = _damage(
+                rec_start, f"unterminated header block at offset {pos}"
+            )
+            continue
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
-            if strict:
-                raise ValueError(f"missing/invalid Content-Length at offset {pos}")
-            break
+            pos = _damage(
+                rec_start, f"missing/invalid Content-Length at offset {pos}"
+            )
+            continue
         if clen < 0:
             # a negative length would move the cursor BACKWARD and
             # re-parse the same record forever (confirmed hang in
             # review) — malformed either way
-            if strict:
-                raise ValueError(f"negative Content-Length at offset {pos}")
-            break
+            pos = _damage(
+                rec_start, f"negative Content-Length at offset {pos}"
+            )
+            continue
         if pos + clen > n:
-            if strict:
-                raise ValueError(f"truncated payload at offset {pos}")
-            break
+            # payload runs past end-of-data: a truly truncated segment
+            # has no later boundary (loop ends); a corrupt oversized
+            # length with intact records after it resyncs past the
+            # damaged one only
+            pos = _damage(rec_start, f"truncated payload at offset {pos}")
+            continue
         payload = data[pos : pos + clen]
         pos += clen
         rid = headers.get("warc-record-id", "")
-        records.append(
-            {
-                "record_id": rid.strip("<>"),
-                "warc_type": headers.get("warc-type"),
-                "target_uri": headers.get("warc-target-uri"),
-                "warc_date": headers.get("warc-date"),
-                "content_type": headers.get("content-type"),
-                "content_length": clen,
-                "payload": payload,
-            }
-        )
-    return records
+        yield {
+            "record_id": rid.strip("<>"),
+            "warc_type": headers.get("warc-type"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "content_length": clen,
+            "payload": payload,
+        }
+    if stats is not None:
+        stats["skipped_bytes"] = skipped
+        stats["resync_events"] = resyncs
+
+
+def parse_warc_bytes(
+    data: bytes, strict: bool = False, stats: dict | None = None
+) -> list[dict]:
+    """Parse a WARC byte stream (plain or multi-member gzip) into
+    record dicts: ``{record_id, warc_type, target_uri, warc_date,
+    content_type, content_length, payload}``. See `iter_warc_records`
+    for the damage-resync contract; ``stats`` is passed through.
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    return list(iter_warc_records(data, strict=strict, stats=stats))
 
 
 # ---------------------------------------------------------------------------
@@ -237,22 +287,45 @@ _WARC_SCHEMA = StructType(
 )
 
 
+#: Per-emitted-batch payload budget for the splitter. Bounds the
+#: pandas/Arrow batch a 1 GB+ segment turns into: one batch per FILE
+#: (the old shape) buffered the whole inflated segment as a single
+#: Arrow binary column, risking executor OOM and Arrow's 2 GB
+#: binary-offset limit (review finding).
+_SPLIT_BATCH_BYTES = 64 * 1024 * 1024
+_SPLIT_BATCH_RECORDS = 4096
+
+
 def _record_splitter(strict: bool):
     import pandas as pd
 
+    def _flush(rows):
+        return pd.DataFrame(
+            rows, columns=[f.name for f in _WARC_SCHEMA.fields]
+        ).astype({"content_length": "int64"}, errors="ignore")
+
     def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            rows: list[dict] = []
+            acc = 0
             for fname, content in zip(pdf["path"], pdf["content"]):
                 if content is None:
                     continue
-                for rec in parse_warc_bytes(bytes(content), strict=strict):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = _gunzip_members(data)
+                for rec in iter_warc_records(data, strict=strict):
                     rec = dict(rec)
                     rec["file"] = fname
                     rows.append(rec)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in _WARC_SCHEMA.fields]
-            ).astype({"content_length": "int64"}, errors="ignore")
+                    acc += rec["content_length"]
+                    if (
+                        acc >= _SPLIT_BATCH_BYTES
+                        or len(rows) >= _SPLIT_BATCH_RECORDS
+                    ):
+                        yield _flush(rows)
+                        rows, acc = [], 0
+            yield _flush(rows)
 
     return _split
 
@@ -635,10 +708,19 @@ def build_http_response(
     extra_headers: dict[str, str] | None = None,
 ) -> bytes:
     """Serialize an HTTP/1.1 response (tests + writer support for
-    response-type WARC records)."""
+    response-type WARC records). Header values are refused if they
+    contain CR/LF — the same injection guard `build_warc_record`
+    applies: a ``\\r\\n`` inside a value would forge headers or smuggle
+    a body into the serialized message (review finding)."""
     reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
         status, "Status"
     )
+    for name, val in (("content_type", content_type),
+                      *(extra_headers or {}).items()):
+        if "\r" in name or "\n" in name:
+            raise ValueError(f"CR/LF in HTTP header name {name!r}")
+        if val is not None and ("\r" in str(val) or "\n" in str(val)):
+            raise ValueError(f"CR/LF in HTTP header value for {name!r}")
     lines = [f"HTTP/1.1 {status} {reason}", f"Content-Type: {content_type}",
              f"Content-Length: {len(body)}"]
     for k, v in (extra_headers or {}).items():
