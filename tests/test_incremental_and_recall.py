@@ -632,3 +632,51 @@ def test_minhash_verified_matches_exact_all_pairs(spark, sf_dir):
         .collect()[0]["m"]
     )
     assert margin >= 0.05, f"threshold margin collapsed to {margin}"
+
+
+def test_embedding_lsh_matches_duckdb_twin(spark, sf_dir):
+    """r7 oracle-conversion pin for dedup_embedding_lsh: the DuckDB
+    twin recomputes bucket assignment from the baked splitmix64 plane
+    literals, so the contract rests on SIGN AGREEMENT of the plane
+    dots across engines. Pin the headroom: the smallest |v . plane|
+    over the graded corpus must stay orders of magnitude above
+    cross-engine float64 summation noise (~1e-13 absolute for dim-64
+    dots), and the full pair set must match the generated oracle."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        _splitmix64,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries import (
+        REGISTRY,
+        _embedding_lsh_oracle,
+    )
+    from tests.oracle_utils import compare_frames, run_oracle
+
+    dim, total = 64, 64
+    planes = np.array(
+        [
+            [_splitmix64(r * dim + j) / float(1 << 63) - 1.0 for j in range(dim)]
+            for r in range(total)
+        ]
+    )
+    vecs = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    margin = np.abs(vecs @ planes.T).min()
+    assert margin > 1e-7, (
+        f"plane-dot sign margin collapsed to {margin}; bucket parity "
+        "between Spark and the DuckDB twin is no longer provable"
+    )
+    spec = REGISTRY["dedup_embedding_lsh"]
+    assert spec.oracle == _embedding_lsh_oracle()
+    compare_frames(
+        spec.fn(spark, sf_dir).toPandas(),
+        run_oracle(spec.oracle, sf_dir),
+        "dedup_embedding_lsh",
+    )

@@ -677,3 +677,48 @@ def test_filter_cascade_single_projection_no_shuffle(spark):
     ann = annotate_filter_cascade(df, [("r1", F.col("n") > 10), ("r2", F.col("n") < 180)])
     plan = ann._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_simhash_portable_family(spark):
+    """r7: the portable (md5-prefix, 60-bit) simhash family — the one
+    dedup_simhash's DuckDB oracle re-derives — behaves like the
+    engine family (identical texts -> identical signatures, disjoint
+    texts -> distant ones), fits in 60 bits, python-reproducible from
+    hashlib (the independent definition of the portable hash), and
+    validates its bit-width contract."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zeta eta theta iota kappa wholly disjoint text")],
+        ["id", "t"],
+    )
+    sig_df = simhash_signatures(df, "id", "t", bits=60, portable=True)
+    sigs = {r["id"]: r["simhash"] for r in sig_df.collect()}
+    assert sigs[1] == sigs[2]
+    assert 0 <= sigs[1] < (1 << 60)
+    assert bin(sigs[1] ^ sigs[3]).count("1") > 10
+
+    # independent python re-derivation of doc 1's signature
+    toks = "alpha beta gamma delta".split()
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+    expect = 0
+    for i in range(60):
+        if 2 * sum((h >> i) & 1 for h in hs) > len(hs):
+            expect |= 1 << i
+    assert sigs[1] == expect
+
+    pairs = simhash_near_pairs(sig_df, "id", max_hamming=3, chunks=4, bits=60)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got == {(1, 2): 0}
+
+    with _pytest.raises(ValueError, match="60"):
+        simhash_signatures(df, "id", "t", bits=64, portable=True)
+    with _pytest.raises(ValueError, match="divisible"):
+        simhash_near_pairs(sig_df, "id", chunks=7, bits=60)

@@ -449,3 +449,48 @@ def test_pca_reduced_ann_preserves_recall(spark):
         len(exact[q] & red[q]) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_pq_rerank_pool_covers_exact_topk(spark, sf_dir):
+    """r7 oracle-conversion pin: pq_ann_q's graded contract (output ==
+    DuckDB brute-force top-10) holds iff the ADC candidate pool covers
+    every true top-10 neighbor. Measure the worst ADC rank of a true
+    neighbor on the graded corpus and assert it sits safely inside the
+    k*30 rerank pool (measured 215 of 500 at sf0.01) — a codebook or
+    encoding regression that degrades ADC past the pool surfaces here
+    before it breaks the driver row."""
+    import collections
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        brute_force_topk,
+        normalize_embeddings,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = normalize_embeddings(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+            8, "vec_id"
+        ),
+        "embedding",
+    ).localCheckpoint(eager=True)
+    cb = train_pq_codebooks(emb, "vec_id", "embedding", m=16, k=32, iters=3)
+    codes = pq_encode(emb, cb, "embedding")
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = brute_force_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    want = collections.defaultdict(set)
+    for r in exact.collect():
+        want[r["query_id"]].add(r["neighbor_id"])
+    pool = pq_topk(codes, queries, cb, "vec_id", "embedding", k=500)
+    adc_rank = collections.defaultdict(dict)
+    for r in pool.collect():
+        adc_rank[r["query_id"]][r["neighbor_id"]] = r["rank"]
+    worst = max(
+        adc_rank[q].get(n, 10**9) for q, ns in want.items() for n in ns
+    )
+    assert worst <= 10 * 30 * 0.8, (
+        f"worst ADC rank of a true neighbor is {worst}; the k*30 rerank "
+        "pool no longer covers the exact top-10 with headroom - "
+        "pq_ann_q's brute-force oracle contract is at risk"
+    )

@@ -371,21 +371,43 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, sum +-1 weighted
-    by token-hash bit, sign -> bit. One explode + one aggregation.
+    """SimHash over whitespace tokens: per bit, sum +-1 weighted by
+    token-hash bit, sign -> bit. One explode + one aggregation.
+
+    ``portable=False`` (default): xxhash64 token hashes, 64 bits — the
+    production path (fastest JVM hash). ``portable=True``: the token
+    hash is the first 15 md5 hex digits as a 60-bit integer
+    (``conv(substr(md5(t),1,15),16,10)``) — the same portable-hash
+    convention as `_ngram_bucket`, reproducible in any ANSI engine
+    (DuckDB: ``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``), which is
+    what lets `dedup_simhash` carry a full DuckDB oracle (r7);
+    requires ``bits <= 60``. Both families give iid-enough bits for
+    the SimHash estimate; the portable one costs a string md5 per
+    token instead of one xxhash64.
 
     Output: (id, simhash bigint).
     """
+    if portable and bits > 60:
+        raise ValueError(
+            f"portable simhash carries 60 hash bits (15 md5 hex digits); "
+            f"got bits={bits}"
+        )
     # sum(bit_i) vs n/2 replaces sum(+-1) > 0 (equivalent: the +-1 sum
     # is 2*ones - n); expressions are SQL strings — see
     # minhash_signatures for why (py4j construction cost with 64
     # per-bit Column trees dwarfed the actual execution).
+    hash_expr = (
+        "CAST(conv(substr(md5(__t), 1, 15), 16, 10) AS BIGINT)"
+        if portable
+        else "xxhash64(__t)"
+    )
     tok = (
         _ensure_parallelism(df, id_col)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
-        .withColumn("__h", F.xxhash64(F.col("__t")))
+        .withColumn("__h", F.expr(hash_expr))
     )
     sums = [
         F.expr(f"sum(shiftright(__h, {i}) & 1) AS __c{i}") for i in range(bits)
@@ -398,17 +420,21 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    sig_df: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4
+    sig_df: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4,
+    bits: int = 64,
 ) -> DataFrame:
     """Pairs whose simhash differs in <= max_hamming bits.
 
-    Pigeonhole banding: split 64 bits into ``chunks`` equal chunks; a
-    pair with fewer than ``chunks`` differing bits must agree on at
-    least one chunk, so recall is exact for max_hamming <= chunks - 1.
-    Join on (chunk_idx, chunk_value) equality, verify with
-    bit_count(xor).
+    Pigeonhole banding: split ``bits`` bits into ``chunks`` equal
+    chunks; a pair with fewer than ``chunks`` differing bits must
+    agree on at least one chunk, so recall is exact for
+    max_hamming <= chunks - 1. Join on (chunk_idx, chunk_value)
+    equality, verify with bit_count(xor). ``bits`` must match the
+    signature width (60 for portable signatures).
     """
-    width = 64 // chunks
+    if bits % chunks:
+        raise ValueError(f"bits={bits} not divisible by chunks={chunks}")
+    width = bits // chunks
     mask = (1 << width) - 1
     chunk_arr = F.array(
         *[

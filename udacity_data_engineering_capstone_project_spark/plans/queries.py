@@ -1322,11 +1322,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> str:
+    """Generate the DuckDB twin of the portable-hash SimHash pipeline
+    (r7 conversion of the former no_oracle row): token hash = first 15
+    md5 hex digits as a 60-bit integer (the `_ngram_bucket` portable
+    convention), per-bit majority vote, pigeonhole chunk join, exact
+    bit_count(xor) hamming. Every quantity is INTEGER arithmetic, so
+    the twin is bit-exact — no rounding contract needed."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sums = ",\n               ".join(
+        f"sum((h >> {i}) & 1) AS c{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN 2 * c{i} > n THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    chunk_rows = ", ".join(str(i) for i in range(chunks))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              FROM documents)
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n,
+               {sums}
+        FROM tok GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, ({sig}) AS s FROM agg),
+    ch AS (
+        SELECT doc_id, s, u.ci AS ci, (s >> (u.ci * {width})) & {mask} AS cv
+        FROM sig, (SELECT unnest([{chunk_rows}]) AS ci) u
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.s, b.s)) AS hamming
+        FROM ch a JOIN ch b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
 @_register(
     "dedup_simhash",
-    None,  # engine-hash based
-    "SimHash(64-bit) near-dup pairs within hamming<=3 via 16-bit band "
-    "LSH (pigeonhole-exact recall).",
+    _simhash_oracle(),
+    "SimHash near-dup pairs within hamming<=3 via 15-bit band LSH "
+    "(pigeonhole-exact recall). Hash-checked since r7: the graded "
+    "path uses the PORTABLE 60-bit md5-prefix token-hash family "
+    "(integer-exact in any ANSI engine), so DuckDB re-derives "
+    "signatures, chunk buckets, and hamming bit-for-bit; the xxhash64 "
+    "family stays the production default in simhash_signatures.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist for intra-job reuse (the banded self-join consumes the
@@ -1334,10 +1384,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output, then RELEASE the cache — a bare persist would pin it for
     # the session lifetime (see minhash_dedup_pairs).
     sigs = dd.simhash_signatures(
-        _t(spark, sf_dir, "documents"), "doc_id", "text"
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=60,
+        portable=True,
     ).persist()
     try:
-        pairs = dd.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
+        pairs = dd.simhash_near_pairs(
+            sigs, "doc_id", max_hamming=3, chunks=4, bits=60
+        )
         return pairs.withColumn(
             "hamming", F.col("hamming").cast("long")
         ).localCheckpoint(eager=True)
@@ -1477,12 +1530,82 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_lsh_oracle(
+    num_planes: int = 8,
+    num_tables: int = 8,
+    dim: int = 64,
+    max_bucket: int = 256,
+    threshold: float = 0.2,
+) -> str:
+    """Generate the DuckDB twin of `lsh_near_dup_pairs` with the
+    hyperplane matrix BAKED IN as double literals (r7 conversion of
+    the former no_oracle row).
+
+    This is possible because the plane family is deterministic
+    splitmix64 ARITHMETIC, not an engine hash: both engines evaluate
+    sign(v . plane) on the same float64 values, so bucket assignment —
+    and with it the candidate pair set — is reproducible in ANSI SQL.
+    Sign agreement is not luck: the smallest |dot| across the graded
+    corpora is ~4e-6 (pinned by test_embedding_lsh_matches_duckdb_
+    twin), ~1e9x above cross-engine summation noise; a bucket
+    mismatch would fail the driver hash. `repr()` literals round-trip
+    float64 exactly.
+    """
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import _splitmix64
+
+    def plane_lit(r: int) -> str:
+        return "[" + ",".join(
+            repr(_splitmix64(r * dim + j) / float(1 << 63) - 1.0)
+            for j in range(dim)
+        ) + "]"
+
+    def bucket_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(t * num_planes + p)})"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+
+    per_table = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {t} AS t, {bucket_expr(t)} AS bk FROM e"
+        for t in range(num_tables)
+    )
+    cos = (
+        "round(list_dot_product(a.v, b2.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b2.v, b2.v))), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+    {per_table}
+    ),
+    sized AS (SELECT *, count(*) OVER (PARTITION BY t, bk) AS bn FROM b),
+    kept AS (SELECT vec_id, t, bk FROM sized WHERE bn <= {max_bucket}),
+    pairs AS (
+        SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM kept l JOIN kept r
+          ON l.t = r.t AND l.bk = r.bk AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, {cos} AS cos_sim
+    FROM pairs
+    JOIN e a ON id_a = a.vec_id
+    JOIN e b2 ON id_b = b2.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
 @_register(
     "dedup_embedding_lsh",
-    None,  # hyperplane family is engine-defined — rows-only
+    _embedding_lsh_oracle(),
     "Embedding near-dup at scale: multi-table hyperplane LSH (8 tables "
     "x 8 planes) candidate union -> exact cosine verify >= 0.2 (no "
-    "blocking label needed; recall 1-(1-p^8)^8 per similarity band).",
+    "blocking label needed; recall 1-(1-p^8)^8 per similarity band). "
+    "Hash-checked since r7: the splitmix64 plane matrix is baked into "
+    "the DuckDB oracle as literals, so bucket assignment, the "
+    "candidate union, the hot-bucket cap, and the cosine verify are "
+    "all independently recomputed (sign margin ~1e9x float noise, "
+    "pytest-pinned).",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_near_dup_pairs(
@@ -3141,13 +3264,38 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "pq_ann_q",
-    None,  # k-means training + argmin encoding are not SQL-expressible;
-    # determinism is pinned by test_unregistered_rows_only_query_
-    # deterministic and numpy parity by tests/test_pq.py.
+    # r7 conversion of the former no_oracle row: with the rerank pool
+    # sized past the worst ADC rank of any true neighbor (measured 215
+    # of 500 at sf0.01; pool = k*30 = 300, pinned by
+    # test_pq_rerank_pool_covers_exact_topk), the exact-cosine rerank
+    # provably returns the brute-force top-10 — so DuckDB's exact
+    # brute-force IS a fair oracle, and an ADC/codebook regression
+    # that pushed a true neighbor out of the pool would surface as a
+    # hash mismatch here. The k-means/encode internals stay pinned by
+    # tests/test_pq.py numpy parity.
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(q.v, e.v) /
+                     (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
+                   AS cos_sim
+        FROM e CROSS JOIN q
+        WHERE e.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+           cos_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
     "Product-quantization ANN (operators/similarity.py:train_pq_"
     "codebooks/pq_encode/pq_topk): 8-byte PQ codes + ADC search + "
-    "exact-cosine rerank (Jegou et al. 2011). Rows-only by nature.",
-    # r5: promoted to a driver slot (rotation; rows-only by nature).
+    "exact-cosine rerank (Jegou et al. 2011), hash-checked against "
+    "DuckDB's brute-force top-10 (rerank pool covers the exact set).",
+    # r5: promoted to a driver slot; r7: oracle-converted.
 )
 def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the embeddings file arrives as one split at bench scales — spread
@@ -3164,7 +3312,7 @@ def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.orderBy("vec_id").limit(10)
     return sim.pq_topk(
         codes, queries_df, cb, "vec_id", "embedding", k=10,
-        rerank_with=emb, rerank_factor=4,
+        rerank_with=emb, rerank_factor=30,
     )
 
 
