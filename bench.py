@@ -79,6 +79,12 @@ BENCH_QUERIES = [
     # filter cascade (one CASE-chain pass + rule-sized audit agg)
     "robots_filter_q",
     "filter_cascade_q",
+    # round 7: the end-to-end crawl curation composition (6 stages,
+    # eager barriers) and the other rotation promotions — intake
+    # anomaly z-scores and the classifier PR sweep
+    "crawl_pipeline_q",
+    "ingest_anomaly_q",
+    "pr_curve_q",
 ]
 
 
@@ -158,6 +164,26 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
 
+    # Host-calibration anchor (r7, VERDICT #2): a fixed, data-free,
+    # pure-codegen job whose wall time depends only on host + JVM
+    # speed — recorded IN the artifact so cross-round comparisons can
+    # separate engine regressions from host variance (the r5->r6
+    # "1.4x slower boot" was provable only from prose before this).
+    # 200M xxhash64+sum rows through one whole-stage-codegen pipeline,
+    # best of 3 after one warm run.
+    from pyspark.sql import functions as F
+
+    def _calib() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id")).alias("h")
+        ).collect()
+        return time.perf_counter() - t0
+
+    _calib()  # warm
+    calibration = round(min(_calib() for _ in range(3)), 3)
+    print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -167,6 +193,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_sec": calibration,
             }
         )
     )

@@ -1232,6 +1232,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scrub): 6-word chunks appearing in >=2 distinct docs are dropped "
     "everywhere, survivors reassembled in order; md5 pins the exact "
     "cleaned text.",
+    registered=False,  # r7: ceded to the crawl-tier promotions; the C4 boilerplate-scrub shape stays pytest/parity-pinned
 )
 def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.remove_duplicated_segments(
@@ -1266,6 +1267,7 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Exact char-3-gram Jaccard near-dup pairs, lang-blocked "
     "(verification twin of the MinHash-LSH scale path).",
+    registered=False,  # r7: ceded to the crawl-tier promotions; dedup_minhash_lsh now grades exact Jaccard end-to-end with an all-pairs oracle (superset contract)
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
@@ -2535,6 +2537,7 @@ CATEGORY_DRIFT_ORACLE = """
     "PSI drift report of the corpus language mix between snapshot "
     "halves (operators/quality.py:category_drift). Promoted to a "
     "driver slot in round 4.",
+    registered=False,  # r7: ceded to the crawl-tier promotions; the PSI drift family keeps numeric_drift_q registered
 )
 def category_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift report of the corpus language mix between snapshot
@@ -2732,6 +2735,7 @@ CORPUS_DIFF_ORACLE = """
     "added/removed/changed/unchanged per id from fingerprint "
     "comparison — one id-shuffle full-outer join, content-size-"
     "independent. Promoted to a driver slot in r6 (rotation).",
+    registered=False,  # r7: ceded to the crawl-tier promotions; fingerprint-diff shape; full-outer-join coverage stays via the drift rows
 )
 def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.dedup import corpus_diff
@@ -3041,6 +3045,7 @@ TRIANGLE_ORACLE = """
     "Hash-checked against DuckDB's direct ordered-triple "
     "enumeration.",
     # r5: promoted to a driver slot (rotation; was unregistered).
+    registered=False,  # r7: ceded to the crawl-tier promotions; clustering_coeff_q keeps the wedge-join machinery driver-graded
 )
 def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.graph import (
@@ -3554,7 +3559,7 @@ INGEST_ANOMALY_ORACLE = """
     "counts (operators/quality.py:rolling_zscore) — the intake "
     "monitor that catches crawler loops / upstream outages before "
     "they poison a training mix. Unregistered; hash-pinned locally.",
-    registered=False,
+    # r7: PROMOTED to a driver slot (rotation).
 )
 def ingest_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event counts per type -> trailing-24h z-score
@@ -3774,7 +3779,7 @@ PR_CURVE_ORACLE = """
     "(operators/textstats.py:classifier_pr_curve) for a stopword-"
     "density is-English scorer — the operating-point picker for any "
     "corpus-screen classifier. Unregistered; hash-pinned locally.",
-    registered=False,
+    # r7: PROMOTED to a driver slot (rotation).
 )
 def pr_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PR curve of an English-stopword-density classifier against the
@@ -3890,7 +3895,7 @@ CASCADE_ORACLE = """
     "audit attribution (operators/quality.py:apply_filter_cascade) — "
     "one CASE-chain codegen pass, audit group count sized by rules "
     "not corpus. Unregistered; hash-pinned locally.",
-    registered=False,
+    # r7: PROMOTED to a driver slot (crawl-tier rotation).
 )
 def filter_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four-rule quality cascade over documents: length bounds, word
@@ -3959,7 +3964,7 @@ _ROBOTS_TXT = {
     "with allow on ties, $-anchoring via the LIKE translation, "
     "ruleless hosts allowed. Hash-checked against a residue-derived "
     "verdict oracle. Unregistered; hash-pinned locally.",
-    registered=False,
+    # r7: PROMOTED to a driver slot (crawl-tier rotation).
 )
 def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-compliance verdicts over synthetic per-doc URLs: three
@@ -4077,6 +4082,194 @@ def blocklist_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id",
         ["slow scan", "merge window", "customer data", "spark"],
     )
+
+
+# Oracle for the end-to-end crawl pipeline (r7, VERDICT #4): every
+# stage re-derived from first principles — robots from the residue
+# cases, blocklist by brute-force contains, cascade by the rule
+# predicates, dedup by the normalized fingerprint window, budget by
+# the md5-order running sum (each piece individually proven by its
+# own graded/unregistered twin; this composes them). id_sum pins
+# WHICH documents survive each stage, not just how many.
+CRAWL_PIPELINE_ORACLE = f"""
+    WITH raw AS (
+        -- the crawl snapshot re-fetches ~10% of pages under a second
+        -- id (identical content, different URL identity) — the
+        -- deterministic replica derivation that gives the dedup stage
+        -- real work (the base corpus is exact-dup-free by
+        -- construction; dedup_exact pins that)
+        SELECT doc_id, text, lang, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, n_chars
+        FROM documents WHERE doc_id % 10 = 3
+    ),
+    d AS (
+        SELECT doc_id, text, lang, n_chars,
+               CASE
+                 WHEN doc_id % 3 = 0 AND doc_id % 5 = 0 THEN 'deny'
+                 WHEN doc_id % 3 = 1 AND doc_id % 5 = 2 THEN 'deny'
+                 WHEN doc_id % 3 = 1 AND doc_id % 5 = 4 THEN 'deny'
+                 ELSE 'allow'
+               END AS robots
+        FROM raw
+    ),
+    s1 AS (SELECT * FROM d WHERE robots = 'allow'),
+    blocked AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id,
+                     ' ' || regexp_replace(lower(text), '\\W+', ' ', 'g')
+                     || ' ' AS nt
+              FROM s1),
+             (VALUES (' slow scan '), (' merge window '),
+                     (' customer data ')) AS p(pp)
+        WHERE contains(nt, pp)
+    ),
+    s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM blocked)),
+    s3 AS (
+        SELECT * FROM (
+            SELECT *, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM s2
+        )
+        WHERE coalesce(length(text) >= 100, false)
+          AND coalesce(length(text) <= 450, false)
+          AND coalesce(len(words) >= 30, false)
+          AND coalesce(len(list_distinct(words)) * 1.0 / len(words) >= 0.45,
+                       false)
+    ),
+    s4 AS (
+        SELECT * FROM (
+            SELECT *, min(doc_id) OVER (
+                PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]',
+                                                '', 'g'))
+            ) AS keep_id
+            FROM s3
+        ) WHERE doc_id = keep_id
+    ),
+    s5 AS (
+        SELECT * FROM (
+            SELECT *, sum(n_chars) OVER (
+                PARTITION BY lang
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                ROWS UNBOUNDED PRECEDING
+            ) - n_chars AS started_at
+            FROM s4
+        ) WHERE started_at < 2000
+    )
+    SELECT 0 AS stage_index, 'intake' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum FROM d
+    UNION ALL SELECT 1, 'robots',
+           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM s1
+    UNION ALL SELECT 2, 'blocklist',
+           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM s2
+    UNION ALL SELECT 3, 'quality_cascade',
+           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM s3
+    UNION ALL SELECT 4, 'exact_dedup',
+           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM s4
+    UNION ALL SELECT 5, 'token_budget',
+           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM s5
+"""
+
+
+@_register(
+    "crawl_pipeline_q",
+    CRAWL_PIPELINE_ORACLE,
+    "END-TO-END crawl curation pipeline (r7, VERDICT #4): synthetic "
+    "per-doc URLs -> RFC 9309 robots screen -> blocklist phrase "
+    "screen -> 4-rule quality cascade -> exact dedup -> per-lang "
+    "token budget, composed from the REAL operators "
+    "(filter_robots_disallowed, screen_blocked_terms, "
+    "apply_filter_cascade, exact_text_dedup, cap_tokens_per_group) "
+    "with per-stage (rows, id_sum) audit — the query a real user "
+    "runs; id_sum pins the exact surviving set at every stage.",
+)
+def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-stage crawl curation composition. Each stage is eagerly
+    checkpointed so the audit union computes every stage ONCE (the
+    same phase-boundary-barrier pattern as the example pipeline);
+    at 100 TB each barrier is a persisted stage output — exactly how
+    an audited production pipeline runs."""
+    from udacity_data_engineering_capstone_project_spark.functions.robots import (
+        filter_robots_disallowed,
+        robots_rules_df,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        apply_filter_cascade,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        cap_tokens_per_group,
+    )
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    # ~10% of pages re-fetched under a second id (identical content,
+    # new URL identity): the deterministic replica derivation that
+    # gives the dedup stage real work — the base corpus is
+    # exact-dup-free by construction (dedup_exact pins that)
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 3).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+    )
+    s0 = docs.withColumn("url", F.expr(_ROBOTS_URL_SQL.format(T="STRING")))
+
+    rules = robots_rules_df(spark, sorted(_ROBOTS_TXT.items()))
+    s1 = filter_robots_disallowed(s0, rules, "url").localCheckpoint(eager=True)
+
+    matches = ts.screen_blocked_terms(
+        s1, "doc_id",
+        ["slow scan", "merge window", "customer data"],
+    )
+    s2 = s1.join(
+        matches.select("doc_id").distinct(), on="doc_id", how="left_anti"
+    ).localCheckpoint(eager=True)
+
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    diversity = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
+    cascade_rules = [
+        ("too_short", F.length("text") >= 100),
+        ("too_long", F.length("text") <= 450),
+        ("too_few_words", F.size(words) >= 30),
+        ("low_diversity", diversity >= 0.45),
+    ]
+    s3, _audit = apply_filter_cascade(s2, cascade_rules)
+    s3 = s3.localCheckpoint(eager=True)
+
+    survivors = dd.exact_text_dedup(s3, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    s4 = s3.join(survivors, on="doc_id", how="left_semi").localCheckpoint(
+        eager=True
+    )
+
+    s5 = cap_tokens_per_group(
+        s4, ["lang"], "n_chars", budget=2000, key_col="doc_id"
+    ).localCheckpoint(eager=True)
+
+    def audit(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        ).select(
+            F.lit(idx).cast("int").alias("stage_index"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs"),
+            F.col("id_sum"),
+        )
+
+    stages = [
+        audit(s0, 0, "intake"),
+        audit(s1, 1, "robots"),
+        audit(s2, 2, "blocklist"),
+        audit(s3, 3, "quality_cascade"),
+        audit(s4, 4, "exact_dedup"),
+        audit(s5, 5, "token_budget"),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 # ------------------------------------------------------------------
