@@ -680,3 +680,29 @@ def test_embedding_lsh_matches_duckdb_twin(spark, sf_dir):
         run_oracle(spec.oracle, sf_dir),
         "dedup_embedding_lsh",
     )
+
+
+def test_dedup_clusters_oracle_rounds_converged(spark, sf_dir):
+    """r7 conversion pin for dedup_clusters: the oracle unrolls
+    min-label propagation a FIXED 6 rounds, which is only a faithful
+    connected-components oracle if propagation has converged by then.
+    Pin it: 5 rounds and 6 rounds must produce identical results on
+    the graded corpus (so the diameter is < 5, with round 6 as
+    margin), and the Spark side must match the oracle."""
+    import pandas as pd
+
+    from udacity_data_engineering_capstone_project_spark.plans.queries import (
+        UNREGISTERED,
+        _dedup_clusters_oracle,
+    )
+    from tests.oracle_utils import compare_frames, run_oracle
+
+    r5 = run_oracle(_dedup_clusters_oracle(rounds=5), sf_dir)
+    r6 = run_oracle(_dedup_clusters_oracle(rounds=6), sf_dir)
+    pd.testing.assert_frame_equal(
+        r5.sort_values("lang").reset_index(drop=True),
+        r6.sort_values("lang").reset_index(drop=True),
+    )
+    spec = UNREGISTERED["dedup_clusters"]
+    assert spec.oracle == _dedup_clusters_oracle()
+    compare_frames(spec.fn(spark, sf_dir).toPandas(), r6, "dedup_clusters")

@@ -319,7 +319,10 @@ def test_drift_queries_single_pass_per_snapshot(spark, sf_dir):
     """category_drift scans each snapshot exactly twice (shares +
     total — both partial-aggregated), never more: the plan must not
     multiply corpus scans."""
-    df = REGISTRY["category_drift_q"].fn(spark, sf_dir)
+    # category_drift_q ceded its registry slot in r7 (crawl-tier
+    # promotions); the plan contract is slot-independent
+    spec = REGISTRY.get("category_drift_q") or UNREGISTERED["category_drift_q"]
+    df = spec.fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
@@ -463,6 +466,11 @@ def test_global_plan_hygiene_sweep(spark, sf_dir):
         "language_id_q",     # label_info grid (n_labels rows)
         "pq_ann_q",          # per-query ADC distance-table literals
         "skew_report_q",     # 1-row total/mean aggregate per key report
+        # r7: the blocklist prefilter crossJoins ONE broadcast row
+        # (the collect_set of blocklist first tokens) so docs prune
+        # via arrays_overlap before any explode — the fix for the
+        # padded-text amplification review finding
+        "blocklist_screen_q",
     }
     offenders = {}
     for coll in (REGISTRY, UNREGISTERED):

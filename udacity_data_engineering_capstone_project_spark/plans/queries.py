@@ -1177,19 +1177,43 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "approx_distinct",
-    None,  # HLL sketches differ across engines — exactness unit-tested instead
-    "approx_count_distinct (HLL) per segment vs exact — the sketch "
-    "path for 100 TB cardinality estimation. Ceded its driver slot in "
-    "round 4 to the hash-checked dup_spans_q (this row could only ever "
-    "grade rows-only); error bounds stay pytest-pinned in "
-    "test_sketches.py.",
+    # r7: converted from rows-only to a graded DERIVED contract. The
+    # HLL register values are engine-internal (Spark HLL++ vs DuckDB
+    # HLL differ by design), so the raw estimate can never hash-match
+    # — but the estimate's ERROR BOUND is the operator's actual
+    # promise, and THAT is gradable: emit the exact cardinality plus
+    # an in-bound verdict (|approx-exact|/exact <= 0.15 = 3x the
+    # default 0.05 rsd; worst observed on the graded corpora is
+    # 0.097). A broken sketch (merge bug, register corruption) flips
+    # the verdict and fails the hash. Raw estimate accuracy stays
+    # pytest-pinned in test_sketches.py.
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           'in_bound' AS hll_verdict
+    FROM orders GROUP BY 1
+    """,
+    "approx_count_distinct (HLL) per segment, graded on its error "
+    "contract: exact cardinality hash-checked, HLL estimate verified "
+    "within 3x rsd of it (the sketch's design promise — the only "
+    "cross-engine-checkable property of an engine-internal sketch).",
     registered=False,
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey").alias("approx_custs"),
         F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    rel_err = F.abs(F.col("approx_custs") - F.col("exact_custs")) / F.col(
+        "exact_custs"
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_custs",
+        F.when(rel_err <= 0.15, F.lit("in_bound"))
+        .otherwise(F.lit("OUT_OF_BOUND"))
+        .alias("hll_verdict"),
     )
 
 
@@ -1400,24 +1424,90 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs.unpersist()
 
 
+def _dedup_clusters_oracle(rounds: int = 6, threshold: float = 0.8) -> str:
+    """DuckDB twin of minhash_verified_pairs -> connected_components ->
+    representatives (r7): pairs from the all-pairs exact-Jaccard truth
+    (the same derivation dedup_minhash_lsh grades), components via
+    ``rounds`` unrolled min-label propagation steps as MATERIALIZED
+    CTEs (the pagerank lesson: materialization kills the exponential
+    re-inlining of an iterative plan). ``rounds`` exceeds the cluster
+    diameter on the graded corpora by construction — pinned by
+    test_dedup_clusters_oracle_rounds_converged."""
+    prop = "\n".join(
+        f"""    l{i + 1} AS MATERIALIZED (
+        SELECT l.node,
+               least(l.lbl, coalesce(min(nb.lbl), l.lbl)) AS lbl
+        FROM l{i} l
+        LEFT JOIN edges e ON e.u = l.node
+        LEFT JOIN l{i} nb ON nb.node = e.v
+        GROUP BY l.node, l.lbl
+    ),"""
+        for i in range(rounds)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INTEGER), 3) AS s
+        FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold}
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (
+        SELECT DISTINCT u AS node, u AS lbl FROM edges
+    ),
+{prop}
+    comp AS (SELECT node, lbl FROM l{rounds})
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(c.lbl, d.doc_id) = d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN coalesce(c.lbl, d.doc_id) = d.doc_id
+                         THEN d.doc_id ELSE 0 END) AS BIGINT) AS rep_id_sum
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    GROUP BY lang
+    """
+
+
 @_register(
     "dedup_clusters",
-    None,  # builds on engine-hash minhash pairs — rows-only
-    "Iterative connected components over MinHash near-dup pairs: "
+    _dedup_clusters_oracle(),
+    "Iterative connected components over VERIFIED near-dup pairs: "
     "every doc mapped to its cluster representative (transitive "
-    "closure the pairwise output can't express). Ceded its driver "
-    "slot to the hash-checked gopher_quality_q in round 4 session 3 "
-    "(the dedup family keeps 5 registered rows); determinism stays "
-    "pinned by the unregistered rows-only gate.",
+    "closure the pairwise output can't express). r7: converted from "
+    "rows-only to a full DuckDB oracle — the pair set is the exact "
+    "all-pairs Jaccard truth (recall-1.0-pinned LSH), and the oracle "
+    "unrolls min-label propagation as 6 materialized CTE rounds "
+    "(clusters here are shallow; convergence is pinned by "
+    "test_dedup_clusters_oracle_rounds_converged). rep_id_sum pins "
+    "WHICH documents represent their clusters, not just how many.",
     registered=False,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    pairs = dd.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.8)
     out = dd.dedup_representatives(docs.select("doc_id", "lang"), pairs, "doc_id")
     return out.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("is_representative").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("is_representative"), F.col("doc_id")).otherwise(
+                F.lit(0)
+            )
+        ).alias("rep_id_sum"),
     )
 
 

@@ -11,6 +11,7 @@ from udacity_data_engineering_capstone_project_spark.sources.sinks import (
 )
 from udacity_data_engineering_capstone_project_spark.sources.warc import (
     build_http_response,
+    iter_warc_records,
     parse_http_response,
     parse_warc_bytes,
     read_warc,
@@ -24,6 +25,7 @@ __all__ = [
     "TABLES",
     "load_tables",
     "build_http_response",
+    "iter_warc_records",
     "parse_http_response",
     "parse_warc_bytes",
     "read_csv",
