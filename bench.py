@@ -169,18 +169,23 @@ def main() -> None:
     # speed — recorded IN the artifact so cross-round comparisons can
     # separate engine regressions from host variance (the r5->r6
     # "1.4x slower boot" was provable only from prose before this).
-    # 200M xxhash64+sum rows through one whole-stage-codegen pipeline,
-    # best of 3 after one warm run.
+    # 1B xxhash64+sum rows through one whole-stage-codegen pipeline,
+    # best of 3 after TWO warm runs — measured stable to ~3% across
+    # fresh JVMs (a 200M variant swung 2x with end-of-bench JIT/GC
+    # state; the larger fixed workload amortizes it).
     from pyspark.sql import functions as F
 
     def _calib() -> float:
         t0 = time.perf_counter()
-        spark.range(0, 200_000_000, 1, 32).select(
-            F.sum(F.xxhash64("id")).alias("h")
+        # % 1024 bounds the sum far under long range — a raw
+        # sum(xxhash64) overflows int64 after ~2^33 rows under ANSI
+        spark.range(0, 1_000_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id") % 1024).alias("h")
         ).collect()
         return time.perf_counter() - t0
 
-    _calib()  # warm
+    _calib()
+    _calib()  # two warm runs: JIT fully lands before timing
     calibration = round(min(_calib() for _ in range(3)), 3)
     print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
 

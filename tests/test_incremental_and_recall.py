@@ -632,6 +632,30 @@ def test_minhash_verified_matches_exact_all_pairs(spark, sf_dir):
         .collect()[0]["m"]
     )
     assert margin >= 0.05, f"threshold margin collapsed to {margin}"
+    # estimate-screen margin: the 2-sigma screen (est >= 0.7) must sit
+    # far below every TRUE pair's signature estimate, or the screen
+    # could silently eat recall before the exact verify
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        estimated_jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "doc_id", "text", 64, 3).localCheckpoint(
+        eager=True
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", 8, 8, distinct=False)
+    est_col = estimated_jaccard(F.col("sig_a"), F.col("sig_b"), 64)
+    min_true_est = (
+        cand.withColumn("est", est_col)
+        .join(want.select("id_a", "id_b"), on=["id_a", "id_b"])
+        .agg(F.min("est"))
+        .collect()[0][0]
+    )
+    assert min_true_est >= 0.85, (
+        f"min signature estimate among true pairs fell to {min_true_est}; "
+        "the 0.70 screen's recall margin is gone"
+    )
 
 
 def test_embedding_lsh_matches_duckdb_twin(spark, sf_dir):
@@ -706,3 +730,31 @@ def test_dedup_clusters_oracle_rounds_converged(spark, sf_dir):
     spec = UNREGISTERED["dedup_clusters"]
     assert spec.oracle == _dedup_clusters_oracle()
     compare_frames(spec.fn(spark, sf_dir).toPandas(), r6, "dedup_clusters")
+
+
+def test_minhash_verify_kernels_agree(spark, sf_dir):
+    """The Arrow/numpy intersect kernel (default — measured 1.6x the
+    pure-JVM array_intersect at sf0.1) and the JVM expr twin must be
+    row-identical; validation rejects unknown kernels."""
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        minhash_verified_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_verified_pairs(
+            docs, "doc_id", "text", verify="arrow"
+        ).collect()
+    }
+    twin = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_verified_pairs(
+            docs, "doc_id", "text", verify="expr"
+        ).collect()
+    }
+    assert fast == twin and len(fast) > 0
+    with _pytest.raises(ValueError, match="arrow"):
+        minhash_verified_pairs(docs, "doc_id", "text", verify="nope")
