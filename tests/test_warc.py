@@ -438,7 +438,8 @@ def test_damage_resync_keeps_records_after_corruption():
     # all-good stream: zero skipped, zero resyncs
     stats_ok = {}
     parse_warc_bytes(b"".join(good), strict=False, stats=stats_ok)
-    assert stats_ok == {"skipped_bytes": 0, "resync_events": 0}
+    assert stats_ok["skipped_bytes"] == 0 and stats_ok["resync_events"] == 0
+    assert stats_ok["consumed_bytes"] == len(b"".join(good))
 
 
 def test_splitter_emits_bounded_batches(spark, tmp_path, monkeypatch):
@@ -481,3 +482,52 @@ def test_http_response_header_crlf_injection_refused():
         build_http_response(b"b", extra_headers={"X-A": "v\r\nX-Forged: 1"})
     with pytest.raises(ValueError, match="CR/LF"):
         build_http_response(b"b", extra_headers={"X-A\r\nX-Forged: 1": "v"})
+
+
+def test_gzip_member_streaming_and_spanning_records(spark, tmp_path):
+    """r7: the splitter inflates .warc.gz one member at a time with a
+    carry buffer. Three layouts must all read identically to the
+    whole-stream parse: (a) standard one-record-per-member, (b) ONE
+    record split across two gzip members (the carry case — a naive
+    per-member parse would call its tail damage), (c) a corrupt
+    member mid-file (later members survive via the final-flush
+    resync)."""
+    import gzip as _gz
+    import io as _io
+
+    from udacity_data_engineering_capstone_project_spark.sources.warc import (
+        parse_warc_bytes,
+    )
+
+    def member(raw: bytes) -> bytes:
+        buf = _io.BytesIO()
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(raw)
+        return buf.getvalue()
+
+    recs = [build_warc_record(f"stream-{i}".encode() * 10) for i in range(6)]
+    # (b): record 2 split mid-payload across two members
+    r2 = recs[2]
+    layouts = {
+        "std": b"".join(member(r) for r in recs),
+        "span": member(recs[0]) + member(recs[1]) + member(r2[:30])
+        + member(r2[30:]) + b"".join(member(r) for r in recs[3:]),
+    }
+    p = tmp_path / "gz"
+    p.mkdir()
+    for name, blob in layouts.items():
+        (p / f"{name}.warc.gz").write_bytes(blob)
+        got = sorted(
+            r["payload"]
+            for r in read_warc(spark, str(p / f"{name}.warc.gz")).collect()
+        )
+        assert got == sorted(r["payload"] for r in parse_warc_bytes(blob)), name
+        assert len(got) == 6, name
+
+    # (c): corrupt middle member — records after it survive
+    bad = member(recs[2])
+    bad = bad[:20] + bytes([bad[20] ^ 0xFF]) + bad[21:]
+    blob = member(recs[0]) + member(recs[1]) + bad + member(recs[3])
+    (p / "dmg.warc.gz").write_bytes(blob)
+    got = {r["payload"] for r in read_warc(spark, str(p / "dmg.warc.gz")).collect()}
+    assert recs and got.issuperset({b"stream-0" * 10, b"stream-1" * 10})

@@ -123,23 +123,61 @@ def gzip_member(record: bytes, compresslevel: int = 6) -> bytes:
     return buf.getvalue()
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a multi-member gzip stream (the .warc.gz layout) to
-    one plain byte stream. Tolerates trailing garbage after the last
+_GUNZIP_CHUNK = 1 << 20
+
+
+def _iter_gunzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a multi-member gzip stream (the .warc.gz layout)
+    ONE MEMBER AT A TIME. Tolerates trailing garbage after the last
     complete member (truncated uploads) — parsed records up to that
-    point survive."""
-    out = []
-    buf = data
-    while buf[:2] == b"\x1f\x8b":
+    point survive (a member cut off mid-stream yields its inflated
+    prefix; a member whose bytes are corrupt is discarded and the
+    scan RESYNCS to the next gzip magic, so later members survive —
+    the compressed-level twin of the record-level damage resync).
+    Peak memory is one inflated member (one record in the standard
+    crawl layout), not the whole inflated segment.
+
+    Compressed input is fed in bounded chunks from a memoryview —
+    the naive per-member ``obj.unused_data`` handoff copies the whole
+    remaining compressed stream once PER MEMBER (quadratic in member
+    count over a ~1 GB segment)."""
+    view = memoryview(data)
+    n = len(data)
+    pos = 0
+    while pos + 2 <= n and data[pos : pos + 2] == b"\x1f\x8b":
         obj = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        try:
-            out.append(obj.decompress(buf))
-        except zlib.error:
+        out: list[bytes] = []
+        p = pos
+        corrupt = False
+        while p < n and not obj.eof:
+            chunk = bytes(view[p : p + _GUNZIP_CHUNK])
+            p += len(chunk)
+            try:
+                out.append(obj.decompress(chunk))
+            except zlib.error:
+                corrupt = True
+                break
+            if obj.eof:
+                p -= len(obj.unused_data)
+        if corrupt:
+            # discard the damaged member, resync to the next gzip
+            # magic (deflate-level damage is unrecoverable within the
+            # member; a false positive just fails and resyncs again)
+            nxt = data.find(b"\x1f\x8b\x08", pos + 3)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        yield b"".join(out)
+        if not obj.eof:  # input exhausted: truncated final member
             break
-        if not obj.eof:  # truncated final member
-            break
-        buf = obj.unused_data
-    return b"".join(out)
+        pos = p
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Whole-stream inflate (see `_iter_gunzip_members` for the
+    bounded-memory member iterator the Spark splitter uses)."""
+    return b"".join(_iter_gunzip_members(data))
 
 
 #: Record-boundary magic used for damage resync: every record ends
@@ -148,7 +186,10 @@ _RESYNC_MAGIC = b"\r\n\r\nWARC/"
 
 
 def iter_warc_records(
-    data: bytes, strict: bool = False, stats: dict | None = None
+    data: bytes,
+    strict: bool = False,
+    stats: dict | None = None,
+    stop_at_damage: bool = False,
 ) -> Iterator[dict]:
     """Generator over the records of a PLAIN (already-decompressed)
     WARC byte stream — the incremental core `parse_warc_bytes` and the
@@ -163,20 +204,34 @@ def iter_warc_records(
     remainder). Strict raises ValueError with an offset.
 
     ``stats``, when given, is filled in-place with ``skipped_bytes``
-    and ``resync_events`` so silent loss stays observable.
+    and ``resync_events`` so silent loss stays observable, plus
+    ``consumed_bytes`` — the offset after the last COMPLETE record.
+
+    ``stop_at_damage`` (internal, used by the streaming splitter's
+    carry buffer): instead of resyncing, STOP at the first malformed
+    or incomplete record and report its start via
+    ``stats['consumed_bytes']`` — the caller appends more input (the
+    next gzip member) and re-parses from there, so a record that
+    merely CONTINUES past the current buffer is never mistaken for
+    damage.
     """
     pos = 0
     n = len(data)
     skipped = 0
     resyncs = 0
+    consumed = 0
+    stopped = False
 
     def _damage(at: int, msg: str) -> int:
         """Handle non-strict damage at offset ``at``: return the next
         parse position (or ``n`` when no later record boundary
         exists). Strict mode raises instead."""
-        nonlocal skipped, resyncs
+        nonlocal skipped, resyncs, stopped
         if strict:
             raise ValueError(msg)
+        if stop_at_damage:
+            stopped = True
+            return n
         nxt = data.find(_RESYNC_MAGIC, at)
         resyncs += 1
         if nxt < 0:
@@ -190,6 +245,7 @@ def iter_warc_records(
         while pos < n and data[pos : pos + 2] == _CRLF:
             pos += 2
         if pos >= n:
+            consumed = n
             break
         eol = data.find(_CRLF, pos)
         if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
@@ -251,9 +307,12 @@ def iter_warc_records(
             "content_length": clen,
             "payload": payload,
         }
+        consumed = pos
     if stats is not None:
         stats["skipped_bytes"] = skipped
         stats["resync_events"] = resyncs
+        stats["consumed_bytes"] = consumed
+        stats["stopped_at_damage"] = stopped
 
 
 def parse_warc_bytes(
@@ -304,6 +363,47 @@ def _record_splitter(strict: bool):
             rows, columns=[f.name for f in _WARC_SCHEMA.fields]
         ).astype({"content_length": "int64"}, errors="ignore")
 
+    def _file_records(data: bytes) -> Iterator[dict]:
+        """Record iterator for one file's bytes. Plain files parse
+        directly; .warc.gz inflates ONE MEMBER AT A TIME with a carry
+        buffer, so peak memory on the standard crawl layout (one
+        record per member) is one inflated member, not the whole
+        inflated segment (review finding). The carry parse stops at
+        an incomplete tail instead of resyncing (the record may
+        simply continue in the next member); the FINAL flush applies
+        the normal damage-resync semantics so a genuinely corrupt
+        mid-segment record still costs only itself. Worst case —
+        damage (or one record) wider than the carry bound — degrades
+        to buffering the remaining tail, i.e. the old whole-segment
+        behavior, never worse."""
+        if data[:2] != b"\x1f\x8b":
+            yield from iter_warc_records(data, strict=strict)
+            return
+        buf = b""
+        pending: list[bytes] = []
+        for member in _iter_gunzip_members(data):
+            if pending:
+                # stalled on damage (or a single record wider than the
+                # carry bound): stop re-concatenating a growing buffer
+                # per member (quadratic byte copies) — accumulate and
+                # let the final flush resync once over the tail
+                pending.append(member)
+                continue
+            buf += member
+            st: dict = {}
+            # the carry parse is NEVER strict: an "incomplete" record
+            # here may simply continue in the next member — only the
+            # final flush can tell real damage from a member boundary
+            yield from iter_warc_records(
+                buf, strict=False, stats=st, stop_at_damage=True
+            )
+            buf = buf[st["consumed_bytes"]:]
+            if st["stopped_at_damage"] and len(buf) > _SPLIT_BATCH_BYTES:
+                pending = [buf]
+                buf = b""
+        tail = b"".join(pending) if pending else buf
+        yield from iter_warc_records(tail, strict=strict)
+
     def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
@@ -311,10 +411,7 @@ def _record_splitter(strict: bool):
             for fname, content in zip(pdf["path"], pdf["content"]):
                 if content is None:
                     continue
-                data = bytes(content)
-                if data[:2] == b"\x1f\x8b":
-                    data = _gunzip_members(data)
-                for rec in iter_warc_records(data, strict=strict):
+                for rec in _file_records(bytes(content)):
                     rec = dict(rec)
                     rec["file"] = fname
                     rows.append(rec)
