@@ -34,7 +34,8 @@ def test_avi_roundtrip_exact():
 
     chunks = _frame_chunks(b)
     assert len(chunks) == 4
-    for i, (off, ln) in enumerate(chunks):
+    for i, (off, ln, comp) in enumerate(chunks):
+        assert not comp  # DIB chunks are uncompressed
         np.testing.assert_array_equal(_dib_to_frame(b[off : off + ln], 8, 6), frames[i])
 
 
@@ -47,7 +48,7 @@ def test_avi_odd_width_row_padding():
         _frame_chunks,
     )
 
-    (off0, ln0), (off1, ln1) = _frame_chunks(b)
+    (off0, ln0, _c0), (off1, ln1, _c1) = _frame_chunks(b)
     assert ln0 == 16 * 3  # padded stride x height
     np.testing.assert_array_equal(_dib_to_frame(b[off1 : off1 + ln1], 5, 3), frames[1])
 
@@ -320,3 +321,66 @@ def test_mp4_parser_hostile_nested_shapes(spark):
     tiny_large = ftyp + s.pack(">I", 1) + b"moov" + s.pack(">Q", 10) + b"\x00" * 8
     with _pytest.raises(ValueError):
         parse_mp4_meta(tiny_large)
+
+
+def test_mjpg_avi_roundtrip_and_spark_stages(spark):
+    """r7: Motion-JPEG AVIs (00dc chunks of independent baseline
+    JPEGs) decode natively through the same seek-table path as DIB —
+    the compressed-video boundary narrows to interframe codecs.
+    Smooth-gradient frames survive JPEG within a small tolerance; the
+    Spark sampler and feature stages both handle the codec; a 00dc
+    chunk that is not a JPEG skips the row like any corrupt frame."""
+    from udacity_data_engineering_capstone_project_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.video import (
+        _decode_frame_chunk,
+        _frame_chunks,
+        sample_video_frames,
+        video_features,
+    )
+
+    # smooth gradients (JPEG-friendly), 3 frames of rising brightness
+    h, w = 16, 24
+    base = (
+        np.arange(h)[:, None, None] * 4
+        + np.arange(w)[None, :, None] * 2
+        + np.zeros((1, 1, 3))
+    )
+    frames = np.stack(
+        [np.clip(base + 40 * i, 0, 255).astype(np.uint8) for i in range(3)]
+    )
+    b = encode_avi(frames, fps=5, codec="MJPG", quality=95)
+    assert parse_avi_meta(b) == (w, h, 200_000, 3)
+    chunks = _frame_chunks(b)
+    assert [c for _, _, c in chunks] == [True, True, True]
+    for i, (off, ln, comp) in enumerate(chunks):
+        got = _decode_frame_chunk(b, off, ln, comp, w, h)
+        assert got.shape == (h, w, 3)
+        assert np.abs(got.astype(int) - frames[i].astype(int)).mean() < 6
+
+    df = spark.createDataFrame([(1, bytearray(b))], ["vid_id", "payload"])
+    sampled = sample_video_frames(df, "vid_id", n_samples=2).collect()
+    assert [r["frame_index"] for r in sampled] == [0, 2]
+    # sampled PNGs flow into the image tier and keep MJPG pixel content
+    px = decode_image_pixels(
+        spark.createDataFrame(
+            [(r["frame_index"], r["payload"]) for r in sampled],
+            ["doc_id", "payload"],
+        ),
+        "doc_id",
+    ).collect()
+    assert all(p["width"] == w and p["height"] == h for p in px)
+
+    feats = video_features(df, "vid_id").collect()[0]
+    assert feats["n_frames"] == 3 and feats["motion"] > 10
+
+    # hostile: 00dc payload that is not a JPEG -> row skipped, task alive
+    evil = b.replace(b"\xff\xd8", b"\x00\x00", 1)
+    df2 = spark.createDataFrame([(2, bytearray(evil))], ["vid_id", "payload"])
+    assert sample_video_frames(df2, "vid_id").count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="codec"):
+        encode_avi(frames, codec="H264")

@@ -4,14 +4,18 @@ tiers: opaque ``binary`` payloads, real container parsing with stdlib
 only, decode / frame-sample / feature-extract as Arrow-batched
 `mapInPandas` stages.
 
-The container is real RIFF/AVI with uncompressed 24-bit DIB frames
-(bottom-up BGR scanlines, 4-byte row padding — the actual 'DIB '
-fourcc format): `encode_avi` writes it, `parse_avi_meta` reads the
-header, and `sample_video_frames` seeks straight to the selected
-``00db`` chunks so a k-frame sample decodes k frames, not the whole
-stream. Compressed codecs (h264/vp9) would plug into the same stages
+The container is real RIFF/AVI in two codecs: uncompressed 24-bit DIB
+frames (bottom-up BGR scanlines, 4-byte row padding — the actual
+'DIB ' fourcc format) and Motion-JPEG (r7: each ``00dc`` chunk is an
+independent JPEG decoded by `operators.jpeg`'s native baseline/
+progressive decoder — the dominant decodable compressed AVI layout).
+`encode_avi` writes both, `parse_avi_meta` reads the header, and
+`sample_video_frames` seeks straight to the selected ``00db``/
+``00dc`` chunks so a k-frame sample decodes k frames, not the whole
+stream. Interframe codecs (h264/vp9) would plug into the same stages
 via ffmpeg when available; the Spark plumbing (schema, batching,
-partition parallelism, stride sampling) is the production shape.
+partition parallelism, stride sampling) is the production shape and
+the MP4 tier documents that boundary explicitly.
 """
 
 from __future__ import annotations
@@ -68,23 +72,48 @@ def _dib_to_frame(data: bytes, width: int, height: int) -> np.ndarray:
     return bgr[::-1, :, ::-1].copy()
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """Synthesize an uncompressed RIFF/AVI from an RGB uint8 array of
-    shape (n_frames, height, width, 3) — the video-corpus generator
-    for tests/benchmarks (the video twin of `audio.encode_wav`)."""
+def encode_avi(
+    frames: np.ndarray, fps: int = 10, codec: str = "DIB", quality: int = 90
+) -> bytes:
+    """Synthesize a RIFF/AVI from an RGB uint8 array of shape
+    (n_frames, height, width, 3) — the video-corpus generator for
+    tests/benchmarks (the video twin of `audio.encode_wav`).
+
+    ``codec="DIB"`` (default): uncompressed bottom-up BGR frames in
+    ``00db`` chunks. ``codec="MJPG"``: Motion-JPEG — every frame is an
+    independent baseline JPEG (the repo's own encoder) in a ``00dc``
+    chunk; the dominant *decodable* compressed AVI layout in the wild,
+    and the one `sample_video_frames`/`video_features` decode natively
+    via `operators.jpeg` (r7 — narrows the compressed-video boundary
+    to the interframe codecs: H.264/H.265/VP9 stay the documented
+    NotImplementedError in the MP4 tier).
+    """
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"codec must be 'DIB' or 'MJPG', got {codec!r}")
     n, h, w, _ = frames.shape
-    frame_bytes = _dib_stride(w) * h
     usec = 1_000_000 // fps
+    if codec == "MJPG":
+        from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+            encode_baseline_jpeg,
+        )
+
+        payloads = [encode_baseline_jpeg(f, quality=quality) for f in frames]
+        frame_bytes = max(len(p) for p in payloads) if payloads else 0
+        handler, compression, chunk_id = b"MJPG", 0x47504A4D, b"00dc"
+    else:
+        payloads = [_frame_to_dib(f) for f in frames]
+        frame_bytes = _dib_stride(w) * h
+        handler, compression, chunk_id = b"DIB ", 0, b"00db"
     avih = struct.pack(
         "<10I16x", usec, frame_bytes * fps, 0, 0x10, n, 0, 1, frame_bytes, w, h
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIII4H",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, frame_bytes,
+        b"vids", handler, 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, frame_bytes,
         0, 0, w, h,
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_bytes, 0, 0, 0, 0
     )
     hdrl = _list(
         b"hdrl",
@@ -92,7 +121,7 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
     movi = _list(
-        b"movi", b"".join(_chunk(b"00db", _frame_to_dib(f)) for f in frames)
+        b"movi", b"".join(_chunk(chunk_id, p) for p in payloads)
     )
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -120,12 +149,13 @@ def parse_avi_meta(b: bytes) -> tuple[int, int, int, int]:
     raise ValueError("missing avih header")
 
 
-def _frame_chunks(b: bytes) -> list[tuple[int, int]]:
-    """(offset, length) of every ``00db`` frame chunk inside the movi
-    LIST — the seek table that lets a sampler decode only the frames
-    it needs."""
+def _frame_chunks(b: bytes) -> list[tuple[int, int, bool]]:
+    """(offset, length, compressed) of every ``00db`` (uncompressed
+    DIB) / ``00dc`` (compressed — MJPG here) frame chunk inside the
+    movi LIST — the seek table that lets a sampler decode only the
+    frames it needs."""
     i = 12
-    out: list[tuple[int, int]] = []
+    out: list[tuple[int, int, bool]] = []
     while i + 8 <= len(b):
         fourcc = b[i : i + 4]
         (length,) = struct.unpack("<I", b[i + 4 : i + 8])
@@ -134,11 +164,37 @@ def _frame_chunks(b: bytes) -> list[tuple[int, int]]:
             while j + 8 <= i + 8 + length:
                 (sub,) = struct.unpack("<I", b[j + 4 : j + 8])
                 if b[j : j + 4] == b"00db":
-                    out.append((j + 8, sub))
+                    out.append((j + 8, sub, False))
+                elif b[j : j + 4] == b"00dc":
+                    out.append((j + 8, sub, True))
                 j += 8 + sub + (sub & 1)
             return out
         i += 8 + length + (length & 1)
     return out
+
+
+def _decode_frame_chunk(
+    b: bytes, off: int, length: int, compressed: bool, w: int, h: int
+) -> np.ndarray:
+    """One movi frame chunk -> (h, w, 3) uint8 RGB. DIB chunks unpack
+    the bottom-up BGR raster; compressed chunks decode as independent
+    JPEGs (Motion-JPEG — each ``00dc`` chunk is a complete baseline/
+    progressive JPEG, handled by the repo's native decoder). A ``00dc``
+    payload that is not a JPEG raises ValueError like any other
+    corrupt frame (interframe codecs in AVI are out of scope — the
+    honest boundary lives in the MP4 tier)."""
+    if not compressed:
+        return _dib_to_frame(b[off : off + length], w, h)
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import decode_jpeg
+
+    jw, jh, ch, arr = decode_jpeg(b[off : off + length])
+    if (jw, jh) != (w, h):
+        raise ValueError(
+            f"MJPG frame geometry {jw}x{jh} != container header {w}x{h}"
+        )
+    if ch == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
 
 
 def _sample_indices(n_frames: int, n_samples: int) -> list[int]:
@@ -267,8 +323,10 @@ def sample_video_frames(
                     chunks = _frame_chunks(b)
                     row_frames = []
                     for idx in _sample_indices(min(n, len(chunks)), n_samples):
-                        off, length = chunks[idx]
-                        frame = _dib_to_frame(b[off : off + length], w, h)
+                        off, length, compressed = chunks[idx]
+                        frame = _decode_frame_chunk(
+                            b, off, length, compressed, w, h
+                        )
                         row_frames.append(
                             (int(rid), idx, idx * usec // 1000, w, h,
                              encode_png(w, h, frame.tobytes(), 3))
@@ -322,8 +380,10 @@ def video_features(
                     idxs = _sample_indices(min(n, len(chunks)), max_frames)
                     frames = np.stack(
                         [
-                            _dib_to_frame(b[off : off + ln], w, h).astype(np.float64)
-                            for off, ln in (chunks[i] for i in idxs)
+                            _decode_frame_chunk(b, off, ln, comp, w, h).astype(
+                                np.float64
+                            )
+                            for off, ln, comp in (chunks[i] for i in idxs)
                         ]
                     )
                 except (ValueError, struct.error):

@@ -379,17 +379,24 @@ def _record_splitter(strict: bool):
         if data[:2] != b"\x1f\x8b":
             yield from iter_warc_records(data, strict=strict)
             return
-        buf = b""
-        pending: list[bytes] = []
+        # members accumulate into ~4 MB parse windows (list + join —
+        # linear copies; and one parser call per WINDOW, not per
+        # member: a per-member parse cost 24% of read throughput at
+        # the 100x probe's one-record-per-member layout)
+        window = _SPLIT_BATCH_BYTES // 16
+        parts: list[bytes] = []
+        size = 0
+        stalled = False
         for member in _iter_gunzip_members(data):
-            if pending:
-                # stalled on damage (or a single record wider than the
-                # carry bound): stop re-concatenating a growing buffer
-                # per member (quadratic byte copies) — accumulate and
-                # let the final flush resync once over the tail
-                pending.append(member)
+            parts.append(member)
+            size += len(member)
+            if stalled or size < window:
+                # stalled-on-damage (or one record wider than the
+                # bound): accumulate only; the final flush resyncs
+                # once over the tail instead of re-parsing a growing
+                # buffer per member
                 continue
-            buf += member
+            buf = b"".join(parts)
             st: dict = {}
             # the carry parse is NEVER strict: an "incomplete" record
             # here may simply continue in the next member — only the
@@ -397,12 +404,11 @@ def _record_splitter(strict: bool):
             yield from iter_warc_records(
                 buf, strict=False, stats=st, stop_at_damage=True
             )
-            buf = buf[st["consumed_bytes"]:]
-            if st["stopped_at_damage"] and len(buf) > _SPLIT_BATCH_BYTES:
-                pending = [buf]
-                buf = b""
-        tail = b"".join(pending) if pending else buf
-        yield from iter_warc_records(tail, strict=strict)
+            leftover = buf[st["consumed_bytes"]:]
+            parts, size = ([leftover], len(leftover)) if leftover else ([], 0)
+            if st["stopped_at_damage"] and size > _SPLIT_BATCH_BYTES:
+                stalled = True
+        yield from iter_warc_records(b"".join(parts), strict=strict)
 
     def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
