@@ -710,3 +710,31 @@ def test_linter_flags_oversized_broadcast_hint(spark, sf_dir, monkeypatch):
     local = spark.createDataFrame([(1, "x")], "doc_id bigint, tag string")
     grid = docs.join(SF.broadcast(local.groupBy("doc_id").count()), "doc_id")
     assert "oversized-broadcast-hint" not in rules(grid)
+
+
+def test_surrogate_key_window_idiom_stays_warning(spark, sf_dir, monkeypatch):
+    """r7 plan-inventory regression: Catalyst's Aggregate estimates do
+    not model cardinality reduction, so the size gate alone flipped
+    star_schema_fact's row_number-over-distinct-dim windows to errors
+    once the FACT grew past the gate (sf0.01) even though the window
+    input is the dim. The structural idiom check must keep them
+    warnings at ANY gate — while a window over a non-reduced input
+    still errors."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from udacity_data_engineering_capstone_project_spark.plans import lint as lint_mod
+    from udacity_data_engineering_capstone_project_spark.plans.lint import lint_plan
+
+    monkeypatch.setattr(lint_mod, "GLOBAL_WINDOW_MAX_BYTES", 0)
+    df = REGISTRY["star_schema_fact"].fn(spark, sf_dir)
+    gw = [f for f in lint_plan(df) if f["rule"] == "global-window"]
+    assert gw and all(f["severity"] == "warning" for f in gw)
+    # non-reduced input keeps the error under the same zero gate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    bad = docs.withColumn("rs", SF.sum("n_chars").over(w))
+    assert any(
+        f["rule"] == "global-window" and f["severity"] == "error"
+        for f in lint_plan(bad)
+    )

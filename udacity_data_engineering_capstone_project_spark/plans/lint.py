@@ -131,15 +131,40 @@ def lint_plan(df: DataFrame) -> list[dict]:
                 except Exception:
                     est = (1 << 63) - 1
                 small = est <= GLOBAL_WINDOW_MAX_BYTES
+                # The contiguous-surrogate-key idiom: a partition-less
+                # window directly over a CARDINALITY-REDUCING child
+                # (aggregate/distinct output — a dimension). Catalyst's
+                # size estimates do NOT model the reduction (Aggregate
+                # stats scale with the child), so the size gate alone
+                # would flip this idiom to an error as the FACT grows
+                # even though the window input is the dim (caught by
+                # the r7 plan inventory at sf0.01). Structural check:
+                # walk through row-preserving nodes to the first
+                # shape-changing child.
+                reduced = False
+                probe = node.child()
+                for _ in range(8):
+                    pn = _simple_name(probe)
+                    if pn in ("Aggregate", "Deduplicate", "Distinct"):
+                        reduced = True
+                        break
+                    if pn not in ("Project", "Filter", "SubqueryAlias"):
+                        break
+                    probe = probe.child()
                 findings.append(
                     {
                         "rule": "global-window",
-                        "severity": "warning" if small else "error",
+                        "severity": "warning" if (small or reduced) else "error",
                         "detail": (
                             "window with empty PARTITION BY moves every "
                             "row to one task; "
                             + (
-                                "tolerable while the input stays "
+                                "the input is an aggregation output (the "
+                                "surrogate-key idiom — runtime rows are "
+                                "the dim, whatever the un-reduced "
+                                f"estimate of {est} B says)"
+                                if reduced and not small
+                                else "tolerable while the input stays "
                                 "dimension-sized (estimated "
                                 f"{est} B), but a latent wall"
                                 if small
