@@ -219,3 +219,67 @@ def test_mp4_parsers_total_on_ftyp_prefixed_garbage(data):
             fn(spliced)
         except (ValueError, struct.error):
             pass
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_warc_parser_total_on_garbage(data):
+    """Non-strict WARC parse (with r7 damage resync) must be TOTAL on
+    arbitrary bytes — return a (possibly empty) list, never raise,
+    never loop; same with a record-magic prefix grafted on."""
+    from udacity_data_engineering_capstone_project_spark.sources.warc import (
+        parse_warc_bytes,
+    )
+
+    for blob in (data, b"WARC/1.0\r\n" + data, b"\r\n\r\nWARC/" + data):
+        st_out: dict = {}
+        recs = parse_warc_bytes(blob, strict=False, stats=st_out)
+        assert isinstance(recs, list)
+        assert 0 <= st_out["consumed_bytes"] <= len(blob) + 2
+
+
+@given(
+    payload_sizes=st.lists(st.integers(0, 60), min_size=1, max_size=6),
+    cut_points=st.lists(st.integers(1, 10**6), min_size=0, max_size=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_member_split_equals_whole_parse(payload_sizes, cut_points):
+    """r7 member-streaming invariant: however the record stream is
+    split into gzip members (including splits MID-RECORD), the
+    windowed carry parse must yield exactly the records of the
+    whole-stream parse."""
+    import gzip as _gz
+    import io as _io
+
+    from udacity_data_engineering_capstone_project_spark.sources import warc as wm
+
+    recs = b"".join(
+        wm.build_warc_record(bytes([65 + i % 26]) * n)
+        for i, n in enumerate(payload_sizes)
+    )
+
+    def member(raw: bytes) -> bytes:
+        buf = _io.BytesIO()
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(raw)
+        return buf.getvalue()
+
+    cuts = sorted({c % (len(recs) + 1) for c in cut_points})
+    pieces, prev = [], 0
+    for c in cuts + [len(recs)]:
+        if c > prev:
+            pieces.append(recs[prev:c])
+            prev = c
+    blob = b"".join(member(p) for p in pieces)
+
+    # drive the splitter's carry logic directly (no Spark round trip
+    # per hypothesis example): the pandas splitter shares it
+    split = wm._record_splitter(strict=False)
+    import pandas as pd
+
+    out = list(
+        split(iter([pd.DataFrame({"path": ["f"], "content": [blob]})]))
+    )
+    got = [bytes(p) for pdf in out for p in pdf["payload"]]
+    want = [r["payload"] for r in wm.parse_warc_bytes(recs)]
+    assert got == want
