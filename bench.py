@@ -106,6 +106,35 @@ def main() -> None:
     # engine, not session bootstrap.
     REGISTRY["pricing_summary"].fn(spark, sf_dir).collect()
 
+    # Host-calibration anchor (r7, VERDICT #2), measured at the START
+    # of the run on a freshly warmed JVM — the context whose
+    # stability was measured (~3% across fresh JVMs); an end-of-run
+    # placement read 0.267 s vs 0.37-0.39 standalone (bench-long
+    # JIT/GC state shifts the anchor). A fixed, data-free,
+    # pure-codegen job whose wall time depends only on host + JVM
+    # speed — recorded IN the artifact so cross-round comparisons can
+    # separate engine regressions from host variance (the r5->r6
+    # "1.4x slower boot" was provable only from prose before this).
+    # 1B xxhash64+sum rows through one whole-stage-codegen pipeline,
+    # best of 3 after TWO warm runs — measured stable to ~3% across
+    # fresh JVMs (a 200M variant swung 2x with end-of-bench JIT/GC
+    # state; the larger fixed workload amortizes it).
+    from pyspark.sql import functions as F
+
+    def _calib() -> float:
+        t0 = time.perf_counter()
+        # % 1024 bounds the sum far under long range — a raw
+        # sum(xxhash64) overflows int64 after ~2^33 rows under ANSI
+        spark.range(0, 1_000_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id") % 1024).alias("h")
+        ).collect()
+        return time.perf_counter() - t0
+
+    _calib()
+    _calib()  # two warm runs: JIT fully lands before timing
+    calibration = round(min(_calib() for _ in range(3)), 3)
+    print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # benched queries may have ceded their registry slot (driver
@@ -164,30 +193,6 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
 
-    # Host-calibration anchor (r7, VERDICT #2): a fixed, data-free,
-    # pure-codegen job whose wall time depends only on host + JVM
-    # speed — recorded IN the artifact so cross-round comparisons can
-    # separate engine regressions from host variance (the r5->r6
-    # "1.4x slower boot" was provable only from prose before this).
-    # 1B xxhash64+sum rows through one whole-stage-codegen pipeline,
-    # best of 3 after TWO warm runs — measured stable to ~3% across
-    # fresh JVMs (a 200M variant swung 2x with end-of-bench JIT/GC
-    # state; the larger fixed workload amortizes it).
-    from pyspark.sql import functions as F
-
-    def _calib() -> float:
-        t0 = time.perf_counter()
-        # % 1024 bounds the sum far under long range — a raw
-        # sum(xxhash64) overflows int64 after ~2^33 rows under ANSI
-        spark.range(0, 1_000_000_000, 1, 32).select(
-            F.sum(F.xxhash64("id") % 1024).alias("h")
-        ).collect()
-        return time.perf_counter() - t0
-
-    _calib()
-    _calib()  # two warm runs: JIT fully lands before timing
-    calibration = round(min(_calib() for _ in range(3)), 3)
-    print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
