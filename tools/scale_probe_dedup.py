@@ -115,6 +115,15 @@ def main() -> None:
         "minhash": lambda df, c: dd.minhash_dedup_pairs(
             df, "doc_id", "text"
         ).count(),
+        # r7: the VERIFIED contract (candidates -> estimate screen ->
+        # exact hash-set Jaccard). Work beyond the est path is
+        # proportional to screened candidates (near-linear under the
+        # banding s-curve x the fixed 2-sigma screen) — this probe is
+        # the evidence that the exact-verification stage holds that
+        # line at 10x/100x.
+        "minhash_verified": lambda df, c: dd.minhash_verified_pairs(
+            df, "doc_id", "text"
+        ).count(),
         # ExactSubstr spans: fingerprint shuffle is linear in corpus
         # tokens by design — this probe is the evidence
         "dup_spans": lambda df, c: dd.duplicated_spans(
