@@ -531,3 +531,109 @@ def test_gzip_member_streaming_and_spanning_records(spark, tmp_path):
     (p / "dmg.warc.gz").write_bytes(blob)
     got = {r["payload"] for r in read_warc(spark, str(p / "dmg.warc.gz")).collect()}
     assert recs and got.issuperset({b"stream-0" * 10, b"stream-1" * 10})
+
+
+def test_streaming_crawl_screen_composition(spark, tmp_path):
+    """r7 composition: the LIVE crawl intake path end-to-end —
+    read_warc_stream -> Arrow text decode -> RFC 9309 robots screen ->
+    quality rule -> parquet sink — with the robots/quality screens
+    applied INSIDE the streaming query (projection + broadcast join
+    are stream-safe). Two segment landings must equal the batch twin
+    over the same files, and a checkpoint replay adds nothing."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from udacity_data_engineering_capstone_project_spark.functions.robots import (
+        filter_robots_disallowed,
+        robots_rules_df,
+    )
+    from udacity_data_engineering_capstone_project_spark.sources.warc import (
+        read_warc,
+        read_warc_stream,
+    )
+
+    crawl = tmp_path / "landing"
+    crawl.mkdir()
+
+    def land(seg: int, n: int) -> None:
+        blob = b"".join(
+            gzip_member(
+                build_warc_record(
+                    (f"seg{seg} doc{i} " + "body word " * (2 + i)).encode(),
+                    target_uri=(
+                        f"http://h{i % 2}.com/"
+                        + ("blocked/" if i % 3 == 0 else "ok/")
+                        + f"p{i}"
+                    ),
+                )
+            )
+            for i in range(n)
+        )
+        (crawl / f"seg-{seg}.warc.gz").write_bytes(blob)
+
+    rules = robots_rules_df(
+        spark, [("h0.com", "User-agent: *\nDisallow: /blocked")]
+    )
+    decode_schema = StructType(
+        [
+            StructField("record_id", StringType()),
+            StructField("target_uri", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "record_id": pdf["record_id"],
+                    "target_uri": pdf["target_uri"],
+                    "text": pdf["payload"].map(
+                        lambda b: None if b is None
+                        else bytes(b).decode("utf-8", errors="replace")
+                    ),
+                }
+            )
+
+    def screened(df):
+        decoded = df.select(
+            "record_id", "target_uri", "payload"
+        ).mapInPandas(_decode, decode_schema)
+        allowed = filter_robots_disallowed(decoded, rules, "target_uri")
+        return allowed.filter(F.length("text") >= 30)
+
+    land(0, 6)
+    out_dir = str(tmp_path / "screened")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            screened(read_warc_stream(spark, str(crawl)))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    land(1, 4)
+    run_once()
+
+    got = {
+        (r.target_uri, r.text)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.target_uri, r.text)
+        for r in screened(read_warc(spark, str(crawl))).collect()
+    }
+    assert got == want and len(got) > 0
+    # screens really screened: h0.com/blocked dropped, short docs dropped
+    assert all("h0.com/blocked" not in u for u, _ in got)
+    assert all(len(t) >= 30 for _, t in got)
+    # replay over the kept checkpoint: nothing new
+    run_once()
+    assert spark.read.parquet(out_dir).count() == len(got)
