@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "crawl_pipeline_q",
     "ingest_anomaly_q",
     "pr_curve_q",
+    # bench-only est-screen twin: keeps the r4-r6 minhash baseline
+    # series alive after dedup_minhash_lsh's r7 contract change to
+    # exact verification (screen regressions show up undiluted here)
+    "minhash_screen_bench",
 ]
 
 

@@ -1348,6 +1348,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_screen_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only row (the heavy_hitters_bench pattern — NOT a graded
+    query): the est-Jaccard screening path `minhash_dedup_pairs`, kept
+    on the bench clock so its r4-r6 baseline continuity (1.5-1.8 s at
+    sf0.1) survives dedup_minhash_lsh's r7 contract change to exact
+    verification. A regression in the screen — which is also the
+    verified contract's first two phases — shows up here undiluted by
+    verification cost."""
+    return dd.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=8,
+        threshold=0.8,
+    )
+
+
 def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> str:
     """Generate the DuckDB twin of the portable-hash SimHash pipeline
     (r7 conversion of the former no_oracle row): token hash = first 15
