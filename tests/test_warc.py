@@ -637,3 +637,58 @@ def test_streaming_crawl_screen_composition(spark, tmp_path):
     # replay over the kept checkpoint: nothing new
     run_once()
     assert spark.read.parquet(out_dir).count() == len(got)
+
+
+def test_wide_damage_bounded_scan_recovers_tail(spark, tmp_path, monkeypatch):
+    """r7 review fix: an un-parseable span wider than the stall cap
+    must NOT buffer the rest of the segment — the splitter switches
+    to bounded boundary-scan and recovers records after the damage.
+    Two damage shapes: (a) a corrupt giant Content-Length swallowing
+    real records (a later boundary exists INSIDE the span — in-place
+    resync), (b) pure junk with no boundary until a later member
+    (cross-member scan with the 8-byte carry tail)."""
+    from udacity_data_engineering_capstone_project_spark.sources import warc as wm
+
+    monkeypatch.setattr(wm, "_SPLIT_BATCH_BYTES", 256)
+    monkeypatch.setattr(wm, "_STALL_MAX_BYTES", 1024)
+
+    def member(raw: bytes) -> bytes:
+        return gzip_member(raw)
+
+    good = [build_warc_record(f"tail-{i}".encode() * 8) for i in range(8)]
+    bad_header = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 999999999\r\n\r\n"
+    )
+
+    p = tmp_path / "dmg"
+    p.mkdir()
+    # (a) corrupt length followed by real records: resync-inside-span
+    blob_a = member(good[0]) + member(bad_header) + b"".join(
+        member(r) for r in good[1:]
+    )
+    (p / "a.warc.gz").write_bytes(blob_a)
+    got_a = {
+        bytes(r["payload"])
+        for r in read_warc(spark, str(p / "a.warc.gz")).collect()
+    }
+    assert good[0][good[0].find(b"\r\n\r\n") :] is not None
+    assert b"tail-0" * 8 in got_a  # before the damage
+    # at least the later records recover (the first record after the
+    # bad header is absorbed as its phantom payload — one record lost,
+    # not the segment)
+    assert {f"tail-{i}".encode() * 8 for i in range(3, 8)} <= got_a
+
+    # (b) junk with NO boundary until a later member; junk ends with
+    # CRLF CRLF so the boundary forms exactly at the junk/good seam
+    junk = [member(b"J" * 300) for _ in range(8)]
+    junk.append(member(b"K" * 100 + b"\r\n\r\n"))
+    blob_b = member(good[0]) + member(bad_header) + b"".join(junk) + b"".join(
+        member(r) for r in good[1:]
+    )
+    (p / "b.warc.gz").write_bytes(blob_b)
+    got_b = {
+        bytes(r["payload"])
+        for r in read_warc(spark, str(p / "b.warc.gz")).collect()
+    }
+    assert b"tail-0" * 8 in got_b
+    assert {f"tail-{i}".encode() * 8 for i in range(1, 8)} <= got_b

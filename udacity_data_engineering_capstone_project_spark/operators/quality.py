@@ -329,8 +329,12 @@ APPROX_DRIFT_MIN_BYTES = 1 << 30
 # Leaf node names whose Long.MaxValue size estimate means "tiny local
 # data with no stats", not "unbounded external source": python-side
 # createDataFrame relations and literal one-row plans.
-_LOCAL_LEAF_NODES = frozenset(
-    {"LocalRelation", "OneRowRelation", "LogicalRDD", "Range"}
+# Shared with operators.relational / plans.lint (one definition of
+# "driver-local leaf" + the garbage-estimate floor — the r7 review
+# flagged per-module copies as a drift risk).
+from udacity_data_engineering_capstone_project_spark.operators.relational import (
+    _LOCAL_LEAF_NODES,
+    _SENTINEL_FLOOR,
 )
 
 
@@ -353,7 +357,12 @@ def _estimated_size_exceeds(df: DataFrame, threshold: int) -> bool:
     try:
         est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         est = est if isinstance(est, int) else int(est.toString())
-        if est < (1 << 63) - 1:  # real estimate
+        # Anything at/above the shared floor is the no-stats sentinel
+        # OR its propagated leak (operators above a LocalRelation
+        # "estimate" slightly-smaller huge numbers — r7 unification;
+        # the old exact-MaxValue test missed the leak and sent
+        # garbage-estimated local frames down the sketch path)
+        if est < _SENTINEL_FLOOR:  # real estimate
             return est > threshold
         leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
         for i in range(leaves.size()):

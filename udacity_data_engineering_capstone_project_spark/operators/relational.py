@@ -44,6 +44,33 @@ _LOCAL_LEAF_NODES = frozenset(
 )
 
 
+def materialized_size_bytes(df: DataFrame) -> int | None:
+    """The ACTUAL storage size of a materialized (localCheckpoint'ed /
+    persisted) frame, read from the block manager — or None when the
+    plan is not a single persisted-RDD leaf.
+
+    Why this exists: `localCheckpoint(eager=True)` replaces the plan
+    with a LogicalRDD but CARRIES THE PRE-CHECKPOINT STATS ESTIMATE
+    through — a probe frame whose un-materialized estimate rode
+    through a crossJoin still "estimates" tens of GB after the
+    checkpoint even though its blocks total a few KB (review-confirmed
+    live: 35.9 GB estimate vs 3 944 actual bytes). The block manager
+    knows the truth, so size gates should prefer it.
+    """
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        if leaves.size() != 1 or leaves.apply(0).nodeName() != "LogicalRDD":
+            return None
+        rdd_id = leaves.apply(0).rdd().id()
+        infos = df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo()
+        for i in range(len(infos)):
+            if infos[i].id() == rdd_id:
+                return int(infos[i].memSize()) + int(infos[i].diskSize())
+    except Exception:
+        return None
+    return None
+
+
 def maybe_broadcast(
     df: DataFrame, max_bytes: int | None = None
 ) -> DataFrame:
@@ -85,6 +112,14 @@ def maybe_broadcast(
         est = plan.stats().sizeInBytes()
         # py4j maps scala BigInt to int when it fits; stringify otherwise
         est = est if isinstance(est, int) else int(est.toString())
+        if est > max_bytes:
+            # an over-budget estimate on a MATERIALIZED frame is often
+            # inherited garbage (localCheckpoint carries the
+            # pre-checkpoint stats through) — the block manager has
+            # the real number; gate on that when available
+            actual = materialized_size_bytes(df)
+            if actual is not None:
+                return F.broadcast(df) if actual <= max_bytes else df
         if est >= _SENTINEL_FLOOR:
             leaves = plan.collectLeaves()
             for i in range(leaves.size()):

@@ -42,6 +42,14 @@ raises on errors and is the CI shape.
 Honest scope: this is a linter, not a prover — it flags known-bad
 patterns; a clean report does not certify a plan (skew, bucket-size
 misconfiguration, and data-dependent blowups need the scale probes).
+Known blind spot, documented rather than hidden: the global-window
+rule downgrades to warning for windows over AGGREGATION OUTPUTS (the
+surrogate-key idiom), because Catalyst estimates cannot model the
+aggregate's cardinality reduction — which also means a window over a
+NEAR-UNIQUE-key aggregate (content fingerprints) passes as warning;
+static analysis cannot tell a 50-row dim from a 5-billion-row
+fingerprint table, so the warning text demands the cardinality
+review a machine can't do.
 """
 
 from __future__ import annotations
@@ -58,45 +66,66 @@ GLOBAL_WINDOW_MAX_BYTES = 64 * 1024 * 1024
 #: can simulate 100x inputs by shrinking it.
 BROADCAST_HINT_MAX_BYTES = 64 * 1024 * 1024
 
-#: Logical leaf nodes that are driver-local by construction — their
-#: "unknown size" sentinel means a few in-memory rows, not an
-#: unstatted multi-TB external relation (see quality._estimated_size_
-#: exceeds for the full rationale).
-_LOCAL_LEAF_NODES = frozenset(
-    {"LocalRelation", "OneRowRelation", "Range", "LogicalRDD"}
+# Sentinel floor + local-leaf classification are SHARED with
+# operators.relational (one definition — the r7 review flagged the
+# drift risk of the earlier per-module copies).
+from udacity_data_engineering_capstone_project_spark.operators.relational import (  # noqa: E402
+    _LOCAL_LEAF_NODES as _SHARED_LOCAL_LEAVES,
+    _SENTINEL_FLOOR,
 )
-
-
-#: Estimates at/above this are sentinel-propagated garbage, not real
-#: sizes: Spark's Long.MaxValue "no stats" sentinel leaks through
-#: operators above a LocalRelation as slightly-smaller huge numbers
-#: (a groupBy over a createDataFrame frame "estimates" ~5 EB). Kept in
-#: sync with operators.relational._SENTINEL_FLOOR.
-_SENTINEL_FLOOR = 1 << 60
 
 
 def _leaf_resolved_size(plan) -> tuple[int, bool]:
     """(estimated size, is_external) for a logical subtree: estimates
     above `_SENTINEL_FLOOR` are resolved by the subtree's leaves —
     all-local leaves mean a small in-memory frame (the sentinel lies),
-    any external leaf means the size is genuinely unknowable."""
+    any external leaf means the size is genuinely unknowable.
+
+    FAIL-CLOSED: a stats()/collectLeaves() failure reads as
+    (sentinel, external) — an unsizeable hinted side gets FLAGGED,
+    never silently skipped (review finding: the first cut classified
+    exceptions as 'local sentinel', passing exactly the
+    forced-broadcast-over-unsizeable-source case the rule exists
+    for). Spurious errors from exotic plans go through
+    ``assert_scalable(..., allow=...)``.
+    """
     sentinel = (1 << 63) - 1
     try:
         est = plan.stats().sizeInBytes()
         est = est if isinstance(est, int) else int(est.toString())
     except Exception:
-        return sentinel, False
+        return sentinel, True
     external = False
     if est >= _SENTINEL_FLOOR:
         try:
             leaves = plan.collectLeaves()
             for i in range(leaves.size()):
-                if leaves.apply(i).nodeName() not in _LOCAL_LEAF_NODES:
+                if leaves.apply(i).nodeName() not in _SHARED_LOCAL_LEAVES:
                     external = True
                     break
         except Exception:
-            external = False
+            external = True
     return est, external
+
+
+def _materialized_plan_size(plan, sc) -> int | None:
+    """Block-manager truth for a single persisted-LogicalRDD subtree
+    (the plan-node twin of relational.materialized_size_bytes):
+    localCheckpoint carries the pre-checkpoint estimate through, so an
+    'oversized' hinted side may really be a few KB of materialized
+    probe rows."""
+    try:
+        leaves = plan.collectLeaves()
+        if leaves.size() != 1 or leaves.apply(0).nodeName() != "LogicalRDD":
+            return None
+        rdd_id = leaves.apply(0).rdd().id()
+        infos = sc._jsc.sc().getRDDStorageInfo()
+        for i in range(len(infos)):
+            if infos[i].id() == rdd_id:
+                return int(infos[i].memSize()) + int(infos[i].diskSize())
+    except Exception:
+        return None
+    return None
 
 
 def _walk(node, parent=None):
@@ -162,7 +191,11 @@ def lint_plan(df: DataFrame) -> list[dict]:
                                 "the input is an aggregation output (the "
                                 "surrogate-key idiom — runtime rows are "
                                 "the dim, whatever the un-reduced "
-                                f"estimate of {est} B says)"
+                                f"estimate of {est} B says); CONFIRM the "
+                                "grouping key is dimension-cardinality — "
+                                "a near-unique key (content fingerprints) "
+                                "still one-tasks, and cardinality is not "
+                                "statically provable"
                                 if reduced and not small
                                 else "tolerable while the input stays "
                                 "dimension-sized (estimated "
@@ -236,6 +269,14 @@ def lint_plan(df: DataFrame) -> list[dict]:
             sentinel = est >= _SENTINEL_FLOOR
             if sentinel and not external:
                 continue  # local in-memory frame: the sentinel lies
+            if est > BROADCAST_HINT_MAX_BYTES and not sentinel:
+                # an inherited-garbage estimate on a materialized
+                # frame: prefer the block manager's truth
+                actual = _materialized_plan_size(
+                    child, df.sparkSession.sparkContext
+                )
+                if actual is not None and actual <= BROADCAST_HINT_MAX_BYTES:
+                    continue
             if est > BROADCAST_HINT_MAX_BYTES:
                 findings.append(
                     {

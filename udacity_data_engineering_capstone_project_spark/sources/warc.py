@@ -354,6 +354,13 @@ _WARC_SCHEMA = StructType(
 _SPLIT_BATCH_BYTES = 64 * 1024 * 1024
 _SPLIT_BATCH_RECORDS = 4096
 
+#: Above this, an un-parseable carry span stops accumulating and the
+#: splitter switches to bounded boundary-scan (see _file_records) —
+#: the memory cap for damaged segments, and the size above which a
+#: single VALID record in a .warc.gz is no longer recoverable by the
+#: streaming path.
+_STALL_MAX_BYTES = 4 * _SPLIT_BATCH_BYTES
+
 
 def _record_splitter(strict: bool):
     import pandas as pd
@@ -372,10 +379,15 @@ def _record_splitter(strict: bool):
         an incomplete tail instead of resyncing (the record may
         simply continue in the next member); the FINAL flush applies
         the normal damage-resync semantics so a genuinely corrupt
-        mid-segment record still costs only itself. Worst case —
-        damage (or one record) wider than the carry bound — degrades
-        to buffering the remaining tail, i.e. the old whole-segment
-        behavior, never worse."""
+        mid-segment record still costs only itself. An un-parseable
+        span wider than ``_STALL_MAX_BYTES`` switches to BOUNDED
+        boundary-scan mode — bytes discard until the next record
+        magic (8-byte carry tail for boundaries split across members)
+        — so memory never grows past the stall cap even when a ~1 GB
+        segment is damaged near its head (review finding: the first
+        cut buffered the whole remaining tail forever). The cost of
+        the bound: a VALID single record wider than the cap is lost;
+        spanning records under the cap always parse whole."""
         if data[:2] != b"\x1f\x8b":
             yield from iter_warc_records(data, strict=strict)
             return
@@ -386,15 +398,21 @@ def _record_splitter(strict: bool):
         window = _SPLIT_BATCH_BYTES // 16
         parts: list[bytes] = []
         size = 0
-        stalled = False
+        scan_tail: bytes | None = None  # not None => boundary-scan mode
         for member in _iter_gunzip_members(data):
+            if scan_tail is not None:
+                probe = scan_tail + member
+                idx = probe.find(_RESYNC_MAGIC)
+                if idx < 0:
+                    scan_tail = probe[-(len(_RESYNC_MAGIC) - 1):]
+                    continue
+                parts = [probe[idx + 4:]]  # resume AT the version line
+                size = len(parts[0])
+                scan_tail = None
+                continue
             parts.append(member)
             size += len(member)
-            if stalled or size < window:
-                # stalled-on-damage (or one record wider than the
-                # bound): accumulate only; the final flush resyncs
-                # once over the tail instead of re-parsing a growing
-                # buffer per member
+            if size < window:
                 continue
             buf = b"".join(parts)
             st: dict = {}
@@ -406,9 +424,18 @@ def _record_splitter(strict: bool):
             )
             leftover = buf[st["consumed_bytes"]:]
             parts, size = ([leftover], len(leftover)) if leftover else ([], 0)
-            if st["stopped_at_damage"] and size > _SPLIT_BATCH_BYTES:
-                stalled = True
-        yield from iter_warc_records(b"".join(parts), strict=strict)
+            if st["stopped_at_damage"] and size > _STALL_MAX_BYTES:
+                # the span may already CONTAIN a later boundary
+                # (stop-at-damage never scans ahead): resync within,
+                # else discard-and-scan incoming members
+                nxt = leftover.find(_RESYNC_MAGIC, 1)
+                if nxt >= 0:
+                    parts, size = [leftover[nxt + 4:]], len(leftover) - nxt - 4
+                else:
+                    scan_tail = leftover[-(len(_RESYNC_MAGIC) - 1):]
+                    parts, size = [], 0
+        if scan_tail is None:
+            yield from iter_warc_records(b"".join(parts), strict=strict)
 
     def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
