@@ -283,3 +283,32 @@ def test_warc_member_split_equals_whole_parse(payload_sizes, cut_points):
     got = [bytes(p) for pdf in out for p in pdf["payload"]]
     want = [r["payload"] for r in wm.parse_warc_bytes(recs)]
     assert got == want
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_gunzip_member_iterator_total_on_garbage(data):
+    """r7: the member-streaming inflater must be TOTAL — arbitrary
+    bytes, gzip-magic-prefixed garbage, and a valid member followed
+    by junk all terminate without raising, and every yielded member
+    is bytes. (The corrupt-member path resyncs on the next gzip
+    magic, so a false magic inside garbage must also terminate.)"""
+    import gzip as _gz
+    import io as _io
+
+    from udacity_data_engineering_capstone_project_spark.sources.warc import (
+        _iter_gunzip_members,
+        parse_warc_bytes,
+    )
+
+    buf = _io.BytesIO()
+    with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(b"member-zero")
+    member = buf.getvalue()
+
+    for blob in (data, b"\x1f\x8b\x08" + data, member + data,
+                 data + member):
+        out = list(_iter_gunzip_members(blob))
+        assert all(isinstance(m, bytes) for m in out)
+        # and the full parse path stays total over the same blobs
+        assert isinstance(parse_warc_bytes(blob, strict=False), list)
