@@ -94,18 +94,33 @@ def main() -> None:
             ).write.mode("overwrite").parquet(
                 os.path.join(sdir, "documents.parquet")
             )
+            # per-stage walls: each next() returns when that stage's
+            # barrier has materialized (crawl_pipeline_stages yields
+            # AFTER the eager checkpoint), so the generator IS the
+            # stage timer — no pipeline duplication in the probe
+            from udacity_data_engineering_capstone_project_spark.plans.queries import (
+                crawl_pipeline_stages,
+            )
+
             t0 = time.perf_counter()
-            rows = REGISTRY["crawl_pipeline_q"].fn(spark, sdir).collect()
+            stage_walls: dict[str, float] = {}
+            stages: dict[str, int] = {}
+            prev = t0
+            for name, df in crawl_pipeline_stages(spark, sdir):
+                now = time.perf_counter()
+                stage_walls[name] = round(now - prev, 2)
+                # counts read the just-materialized barrier (cheap);
+                # intake is unbarriered so its count runs the scan
+                stages[name] = df.count()
+                prev = time.perf_counter()
             wall = time.perf_counter() - t0
-            stages = {
-                r["stage"]: int(r["n_docs"])
-                for r in sorted(rows, key=lambda r: r["stage_index"])
-            }
             results[f"x{scale}"] = {
                 "wall_sec": round(wall, 2),
+                "stage_walls_sec": stage_walls,
                 "stages": stages,
             }
-            print(f"# x{scale}: {wall:.2f}s {stages}", file=sys.stderr)
+            print(f"# x{scale}: {wall:.2f}s {stages} walls={stage_walls}",
+                  file=sys.stderr)
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

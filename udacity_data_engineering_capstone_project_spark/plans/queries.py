@@ -4279,24 +4279,12 @@ CRAWL_PIPELINE_ORACLE = f"""
 """
 
 
-@_register(
-    "crawl_pipeline_q",
-    CRAWL_PIPELINE_ORACLE,
-    "END-TO-END crawl curation pipeline (r7, VERDICT #4): synthetic "
-    "per-doc URLs -> RFC 9309 robots screen -> blocklist phrase "
-    "screen -> 4-rule quality cascade -> exact dedup -> per-lang "
-    "token budget, composed from the REAL operators "
-    "(filter_robots_disallowed, screen_blocked_terms, "
-    "apply_filter_cascade, exact_text_dedup, cap_tokens_per_group) "
-    "with per-stage (rows, id_sum) audit — the query a real user "
-    "runs; id_sum pins the exact surviving set at every stage.",
-)
-def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six-stage crawl curation composition. Each stage is eagerly
-    checkpointed so the audit union computes every stage ONCE (the
-    same phase-boundary-barrier pattern as the example pipeline);
-    at 100 TB each barrier is a persisted stage output — exactly how
-    an audited production pipeline runs."""
+def crawl_pipeline_stages(spark: SparkSession, sf_dir: str):
+    """Generator over the crawl pipeline's (name, DataFrame) stages,
+    eagerly checkpointing each barrier AS IT IS YIELDED — so a probe
+    can time every stage individually (next() returns when the
+    barrier has materialized) while the graded query just drains it.
+    One implementation serves both; see crawl_pipeline_q."""
     from udacity_data_engineering_capstone_project_spark.functions.robots import (
         filter_robots_disallowed,
         robots_rules_df,
@@ -4321,9 +4309,11 @@ def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s0 = docs.withColumn("url", F.expr(_ROBOTS_URL_SQL.format(T="STRING")))
+    yield "intake", s0
 
     rules = robots_rules_df(spark, sorted(_ROBOTS_TXT.items()))
     s1 = filter_robots_disallowed(s0, rules, "url").localCheckpoint(eager=True)
+    yield "robots", s1
 
     matches = ts.screen_blocked_terms(
         s1, "doc_id",
@@ -4332,6 +4322,7 @@ def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1.join(
         matches.select("doc_id").distinct(), on="doc_id", how="left_anti"
     ).localCheckpoint(eager=True)
+    yield "blocklist", s2
 
     words = F.split(F.trim(F.col("text")), r"\s+")
     diversity = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
@@ -4343,6 +4334,7 @@ def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     s3, _audit = apply_filter_cascade(s2, cascade_rules)
     s3 = s3.localCheckpoint(eager=True)
+    yield "quality_cascade", s3
 
     survivors = dd.exact_text_dedup(s3, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
@@ -4350,10 +4342,34 @@ def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     s4 = s3.join(survivors, on="doc_id", how="left_semi").localCheckpoint(
         eager=True
     )
+    yield "exact_dedup", s4
 
     s5 = cap_tokens_per_group(
         s4, ["lang"], "n_chars", budget=2000, key_col="doc_id"
     ).localCheckpoint(eager=True)
+    yield "token_budget", s5
+
+
+@_register(
+    "crawl_pipeline_q",
+    CRAWL_PIPELINE_ORACLE,
+    "END-TO-END crawl curation pipeline (r7, VERDICT #4): synthetic "
+    "per-doc URLs -> RFC 9309 robots screen -> blocklist phrase "
+    "screen -> 4-rule quality cascade -> exact dedup -> per-lang "
+    "token budget, composed from the REAL operators "
+    "(filter_robots_disallowed, screen_blocked_terms, "
+    "apply_filter_cascade, exact_text_dedup, cap_tokens_per_group) "
+    "with per-stage (rows, id_sum) audit — the query a real user "
+    "runs; id_sum pins the exact surviving set at every stage.",
+)
+def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-stage crawl curation composition. Each stage is eagerly
+    checkpointed so the audit union computes every stage ONCE (the
+    same phase-boundary-barrier pattern as the example pipeline);
+    at 100 TB each barrier is a persisted stage output — exactly how
+    an audited production pipeline runs. The stage chain itself lives
+    in `crawl_pipeline_stages` so the scale probe can time each
+    barrier without duplicating the pipeline."""
 
     def audit(df: DataFrame, idx: int, name: str) -> DataFrame:
         return df.agg(
@@ -4367,12 +4383,8 @@ def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stages = [
-        audit(s0, 0, "intake"),
-        audit(s1, 1, "robots"),
-        audit(s2, 2, "blocklist"),
-        audit(s3, 3, "quality_cascade"),
-        audit(s4, 4, "exact_dedup"),
-        audit(s5, 5, "token_budget"),
+        audit(df, idx, name)
+        for idx, (name, df) in enumerate(crawl_pipeline_stages(spark, sf_dir))
     ]
     out = stages[0]
     for s in stages[1:]:
