@@ -30,11 +30,64 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_kind(series: pd.Series) -> str:
+    """Coarse dtype kind for driver-faithful comparison. The real driver
+    hashes values WITH their arrow types, so an int64 Spark column vs a
+    float64 oracle column (e.g. an uncast DuckDB HUGEINT window sum)
+    hash-mismatches even when every value is equal — the r7 pr_curve_q
+    failure. Kinds, not exact dtypes: int32 vs int64 is fine (the driver
+    upcasts), integer vs floating is not."""
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(series):
+        return "bool"
+    if pd.api.types.is_integer_dtype(series):
+        return "integer"
+    if pd.api.types.is_float_dtype(series):
+        return "float"
+    # Spark DATE columns land in pandas as object dtype holding
+    # datetime.date values while DuckDB DATE lands as datetime64[us];
+    # the driver hashes both as arrow date — equivalent, not divergent
+    # (sas_date_decode/scalar_function_sink/shipping_priority were all
+    # driver hash-GREEN in r7 with exactly this local shape).
+    import datetime as _dt
+
+    nonnull = series.dropna()
+    if len(nonnull) and all(
+        isinstance(v, (_dt.date, _dt.datetime)) for v in nonnull.head(100)
+    ):
+        return "datetime"
+    return "object"
+
+
+def assert_dtype_kinds(
+    spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str
+) -> None:
+    """Fail when any shared column's dtype KIND (integer/float/bool/
+    datetime/object) diverges between the Spark result and the oracle
+    result. This is what makes the local gate faithful to the driver's
+    type-sensitive value hash (VERDICT r7 'What's wrong' #2)."""
+    mismatches = []
+    for c in sorted(spark_df.columns):
+        sk, ok = _dtype_kind(spark_df[c]), _dtype_kind(oracle_df[c])
+        if sk != ok:
+            mismatches.append(
+                f"{c}: spark {spark_df[c].dtype}({sk}) vs "
+                f"oracle {oracle_df[c].dtype}({ok})"
+            )
+    assert not mismatches, (
+        f"{name}: dtype-kind divergence (driver would hash-mismatch even "
+        f"on equal values — cast the oracle, e.g. CAST(sum(..) AS BIGINT) "
+        f"for DuckDB HUGEINT window sums): " + "; ".join(mismatches)
+    )
+
+
 def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> None:
     assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
         f"{name}: column mismatch spark={sorted(spark_df.columns)} "
         f"oracle={sorted(oracle_df.columns)}"
     )
+    assert_dtype_kinds(spark_df, oracle_df, name)
     assert len(spark_df) == len(oracle_df), (
         f"{name}: row count spark={len(spark_df)} oracle={len(oracle_df)}"
     )

@@ -11,6 +11,22 @@ from udacity_data_engineering_capstone_project_spark.plans.queries import (
 )
 from tests.oracle_utils import compare_frames, run_oracle
 
+
+def test_gate_catches_dtype_kind_divergence():
+    """Regression test for the GATE itself (VERDICT r7 #2): equal VALUES
+    with diverging dtype kinds (int64 vs float64 — e.g. an uncast DuckDB
+    HUGEINT window sum) must fail locally, because the driver's value
+    hash is type-sensitive. Before r8 the gate normalized this away and
+    pr_curve_q shipped hash-red."""
+    import pandas as pd
+
+    s = pd.DataFrame({"a": pd.Series([1, 2, 3], dtype="int64")})
+    o = pd.DataFrame({"a": pd.Series([1.0, 2.0, 3.0], dtype="float64")})
+    with pytest.raises(AssertionError, match="dtype-kind"):
+        compare_frames(s, o, "gate_regression")
+    # and identical kinds still pass
+    compare_frames(s, s.copy(), "gate_regression_ok")
+
 ORACLE_QUERIES = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
 ROWS_ONLY_QUERIES = sorted(name for name, spec in REGISTRY.items() if not spec.oracle)
 

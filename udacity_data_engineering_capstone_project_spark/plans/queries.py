@@ -130,6 +130,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderstatus = 'O' AND o_totalprice > 200000
     """,
     "Projection + equality/range filter pushed to the scan (P1, P5).",
+    registered=False,  # r8: ceded to the unregistered-candidate promotions; P1/P5 stay driver-graded via scalar_function_sink + capstone_counts and hash-pinned here
 )
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -1120,6 +1121,7 @@ DECAY_ORACLE = f"""
     # r6: no_oracle -> hash-checked via the closed form; closed form
     # became the operator default after the bench exposed the
     # per-group applyInPandas overhead (~2 ms x 1500 groups).
+    registered=False,  # r8: ceded (rotation); closed-form parity stays pinned in the unregistered gate
 )
 def decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.stateful import decay_score
@@ -1154,6 +1156,7 @@ def decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "As-of join (operator Spark lacks): each error event paired with "
     "the user's most recent prior click — union+window composition, "
     "one shuffle; oracle is DuckDB's native ASOF JOIN.",
+    registered=False,  # r8: ceded (rotation); ASOF parity + hostile-tz probe stay pinned in the unregistered gate
 )
 def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.relational import asof_join
@@ -2528,6 +2531,7 @@ RANGE_JOIN_ORACLE = """
     "(operators/relational.py:range_join) — Spark would otherwise "
     "plan a broadcast-nested-loop. Promoted to a driver slot in "
     "round 4.",
+    registered=False,  # r8: ceded (rotation); bucket-and-prune parity stays pinned in the unregistered gate
 )
 def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval containment via bucket-and-prune equi-join
@@ -2898,6 +2902,7 @@ WINSORIZE_ORACLE = """
     "pure projection. Hash-checked against DuckDB "
     "quantile_cont.",
     # r5: promoted to a driver slot (rotation; was unregistered).
+    registered=False,  # r8: ceded (rotation); quantile-clip parity stays pinned in the unregistered gate
 )
 def winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.quality import winsorize
@@ -3747,8 +3752,7 @@ SKEW_REPORT_ORACLE = """
     "Hot-key diagnostics for two planned join keys "
     "(operators/quality.py:key_skew_report) — share + max/mean skew "
     "ratio + the salt/watch/ok operating rule, run before the 100 TB "
-    "join. Unregistered; hash-pinned locally.",
-    registered=False,
+    "join. Promoted to a driver slot in r8 (rotation).",
 )
 def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew reports over documents.lang and events.user_id
@@ -3806,9 +3810,8 @@ QUALITY_BINS_ORACLE = """
     "Per-language length quartiles via equi-depth binning "
     "(operators/quality.py:quantile_bins) — the curriculum/strata "
     "primitive, one grouped percentile aggregation + a broadcast "
-    "cut join, never ntile's global sort. Unregistered; hash-pinned "
-    "locally.",
-    registered=False,
+    "cut join, never ntile's global sort. Promoted to a driver slot "
+    "in r8 (rotation).",
 )
 def quality_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth quartile bins of document length per language
@@ -3857,18 +3860,21 @@ PR_CURVE_ORACLE = """
                coalesce(pos, 0) AS pos, coalesce(neg, 0) AS neg
         FROM spine LEFT JOIN counts ON spine.b = counts.b
     ), cum AS (
+        -- CAST: DuckDB window sum(BIGINT) -> HUGEINT, which lands as
+        -- float64 in the driver's hash while Spark emits int64 (the
+        -- r3 corpus_prep lesson; r7 hash-red root cause).
         SELECT b,
-               sum(pos) OVER (ORDER BY b DESC
+               CAST(sum(pos) OVER (ORDER BY b DESC
                               ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS tp,
-               sum(neg) OVER (ORDER BY b DESC
+                              AND CURRENT ROW) AS BIGINT) AS tp,
+               CAST(sum(neg) OVER (ORDER BY b DESC
                               ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS fp,
-               sum(pos) OVER () AS total_pos
+                              AND CURRENT ROW) AS BIGINT) AS fp,
+               CAST(sum(pos) OVER () AS BIGINT) AS total_pos
         FROM filled
     )
     SELECT round(CAST(b AS DOUBLE) / 100, 6) AS threshold,
-           tp, fp, total_pos - tp AS fn,
+           tp, fp, CAST(total_pos - tp AS BIGINT) AS fn,
            CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END
                AS precision,
            CASE WHEN total_pos > 0 THEN round(tp / total_pos, 6) END
@@ -3940,8 +3946,7 @@ EMBEDDING_DRIFT_ORACLE = """
     "Per-dimension embedding centroid drift between two corpus "
     "versions (operators/similarity.py:embedding_drift) — the "
     "model-ops gate before mixing versions or swapping encoders. "
-    "Unregistered; hash-pinned locally.",
-    registered=False,
+    "Promoted to a driver slot in r8 (rotation).",
 )
 def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid drift between the even- and odd-id halves of the
@@ -4133,8 +4138,7 @@ STRIP_HTML_ORACLE = f"""
     "newlines, entities decoded, whitespace collapsed — one "
     "whole-stage-codegen regexp chain. Hash-checked against the "
     "extraction invariant (wrapped clean text comes back verbatim). "
-    "Unregistered; hash-pinned locally.",
-    registered=False,
+    "Promoted to a driver slot in r8 (rotation).",
 )
 def strip_html_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four HTML wrappings (full page, div+script, list+comment,
@@ -4177,9 +4181,8 @@ BLOCKLIST_ORACLE = """
     "screen_blocked_terms): whole-word case-insensitive phrase "
     "matches via first-token broadcast prefilter + padded-contains "
     "verify — never documents x phrases. Hash-checked against a "
-    "brute-force cross-join oracle. Unregistered; hash-pinned "
-    "locally.",
-    registered=False,
+    "brute-force cross-join oracle. Promoted to a driver slot in r8 "
+    "(rotation).",
 )
 def blocklist_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, phrase) match rows for a 4-entry blocklist over
