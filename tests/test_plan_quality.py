@@ -694,6 +694,43 @@ def test_plan_summary_counts_known_shapes(spark, sf_dir):
     assert s3["broadcast_joins"] == 1 and s3["bnl_joins"] == 0
 
 
+def test_maybe_broadcast_probes_unheld_rdd_leaves(spark, monkeypatch):
+    """r8 review fix: a sentinel-stats frame whose leaves are 'local'
+    only because they are LogicalRDDs is no longer force-hinted on
+    faith — un-persisted frames must pass a bounded row/byte probe
+    (an actually-huge driver-local frame stops at the row cap and
+    stays unhinted). Model-sized frames keep the documented hint, and
+    block-manager-held checkpoints hint without any probe."""
+    from pyspark.sql import functions as SF
+
+    from udacity_data_engineering_capstone_project_spark.operators import relational
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        maybe_broadcast,
+    )
+
+    rdd = spark.sparkContext.parallelize([(i, "x") for i in range(10)])
+    unheld = spark.createDataFrame(rdd, "id bigint, tag string")
+
+    # model-sized: the probe admits it -> hinted (the rules idiom)
+    assert maybe_broadcast(unheld) is not unheld
+
+    # simulate "huge driver-local frame" by shrinking the probe cap:
+    # the frame overflows the cap -> stays unhinted
+    monkeypatch.setattr(relational, "_LOCAL_PROBE_MAX_ROWS", 5)
+    assert maybe_broadcast(unheld) is unheld
+
+    # block-manager-held checkpoint: hinted from storage truth, no
+    # probe involved (cap still shrunk)
+    held = unheld.localCheckpoint(eager=True)
+    assert maybe_broadcast(held) is not held
+
+    # sentinel stats above a groupBy over a model frame: still hinted
+    local = spark.createDataFrame([(1, "x")], "id bigint, tag string")
+    agg = local.groupBy("id").agg(SF.count(SF.lit(1)).alias("n"))
+    monkeypatch.setattr(relational, "_LOCAL_PROBE_MAX_ROWS", 1 << 18)
+    assert maybe_broadcast(agg) is not agg
+
+
 def test_linter_flags_oversized_broadcast_hint(spark, sf_dir, monkeypatch):
     """VERDICT r6 #3 companion: an explicit F.broadcast over a side
     the optimizer sizes ABOVE the ceiling is an error (a forced

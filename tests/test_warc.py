@@ -639,6 +639,41 @@ def test_streaming_crawl_screen_composition(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == len(got)
 
 
+def test_strict_mode_raises_on_gz_midsegment_damage(spark, tmp_path, monkeypatch):
+    """r8 review fix: strict=True must be honored on the streaming
+    .warc.gz path too — a damaged span that buffers past the stall cap
+    (provably unable to complete) raises instead of being silently
+    boundary-scanned away. Non-strict on the same bytes recovers the
+    tail (the documented crawl default)."""
+    from udacity_data_engineering_capstone_project_spark.sources import warc as wm
+    from udacity_data_engineering_capstone_project_spark.sources.warc import read_warc
+
+    monkeypatch.setattr(wm, "_SPLIT_BATCH_BYTES", 256)
+    monkeypatch.setattr(wm, "_STALL_MAX_BYTES", 1024)
+
+    good = [build_warc_record(f"strict-{i}".encode() * 8) for i in range(6)]
+    bad_header = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 999999999\r\n\r\n"
+    )
+    junk = b"".join(gzip_member(b"J" * 300) for _ in range(8))
+    blob = (
+        gzip_member(good[0]) + gzip_member(bad_header) + junk
+        + b"".join(gzip_member(r) for r in good[1:])
+    )
+    p = tmp_path / "strict"
+    p.mkdir()
+    (p / "x.warc.gz").write_bytes(blob)
+
+    with pytest.raises(Exception, match="strict"):
+        read_warc(spark, str(p / "x.warc.gz"), strict=True).collect()
+
+    lax = {
+        bytes(r["payload"])
+        for r in read_warc(spark, str(p / "x.warc.gz")).collect()
+    }
+    assert b"strict-0" * 8 in lax  # before the damage
+
+
 def test_wide_damage_bounded_scan_recovers_tail(spark, tmp_path, monkeypatch):
     """r7 review fix: an un-parseable span wider than the stall cap
     must NOT buffer the rest of the segment — the splitter switches

@@ -61,7 +61,42 @@ def materialized_size_bytes(df: DataFrame) -> int | None:
         leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
         if leaves.size() != 1 or leaves.apply(0).nodeName() != "LogicalRDD":
             return None
-        rdd_id = leaves.apply(0).rdd().id()
+        return _rdd_leaf_storage_bytes(df, leaves.apply(0))
+    except Exception:
+        return None
+
+
+#: Row ceiling for the bounded smallness probe of sentinel-stats
+#: frames with un-persisted LogicalRDD leaves. Model/rules frames are
+#: thousands of rows; anything past this is not a hint candidate.
+_LOCAL_PROBE_MAX_ROWS = 1 << 18
+
+
+def _probe_frame_is_small(df: DataFrame, max_bytes: int) -> bool:
+    """Cheap residual guard (r8, review finding) for a frame whose only
+    size signal is 'all leaves are driver-local': take() a bounded
+    number of rows and accept the hint only when the frame ends within
+    the cap AND the pickled sample fits half the budget (pickle
+    over-counts per-row Row overhead, so the bound errs conservative).
+    Costs one tiny job on genuinely model-sized frames; a huge
+    driver-local frame stops at the row cap without collecting fully.
+    """
+    try:
+        rows = df.take(_LOCAL_PROBE_MAX_ROWS + 1)
+        if len(rows) > _LOCAL_PROBE_MAX_ROWS:
+            return False
+        import pickle
+
+        return len(pickle.dumps(rows)) <= max_bytes // 2
+    except Exception:
+        return False
+
+
+def _rdd_leaf_storage_bytes(df: DataFrame, leaf) -> int | None:
+    """Block-manager storage size for one LogicalRDD leaf, or None when
+    its blocks are not held (un-persisted / evicted — size unknowable)."""
+    try:
+        rdd_id = leaf.rdd().id()
         infos = df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo()
         for i in range(len(infos)):
             if infos[i].id() == rdd_id:
@@ -101,7 +136,10 @@ def maybe_broadcast(
     scale) is therefore resolved by the plan's LEAVES: all-local
     leaves mean driver-memory-sized data (hint it — that is exactly
     the rules/model-frame case), while any external leaf means the
-    size is genuinely unknowable (stay unhinted).
+    size is genuinely unknowable (stay unhinted). LogicalRDD leaves
+    additionally require block-manager-held blocks whose total fits
+    the budget (r8): an un-persisted createDataFrame or an evicted
+    checkpoint is NOT provably small just because it is driver-local.
     """
     if max_bytes is None:
         # read the module constant at CALL time so a deployment (or a
@@ -122,9 +160,29 @@ def maybe_broadcast(
                 return F.broadcast(df) if actual <= max_bytes else df
         if est >= _SENTINEL_FLOOR:
             leaves = plan.collectLeaves()
+            known_bytes, unheld_rdd = 0, False
             for i in range(leaves.size()):
-                if leaves.apply(i).nodeName() not in _LOCAL_LEAF_NODES:
+                name = leaves.apply(i).nodeName()
+                if name not in _LOCAL_LEAF_NODES:
                     return df  # unstatted external source: assume huge
+                if name == "LogicalRDD":
+                    # a LogicalRDD leaf is only PROVABLY small when the
+                    # block manager holds its blocks (r8, review
+                    # finding): a large un-persisted frame or an
+                    # EVICTED checkpoint also reads as "local leaves".
+                    # Note Spark 4's Arrow createDataFrame path makes
+                    # every model/rules frame a LogicalRDD, so these
+                    # cannot simply stay unhinted — they get the
+                    # bounded probe below instead.
+                    size = _rdd_leaf_storage_bytes(df, leaves.apply(i))
+                    if size is None:
+                        unheld_rdd = True
+                    else:
+                        known_bytes += size
+            if known_bytes > max_bytes:
+                return df
+            if unheld_rdd and not _probe_frame_is_small(df, max_bytes):
+                return df
             return F.broadcast(df)  # fully driver-local: sentinel lies
     except Exception:
         return df

@@ -60,19 +60,21 @@ from pyspark.sql import DataFrame
 #: the small-dimension surrogate-key idiom and becomes a one-task wall.
 GLOBAL_WINDOW_MAX_BYTES = 64 * 1024 * 1024
 
-#: Ceiling for an explicitly hinted broadcast side. Mirrors
-#: operators.relational.DEFAULT_BROADCAST_MAX_BYTES (the gate
-#: maybe_broadcast enforces at hint time); module-level so a plan test
-#: can simulate 100x inputs by shrinking it.
-BROADCAST_HINT_MAX_BYTES = 64 * 1024 * 1024
-
-# Sentinel floor + local-leaf classification are SHARED with
-# operators.relational (one definition — the r7 review flagged the
-# drift risk of the earlier per-module copies).
+# Sentinel floor + local-leaf classification + broadcast ceiling are
+# SHARED with operators.relational (one definition — the r7 review
+# flagged the drift risk of per-module copies; r8 extends that to the
+# broadcast ceiling, which was still a mirrored literal).
 from udacity_data_engineering_capstone_project_spark.operators.relational import (  # noqa: E402
+    DEFAULT_BROADCAST_MAX_BYTES as _SHARED_BROADCAST_MAX,
     _LOCAL_LEAF_NODES as _SHARED_LOCAL_LEAVES,
     _SENTINEL_FLOOR,
 )
+
+#: Ceiling for an explicitly hinted broadcast side — initialized from
+#: the runtime gate's constant so linter and maybe_broadcast can never
+#: silently disagree; stays module-level-assignable so a plan test can
+#: simulate 100x inputs by shrinking it.
+BROADCAST_HINT_MAX_BYTES = _SHARED_BROADCAST_MAX
 
 
 def _leaf_resolved_size(plan) -> tuple[int, bool]:

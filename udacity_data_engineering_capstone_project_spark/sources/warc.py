@@ -387,7 +387,11 @@ def _record_splitter(strict: bool):
         segment is damaged near its head (review finding: the first
         cut buffered the whole remaining tail forever). The cost of
         the bound: a VALID single record wider than the cap is lost;
-        spanning records under the cap always parse whole."""
+        spanning records under the cap always parse whole. Strict
+        mode raises on gz damage too (r8): mid-segment damage
+        surfaces once the span provably cannot complete (buffered
+        past the stall cap) or at the final flush — later than the
+        plain-file path's immediate raise, but never silent."""
         if data[:2] != b"\x1f\x8b":
             yield from iter_warc_records(data, strict=strict)
             return
@@ -425,6 +429,18 @@ def _record_splitter(strict: bool):
             leftover = buf[st["consumed_bytes"]:]
             parts, size = ([leftover], len(leftover)) if leftover else ([], 0)
             if st["stopped_at_damage"] and size > _STALL_MAX_BYTES:
+                if strict:
+                    # honor strict on the gz path too (r8, review
+                    # finding): at this point the span is PROVABLY
+                    # damaged-or-over-cap — no further member can
+                    # complete it — and before this raise only damage
+                    # within the final flush window surfaced, so a
+                    # mid-segment corruption was silently resynced in
+                    # "strict" mode.
+                    raise ValueError(
+                        "strict: damaged or over-cap record span "
+                        f"({size} buffered bytes > {_STALL_MAX_BYTES})"
+                    )
                 # the span may already CONTAIN a later boundary
                 # (stop-at-damage never scans ahead): resync within,
                 # else discard-and-scan incoming members
