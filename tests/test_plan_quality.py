@@ -317,10 +317,12 @@ def test_profile_is_single_scan_per_table(spark, sf_dir):
 
 
 def test_range_join_query_avoids_nested_loop(spark, sf_dir):
-    """The graded range_join_q must plan as an equi-join on
-    (key, bucket) — never the BroadcastNestedLoopJoin Spark gives a
-    raw theta join (quadratic per partition at scale)."""
-    df = REGISTRY["range_join_q"].fn(spark, sf_dir)
+    """range_join_q must plan as an equi-join on (key, bucket) —
+    never the BroadcastNestedLoopJoin Spark gives a raw theta join
+    (quadratic per partition at scale). Rotation-safe lookup: the
+    plan contract outlives the query's registry slot."""
+    spec = REGISTRY.get("range_join_q") or UNREGISTERED["range_join_q"]
+    df = spec.fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]

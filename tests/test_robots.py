@@ -223,12 +223,24 @@ def test_rules_broadcast_is_size_gated(spark, monkeypatch, tmp_path):
     want = {(1, True), (2, False)}
     out_hinted = with_robots_verdict(df, rules, "url")
     assert {(r.id, r.robots_allowed) for r in out_hinted.collect()} == want
+    default_gate = relational.DEFAULT_BROADCAST_MAX_BYTES
     monkeypatch.setattr(relational, "DEFAULT_BROADCAST_MAX_BYTES", 1)
     out_gated = with_robots_verdict(df, rules, "url")
     logical = out_gated._jdf.queryExecution().analyzed().toString()
     assert "broadcast" not in logical.lower()  # hint NOT applied
     assert {(r.id, r.robots_allowed) for r in out_gated.collect()} == want
-    # driver-local rules: sentinel resolved by leaves -> still hinted
+    # r8: driver-local rules now honor the gate too (the builder-known
+    # byte annotation and the residual probe both compare against
+    # max_bytes — a 1-byte "100x" gate declines EVERYTHING, strictly
+    # safer than the old hint-local-on-faith)
+    out_local_gated = with_robots_verdict(df, local_rules, "url")
+    assert (
+        "broadcast"
+        not in out_local_gated._jdf.queryExecution().analyzed().toString().lower()
+    )
+    # under the DEFAULT gate, driver-local rules keep the hint (the
+    # builder-annotation fast path: zero probe jobs)
+    monkeypatch.setattr(relational, "DEFAULT_BROADCAST_MAX_BYTES", default_gate)
     out_local = with_robots_verdict(df, local_rules, "url")
     logical_local = out_local._jdf.queryExecution().analyzed().toString()
     assert "broadcast" in logical_local.lower()

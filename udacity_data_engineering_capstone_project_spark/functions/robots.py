@@ -144,9 +144,18 @@ def robots_rules_df(
             rows.append(
                 (host.lower(), robots_like_pattern(pattern), len(pattern), allow)
             )
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         rows, "host string, like_pattern string, pattern_len int, allow boolean"
     )
+    # exact builder-known size (r8): the frame came from THIS driver
+    # list, so annotate its bytes for maybe_broadcast's zero-job fast
+    # path (the un-persisted-LogicalRDD probe otherwise costs a job
+    # per gate check). 32 bytes/row covers the int+bool+struct
+    # overhead alongside the measured string bytes.
+    out._sg_local_bytes = sum(
+        len(h) + len(lp) + 32 for h, lp, _, _ in rows
+    )
+    return out
 
 
 def with_robots_verdict(
@@ -190,6 +199,10 @@ def with_robots_verdict(
             ).alias("__rset")
         )
     )
+    # the host-agg only REPACKS the same cells (one row per host), so
+    # the builder-known byte annotation propagates unchanged
+    if getattr(rules, "_sg_local_bytes", None) is not None:
+        rules_by_host._sg_local_bytes = rules._sg_local_bytes
     work = df.withColumn("__host", url_host(F.col(url_col))).withColumn(
         "__path", F.coalesce(url_path(F.col(url_col)), F.lit("/"))
     )

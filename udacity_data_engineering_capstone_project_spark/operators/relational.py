@@ -145,6 +145,15 @@ def maybe_broadcast(
         # read the module constant at CALL time so a deployment (or a
         # plan test simulating 100x inputs) can retune one global
         max_bytes = DEFAULT_BROADCAST_MAX_BYTES
+    # builder-annotated size (r8): a frame constructed FROM a driver
+    # list knows its own bytes exactly at build time — builders stash
+    # `_sg_local_bytes` (and propagate it through shrinking reshapes)
+    # so the gate needs zero JVM calls and, crucially, zero probe JOBS
+    # (the un-persisted-LogicalRDD probe below cost robots_filter_q
+    # ~0.4 s/invocation before this fast path).
+    known = getattr(df, "_sg_local_bytes", None)
+    if known is not None:
+        return F.broadcast(df) if known <= max_bytes else df
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
         est = plan.stats().sizeInBytes()

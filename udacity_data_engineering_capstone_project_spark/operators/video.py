@@ -752,9 +752,12 @@ def decode_mp4_meta(
 
 
 def sample_mp4_frames(*_args, **_kwargs):
-    """HONEST BOUNDARY: frame sampling from MP4 requires decoding the
-    compressed bitstream (H.264/H.265/VP9 entropy decode + inter-frame
-    reconstruction), which this engine does not reimplement. The
+    """HONEST BOUNDARY — FORMALLY DESCOPED (r8; see COVERAGE.md
+    "Descoped boundaries"): frame sampling from MP4 requires decoding
+    the compressed bitstream (H.264/H.265/VP9 entropy decode +
+    inter-frame reconstruction), which this engine does not
+    reimplement — a codec is not a data-pipeline operator, and the
+    pixel path is an explicitly pluggable seam (same as PIL). The
     container-side plumbing is real and tested — `mp4_sample_table`
     yields every (offset, size) a decoder would seek to, and
     `sample_video_frames` shows the identical mapInPandas stage shape
