@@ -995,7 +995,11 @@ def test_language_id_exact_scores_vs_duckdb(spark, sf_dir):
         FROM n_docs, tot
     ),
     scored AS (
-        SELECT s.doc_id, d.label, sum(d.w) AS sw, count(*) AS n_buckets
+        -- CAST: DuckDB sum(BIGINT) -> HUGEINT -> float64 locally vs
+        -- Spark's int64 (the pr_curve_q class; surfaced by the r8
+        -- dtype-kind gate on its first full-suite run)
+        SELECT s.doc_id, d.label, CAST(sum(d.w) AS BIGINT) AS sw,
+               count(*) AS n_buckets
         FROM (SELECT DISTINCT doc_id, bucket FROM sh) s
         JOIN dense d USING (bucket)
         GROUP BY 1, 2
