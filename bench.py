@@ -89,6 +89,18 @@ BENCH_QUERIES = [
     # series alive after dedup_minhash_lsh's r7 contract change to
     # exact verification (screen regressions show up undiluted here)
     "minhash_screen_bench",
+    # round 8: the rotation promotions join the bench so every graded
+    # row carries a recorded baseline — hot-key skew report (two
+    # grouped profiles), equi-depth length bins (grouped percentile +
+    # broadcast cut join), embedding centroid drift (full-outer
+    # per-dimension join), HTML->text extraction (codegen regexp
+    # chain over 4 wrappings/doc), blocklist phrase screen (literal
+    # prefilter + broadcast verify)
+    "skew_report_q",
+    "quality_bins_q",
+    "embedding_drift_q",
+    "strip_html_q",
+    "blocklist_screen_q",
 ]
 
 
