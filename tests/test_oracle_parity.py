@@ -70,6 +70,23 @@ def test_unregistered_rows_only_query_deterministic(spark, sf_dir, name):
     assert spec.fn(spark, sf_dir).count() == spec.fn(spark, sf_dir).count()
 
 
+# Scale-adaptive queries re-check parity at sf0.1 (10x the driver's
+# grading scale): parameters derived from corpus size (pq_ann_q's
+# rerank pool, quantile cuts, drift dims) can hold at sf0.01 and
+# break at sf0.1 — this sweep caught exactly that in r8 (a 6%-of-
+# corpus rerank pool missed engine-ADC rank 357 of 2000). Keep the
+# list curated: only queries whose behavior ADAPTS to corpus size.
+@pytest.mark.parametrize(
+    "name", ["pq_ann_q", "quality_bins_q", "embedding_drift_q", "skew_report_q"]
+)
+def test_scale_adaptive_query_parity_at_sf01(spark, name):
+    spec = REGISTRY.get(name) or UNREGISTERED[name]
+    sf = "/root/testdata/sf0.1"
+    compare_frames(
+        spec.fn(spark, sf).toPandas(), run_oracle(spec.oracle, sf), f"{name}@sf0.1"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

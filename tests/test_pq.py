@@ -482,15 +482,22 @@ def test_pq_rerank_pool_covers_exact_topk(spark, sf_dir):
     want = collections.defaultdict(set)
     for r in exact.collect():
         want[r["query_id"]].add(r["neighbor_id"])
-    pool = pq_topk(codes, queries, cb, "vec_id", "embedding", k=500)
+    n_corpus = emb.count()
+    pool = pq_topk(codes, queries, cb, "vec_id", "embedding", k=n_corpus)
     adc_rank = collections.defaultdict(dict)
     for r in pool.collect():
         adc_rank[r["query_id"]][r["neighbor_id"]] = r["rank"]
     worst = max(
         adc_rank[q].get(n, 10**9) for q, ns in want.items() for n in ns
     )
-    assert worst <= 10 * 30 * 0.8, (
-        f"worst ADC rank of a true neighbor is {worst}; the k*30 rerank "
-        "pool no longer covers the exact top-10 with headroom - "
-        "pq_ann_q's brute-force oracle contract is at risk"
+    # pq_ann_q's pool rule: max(k*30, ceil(25% of corpus)) — assert it
+    # covers the measured worst rank with >=1.3x headroom (measured
+    # ladder: 215/500 at sf0.01, 357/2000 at sf0.1; an r8 sf0.1 parity
+    # sweep caught a 6% rule missing rank 357)
+    pool_rows = max(10 * 30, -(-n_corpus // 4))
+    assert worst <= pool_rows / 1.3, (
+        f"worst ADC rank of a true neighbor is {worst} of {n_corpus}; "
+        f"the max(k*30, n/4)={pool_rows} rerank pool no longer covers "
+        "the exact top-10 with headroom - pq_ann_q's brute-force "
+        "oracle contract is at risk"
     )

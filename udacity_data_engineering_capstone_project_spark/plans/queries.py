@@ -3429,16 +3429,18 @@ def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = sim.pq_encode(emb, cb, "embedding")
     queries_df = emb.orderBy("vec_id").limit(10)
     # rerank pool derived from CORPUS SIZE, not a fixed multiple (r8,
-    # review finding): the measured worst ADC rank of a true top-10
-    # neighbor is ~4.3% of the corpus (215/5000 at sf0.01, 115/500 at
-    # sf0.001 — the rank FRACTION is the stable quantity, it tracks
-    # quantization error, not k), so a 6%-of-corpus pool keeps the
-    # oracle's exact-top-10 guarantee at any graded scale; the k*30
-    # floor preserves the pinned sf0.01 behavior exactly (0.06*5000 =
-    # 300 = 10*30). emb is checkpointed, so count() is a cached-stat
-    # read, not a recompute.
+    # review finding). Measured ladder of the worst ENGINE-ADC rank of
+    # a true top-10 neighbor (m=16/k=32 codebooks, pq_topk ordering):
+    # 215 of 500 (43%) at sf0.01, 357 of 2000 (17.9%) at sf0.1 — the
+    # absolute rank grows sublinearly while the FRACTION shrinks, so a
+    # fixed fraction is conservative upward in n. A first r8 cut used
+    # 6% on a mis-read of the ladder and an sf0.1 parity sweep caught
+    # the miss (worst rank 357 > 300 pool) — 25% covers both measured
+    # scales with >=1.4x headroom, and the k*30 floor carries small
+    # corpora (at n=500 the fraction term alone is 125 < 215). emb is
+    # checkpointed, so count() is a cached-stat read, not a recompute.
     k = 10
-    pool_rows = max(k * 30, int(0.06 * emb.count()))
+    pool_rows = max(k * 30, -(-emb.count() // 4))
     return sim.pq_topk(
         codes, queries_df, cb, "vec_id", "embedding", k=k,
         rerank_with=emb, rerank_factor=-(-pool_rows // k),
