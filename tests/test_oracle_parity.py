@@ -77,7 +77,14 @@ def test_unregistered_rows_only_query_deterministic(spark, sf_dir, name):
 # corpus rerank pool missed engine-ADC rank 357 of 2000). Keep the
 # list curated: only queries whose behavior ADAPTS to corpus size.
 @pytest.mark.parametrize(
-    "name", ["pq_ann_q", "quality_bins_q", "embedding_drift_q", "skew_report_q"]
+    "name",
+    [
+        "pq_ann_q", "quality_bins_q", "embedding_drift_q", "skew_report_q",
+        # exact/approx percentile auto-gate (1 GiB threshold — far above
+        # these scales, pinned so a retuned gate can't silently flip
+        # the graded exact path to approx)
+        "numeric_drift_q", "winsorize_q",
+    ],
 )
 def test_scale_adaptive_query_parity_at_sf01(spark, name):
     spec = REGISTRY.get(name) or UNREGISTERED[name]
