@@ -4295,12 +4295,34 @@ CRAWL_PIPELINE_ORACLE = f"""
 """
 
 
-def crawl_pipeline_stages(spark: SparkSession, sf_dir: str):
-    """Generator over the crawl pipeline's (name, DataFrame) stages,
-    eagerly checkpointing each barrier AS IT IS YIELDED — so a probe
-    can time every stage individually (next() returns when the
-    barrier has materialized) while the graded query just drains it.
-    One implementation serves both; see crawl_pipeline_q."""
+def crawl_pipeline_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-pipeline intake frame: documents + the deterministic
+    ~10% re-fetch replica derivation (identical content under a second
+    id — the dedup stage's real work; the base corpus is exact-dup-
+    free by construction, dedup_exact pins that) + synthetic per-doc
+    URLs."""
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 3).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+    )
+    return docs.withColumn("url", F.expr(_ROBOTS_URL_SQL.format(T="STRING")))
+
+
+def crawl_pipeline_stage_fns(spark: SparkSession):
+    """The crawl pipeline's five stages as a ``(name, fn)`` list of
+    pure DataFrame transforms — the ONE definition behind (a) the
+    graded session-local query (`crawl_pipeline_q` via
+    `crawl_pipeline_stages`), (b) the per-stage scale probe, and (c)
+    the DURABLE form: feed this list to `plans.pipeline.run_pipeline`
+    with a ``checkpoint_dir`` and the same pipeline becomes parquet-
+    checkpointed and crash-resumable (a died stage recomputes, a
+    committed one is skipped) — the 100 TB failure-recovery shape.
+    Equality of the durable path with the graded path is pinned by
+    `test_pipeline_runner.py::test_crawl_pipeline_durable_resume`."""
     from udacity_data_engineering_capstone_project_spark.functions.robots import (
         filter_robots_disallowed,
         robots_rules_df,
@@ -4312,33 +4334,18 @@ def crawl_pipeline_stages(spark: SparkSession, sf_dir: str):
         cap_tokens_per_group,
     )
 
-    base = _t(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "n_chars"
-    )
-    # ~10% of pages re-fetched under a second id (identical content,
-    # new URL identity): the deterministic replica derivation that
-    # gives the dedup stage real work — the base corpus is
-    # exact-dup-free by construction (dedup_exact pins that)
-    docs = base.unionByName(
-        base.filter(F.col("doc_id") % 10 == 3).withColumn(
-            "doc_id", F.col("doc_id") + F.lit(1000000)
-        )
-    )
-    s0 = docs.withColumn("url", F.expr(_ROBOTS_URL_SQL.format(T="STRING")))
-    yield "intake", s0
-
     rules = robots_rules_df(spark, sorted(_ROBOTS_TXT.items()))
-    s1 = filter_robots_disallowed(s0, rules, "url").localCheckpoint(eager=True)
-    yield "robots", s1
 
-    matches = ts.screen_blocked_terms(
-        s1, "doc_id",
-        ["slow scan", "merge window", "customer data"],
-    )
-    s2 = s1.join(
-        matches.select("doc_id").distinct(), on="doc_id", how="left_anti"
-    ).localCheckpoint(eager=True)
-    yield "blocklist", s2
+    def robots(d: DataFrame) -> DataFrame:
+        return filter_robots_disallowed(d, rules, "url")
+
+    def blocklist(d: DataFrame) -> DataFrame:
+        matches = ts.screen_blocked_terms(
+            d, "doc_id", ["slow scan", "merge window", "customer data"]
+        )
+        return d.join(
+            matches.select("doc_id").distinct(), on="doc_id", how="left_anti"
+        )
 
     words = F.split(F.trim(F.col("text")), r"\s+")
     diversity = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
@@ -4348,22 +4355,43 @@ def crawl_pipeline_stages(spark: SparkSession, sf_dir: str):
         ("too_few_words", F.size(words) >= 30),
         ("low_diversity", diversity >= 0.45),
     ]
-    s3, _audit = apply_filter_cascade(s2, cascade_rules)
-    s3 = s3.localCheckpoint(eager=True)
-    yield "quality_cascade", s3
 
-    survivors = dd.exact_text_dedup(s3, "doc_id", "text").select(
-        F.col("keep_id").alias("doc_id")
-    )
-    s4 = s3.join(survivors, on="doc_id", how="left_semi").localCheckpoint(
-        eager=True
-    )
-    yield "exact_dedup", s4
+    def quality_cascade(d: DataFrame) -> DataFrame:
+        kept, _audit = apply_filter_cascade(d, cascade_rules)
+        return kept
 
-    s5 = cap_tokens_per_group(
-        s4, ["lang"], "n_chars", budget=2000, key_col="doc_id"
-    ).localCheckpoint(eager=True)
-    yield "token_budget", s5
+    def exact_dedup(d: DataFrame) -> DataFrame:
+        survivors = dd.exact_text_dedup(d, "doc_id", "text").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        return d.join(survivors, on="doc_id", how="left_semi")
+
+    def token_budget(d: DataFrame) -> DataFrame:
+        return cap_tokens_per_group(
+            d, ["lang"], "n_chars", budget=2000, key_col="doc_id"
+        )
+
+    return [
+        ("robots", robots),
+        ("blocklist", blocklist),
+        ("quality_cascade", quality_cascade),
+        ("exact_dedup", exact_dedup),
+        ("token_budget", token_budget),
+    ]
+
+
+def crawl_pipeline_stages(spark: SparkSession, sf_dir: str):
+    """Generator over the crawl pipeline's (name, DataFrame) stages,
+    eagerly checkpointing each barrier AS IT IS YIELDED — so a probe
+    can time every stage individually (next() returns when the
+    barrier has materialized) while the graded query just drains it.
+    The stage bodies live in `crawl_pipeline_stage_fns`; see
+    crawl_pipeline_q and the durable twin in plans/pipeline.py."""
+    df = crawl_pipeline_intake(spark, sf_dir)
+    yield "intake", df
+    for name, fn in crawl_pipeline_stage_fns(spark):
+        df = fn(df).localCheckpoint(eager=True)
+        yield name, df
 
 
 @_register(
