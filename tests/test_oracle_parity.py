@@ -27,6 +27,58 @@ def test_gate_catches_dtype_kind_divergence():
     # and identical kinds still pass
     compare_frames(s, s.copy(), "gate_regression_ok")
 
+    # declared-type override (r8 review): a DuckDB DATE oracle column
+    # arrives as datetime64 locally, but a Spark TIMESTAMP against it
+    # must flag — the driver hashes arrow date32 vs timestamp apart
+    import datetime as dt
+
+    ts = pd.Timestamp("2020-01-01")
+    s_ts = pd.DataFrame({"d": pd.Series([ts, ts])})  # datetime64
+    o_date = pd.DataFrame({"d": pd.Series([ts, ts])})
+    o_date.attrs["duckdb_types"] = {"d": "DATE"}
+    with pytest.raises(AssertionError, match="dtype-kind"):
+        compare_frames(s_ts, o_date, "gate_date_vs_timestamp")
+    # Spark DATE (object of datetime.date) vs declared DATE: fine
+    s_date = pd.DataFrame(
+        {"d": pd.Series([dt.date(2020, 1, 1), dt.date(2020, 1, 1)])}
+    )
+    compare_frames(s_date, o_date, "gate_date_ok")
+
+    # declared HUGEINT (lands float64 locally) vs Spark int64: flags
+    o_huge = pd.DataFrame({"a": pd.Series([1.0, 2.0, 3.0])})
+    o_huge.attrs["duckdb_types"] = {"a": "HUGEINT"}
+    with pytest.raises(AssertionError, match="dtype-kind"):
+        compare_frames(s, o_huge, "gate_hugeint")
+
+    # Spark NULLABLE int (float64 + NaN locally, arrow-side integer —
+    # driver-green shape) vs declared BIGINT: exempt; without NaN the
+    # same float column still flags
+    import numpy as np
+
+    o_big = pd.DataFrame({"a": pd.Series([1.0, np.nan, 3.0])})
+    s_nullable = pd.DataFrame({"a": pd.Series([1.0, np.nan, 3.0])})
+    o_big2 = pd.DataFrame({"a": pd.Series([1, 2, 3], dtype="int64")})
+    o_big2_declared = o_big2.copy()
+    o_big2_declared.attrs["duckdb_types"] = {"a": "BIGINT"}
+    compare_frames(s_nullable, _with_decl(o_big, "BIGINT"), "gate_nullable_int")
+    with pytest.raises(AssertionError, match="dtype-kind"):
+        compare_frames(
+            pd.DataFrame({"a": pd.Series([1.5, 2.0, 3.0])}),
+            o_big2_declared,
+            "gate_true_float",
+        )
+
+    # all-null object column: kind unknowable, values decide (no flag)
+    s_null = pd.DataFrame({"d": pd.Series([None, None], dtype="object")})
+    compare_frames(s_null, _with_decl(
+        pd.DataFrame({"d": pd.Series([pd.NaT, pd.NaT])}), "DATE"
+    ), "gate_all_null")
+
+
+def _with_decl(df, decl):
+    df.attrs["duckdb_types"] = {c: decl for c in df.columns}
+    return df
+
 ORACLE_QUERIES = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
 ROWS_ONLY_QUERIES = sorted(name for name, spec in REGISTRY.items() if not spec.oracle)
 

@@ -717,9 +717,16 @@ def test_maybe_broadcast_probes_unheld_rdd_leaves(spark, monkeypatch):
     assert maybe_broadcast(unheld) is not unheld
 
     # simulate "huge driver-local frame" by shrinking the probe cap:
-    # the frame overflows the cap -> stays unhinted
+    # a FRESH frame (the verdict memoizes onto the object — r8 review
+    # fix) overflows the cap -> stays unhinted; the already-probed
+    # frame keeps its cached OK without re-running the job
     monkeypatch.setattr(relational, "_LOCAL_PROBE_MAX_ROWS", 5)
-    assert maybe_broadcast(unheld) is unheld
+    unheld2 = spark.createDataFrame(
+        spark.sparkContext.parallelize([(i, "x") for i in range(10)]),
+        "id bigint, tag string",
+    )
+    assert maybe_broadcast(unheld2) is unheld2
+    assert maybe_broadcast(unheld) is not unheld  # memoized verdict
 
     # block-manager-held checkpoint: hinted from storage truth, no
     # probe involved (cap still shrunk)

@@ -393,12 +393,19 @@ def test_stream_crawl_curation_matches_batch(spark, sf_dir, tmp_path):
         run_stream_to_memory,
     )
 
-    # batch truth: fingerprints surviving stage 4 (exact_dedup)
+    from udacity_data_engineering_capstone_project_spark.functions.text import (
+        normalize_text,
+    )
+
+    # batch truth: NORMALIZED fingerprints surviving stage 4
+    # (exact_dedup) — normalized because that is the dedup key in both
+    # twins; on a corpus with case/punct variants the two twins may
+    # keep DIFFERENT raw representatives of the same content class
     stage_dfs = dict(crawl_pipeline_stages(spark, sf_dir))
     want = {
         r["fp"]
         for r in stage_dfs["exact_dedup"]
-        .select(F.md5("text").alias("fp"))
+        .select(F.md5(normalize_text("text")).alias("fp"))
         .collect()
     }
 
@@ -425,7 +432,63 @@ def test_stream_crawl_curation_matches_batch(spark, sf_dir, tmp_path):
         crawl_cascade_rules(),
     )
     out = run_stream_to_memory(
-        curated.select(F.md5("text").alias("fp")), output_mode="append"
+        curated.select(F.md5(normalize_text("text")).alias("fp")),
+        output_mode="append",
     )
     got = {r["fp"] for r in out.collect()}
     assert got == want
+
+
+def test_stream_crawl_dedup_merges_normalization_variants(spark, tmp_path):
+    """Review regression (r8): the streaming twin's dedup key must be
+    the SAME normalize_text canonical form as the batch
+    exact_text_dedup — raw-text md5 kept case/punctuation variants the
+    batch twin merges. Two variant docs ('Alpha, beta!' vs 'alpha
+    beta' word-stretched to pass the cascade) must yield ONE
+    survivor."""
+    from udacity_data_engineering_capstone_project_spark.functions.robots import (
+        robots_rules_df,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries import (
+        crawl_cascade_rules,
+    )
+    from udacity_data_engineering_capstone_project_spark.streaming.crawl import (
+        stream_crawl_curation,
+    )
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+
+    # 40 distinct words: passes every cascade rule (length 100-450,
+    # >=30 words, diversity 1.0)
+    base = " ".join(f"word{i:02d}" for i in range(40))
+    variant = base.replace("word00", "Word00,").replace("word39", "WORD39!")
+    distinct = " ".join(f"item{i:02d}" for i in range(40))
+    rows = [
+        (1, base, "en", len(base), "http://ok.example/a"),
+        (2, variant, "en", len(variant), "http://ok.example/b"),
+        (3, distinct, "en", len(distinct), "http://ok.example/c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, n_chars int, url string"
+    )
+    landing = tmp_path / "vland"
+    df.write.parquet(str(landing / "b0"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(landing))
+    )
+    curated = stream_crawl_curation(
+        stream,
+        robots_rules_df(spark, [("ok.example", "User-agent: *\nAllow: /")]),
+        ["never matches anything here"],
+        crawl_cascade_rules(),
+    )
+    out = run_stream_to_memory(curated, output_mode="append")
+    got = sorted(r["doc_id"] for r in out.collect())
+    # ONE survivor per normalized-content class: docs 1 and 2 merge
+    # (which representative wins within a micro-batch is arbitrary —
+    # the class contract, not min-id, is what the stream guarantees)
+    assert len(got) == 2 and got[0] in (1, 2) and got[1] == 3, got

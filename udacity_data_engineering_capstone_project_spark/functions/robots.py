@@ -147,13 +147,15 @@ def robots_rules_df(
     out = spark.createDataFrame(
         rows, "host string, like_pattern string, pattern_len int, allow boolean"
     )
-    # exact builder-known size (r8): the frame came from THIS driver
-    # list, so annotate its bytes for maybe_broadcast's zero-job fast
-    # path (the un-persisted-LogicalRDD probe otherwise costs a job
-    # per gate check). 32 bytes/row covers the int+bool+struct
-    # overhead alongside the measured string bytes.
+    # builder-known size (r8): the frame came from THIS driver list,
+    # so annotate its payload bytes for maybe_broadcast's zero-job
+    # fast path (the un-persisted-LogicalRDD probe otherwise costs a
+    # job per gate check). UTF-8 bytes, not chars (review fix), plus
+    # 64/row for int+bool+struct overhead; maybe_broadcast additionally
+    # hints only below a quarter of the budget to absorb JVM
+    # serialization overhead the annotation cannot see.
     out._sg_local_bytes = sum(
-        len(h) + len(lp) + 32 for h, lp, _, _ in rows
+        len(h.encode()) + len(lp.encode()) + 64 for h, lp, _, _ in rows
     )
     return out
 

@@ -299,6 +299,14 @@ def minhash_verified_pairs(
     Jaccard == string-set Jaccard absent 64-bit collisions
     (P ~ shingles^2 / 2^64 per pair; the DuckDB oracle recomputes
     from raw text, so a collision would fail the driver hash).
+
+    NOTE: construction is EAGER — building the returned plan runs the
+    signature and candidate-screen jobs (two localCheckpoints). This
+    is load-bearing, not incidental: the size-gated broadcast of the
+    screened pair set needs block-manager TRUTH at plan time (stats
+    estimates through the banding self-join are garbage), and the
+    screen would run exactly once at execution anyway. Callers that
+    only want a plan to inspect should expect those jobs.
     """
     if verify not in ("arrow", "expr"):
         raise ValueError(f"verify must be 'arrow' or 'expr', got {verify!r}")

@@ -146,14 +146,23 @@ def maybe_broadcast(
         # plan test simulating 100x inputs) can retune one global
         max_bytes = DEFAULT_BROADCAST_MAX_BYTES
     # builder-annotated size (r8): a frame constructed FROM a driver
-    # list knows its own bytes exactly at build time — builders stash
+    # list knows its own payload bytes at build time — builders stash
     # `_sg_local_bytes` (and propagate it through shrinking reshapes)
     # so the gate needs zero JVM calls and, crucially, zero probe JOBS
     # (the un-persisted-LogicalRDD probe below cost robots_filter_q
-    # ~0.4 s/invocation before this fast path).
+    # ~0.4 s/invocation before this fast path). The annotation counts
+    # PAYLOAD bytes, not serialized JVM size (UTF8String + unsafe-row
+    # struct overhead) — so the hint only triggers below a QUARTER of
+    # the budget (review finding r8: a near-gate annotation could
+    # force a multiple-of-annotated broadcast); clearly-over-budget
+    # declines outright, and the ambiguous middle falls through to the
+    # stats/block-manager/probe path.
     known = getattr(df, "_sg_local_bytes", None)
     if known is not None:
-        return F.broadcast(df) if known <= max_bytes else df
+        if known <= max_bytes // 4:
+            return F.broadcast(df)
+        if known > max_bytes:
+            return df
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
         est = plan.stats().sizeInBytes()
@@ -190,8 +199,20 @@ def maybe_broadcast(
                         known_bytes += size
             if known_bytes > max_bytes:
                 return df
-            if unheld_rdd and not _probe_frame_is_small(df, max_bytes):
-                return df
+            if unheld_rdd:
+                # memoize the probe verdict ON the frame object so
+                # repeated gate checks of the same DataFrame within one
+                # plan build don't re-run the take()+pickle job
+                # (review finding r8)
+                ok = getattr(df, "_sg_probe_ok", None)
+                if ok is None:
+                    ok = _probe_frame_is_small(df, max_bytes)
+                    try:
+                        df._sg_probe_ok = ok
+                    except Exception:
+                        pass
+                if not ok:
+                    return df
             return F.broadcast(df)  # fully driver-local: sentinel lies
     except Exception:
         return df

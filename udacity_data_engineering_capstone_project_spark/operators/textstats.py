@@ -1639,6 +1639,31 @@ def compression_ratio(
 _BLOCKLIST_LITERAL_MAX = 64
 
 
+def normalize_blocklist_phrase(phrase: str) -> str:
+    """The \\W+ whole-word normalization of one blocklist phrase — the
+    ONE definition behind both the batch screen and the streaming
+    verdict (streaming/crawl.py), so their match contracts cannot
+    drift. re.ASCII: Java regex \\W is ASCII-classed by default,
+    Python's is unicode-classed — 'café' must tokenize identically on
+    both sides."""
+    import re
+
+    return re.sub(r"\W+", " ", (phrase or "").lower(), flags=re.ASCII).strip()
+
+
+def padded_norm_text(text_col: str) -> "F.Column":
+    """Space-padded \\W+-normalized lowercase text — the document-side
+    twin of `normalize_blocklist_phrase`: whole-word-sequence match ==
+    substring match on the padded normalizations of both sides."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+", " "
+        ),
+        F.lit(" "),
+    )
+
+
 def screen_blocked_terms(
     df: DataFrame,
     id_col: str,
@@ -1674,16 +1699,12 @@ def screen_blocked_terms(
     construction, so no dedup pass is needed. A 100k-entry blocklist
     is a few MB broadcast; the corpus never re-shuffles.
     """
-    import re
-
     cleaned = []
     for p in phrases:
         # the SAME \W+ normalization the document side gets — a phrase
         # with punctuation ('bad-actor', 'card no.') must match its
-        # tokenized occurrence, not silently match nothing. re.ASCII:
-        # Java regex \W is ASCII-classed by default, Python's is
-        # unicode-classed — 'café' must tokenize identically on both.
-        norm = re.sub(r"\W+", " ", (p or "").lower(), flags=re.ASCII).strip()
+        # tokenized occurrence, not silently match nothing
+        norm = normalize_blocklist_phrase(p)
         if norm:
             cleaned.append((p, norm))
     if not cleaned:
@@ -1697,14 +1718,9 @@ def screen_blocked_terms(
         [(orig, f" {norm} ", norm.split()[0]) for orig, norm in cleaned],
         "phrase string, padded string, first_tok string",
     )
-    norm_text = F.concat(
-        F.lit(" "),
-        F.regexp_replace(
-            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+", " "
-        ),
-        F.lit(" "),
-    )
-    docs = df.select(F.col(id_col), norm_text.alias("__nt")).withColumn(
+    docs = df.select(
+        F.col(id_col), padded_norm_text(text_col).alias("__nt")
+    ).withColumn(
         "__toks", F.array_distinct(F.split(F.col("__nt"), " "))
     )
     first_toks = sorted({n.split()[0] for _, n in cleaned})

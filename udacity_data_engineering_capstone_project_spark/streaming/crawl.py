@@ -32,7 +32,6 @@ split live filtering from offline mixing).
 
 from __future__ import annotations
 
-import re as _re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -47,21 +46,20 @@ def blocked_phrase_verdict(
     of producing (doc, phrase) match rows via joins, it folds the
     padded-contains verify over the phrase list. Intended for modest
     phrase lists (each phrase is one `contains` over the normalized
-    text); route 100k-entry blocklists through the batch screen."""
-    cleaned = []
-    for p in phrases:
-        norm = _re.sub(r"\W+", " ", (p or "").lower(), flags=_re.ASCII).strip()
-        if norm:
-            cleaned.append(norm)
+    text); route 100k-entry blocklists through the batch screen.
+    Normalization is IMPORTED from the batch screen (one definition —
+    review fix: a hand-copied twin could drift)."""
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        normalize_blocklist_phrase,
+        padded_norm_text,
+    )
+
+    cleaned = [
+        n for n in (normalize_blocklist_phrase(p) for p in phrases) if n
+    ]
     if not cleaned:
         raise ValueError("phrases must contain at least one non-empty term")
-    nt = F.concat(
-        F.lit(" "),
-        F.regexp_replace(
-            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+", " "
-        ),
-        F.lit(" "),
-    )
+    nt = padded_norm_text(text_col)
     verdict = F.lit(False)
     for norm in cleaned:
         verdict = verdict | nt.contains(f" {norm} ")
@@ -90,10 +88,17 @@ def stream_crawl_curation(
         apply_filter_cascade,
     )
 
+    from udacity_data_engineering_capstone_project_spark.functions.text import (
+        normalize_text,
+    )
+
     s = filter_robots_disallowed(stream_df, rules, url_col)
     s = s.filter(~blocked_phrase_verdict(phrases, text_col))
     s, _audit = apply_filter_cascade(s, cascade_rules)
-    # first-arrival-per-content dedup; fingerprint, not raw text, so
-    # stream state holds 16 bytes/doc not the document
-    s = s.withColumn("__fp", F.md5(F.col(text_col)))
+    # first-arrival-per-content dedup; fingerprint over the SAME
+    # normalize_text canonical form the batch exact_text_dedup uses
+    # (review fix: raw-text md5 kept case/punctuation variants the
+    # batch twin merges), and fingerprint not raw text so stream state
+    # holds 16 bytes/doc not the document
+    s = s.withColumn("__fp", F.md5(normalize_text(text_col)))
     return s.dropDuplicates(["__fp"]).drop("__fp")
