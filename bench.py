@@ -101,7 +101,50 @@ BENCH_QUERIES = [
     "embedding_drift_q",
     "strip_html_q",
     "blocklist_screen_q",
+    # round 9: the rotation promotions join the bench so every graded
+    # row carries a recorded baseline — quantile clipping (one agg +
+    # pure projection), per-node triangle counts (degree-oriented wedge
+    # join), near-dup connected components (LSH pairs + iterative
+    # min-label propagation), fastText-style hashed-ngram scorer
+    # (explode -> hash -> dot product). ngram_lm / url_canon_q /
+    # text_profile / repetition_signals / corpus_sample stay benched
+    # above though their driver slots rotated out.
+    "winsorize_q",
+    "triangle_count_q",
+    "dedup_clusters",
+    "hashed_classifier",
 ]
+
+
+def _host_exclusivity() -> dict:
+    """Snapshot host contention at bench start so the artifact is
+    self-certifying (r8 VERDICT #3): cross-round comparisons can see
+    whether a slow total was engine regression or a shared host.
+    loadavg_1m ~ runnable threads (exclusive run: < a few, since the
+    bench JVM is still warming); n_java_procs counts OTHER live JVMs
+    (an exclusive run reports 0-1: just this session's gateway)."""
+    snap: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        snap["loadavg_1m"] = round(la1, 2)
+        snap["loadavg_5m"] = round(la5, 2)
+    except OSError:
+        pass
+    n_java = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        n_java += 1
+            except OSError:
+                continue
+        snap["n_java_procs"] = n_java
+    except OSError:
+        pass
+    return snap
 
 
 def main() -> None:
@@ -111,9 +154,17 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Snapshot BEFORE the bench JVM spins up: loadavg/JVM counts here
+    # describe the host we're about to share, not our own footprint.
+    host = _host_exclusivity()
+    print(f"# host at start: {host}", file=sys.stderr)
+
     from udacity_data_engineering_capstone_project_spark import get_spark
     from udacity_data_engineering_capstone_project_spark.plans import queries as qmod
-    from udacity_data_engineering_capstone_project_spark.plans.queries import REGISTRY
+    from udacity_data_engineering_capstone_project_spark.plans.queries import (
+        REGISTRY,
+        UNREGISTERED,
+    )
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -154,8 +205,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # benched queries may have ceded their registry slot (driver
-        # window is capped at 50) while staying benchmark headliners
-        fn = REGISTRY[name].fn if name in REGISTRY else getattr(qmod, name)
+        # window is capped at 50) while staying benchmark headliners —
+        # rotated-out queries keep their registry NAME in UNREGISTERED
+        # (function names can differ, e.g. text_profile -> _q suffix);
+        # bench-only twins (heavy_hitters_bench) are plain module attrs
+        spec = REGISTRY.get(name) or UNREGISTERED.get(name)
+        fn = spec.fn if spec else getattr(qmod, name)
         # isolate queries from each other: drop persisted lineages the
         # LSH operators pin (they accumulate across a shared session —
         # measured 4x swings on dedup_minhash_lsh from cache pressure)
@@ -220,6 +275,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calibration_sec": calibration,
+                "host_at_start": host,
             }
         )
     )

@@ -1514,8 +1514,8 @@ def _dedup_clusters_oracle(rounds: int = 6, threshold: float = 0.8) -> str:
     "unrolls min-label propagation as 6 materialized CTE rounds "
     "(clusters here are shallow; convergence is pinned by "
     "test_dedup_clusters_oracle_rounds_converged). rep_id_sum pins "
-    "WHICH documents represent their clusters, not just how many.",
-    registered=False,
+    "WHICH documents represent their clusters, not just how many. "
+    "Promoted to a driver slot in r9 (rotation).",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1814,6 +1814,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(char/word/stopword counts, composite score), token counts "
     "(whitespace + BPE-ish regex), script-heuristic language ID and "
     "the normalized md5 document fingerprint — no join, linear scale.",
+    registered=False,  # r9: ceded (rotation); the text-stats family stays driver-graded via gopher_quality_q / language_id_q / strip_html_q and this profile stays hash-pinned in the unregistered gate
 )
 def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.text_profile(
@@ -1974,6 +1975,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the boilerplate/spam filters a training-data pipeline runs before "
     "dedup. Two partial-aggregatable explode->count passes joined on "
     "id; everything JVM-side.",
+    registered=False,  # r9: ceded (rotation); explode->count machinery stays driver-graded via gopher_quality_q + dup_spans_q; hash-pinned in the unregistered gate
 )
 def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -2032,6 +2034,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs/engines/cluster layouts, no RNG) followed by a per-source "
     "quota cap (top 10 by length, deterministic tiebreak) so no domain "
     "dominates the training mix.",
+    registered=False,  # r9: ceded (rotation); deterministic-sampling machinery stays driver-graded via token_budget_q + skew_report_q; hash-pinned in the unregistered gate
 )
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.sampling import (
@@ -2140,6 +2143,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forms from the bytes. The amplitude family is odd-valued and the "
     "frame counts avoid power-of-two denominators so 6-decimal "
     "rounding parity is exact (see synthesize_wav docstring).",
+    registered=False,  # r9: ceded (rotation); the multimodal tier stays driver-graded via multimodal_meta; WAV parity hash-pinned in the unregistered gate
 )
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.audio import (
@@ -2325,14 +2329,12 @@ HASHED_CLASSIFIER_ORACLE = """
 @_register(
     "hashed_classifier",
     HASHED_CLASSIFIER_ORACLE,
-    "fastText-style hashed-ngram linear scorer. Unregistered; "
-    "hash-pinned locally.",
-    registered=False,
+    "fastText-style hashed-ngram linear scorer. Promoted to a driver "
+    "slot in r9 (rotation).",
 )
 def hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-ngram linear scorer over documents
-    (operators/textstats.py:hashed_classifier_score). Unregistered;
-    pinned by `test_unregistered_query_parity[hashed_classifier]`."""
+    (operators/textstats.py:hashed_classifier_score)."""
     return ts.hashed_classifier_score(
         _t(spark, sf_dir, "documents"), "doc_id", "text"
     )
@@ -2412,15 +2414,13 @@ NGRAM_LM_ORACLE = """
     "ngram_lm",
     NGRAM_LM_ORACLE,
     "Stupid-backoff trigram LM trained on documents, scoring the same "
-    "corpus (CCNet perplexity filter). Unregistered; hash-pinned "
-    "locally.",
-    registered=False,
+    "corpus (CCNet perplexity filter). Promoted to a driver slot in "
+    "r9 (rotation).",
 )
 def ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a stupid-backoff trigram LM on the documents table and
     score every document's avg log-prob / perplexity
-    (operators/textstats.py:train_ngram_lm / ngram_lm_logprob).
-    Unregistered; pinned by `test_unregistered_query_parity[ngram_lm]`."""
+    (operators/textstats.py:train_ngram_lm / ngram_lm_logprob)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     lm = ts.train_ngram_lm(docs, "text", n=3)
     return ts.ngram_lm_logprob(docs, "doc_id", "text", lm, n=3)
@@ -2901,8 +2901,7 @@ WINSORIZE_ORACLE = """
     "aggregation derives every column's 1%/99% cuts, the clip is a "
     "pure projection. Hash-checked against DuckDB "
     "quantile_cont.",
-    # r5: promoted to a driver slot (rotation; was unregistered).
-    registered=False,  # r8: ceded (rotation); quantile-clip parity stays pinned in the unregistered gate
+    # r5: driver slot; r8: ceded; r9: re-promoted (rotation).
 )
 def winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.quality import winsorize
@@ -3157,8 +3156,7 @@ TRIANGLE_ORACLE = """
     "degree-oriented wedge join, O(m^1.5) wedge bound, hub-safe. "
     "Hash-checked against DuckDB's direct ordered-triple "
     "enumeration.",
-    # r5: promoted to a driver slot (rotation; was unregistered).
-    registered=False,  # r7: ceded to the crawl-tier promotions; clustering_coeff_q keeps the wedge-join machinery driver-graded
+    # r5: driver slot; r7: ceded; r9: re-promoted (rotation).
 )
 def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.graph import (
@@ -3229,6 +3227,7 @@ URL_CANON_ORACLE = f"""
     "normalized in one codegen projection. Hash-checked "
     "against an independent case-by-case oracle.",
     # r5: promoted to a driver slot (rotation; was unregistered).
+    registered=False,  # r9: ceded (rotation); URL normalization stays driver-graded via robots_filter_q + crawl_pipeline_q; hash-pinned in the unregistered gate
 )
 def url_canon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.functions.urls import (
@@ -4456,13 +4455,9 @@ _FRONT = [
     "pricing_summary",  # flagship — entry() runs it
     "sql_entrypoint",
     "corpus_prep",
-    "text_profile",
-    "repetition_signals",
     "contamination_check",
-    "corpus_sample",
     "tfidf_topk",
     "bm25_retrieval",
-    "audio_features",
     "streaming_dedup",
     "dedup_embedding_lsh",
     "multimodal_meta",
