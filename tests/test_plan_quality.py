@@ -810,3 +810,68 @@ def test_surrogate_key_window_idiom_stays_warning(spark, sf_dir, monkeypatch):
         f["rule"] == "global-window" and f["severity"] == "error"
         for f in lint_plan(bad)
     )
+
+
+def test_probe_memo_keyed_by_budget(spark, monkeypatch):
+    """r9 review fix: the smallness-probe verdict memoized on the frame
+    is keyed by the budget in force — a frame probed OK under the
+    default budget must RE-probe (and decline) after the shared global
+    shrinks (the documented retune path, e.g. a 100x simulation). A
+    stale OK would yield an over-budget broadcast hint."""
+    from udacity_data_engineering_capstone_project_spark.operators import relational
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        maybe_broadcast,
+    )
+
+    rdd = spark.sparkContext.parallelize([(i, "x" * 64) for i in range(50)])
+    df = spark.createDataFrame(rdd, "id bigint, tag string")
+    assert maybe_broadcast(df) is not df  # probed OK under default
+    assert isinstance(df._sg_probe_ok, tuple)  # (budget, verdict)
+    monkeypatch.setattr(relational, "DEFAULT_BROADCAST_MAX_BYTES", 16)
+    assert maybe_broadcast(df) is df  # re-probed under the new budget
+
+
+def test_probe_declines_wide_frame_without_full_take(spark, monkeypatch):
+    """r9 review fix: the DECLINE path of the smallness probe must not
+    materialize the full row cap — a wide frame (KB-sized rows) whose
+    sampled density already blows the budget declines right after the
+    density sample (the old single take() collected up to 262k rows to
+    the driver just to say no)."""
+    from udacity_data_engineering_capstone_project_spark.operators import relational
+
+    monkeypatch.setattr(relational, "_LOCAL_PROBE_SAMPLE_ROWS", 8)
+    rdd = spark.sparkContext.parallelize(
+        [(i, "x" * 1024) for i in range(100)]
+    )
+    df = spark.createDataFrame(rdd, "id bigint, tag string")
+    calls = []
+    orig_take = df.take
+    df.take = lambda n: calls.append(n) or orig_take(n)
+    assert relational._probe_frame_is_small(df, max_bytes=4096) is False
+    assert calls == [9], calls  # density sample only — never the cap
+
+
+def test_linter_ceiling_tracks_runtime_gate(spark, sf_dir, monkeypatch):
+    """r9 review fix: the lint ceiling reads the runtime gate's
+    constant at CALL time — retuning
+    relational.DEFAULT_BROADCAST_MAX_BYTES alone (without touching the
+    linter module) must move the linter with it, or a deployment
+    retune silently diverges linter from gate."""
+    from pyspark.sql import functions as SF
+
+    from udacity_data_engineering_capstone_project_spark.operators import relational
+    from udacity_data_engineering_capstone_project_spark.plans.lint import lint_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    forced = docs.join(
+        SF.broadcast(orders.select(SF.col("o_custkey"))),
+        docs["doc_id"] == SF.col("o_custkey"),
+    )
+    assert "oversized-broadcast-hint" not in {
+        f["rule"] for f in lint_plan(forced)
+    }
+    monkeypatch.setattr(relational, "DEFAULT_BROADCAST_MAX_BYTES", 1)
+    assert "oversized-broadcast-hint" in {
+        f["rule"] for f in lint_plan(forced)
+    }

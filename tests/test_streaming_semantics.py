@@ -492,3 +492,63 @@ def test_stream_crawl_dedup_merges_normalization_variants(spark, tmp_path):
     # (which representative wins within a micro-batch is arbitrary —
     # the class contract, not min-id, is what the stream guarantees)
     assert len(got) == 2 and got[0] in (1, 2) and got[1] == 3, got
+
+
+def test_stream_crawl_dedup_watermark_bounds_state(spark, tmp_path):
+    """r9 review fix: ``dedup_watermark=(ts_col, horizon)`` routes the
+    fingerprint dedup through dropDuplicatesWithinWatermark — the plan
+    carries an event-time watermark (state evicted past the horizon
+    instead of growing 16 bytes/doc forever), duplicates within the
+    horizon still merge, and the internal __fp key stays dropped."""
+    import datetime as _dt
+
+    from udacity_data_engineering_capstone_project_spark.functions.robots import (
+        robots_rules_df,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries import (
+        crawl_cascade_rules,
+    )
+    from udacity_data_engineering_capstone_project_spark.streaming.crawl import (
+        stream_crawl_curation,
+    )
+    from udacity_data_engineering_capstone_project_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+
+    base = " ".join(f"word{i:02d}" for i in range(40))
+    variant = base.replace("word00", "Word00,")
+    distinct = " ".join(f"item{i:02d}" for i in range(40))
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "en", len(base), "http://ok.example/a", t0),
+        (2, variant, "en", len(variant), "http://ok.example/b",
+         t0 + _dt.timedelta(minutes=5)),
+        (3, distinct, "en", len(distinct), "http://ok.example/c",
+         t0 + _dt.timedelta(minutes=10)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, n_chars int, "
+        "url string, fetched_at timestamp",
+    )
+    landing = tmp_path / "wmland"
+    df.write.parquet(str(landing / "b0"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(landing))
+    )
+    curated = stream_crawl_curation(
+        stream,
+        robots_rules_df(spark, [("ok.example", "User-agent: *\nAllow: /")]),
+        ["never matches anything here"],
+        crawl_cascade_rules(),
+        dedup_watermark=("fetched_at", "1 hour"),
+    )
+    analyzed = curated._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in analyzed, analyzed[:500]
+    assert "__fp" not in curated.columns
+    out = run_stream_to_memory(curated, output_mode="append")
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert len(got) == 2 and got[0] in (1, 2) and got[1] == 3, got

@@ -259,6 +259,7 @@ def minhash_verified_pairs(
     threshold: float = 0.8,
     est_slack: float | None = None,
     verify: str = "arrow",
+    lazy: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by EXACT shingle Jaccard — the
     standard THREE-phase near-dup pipeline: banded candidate
@@ -300,13 +301,18 @@ def minhash_verified_pairs(
     (P ~ shingles^2 / 2^64 per pair; the DuckDB oracle recomputes
     from raw text, so a collision would fail the driver hash).
 
-    NOTE: construction is EAGER — building the returned plan runs the
-    signature and candidate-screen jobs (two localCheckpoints). This
-    is load-bearing, not incidental: the size-gated broadcast of the
-    screened pair set needs block-manager TRUTH at plan time (stats
-    estimates through the banding self-join are garbage), and the
-    screen would run exactly once at execution anyway. Callers that
-    only want a plan to inspect should expect those jobs.
+    NOTE: construction is EAGER by default — building the returned
+    plan runs the signature and candidate-screen jobs (two
+    localCheckpoints). This is load-bearing, not incidental: the
+    size-gated broadcast of the screened pair set needs block-manager
+    TRUTH at plan time (stats estimates through the banding self-join
+    are garbage), and the screen would run exactly once at execution
+    anyway. ``lazy=True`` (r9, review finding) is the plan-only escape
+    hatch: no job runs at construction — at the cost of the broadcast
+    gating (the pair set stays unhinted, so the verify joins rely on
+    AQE's runtime broadcast conversion instead of a plan-time hint).
+    Use it for plan inspection / lint sweeps; keep the eager default
+    for execution.
     """
     if verify not in ("arrow", "expr"):
         raise ValueError(f"verify must be 'arrow' or 'expr', got {verify!r}")
@@ -314,7 +320,8 @@ def minhash_verified_pairs(
         est_slack = 2.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    sigs = sigs.localCheckpoint(eager=True)
+    if not lazy:
+        sigs = sigs.localCheckpoint(eager=True)
     # screen BEFORE the pair-dedup (est is identical for every banded
     # copy — the minhash_dedup_pairs lesson), then dedup survivors
     cand = lsh_candidate_pairs(
@@ -336,12 +343,15 @@ def minhash_verified_pairs(
     # the pair docs by a broadcast SEMI join before the final
     # pairs-proportional join — the arrays that move are bounded by
     # the candidate count, never the corpus (VERDICT r7 #6).
-    ids = ids.localCheckpoint(eager=True)
-    from udacity_data_engineering_capstone_project_spark.operators.relational import (
-        maybe_broadcast,
-    )
+    if lazy:
+        bids = ids  # plan-only: no checkpoint job, no plan-time hint
+    else:
+        ids = ids.localCheckpoint(eager=True)
+        from udacity_data_engineering_capstone_project_spark.operators.relational import (
+            maybe_broadcast,
+        )
 
-    bids = maybe_broadcast(ids)
+        bids = maybe_broadcast(ids)
     # spread the shingle-array build: it is now the STREAM side of the
     # verify joins (the pair set is the build side), so a single-split
     # local file would otherwise run the whole verify stage on one core

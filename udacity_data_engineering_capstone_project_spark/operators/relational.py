@@ -72,21 +72,45 @@ def materialized_size_bytes(df: DataFrame) -> int | None:
 _LOCAL_PROBE_MAX_ROWS = 1 << 18
 
 
+#: First-stage sample size for the smallness probe: enough rows to
+#: estimate per-row density, small enough that even KB-wide text rows
+#: cost only a few MB of driver memory.
+_LOCAL_PROBE_SAMPLE_ROWS = 4096
+
+
 def _probe_frame_is_small(df: DataFrame, max_bytes: int) -> bool:
     """Cheap residual guard (r8, review finding) for a frame whose only
-    size signal is 'all leaves are driver-local': take() a bounded
-    number of rows and accept the hint only when the frame ends within
-    the cap AND the pickled sample fits half the budget (pickle
-    over-counts per-row Row overhead, so the bound errs conservative).
-    Costs one tiny job on genuinely model-sized frames; a huge
-    driver-local frame stops at the row cap without collecting fully.
+    size signal is 'all leaves are driver-local': accept the hint only
+    when the frame ends within the row cap AND its pickled bytes fit
+    half the budget (pickle over-counts per-row Row overhead, so the
+    bound errs conservative).
+
+    Two-stage (r9, review finding): a single take(row_cap+1) fully
+    collected up to 262k rows to the driver JUST to decline a wide
+    frame — 200k rows of KB-sized text spiked driver memory 2-3x the
+    frame size on the decline path. Stage 1 samples a few thousand
+    rows and extrapolates density; a frame whose extrapolated full
+    size already blows the budget declines without ever materializing
+    the row cap. Only a frame that still LOOKS acceptable (small rows)
+    escalates to the full bounded take — and small rows are exactly
+    when the full take is cheap.
     """
     try:
-        rows = df.take(_LOCAL_PROBE_MAX_ROWS + 1)
-        if len(rows) > _LOCAL_PROBE_MAX_ROWS:
-            return False
         import pickle
 
+        cap = _LOCAL_PROBE_MAX_ROWS
+        sample_n = min(_LOCAL_PROBE_SAMPLE_ROWS, cap)
+        rows = df.take(sample_n + 1)
+        if len(rows) <= sample_n:
+            return len(pickle.dumps(rows)) <= max_bytes // 2
+        if sample_n == cap:
+            return False  # already past the row cap
+        sample_bytes = len(pickle.dumps(rows[:sample_n]))
+        if sample_bytes * (cap / sample_n) > max_bytes // 2:
+            return False  # extrapolated over budget: decline cheaply
+        rows = df.take(cap + 1)
+        if len(rows) > cap:
+            return False
         return len(pickle.dumps(rows)) <= max_bytes // 2
     except Exception:
         return False
@@ -200,15 +224,20 @@ def maybe_broadcast(
             if known_bytes > max_bytes:
                 return df
             if unheld_rdd:
-                # memoize the probe verdict ON the frame object so
+                # memoize (budget, verdict) ON the frame object so
                 # repeated gate checks of the same DataFrame within one
-                # plan build don't re-run the take()+pickle job
-                # (review finding r8)
-                ok = getattr(df, "_sg_probe_ok", None)
-                if ok is None:
+                # plan build don't re-run the take()+pickle job — keyed
+                # by max_bytes (r9, review finding: a verdict cached
+                # under the default budget must not survive a runtime
+                # retune of DEFAULT_BROADCAST_MAX_BYTES, e.g. a 100x
+                # simulation shrinking the budget)
+                cached = getattr(df, "_sg_probe_ok", None)
+                if isinstance(cached, tuple) and cached[0] == max_bytes:
+                    ok = cached[1]
+                else:
                     ok = _probe_frame_is_small(df, max_bytes)
                     try:
-                        df._sg_probe_ok = ok
+                        df._sg_probe_ok = (max_bytes, ok)
                     except Exception:
                         pass
                 if not ok:

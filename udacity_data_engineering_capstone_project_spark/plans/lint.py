@@ -64,17 +64,29 @@ GLOBAL_WINDOW_MAX_BYTES = 64 * 1024 * 1024
 # SHARED with operators.relational (one definition — the r7 review
 # flagged the drift risk of per-module copies; r8 extends that to the
 # broadcast ceiling, which was still a mirrored literal).
+from udacity_data_engineering_capstone_project_spark.operators import relational as _relational  # noqa: E402
 from udacity_data_engineering_capstone_project_spark.operators.relational import (  # noqa: E402
-    DEFAULT_BROADCAST_MAX_BYTES as _SHARED_BROADCAST_MAX,
     _LOCAL_LEAF_NODES as _SHARED_LOCAL_LEAVES,
     _SENTINEL_FLOOR,
 )
 
-#: Ceiling for an explicitly hinted broadcast side — initialized from
-#: the runtime gate's constant so linter and maybe_broadcast can never
-#: silently disagree; stays module-level-assignable so a plan test can
-#: simulate 100x inputs by shrinking it.
-BROADCAST_HINT_MAX_BYTES = _SHARED_BROADCAST_MAX
+#: Ceiling for an explicitly hinted broadcast side. None (the default)
+#: means "whatever the runtime gate uses RIGHT NOW" — resolved through
+#: `_hint_max_bytes()` at lint time, so a deployment that retunes
+#: `relational.DEFAULT_BROADCAST_MAX_BYTES` after import (the
+#: documented path; r9 review finding — an import-time snapshot
+#: silently diverged linter from gate) moves both together. Stays
+#: module-level-assignable so a plan test can pin the linter alone.
+BROADCAST_HINT_MAX_BYTES: int | None = None
+
+
+def _hint_max_bytes() -> int:
+    """The broadcast ceiling in force for this lint call: the explicit
+    module override when a test set one, else the runtime gate's
+    constant read at CALL time (never an import-time snapshot)."""
+    if BROADCAST_HINT_MAX_BYTES is not None:
+        return BROADCAST_HINT_MAX_BYTES
+    return _relational.DEFAULT_BROADCAST_MAX_BYTES
 
 
 def _leaf_resolved_size(plan) -> tuple[int, bool]:
@@ -267,19 +279,20 @@ def lint_plan(df: DataFrame) -> list[dict]:
                     continue
             except Exception:
                 continue
+            hint_max = _hint_max_bytes()
             est, external = _leaf_resolved_size(child)
             sentinel = est >= _SENTINEL_FLOOR
             if sentinel and not external:
                 continue  # local in-memory frame: the sentinel lies
-            if est > BROADCAST_HINT_MAX_BYTES and not sentinel:
+            if est > hint_max and not sentinel:
                 # an inherited-garbage estimate on a materialized
                 # frame: prefer the block manager's truth
                 actual = _materialized_plan_size(
                     child, df.sparkSession.sparkContext
                 )
-                if actual is not None and actual <= BROADCAST_HINT_MAX_BYTES:
+                if actual is not None and actual <= hint_max:
                     continue
-            if est > BROADCAST_HINT_MAX_BYTES:
+            if est > hint_max:
                 findings.append(
                     {
                         "rule": "oversized-broadcast-hint",
@@ -292,7 +305,7 @@ def lint_plan(df: DataFrame) -> list[dict]:
                                 "estimate"
                                 if sentinel
                                 else f"is estimated at {est} B "
-                                f"(> {BROADCAST_HINT_MAX_BYTES} B)"
+                                f"(> {hint_max} B)"
                             )
                             + "; a forced broadcast skips every stats "
                             "check — size-gate it via maybe_broadcast"

