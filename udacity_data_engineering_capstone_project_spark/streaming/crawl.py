@@ -25,10 +25,19 @@ legal plans:
   `dedup_stream_within_watermark`) or compose with the durable index
   (`dedup.stream_dedup_against_index`) instead.
 
-The per-lang token-budget stage is DELIBERATELY absent: a global
-quality-ordered prefix sum needs the whole corpus (it is a batch
-post-pass over the curated store — exactly how production pipelines
-split live filtering from offline mixing).
+The per-lang token-budget stage is DELIBERATELY absent from the
+streaming plan: a global quality-ordered prefix sum needs the whole
+corpus. It runs as a BATCH post-pass over the curated store —
+exactly how production pipelines split live filtering from offline
+mixing — and that split is executable here, not just documented:
+`curate_stream_to_store` drains the curated stream into a durable
+parquet store (availableNow trigger, checkpointed), and
+`token_budget_post_pass` reads the store back and applies the same
+`cap_tokens_per_group` operator the graded batch pipeline's budget
+stage uses. End-to-end equality with `crawl_pipeline_q`'s budget
+stage is pinned by `test_streaming_semantics.py::
+test_stream_store_token_budget_matches_batch`; a runnable walkthrough
+lives in `examples/run_stream_to_budget.py`.
 """
 
 from __future__ import annotations
@@ -126,3 +135,49 @@ def stream_crawl_curation(
             s, ["__fp"], ts_col=ts_col, watermark=horizon
         ).drop("__fp")
     return s.dropDuplicates(["__fp"]).drop("__fp")
+
+
+def curate_stream_to_store(
+    curated: DataFrame, store_path: str, checkpoint_path: str
+) -> None:
+    """Drain a curated streaming frame into a durable parquet store:
+    availableNow trigger (process everything landed so far, then
+    stop), append mode, checkpointed — so repeated invocations resume
+    from the checkpoint and land only NEW batches (the live half of
+    the stream-filter / batch-mix split). The store is a plain
+    parquet directory: every batch operator (the token-budget
+    post-pass, compaction, training-shard export) reads it directly.
+    """
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", store_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def token_budget_post_pass(
+    spark,
+    store_path: str,
+    group_cols=("lang",),
+    weight_col: str = "n_chars",
+    budget: int = 2000,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The batch half of the split: read the curated store and spend
+    the per-group token budget with the SAME `cap_tokens_per_group`
+    operator (same hash-order contract, same distributed prefix-sum
+    scale shape) the graded batch pipeline's budget stage uses —
+    stream-curate -> store -> THIS equals `crawl_pipeline_q`'s five
+    stages end-to-end (pinned by the composition test)."""
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        cap_tokens_per_group,
+    )
+
+    store = spark.read.parquet(store_path)
+    return cap_tokens_per_group(
+        store, list(group_cols), weight_col, budget=budget, key_col=key_col
+    )
