@@ -78,6 +78,7 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     # r7: the graded projection is (exact count, in-bound verdict) —
     # the raw HLL estimate is engine-internal; its accuracy is the
     # verdict's contract (|approx-exact|/exact <= 0.15 = 3x rsd)
-    pdf = UNREGISTERED["approx_distinct"].fn(spark, sf_dir).toPandas()
+    spec = REGISTRY.get("approx_distinct") or UNREGISTERED["approx_distinct"]
+    pdf = spec.fn(spark, sf_dir).toPandas()
     assert (pdf.hll_verdict == "in_bound").all()
     assert (pdf.exact_custs > 0).all() and len(pdf) == 5

@@ -186,7 +186,7 @@ def test_resample_survives_hostile_session_timezone(spark, sf_dir):
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
     try:
-        spec = UNREGISTERED["resample_q"]
+        spec = REGISTRY.get("resample_q") or UNREGISTERED["resample_q"]
         compare_frames(
             spec.fn(spark, sf_dir).toPandas(),
             run_oracle(spec.oracle, sf_dir),
