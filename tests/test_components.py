@@ -274,3 +274,78 @@ def test_corpus_diff_null_text_is_presence_not_phantom(spark):
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new, "doc_id", "text").collect()}
     # null text never fabricates an add/remove: presence is by id
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching (operators/fuzzy.py, r9)
+
+
+def _brute_levenshtein(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, len(b) + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[len(b)]
+
+
+def test_fuzzy_pairs_matches_brute_force_randomized(spark):
+    """Exact precision AND recall of the SymSpell deletion-
+    neighborhood blocking vs a python brute force, at k=1 and k=2,
+    over a randomized corpus engineered to be near-pair-dense (short
+    strings over a tiny alphabet so deletes/substitutions collide)."""
+    import random
+
+    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
+        fuzzy_pairs,
+    )
+
+    rng = random.Random(90210)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 6))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    for k in (1, 2):
+        got = sorted(
+            tuple(r) for r in fuzzy_pairs(df, "id", "s", k).collect()
+        )
+        want = sorted(
+            (x[0], y[0], _brute_levenshtein(x[1], y[1]))
+            for i, x in enumerate(rows)
+            for y in rows[i + 1 :]
+            if _brute_levenshtein(x[1], y[1]) <= k
+        )
+        assert got == want and len(want) > 50, (k, len(want))
+
+
+def test_fuzzy_pairs_edges_and_plan(spark):
+    """NULL texts never pair; empty strings pair with 1-char strings
+    at k=1; max_distance is validated; and the candidate join is an
+    equi-join on the key hash (no CartesianProduct / BNLJ — the
+    whole point of the blocking)."""
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
+        fuzzy_pairs,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.lint import (
+        lint_plan,
+        plan_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, None), (4, "ab")],
+        "id bigint, s string",
+    )
+    out = fuzzy_pairs(df, "id", "s", 1)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(1, 2, 1), (2, 4, 1)]
+    assert plan_summary(out)["bnl_joins"] == 0
+    assert not any(
+        f["rule"] == "cartesian-product" for f in lint_plan(out)
+    )
+    with _pytest.raises(ValueError, match="max_distance"):
+        fuzzy_pairs(df, "id", "s", 3)

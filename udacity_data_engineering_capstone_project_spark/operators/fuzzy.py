@@ -1,0 +1,147 @@
+"""Edit-distance fuzzy matching over SHORT strings (entity-resolution
+tier — north-star extension, same family as the MinHash/SimHash
+near-dup operators in `operators.dedup`).
+
+Links records whose key strings (names, titles, product labels,
+addresses) are within a small Levenshtein distance, WITHOUT the n^2
+cross join: the blocking key is the SymSpell deletion neighborhood
+(Garbe's symmetric-delete idea, also the core of spelling-correction
+indexes) — every string emits the set of strings reachable by
+deleting at most k characters, and
+
+    ed(s, t) <= k  =>  D_k(s) intersects D_k(t)
+
+(an optimal alignment has <= k edit operations; removing from ``s``
+the characters consumed by its substitutions/deletions and from ``t``
+those consumed by substitutions/insertions leaves the SAME common
+subsequence, each side after <= k deletions). So an equi-join on a
+shared deletion variant has EXACT recall for Levenshtein <= k, and an
+explicit `levenshtein` verify keeps precision exact. Variants ride as
+xxhash64 LONGS, not strings — a hash collision can only ADD a
+candidate pair (the verify rejects it), never lose one, and the
+shuffle stays 8 bytes/key.
+
+Scale shape: a string of length L emits O(L^k) variant keys (L=30,
+k=2 -> ~466), so this operator is for SHORT key strings — exactly the
+entity-resolution regime. The candidate join shuffles (key_hash, id)
+pairs only; texts join back by id for the bounded verify. For long
+text near-dup use the MinHash tier instead; both appear side by side
+in `operators.dedup`'s strategy table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _delete_one(arr_sql: str) -> str:
+    """SQL fragment: all single-character deletions of every string in
+    the array expression ``arr_sql`` (codegen-only: sequence +
+    substring concat, no UDF). Deleting from an empty string yields
+    the empty string (harmless duplicate, removed by array_distinct).
+    """
+    return (
+        f"array_distinct(flatten(transform({arr_sql}, t -> "
+        "transform(sequence(1, greatest(length(t), 1)), i -> "
+        "concat(substring(t, 1, i - 1), substring(t, i + 1, length(t)))"
+        "))))"
+    )
+
+
+def deletion_key_hashes(text_col: str, max_distance: int) -> F.Column:
+    """Array of xxhash64 keys for the <=``max_distance`` deletion
+    neighborhood of ``text_col`` (the string itself included) — the
+    exact-recall blocking keys for `fuzzy_pairs`. One whole-stage-
+    codegen projection; no Python, no join."""
+    if max_distance not in (1, 2):
+        raise ValueError(
+            f"max_distance must be 1 or 2 (keys grow O(L^k)), got {max_distance}"
+        )
+    level0 = f"array({text_col})"
+    level1 = _delete_one(level0)
+    variants = f"array_union({level0}, {level1})"
+    if max_distance == 2:
+        level2 = _delete_one(level1)
+        variants = f"array_union({variants}, {level2})"
+    return F.expr(
+        f"transform({variants}, v -> xxhash64(v))"
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """All pairs of rows whose ``text_col`` values are within
+    Levenshtein distance ``max_distance`` — exact precision AND exact
+    recall, never a cross join.
+
+    Three phases, mirroring the LSH operators' candidate/verify
+    shape:
+    1. block: each row emits its deletion-neighborhood key hashes
+       (`deletion_key_hashes`, one codegen projection);
+    2. candidates: self-equi-join on the key hash with ``id_a <
+       id_b`` — by the SymSpell pigeonhole every true pair shares a
+       key, so recall is exact; duplicates from multi-key agreement
+       collapse with one dropDuplicates on the id pair;
+    3. verify: join the two texts back by id (candidate-count-sized,
+       never corpus x corpus) and keep pairs with
+       ``levenshtein(a, b, threshold) <= max_distance`` — Spark's
+       thresholded Levenshtein early-exits past the bound, so the
+       verify cost is O(k * len) per candidate, not O(len^2).
+
+    Output: (id_a, id_b, distance long), id_a < id_b.
+
+    NULL texts never pair (SQL comparison semantics drop them at the
+    verify; their variant arrays are NULL so they emit no keys).
+    """
+    if max_distance not in (1, 2):
+        raise ValueError(
+            f"max_distance must be 1 or 2 (keys grow O(L^k)), got {max_distance}"
+        )
+    keys = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            deletion_key_hashes(text_col, max_distance).alias("__ks"),
+        )
+        .select("__id", F.explode("__ks").alias("__k"))
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__k") == F.col("b.__k"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = df.select(F.col(id_col).alias("__tid"), F.col(text_col).alias("__t"))
+    ta = texts.select(
+        F.col("__tid").alias("id_a"), F.col("__t").alias("__ta")
+    )
+    tb = texts.select(
+        F.col("__tid").alias("id_b"), F.col("__t").alias("__tb")
+    )
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_distance)
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        # cheap exact prefilter implied by the distance bound
+        .filter(
+            F.abs(F.length("__ta") - F.length("__tb")) <= max_distance
+        )
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("distance"),
+        )
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
+    )

@@ -1560,6 +1560,70 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for fuzzy_join — UNREGISTERED (r9 addition; 50-slot
+# window is full). DuckDB recomputes the pair set by brute force:
+# all ordered pairs with a |length| prefilter (implied exactly by the
+# distance bound) and its native levenshtein — INDEPENDENT of the
+# Spark side's SymSpell deletion-neighborhood blocking, so a recall
+# miss in the pigeonhole join breaks the hash here and in the local
+# parity gate. Entity strings are the documents' first-3-word
+# "titles" (distinct, min-doc_id representative) plus a deterministic
+# typo replica (drop first char + append 'x' = distance <= 2) for
+# eids % 7 = 3 under a disjoint id range.
+FUZZY_JOIN_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string((string_split(text, ' '))[1:3], ' ') AS title
+        FROM documents
+    ),
+    ents AS (SELECT min(doc_id) AS eid, title FROM t GROUP BY title),
+    dirty AS (
+        SELECT eid + 10000000 AS eid, substr(title, 2) || 'x' AS title
+        FROM ents WHERE eid % 7 = 3
+    ),
+    allp AS (
+        SELECT eid, title FROM ents
+        UNION ALL SELECT eid, title FROM dirty
+    )
+    SELECT a.eid AS id_a, b.eid AS id_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
+    FROM allp a JOIN allp b
+      ON a.eid < b.eid
+     AND abs(length(a.title) - length(b.title)) <= 2
+    WHERE levenshtein(a.title, b.title) <= 2
+"""
+
+
+@_register(
+    "fuzzy_join",
+    FUZZY_JOIN_ORACLE,
+    "Edit-distance entity resolution (operators/fuzzy.py:fuzzy_pairs): "
+    "SymSpell deletion-neighborhood blocking (exact recall for "
+    "Levenshtein <= k by the pigeonhole argument in the module "
+    "docstring) + thresholded-levenshtein verify, never a cross "
+    "join. Hash-checked against DuckDB's brute-force all-pairs "
+    "levenshtein. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import fuzzy_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("title"),
+    )
+    ents = titles.groupBy("title").agg(F.min("doc_id").alias("eid"))
+    dirty = ents.select(
+        (F.col("eid") + F.lit(10_000_000)).alias("eid"),
+        F.concat(F.expr("substring(title, 2, length(title))"), F.lit("x")).alias(
+            "title"
+        ),
+    ).filter((F.col("eid") - 10_000_000) % 7 == 3)
+    allp = ents.select("eid", "title").unionByName(dirty)
+    return fuzzy_pairs(allp, "eid", "title", max_distance=2)
+
+
 @_register(
     "ann_topk",
     """
