@@ -12,6 +12,10 @@ Tiers, cheapest first:
 5. SimHash — 64-bit sketch, hamming-ball candidate search via 16-bit
    band equi-joins.
 6. Embedding near-dup — cosine over a blocking key.
+7. Edit-distance fuzzy matching for SHORT key strings (names, titles,
+   labels) — `operators.fuzzy.fuzzy_pairs`: SymSpell deletion-
+   neighborhood blocking with exact recall for Levenshtein <= k.
+   Complements tiers 3-5, which measure set overlap of long texts.
 
 Everything is built from JVM-side expressions (xxhash64, higher-order
 array functions) — no Python in the hot path.
