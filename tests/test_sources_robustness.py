@@ -973,3 +973,79 @@ def test_streaming_freq_sketch_maintenance(spark, tmp_path):
     # replay with no new files processes nothing and keeps the state
     assert run() == 0
     assert {r["g"] for r in read_dimension(spark, path).collect()} == {0, 1}
+
+
+# ---------------------------------------------------------------------------
+# Parquet layout introspection (sources/layout.py, r9)
+
+
+def test_parquet_layout_matches_duckdb_metadata(spark, sf_dir, tmp_path):
+    """Footer truth cross-engine: the distributed pyarrow footer read
+    must agree with DuckDB's parquet_metadata() row-group-for-
+    row-group (rows, compressed bytes, uncompressed bytes, columns) on
+    a multi-file multi-row-group table this test writes itself."""
+    import duckdb
+
+    from udacity_data_engineering_capstone_project_spark.sources.layout import (
+        parquet_layout,
+        parquet_layout_summary,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    table = str(tmp_path / "layout_t")
+    # 3 files; small row groups so files carry SEVERAL row groups each
+    (
+        src.repartition(3)
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(table)
+    )
+
+    layout = parquet_layout(spark, table).toPandas()
+    assert layout.file.nunique() == 3 and len(layout) > layout.file.nunique()
+
+    con = duckdb.connect()
+    want = con.sql(
+        f"""
+        SELECT file_name, row_group_id,
+               max(row_group_num_rows) AS n_rows,
+               sum(total_compressed_size) AS compressed,
+               max(row_group_bytes) AS uncompressed,
+               count(*) AS n_columns
+        FROM parquet_metadata('{table}/*.parquet')
+        GROUP BY 1, 2
+        """
+    ).df()
+    got = {
+        (r.file.rsplit("/", 1)[-1], r.row_group): (
+            r.n_rows, r.compressed_bytes, r.uncompressed_bytes, r.n_columns
+        )
+        for r in layout.itertuples()
+    }
+    exp = {
+        (r.file_name.rsplit("/", 1)[-1], r.row_group_id): (
+            r.n_rows, r.compressed, r.uncompressed, r.n_columns
+        )
+        for r in want.itertuples()
+    }
+    assert got == exp and len(got) == len(exp)
+
+    # summary: 3 files, all "small" under a 32 MB threshold, row
+    # counts add up, compression ratio sane
+    s = parquet_layout_summary(parquet_layout(spark, table)).collect()[0]
+    assert s.n_files == 3 and s.n_small_files == 3
+    assert s.n_rows == src.count()
+    assert 0 < s.compression_ratio < 2
+
+
+def test_parquet_layout_empty_dir(spark, tmp_path):
+    """A directory with no matching files yields an EMPTY typed frame
+    (schema intact for downstream aggregation), not an error."""
+    from udacity_data_engineering_capstone_project_spark.sources.layout import (
+        parquet_layout,
+    )
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    out = parquet_layout(spark, str(d))
+    assert out.count() == 0
+    assert out.columns[:3] == ["file", "file_bytes", "row_group"]
