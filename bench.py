@@ -106,9 +106,11 @@ BENCH_QUERIES = [
     # pure projection), per-node triangle counts (degree-oriented wedge
     # join), near-dup connected components (LSH pairs + iterative
     # min-label propagation), fastText-style hashed-ngram scorer
-    # (explode -> hash -> dot product). ngram_lm / url_canon_q /
-    # text_profile / repetition_signals / corpus_sample stay benched
-    # above though their driver slots rotated out.
+    # (explode -> hash -> dot product). The r9-demoted queries
+    # (text_profile / repetition_signals / corpus_sample /
+    # url_canon_q; audio_features was never benched) stay benched
+    # above though their driver slots rotated out; ngram_lm above is
+    # now REGISTERED (r9 promotion).
     "winsorize_q",
     "triangle_count_q",
     "dedup_clusters",

@@ -349,3 +349,21 @@ def test_fuzzy_pairs_edges_and_plan(spark):
     )
     with _pytest.raises(ValueError, match="max_distance"):
         fuzzy_pairs(df, "id", "s", 3)
+
+
+def test_fuzzy_null_texts_emit_no_keys(spark):
+    """r9 self-review: NULL texts must emit ZERO blocking keys (not a
+    shared xxhash64(NULL) key that funnels every null row into one
+    quadratic candidate bucket)."""
+    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
+        deletion_key_hashes,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "ab")], "id bigint, s string"
+    )
+    keys = df.select(
+        "id", F.explode(deletion_key_hashes("s", 2)).alias("k")
+    )
+    assert {r.id for r in keys.collect()} == {3}

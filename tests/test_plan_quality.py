@@ -875,3 +875,25 @@ def test_linter_ceiling_tracks_runtime_gate(spark, sf_dir, monkeypatch):
     assert "oversized-broadcast-hint" in {
         f["rule"] for f in lint_plan(forced)
     }
+
+
+def test_probe_accepts_midsize_frame_within_budget(spark):
+    """r9 self-review regression: a driver-local frame BETWEEN the
+    density sample and the row cap whose real pickled size fits the
+    budget must keep the broadcast hint — the first two-stage cut
+    extrapolated density to the row CAP and wrongly declined every
+    such frame (10k rows x ~200 B pickles to ~2 MB vs a 32 MB accept
+    bound)."""
+    from udacity_data_engineering_capstone_project_spark.operators import relational
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        maybe_broadcast,
+    )
+
+    rdd = spark.sparkContext.parallelize(
+        [(i, "x" * 150) for i in range(10_000)], 4
+    )
+    df = spark.createDataFrame(rdd, "id bigint, tag string")
+    assert relational._probe_frame_is_small(
+        df, relational.DEFAULT_BROADCAST_MAX_BYTES
+    )
+    assert maybe_broadcast(df) is not df

@@ -119,7 +119,11 @@ def main() -> None:
                 finally:
                     ts._BLOCKLIST_LITERAL_MAX = default_max
                 row[path] = round(best, 3)
-                row["match_rows"] = rows
+                # per-path counts: the A/B exists to catch the two
+                # prefilter paths DIVERGING, so never let one count
+                # overwrite the other (r9 self-review)
+                row[f"match_rows_{path}"] = rows
+            assert row["match_rows_literal"] == row["match_rows_broadcast"], row
             row["literal_over_broadcast"] = round(
                 row["literal"] / row["broadcast"], 3
             )

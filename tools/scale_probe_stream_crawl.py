@@ -114,14 +114,20 @@ def main() -> None:
             q.awaitTermination()
             wall = time.perf_counter() - t0
             batches, peak_state, final_state = [], 0, 0
-            for pr in q.recentProgress:
+            for pr in q.recentProgress:  # chronological
                 dur = (pr.durationMs or {}).get("triggerExecution")
                 if dur is not None:
                     batches.append(round(dur / 1000.0, 2))
-                for op in pr.get("stateOperators") or []:
-                    rows = op.get("numRowsTotal", 0)
+                ops = pr.get("stateOperators") or []
+                if ops:
+                    # this progress event's state = max across its
+                    # operators; final = LAST event's value (so a
+                    # watermarked run can show state SHRINKING —
+                    # r9 self-review: max-folding made final==peak
+                    # by construction)
+                    rows = max(op.get("numRowsTotal", 0) for op in ops)
                     peak_state = max(peak_state, rows)
-                    final_state = max(final_state, rows)
+                    final_state = rows
 
             stream_out = spark.read.parquet(store)
             n_out = stream_out.count()

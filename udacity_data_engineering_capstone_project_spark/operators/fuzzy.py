@@ -64,8 +64,13 @@ def deletion_key_hashes(text_col: str, max_distance: int) -> F.Column:
     if max_distance == 2:
         level2 = _delete_one(level1)
         variants = f"array_union({variants}, {level2})"
-    return F.expr(
-        f"transform({variants}, v -> xxhash64(v))"
+    # NULL text -> NULL key array (explode then emits nothing).
+    # Without this guard xxhash64(NULL) evaluates to the seed, so ALL
+    # null-text rows would share one blocking key and the candidate
+    # self-join would go quadratic in the null count (r9 self-review)
+    return F.when(
+        F.expr(text_col).isNotNull(),
+        F.expr(f"transform({variants}, v -> xxhash64(v))"),
     )
 
 
@@ -95,8 +100,11 @@ def fuzzy_pairs(
 
     Output: (id_a, id_b, distance long), id_a < id_b.
 
-    NULL texts never pair (SQL comparison semantics drop them at the
-    verify; their variant arrays are NULL so they emit no keys).
+    NULL texts never pair AND never cost: their variant array is NULL
+    (`deletion_key_hashes` guards the hash), so they emit zero
+    blocking keys — a corpus that is 50% NULL keys shuffles only its
+    non-null half, instead of funneling every NULL row into one
+    quadratic bucket.
     """
     if max_distance not in (1, 2):
         raise ValueError(

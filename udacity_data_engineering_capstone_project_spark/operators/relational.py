@@ -89,11 +89,16 @@ def _probe_frame_is_small(df: DataFrame, max_bytes: int) -> bool:
     collected up to 262k rows to the driver JUST to decline a wide
     frame — 200k rows of KB-sized text spiked driver memory 2-3x the
     frame size on the decline path. Stage 1 samples a few thousand
-    rows and extrapolates density; a frame whose extrapolated full
-    size already blows the budget declines without ever materializing
-    the row cap. Only a frame that still LOOKS acceptable (small rows)
-    escalates to the full bounded take — and small rows are exactly
-    when the full take is cheap.
+    rows to estimate per-row density; stage 2 takes only as many rows
+    as could POSSIBLY fit the budget at that density (never more than
+    the row cap) — a frame that ends within that limit is measured
+    exactly (so mid-sized frames that fit keep their hint — the first
+    r9 cut extrapolated to the CAP and wrongly declined every
+     4k-262k-row frame wider than ~128 B/row), while a frame that
+    overflows it declines having materialized at most ~budget/2 of
+    row data. Density drift past the sample can only cause a
+    conservative decline, never an over-budget accept: acceptance is
+    always decided by pickling the FULL take.
     """
     try:
         import pickle
@@ -106,11 +111,14 @@ def _probe_frame_is_small(df: DataFrame, max_bytes: int) -> bool:
         if sample_n == cap:
             return False  # already past the row cap
         sample_bytes = len(pickle.dumps(rows[:sample_n]))
-        if sample_bytes * (cap / sample_n) > max_bytes // 2:
-            return False  # extrapolated over budget: decline cheaply
-        rows = df.take(cap + 1)
-        if len(rows) > cap:
-            return False
+        per_row = max(sample_bytes / sample_n, 1.0)
+        fits = int((max_bytes // 2) / per_row)
+        limit = min(cap, fits)
+        if limit <= sample_n:
+            return False  # even the sample exceeds the budget's rows
+        rows = df.take(limit + 1)
+        if len(rows) > limit:
+            return False  # over the cap, or over budget at density
         return len(pickle.dumps(rows)) <= max_bytes // 2
     except Exception:
         return False

@@ -51,14 +51,37 @@ def _list_files(spark: SparkSession, path: str, suffix: str) -> list[tuple[str, 
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
+    root = fs.makeQualified(p).toString().rstrip("/") + "/"
     out: list[tuple[str, int]] = []
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
         fp = st.getPath().toString()
-        if fp.endswith(suffix):
-            out.append((fp, int(st.getLen())))
+        if not fp.endswith(suffix):
+            continue
+        # skip hidden/uncommitted paths (the Hadoop convention all
+        # Spark readers follow): a '_temporary' staging dir mid-write
+        # or a '.part-....crc' would otherwise fail the footer read or
+        # double-count uncommitted data (r9 self-review)
+        rel = fp[len(root):] if fp.startswith(root) else fp
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.append((fp, int(st.getLen())))
     return out
+
+
+def _pyarrow_path(fp: str) -> str:
+    """Translate a Hadoop URI into what pyarrow's filesystem
+    resolution accepts: strip the local 'file:' scheme, map the
+    Hadoop S3 connector schemes (s3a/s3n) onto pyarrow's 's3'.
+    Other schemes pass through — hdfs:// resolves wherever the
+    pyarrow HDFS driver is present (the documented seam)."""
+    if fp.startswith("file:"):
+        return fp[len("file:"):]
+    for hadoop_scheme in ("s3a://", "s3n://"):
+        if fp.startswith(hadoop_scheme):
+            return "s3://" + fp[len(hadoop_scheme):]
+    return fp
 
 
 def parquet_layout(
@@ -81,8 +104,7 @@ def parquet_layout(
         for pdf in batches:
             rows = []
             for fp, fbytes in zip(pdf["file"], pdf["file_bytes"]):
-                local = fp[len("file:"):] if fp.startswith("file:") else fp
-                md = pq.ParquetFile(local).metadata
+                md = pq.ParquetFile(_pyarrow_path(fp)).metadata
                 for i in range(md.num_row_groups):
                     rg = md.row_group(i)
                     compressed = sum(
