@@ -1250,3 +1250,41 @@ def test_blocklist_phrases_with_punctuation_match_tokenized_text(spark):
     got = {(r.id, r.phrase) for r in
            screen_blocked_terms(df, "id", ["bad-actor", "card no."]).collect()}
     assert got == {(1, "bad-actor"), (2, "card no.")}
+
+
+def test_split_with_dedup_guard_cluster_cohesion(spark):
+    """Every near-dup cluster lands in exactly one split (the leakage
+    guarantee), unpaired docs represent themselves, and the straddle
+    audit is 0 for the guard's own output but catches an id-keyed
+    split that DOES straddle a cluster."""
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        assert_no_split_straddle,
+        hash_split,
+        split_with_dedup_guard,
+    )
+
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    # a 4-chain, a 2-clique and a far-apart chain; everything else unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 250)], ["id_a", "id_b"]
+    )
+    out = split_with_dedup_guard(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rows = {r["doc_id"]: (r["representative"], r["split"]) for r in out.collect()}
+    assert len(rows) == 300
+    # chain collapses to its min even though (0,3) was never an edge
+    assert {rows[i][0] for i in (0, 1, 2, 3)} == {0}
+    assert {rows[i][0] for i in (10, 11)} == {10}
+    assert {rows[i][0] for i in (20, 250)} == {20}
+    # unpaired doc represents itself
+    assert rows[100][0] == 100
+    # cohesion: one split per cluster
+    for cluster in ((0, 1, 2, 3), (10, 11), (20, 250)):
+        assert len({rows[i][1] for i in cluster}) == 1
+    assert assert_no_split_straddle(out, pairs, "doc_id") == 0
+
+    # id-keyed split on the same corpus straddles at least one cluster
+    # (deterministic md5 facts: 20 -> train-range, 250 -> val-range)
+    naive = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert assert_no_split_straddle(naive, pairs, "doc_id") >= 1

@@ -134,6 +134,64 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def split_with_dedup_guard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    digits: int = 4,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicates must never
+    straddle a split boundary (a paraphrase of a held-out document in
+    the training set is eval contamination that exact-id splitting
+    cannot see). The split key is therefore the document's near-dup
+    CLUSTER representative, not the document id: `pairs` (verified
+    near-dup edges from the minhash/simhash/fuzzy tier, columns
+    id_a/id_b) collapse into components, every member inherits the
+    component's min id as `representative` (unpaired docs represent
+    themselves), and `hash_split` assigns the split from
+    md5(representative) ranges. Same-cluster members share the key, so
+    the whole cluster lands in one split BY CONSTRUCTION — no audit
+    join needed, though `assert_no_split_straddle` provides one for
+    pipelines that ingest splits from elsewhere.
+
+    Scale shape: one connected-components pass over the EDGE set
+    (bounded by near-dup density, not corpus size) + a left join back
+    to the corpus + a row-local split expression. Nothing new shuffles
+    the corpus beyond the representative join.
+
+    Output: df columns + representative + split.
+    """
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        dedup_representatives,
+    )
+
+    with_rep = dedup_representatives(df, pairs, id_col)
+    return hash_split(with_rep, "representative", weights, digits).drop(
+        "is_representative"
+    )
+
+
+def assert_no_split_straddle(
+    split_df: DataFrame, pairs: DataFrame, id_col: str
+) -> int:
+    """Audit for externally-provided splits: count near-dup pairs whose
+    endpoints landed in different splits (each one is a leakage path).
+    Returns the straddle count — 0 for any `split_with_dedup_guard`
+    output over the same pair set. Two broadcast-eligible joins of the
+    skinny pair set against (id, split); the corpus never re-shuffles.
+    """
+    slim = split_df.select(F.col(id_col), F.col("split"))
+    a = slim.withColumnRenamed(id_col, "id_a").withColumnRenamed("split", "split_a")
+    b = slim.withColumnRenamed(id_col, "id_b").withColumnRenamed("split", "split_b")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+
+
 def deterministic_shuffle(df: DataFrame, key_col: str, seed: int = 0) -> DataFrame:
     """Stable pseudo-random global order for training-data export:
     sort by xxhash64(key, seed). Same seed -> same order on any cluster

@@ -1624,6 +1624,73 @@ def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(allp, "eid", "title", max_distance=2)
 
 
+# Oracle twin for split_with_dedup_guard — UNREGISTERED (r9 addition;
+# 50-slot window is full). The Spark side derives near-dup edges as a
+# CHAIN of consecutive doc_ids inside each 4-word template key — the
+# hardest shape for component collapse (the oracle's min must
+# propagate the full chain length, not one hop) — then runs connected
+# components + md5-range split on the representative. The oracle
+# sidesteps the iteration entirely: a chain within a key connects the
+# whole key group, so representative == min(doc_id) OVER the template
+# partition, and the split thresholds are the hash_split hex ranges
+# verbatim (sorted split names, last absorbs slack: test < 0ccd <=
+# train < f333 <= val for 90/5/5).
+LEAKAGE_SPLIT_ORACLE = """
+    WITH k AS (
+        SELECT doc_id,
+               array_to_string((string_split(text, ' '))[1:4], ' ') AS tkey
+        FROM documents
+    ),
+    reps AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY tkey) AS representative
+        FROM k
+    )
+    SELECT doc_id, representative,
+           CASE WHEN substr(md5(CAST(representative AS VARCHAR)), 1, 4) < '0ccd'
+                THEN 'test'
+                WHEN substr(md5(CAST(representative AS VARCHAR)), 1, 4) < 'f333'
+                THEN 'train'
+                ELSE 'val' END AS split
+    FROM reps
+"""
+
+
+@_register(
+    "leakage_split_q",
+    LEAKAGE_SPLIT_ORACLE,
+    "Leakage-safe train/val/test split (sampling.split_with_dedup_guard): "
+    "near-dup chain edges -> connected components -> md5-range split on "
+    "the cluster representative, so no near-dup pair straddles a split. "
+    "Oracle recomputes representatives as the template-partition min "
+    "(a chain connects the whole group) and the split ranges verbatim. "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def leakage_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        split_with_dedup_guard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("tkey"),
+    )
+    w = Window.partitionBy("tkey").orderBy("doc_id")
+    pairs = (
+        keyed.withColumn("id_b", F.lead("doc_id").over(w))
+        .filter(F.col("id_b").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+    )
+    out = split_with_dedup_guard(
+        docs, pairs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "representative", "split")
+
+
 @_register(
     "ann_topk",
     """
