@@ -1288,3 +1288,45 @@ def test_split_with_dedup_guard_cluster_cohesion(spark):
     # (deterministic md5 facts: 20 -> train-range, 250 -> val-range)
     naive = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     assert assert_no_split_straddle(naive, pairs, "doc_id") >= 1
+
+
+def test_bpe_fold_equals_wrapped_replace(spark):
+    """The bpe_train_q/bpe_tokenize_q oracles rest on one identity:
+    textstats' JVM aggregate-fold merge == left-to-right replace() over
+    the chr(31)-wrapped symbol string (plans/queries._bpe_oracle_sql).
+    Pin it on hostile shapes: runs (overlap rule), alternations,
+    '_' markers, merges of already-merged symbols."""
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        _merge_pair_fold,
+    )
+
+    def wrapped(syms):
+        return "\x1f" + "\x1f\x1f".join(syms) + "\x1f"
+
+    def unwrap(s):
+        return s[1:-1].split("\x1f\x1f")
+
+    words = ["aaaa_", "abab_", "aab_", "banana_", "aaa_", "x_", "nanana_"]
+    merge_seqs = [
+        [("a", "a"), ("aa", "aa")],
+        [("a", "b"), ("ab", "ab")],
+        [("a", "_")],
+        [("n", "a"), ("na", "na"), ("b", "a")],
+        [("a", "n"), ("an", "an"), ("an", "a")],
+    ]
+    for seq in merge_seqs:
+        df = spark.createDataFrame([(w,) for w in words], ["w"]).withColumn(
+            "syms", F.split("w", "")
+        )
+        expected = {}
+        for w in words:
+            s = wrapped(list(w))
+            for a, b in seq:
+                s = s.replace(
+                    f"\x1f{a}\x1f\x1f{b}\x1f", f"\x1f{a}{b}\x1f"
+                )  # str.replace is left-to-right non-overlapping, like SQL
+            expected[w] = unwrap(s)
+        for a, b in seq:
+            df = df.withColumn("syms", _merge_pair_fold("syms", a, b))
+        got = {r["w"]: list(r["syms"]) for r in df.collect()}
+        assert got == expected, (seq, got, expected)

@@ -1691,6 +1691,140 @@ def leakage_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "representative", "split")
 
 
+# --- DuckDB-retrained BPE oracles (r9 addition) ---------------------------
+#
+# The oracle RETRAINS the full BPE merge sequence in SQL (the
+# language_id_q precedent) and, for the tokenize query, re-applies it
+# to every document. The key identity: textstats' JVM aggregate-fold
+# merge (merge each adjacent (a, b), leftmost-first, non-overlapping)
+# is EXACTLY SQL replace() over a string where every symbol is
+# individually wrapped in chr(31): doubled delimiters mean adjacent
+# matches never share a boundary char, and replace()'s left-to-right
+# non-overlapping scan is the BPE merge rule (' a a a ' -> 'aa a',
+# never 'aa aa'). A merged product a||b can never textually equal a
+# (b is non-empty), so the fold and the replace agree symbol-for-
+# symbol; test_bpe_fold_equals_wrapped_replace pins it on hostile
+# shapes (runs, '_' markers, repeated merges).
+#
+# Early-stop parity needs no conditional SQL: when a round's best
+# candidate fails the cnt>=2 / max-token-len gate, Spark BREAKS and
+# the word table freezes — and because the oracle's failing round
+# applies a no-op (LEFT JOIN against the empty best_r), its word
+# table freezes too, so every later cand_r recomputes the SAME
+# failing candidate and best_r stays empty. Frozen on both sides.
+
+_BPE_NUM_MERGES = 12
+_BPE_MAX_TOKEN_LEN = 16
+
+
+def _bpe_oracle_sql(num_merges: int, max_token_len: int, tokenize: bool) -> str:
+    S, SS, RS = "chr(31)", "chr(31)||chr(31)", "chr(30)"
+    wrap_w = f"{S} || array_to_string(string_split(w || '_', ''), {SS}) || {S}"
+    ctes = [
+        f"""wt0 AS MATERIALIZED (
+        SELECT w, count(*) AS n, {wrap_w} AS s
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents)
+        GROUP BY w
+    )"""
+    ]
+    for r in range(1, num_merges + 1):
+        p = r - 1
+        ctes.append(f"""cand{r} AS MATERIALIZED (
+        SELECT p[1] AS a, p[2] AS b, sum(n) AS cnt
+        FROM (SELECT n, unnest(list_zip(l, l[2:])) AS p
+              FROM (SELECT n, string_split(substr(s, 2, greatest(length(s) - 2, 0)), {SS}) AS l
+                    FROM wt{p}))
+        WHERE p[2] IS NOT NULL
+        GROUP BY a, b ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    )""")
+        ctes.append(f"""best{r} AS MATERIALIZED (
+        SELECT a, b FROM cand{r}
+        WHERE cnt >= 2 AND length(a) + length(b) <= {max_token_len}
+    )""")
+        ctes.append(f"""wt{r} AS MATERIALIZED (
+        SELECT w, n, CASE WHEN x.a IS NULL THEN s
+            ELSE replace(s, {S}||x.a||{SS}||x.b||{S}, {S}||x.a||x.b||{S}) END AS s
+        FROM wt{p} LEFT JOIN best{r} x ON TRUE
+    )""")
+    if not tokenize:
+        merges = "\n        UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs FROM best{r}"
+            for r in range(1, num_merges + 1)
+        )
+        return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM ({merges})"
+    ctes.append(f"""docs0 AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN len(words) = 0 THEN ''
+            ELSE array_to_string(list_transform(words,
+                w -> {wrap_w}), {RS}) END AS d
+        FROM (SELECT doc_id,
+                     coalesce(regexp_extract_all(lower(text), '[a-z]+'), []) AS words
+              FROM documents)
+    )""")
+    for r in range(1, num_merges + 1):
+        ctes.append(f"""docs{r} AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN x.a IS NULL THEN d
+            ELSE replace(d, {S}||x.a||{SS}||x.b||{S}, {S}||x.a||x.b||{S}) END AS d
+        FROM docs{r - 1} LEFT JOIN best{r} x ON TRUE
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT doc_id,
+           CAST(CASE WHEN toks = '' THEN 0
+                ELSE len(string_split(toks, ' ')) END AS BIGINT) AS n_bpe_tokens,
+           toks AS toks_str
+    FROM (SELECT doc_id,
+                 replace(replace(substr(d, 2, greatest(length(d) - 2, 0)),
+                                 {S}||{RS}||{S}, ' '), {SS}, ' ') AS toks
+          FROM docs{num_merges})"""
+    )
+
+
+@_register(
+    "bpe_train_q",
+    _bpe_oracle_sql(_BPE_NUM_MERGES, _BPE_MAX_TOKEN_LEN, tokenize=False),
+    "BPE merge-table training (textstats.train_bpe_merges): one corpus "
+    "pass to the word-frequency table, then vocabulary-sized merge "
+    "rounds (top adjacent pair by weighted count, ties lexicographic, "
+    "stop on cnt<2 or token length). Oracle RETRAINS all rounds in "
+    "generated DuckDB SQL via the wrapped-symbol replace identity. "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    merges = ts.train_bpe_merges(
+        docs, "text", num_merges=_BPE_NUM_MERGES, max_token_len=_BPE_MAX_TOKEN_LEN
+    )
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "merge_rank BIGINT, lhs STRING, rhs STRING")
+
+
+@_register(
+    "bpe_tokenize_q",
+    _bpe_oracle_sql(_BPE_NUM_MERGES, _BPE_MAX_TOKEN_LEN, tokenize=True),
+    "BPE tokenization (textstats.bpe_tokenize): train the merge table, "
+    "then segment every document — Python touches only the DISTINCT "
+    "words (vocabulary-sized, Arrow-batched), the corpus maps through "
+    "an equi-join. Oracle retrains AND re-tokenizes every document in "
+    "SQL (per-doc wrapped string, one replace per merge round); grades "
+    "token CONTENT (the joined token string), not just counts. "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    merges = ts.train_bpe_merges(
+        docs, "text", num_merges=_BPE_NUM_MERGES, max_token_len=_BPE_MAX_TOKEN_LEN
+    )
+    out = ts.bpe_tokenize(docs, "doc_id", "text", merges, return_tokens=True)
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.array_join("bpe_tokens", " ").alias("toks_str"),
+    )
+
+
 @_register(
     "ann_topk",
     """
