@@ -267,6 +267,86 @@ def test_pack_sequences_deterministic_and_oversize(spark):
     assert packs_of_2[0] not in others.values()
 
 
+def test_pack_ffd_tree_matches_scan_exactly():
+    """The segment-tree first-fit must return the SAME pack for every
+    item as the reference linear scan — randomized over length
+    distributions that stress ties, oversize items, and zero lengths,
+    at sizes straddling the _TREE_MIN_ITEMS cutover."""
+    import random
+
+    from udacity_data_engineering_capstone_project_spark.operators.packing import (
+        _ffd_scan,
+        _ffd_tree,
+    )
+
+    rng = random.Random(7)
+    for trial in range(20):
+        n = rng.choice([1, 17, 300, 5000])
+        budget = rng.choice([64, 512, 4096])
+        lens = [
+            rng.choice([0, 1, budget // 3, budget - 1, budget, budget * 2,
+                        rng.randrange(1, budget * 2)])
+            for _ in range(n)
+        ]
+        # FFD order is the caller's contract: sort desc by len, id asc
+        items = sorted(enumerate(lens), key=lambda t: (-t[1], t[0]))
+        ids = [i for i, _ in items]
+        ls = [l for _, l in items]
+        assert _ffd_tree(ids, ls, budget) == _ffd_scan(ids, ls, budget), (
+            trial, n, budget
+        )
+
+
+def test_pack_sequences_tree_path_end_to_end(spark):
+    """A bucket past _TREE_MIN_ITEMS goes through the tree inside
+    applyInPandas — pin the budget invariant and exact-once coverage
+    on that path (buckets=1 forces one big bucket)."""
+    from udacity_data_engineering_capstone_project_spark.operators import packing
+
+    df = spark.range(0, 6000).select(
+        F.col("id"), (F.pmod(F.col("id") * 37, F.lit(400)) + 1).alias("n")
+    )
+    out = packing.pack_sequences(df, "id", "n", budget=1024, buckets=1)
+    joined = out.join(df, on="id")
+    per_pack = joined.groupBy("pack_id").agg(F.sum("n").alias("tot"))
+    assert all(r["tot"] <= 1024 for r in per_pack.collect())
+    assert joined.count() == 6000
+    assert joined.select("id").distinct().count() == 6000
+
+
+def test_pack_sequences_auto_buckets(spark):
+    """buckets=None derives the scatter width from the count — small
+    inputs keep the historical 64-bucket layout."""
+    from udacity_data_engineering_capstone_project_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    df = spark.range(0, 500).select(F.col("id"), F.lit(10).alias("n"))
+    out = pack_sequences(df, "id", "n", budget=512).collect()
+    assert {r["pack_id"] // 1_000_000_000 for r in out} <= set(range(64))
+    assert len({r["id"] for r in out}) == 500
+
+
+def test_pack_sequences_portable_bucket_matches_md5(spark):
+    """portable_bucket=True must scatter by the md5-prefix family the
+    DuckDB oracle recomputes — pin the bucket arithmetic itself (the
+    pack_id encodes bucket * 1e9, so the bucket is recoverable)."""
+    import hashlib
+
+    from udacity_data_engineering_capstone_project_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    df = spark.range(0, 64).select(F.col("id"), F.lit(10).alias("n"))
+    out = pack_sequences(df, "id", "n", budget=512, buckets=8,
+                         portable_bucket=True).collect()
+    for r in out:
+        expect = int(hashlib.md5(str(r["id"]).encode()).hexdigest()[:15], 16) % 8
+        assert r["pack_id"] // 1_000_000_000 == expect, r
+    # and the default (xxhash64) path still packs every item exactly once
+    assert len({r["id"] for r in out}) == 64
+
+
 def test_hash_split_disjoint_exhaustive_calibrated(spark, sf_dir):
     from udacity_data_engineering_capstone_project_spark.operators.sampling import hash_split
 

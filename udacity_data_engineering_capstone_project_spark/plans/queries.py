@@ -1825,6 +1825,160 @@ def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for pii_redact_q — UNREGISTERED (r9 addition; 50-slot
+# window is full). The PII patterns are written RE2-compatible (no
+# backrefs/lookarounds — textstats.PII_PATTERNS), so DuckDB's RE2
+# runs the SAME regexes: counts via len(regexp_extract_all) on the
+# ORIGINAL text, redaction via the same email->ipv4->phone->url
+# replace chain with the 'g' flag. The synthetic corpus has no PII,
+# so the query plants a deterministic doc_id-derived suffix (one
+# email, one URL, one dotted-quad, one +1- phone) in BOTH engines —
+# every doc exercises every pattern AND the replacement chain, and
+# the graded column is the full redacted STRING, not just counts.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS STRING) || '@example.com"
+    " via http://site' || CAST(doc_id AS STRING) || '.example/p?id='"
+    " || CAST(doc_id AS STRING) || ' from 10.0.' ||"
+    " CAST(doc_id % 256 AS STRING) || '.' ||"
+    " CAST((doc_id * 7) % 256 AS STRING) || ' call +1-555-' ||"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || '-1234'"
+)
+
+
+def _pii_oracle_sql() -> str:
+    # DuckDB standard strings keep backslashes literal — escape ONLY
+    # the quote (the url pattern's negated class contains one).
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        "CAST(len(regexp_extract_all(txt, '{p}')) AS BIGINT) AS n_{k}".format(
+            k=k, p=PII_PATTERNS[k].replace("'", "''")
+        )
+        for k in ("email", "ipv4", "phone", "url")
+    )
+    red = "txt"
+    for k in ("email", "ipv4", "phone", "url"):
+        pat = PII_PATTERNS[k].replace("'", "''")
+        red = f"regexp_replace({red}, '{pat}', '[{k.upper()}]', 'g')"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS txt FROM documents
+    )
+    SELECT doc_id,
+           {counts},
+           {red} AS redacted_text
+    FROM t
+    """
+
+
+@_register(
+    "pii_redact_q",
+    _pii_oracle_sql(),
+    "PII redaction (textstats.redact_pii): per-kind regexp_count on "
+    "the original text + chained regexp_replace in kind order, one "
+    "whole-stage-codegen projection, zero shuffle. Oracle reruns the "
+    "identical RE2-compatible patterns in DuckDB and grades the FULL "
+    "redacted string. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", F.expr(f"text || {_PII_SUFFIX_SQL}").alias("txt")
+    )
+    return ts.redact_pii(planted, "txt").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_url", "redacted_text"
+    )
+
+
+_PACK_BUDGET = 1024
+_PACK_BUCKETS = 8
+
+# Oracle twin for pack_sequences_q — UNREGISTERED (r9 addition;
+# 50-slot window is full). First-fit-decreasing is a sequential
+# recurrence (the engine runs it per hash bucket inside
+# applyInPandas — the documented justified-Python seam), so the
+# oracle SIMULATES it: a recursive CTE advances every bucket one item
+# per iteration, carrying the open-pack remaining-capacity LIST and
+# the assignment list as state; `list_position(list_transform(caps,
+# c -> c >= take), true)` IS first-fit (0/NULL -> open a new pack).
+# portable_bucket=True pins the md5-prefix bucket hash both engines
+# share, so the EXACT (pack_id, pack_offset) assignment — not just
+# pack invariants — is hash-graded.
+_PACK_ORACLE = f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               LEAST(n_chars, {_PACK_BUDGET}) AS take,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {_PACK_BUCKETS} AS bucket,
+               n_chars
+        FROM documents
+    ), items AS (
+        SELECT bucket, doc_id, take,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM base
+    ), sim AS (
+        SELECT bucket, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS caps,
+               CAST([] AS STRUCT(doc_id BIGINT, local BIGINT, off BIGINT)[]) AS assigned
+        FROM (SELECT DISTINCT bucket FROM items)
+        UNION ALL
+        SELECT s.bucket, s.rn + 1,
+          CASE WHEN COALESCE(list_position(list_transform(s.caps, c -> c >= i.take), true), 0) = 0
+               THEN list_append(s.caps, {_PACK_BUDGET} - i.take)
+               ELSE list_concat(list_concat(
+                      s.caps[1:list_position(list_transform(s.caps, c -> c >= i.take), true) - 1],
+                      [s.caps[list_position(list_transform(s.caps, c -> c >= i.take), true)] - i.take]),
+                      s.caps[list_position(list_transform(s.caps, c -> c >= i.take), true) + 1:len(s.caps)])
+          END AS caps,
+          list_append(s.assigned,
+            CASE WHEN COALESCE(list_position(list_transform(s.caps, c -> c >= i.take), true), 0) = 0
+                 THEN {{'doc_id': i.doc_id, 'local': CAST(len(s.caps) AS BIGINT),
+                        'off': CAST(0 AS BIGINT)}}
+                 ELSE {{'doc_id': i.doc_id,
+                        'local': CAST(list_position(list_transform(s.caps, c -> c >= i.take), true) - 1 AS BIGINT),
+                        'off': CAST({_PACK_BUDGET} - s.caps[list_position(list_transform(s.caps, c -> c >= i.take), true)] AS BIGINT)}}
+            END) AS assigned
+        FROM sim s JOIN items i ON i.bucket = s.bucket AND i.rn = s.rn + 1
+    ), last_rows AS (
+        SELECT s.bucket, s.assigned
+        FROM sim s JOIN (SELECT bucket, MAX(rn) AS mx FROM sim GROUP BY bucket) m
+          ON s.bucket = m.bucket AND s.rn = m.mx
+    ), flat AS (
+        SELECT bucket, UNNEST(assigned) AS a FROM last_rows
+    )
+    SELECT a.doc_id AS doc_id,
+           bucket * 1000000000 + a.local AS pack_id,
+           a.off AS pack_offset
+    FROM flat
+"""
+
+
+@_register(
+    "pack_sequences_q",
+    _PACK_ORACLE,
+    "Sequence packing (packing.pack_sequences): hash-bucket scatter + "
+    "per-bucket first-fit-decreasing, the training-batch construction "
+    "pass. Oracle replays FFD exactly via a recursive CTE whose state "
+    "is the per-bucket open-pack capacity list — the full "
+    "(pack_id, pack_offset) assignment is hash-graded, not just the "
+    "budget invariant. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs,
+        "doc_id",
+        "n_chars",
+        budget=_PACK_BUDGET,
+        buckets=_PACK_BUCKETS,
+        portable_bucket=True,
+    )
+
+
 @_register(
     "ann_topk",
     """
