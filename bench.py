@@ -115,6 +115,21 @@ BENCH_QUERIES = [
     "triangle_count_q",
     "dedup_clusters",
     "hashed_classifier",
+    # round 9 continuation (second rotation slate): the newly
+    # oracle-backed pipeline passes join the bench as they take driver
+    # slots — PII scrub (chained regexp codegen projection, zero
+    # shuffle), sequence packing (hash-bucket scatter + segment-tree
+    # first-fit inside applyInPandas), edit-distance fuzzy matching
+    # (SymSpell deletion-neighborhood block join), and BPE
+    # train+tokenize (vocab-sized merge rounds + distinct-word
+    # tokenize mapped by equi-join). The ceded queries
+    # (contamination_check / tfidf_topk / bm25_retrieval /
+    # dedup_simhash) stay benched above though their driver slots
+    # rotated out.
+    "pii_redact_q",
+    "pack_sequences_q",
+    "fuzzy_join",
+    "bpe_tokenize_q",
 ]
 
 

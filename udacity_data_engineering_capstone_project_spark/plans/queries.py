@@ -1424,6 +1424,7 @@ def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> st
     "(integer-exact in any ANSI engine), so DuckDB re-derives "
     "signatures, chunk buckets, and hamming bit-for-bit; the xxhash64 "
     "family stays the production default in simhash_signatures.",
+    registered=False,  # r9 continuation: ceded (second slate); band-LSH dedup stays driver-graded via dedup_minhash_lsh + dedup_embedding_lsh + dedup_clusters; hash-pinned in the unregistered gate
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist for intra-job reuse (the banded self-join consumes the
@@ -1602,8 +1603,8 @@ FUZZY_JOIN_ORACLE = """
     "Levenshtein <= k by the pigeonhole argument in the module "
     "docstring) + thresholded-levenshtein verify, never a cross "
     "join. Hash-checked against DuckDB's brute-force all-pairs "
-    "levenshtein. Unregistered; hash-pinned locally.",
-    registered=False,
+    "levenshtein. Promoted to a driver slot in the r9 second slate "
+    "(new surface gets a hard driver row in the round it lands).",
 )
 def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.fuzzy import fuzzy_pairs
@@ -1809,8 +1810,9 @@ def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an equi-join. Oracle retrains AND re-tokenizes every document in "
     "SQL (per-doc wrapped string, one replace per merge round); grades "
     "token CONTENT (the joined token string), not just counts. "
-    "Unregistered; hash-pinned locally.",
-    registered=False,
+    "Promoted to a driver slot in the r9 second slate (new surface "
+    "gets a hard driver row in the round it lands); bpe_train_q stays "
+    "unregistered — tokenize subsumes train.",
 )
 def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1878,8 +1880,9 @@ def _pii_oracle_sql() -> str:
     "the original text + chained regexp_replace in kind order, one "
     "whole-stage-codegen projection, zero shuffle. Oracle reruns the "
     "identical RE2-compatible patterns in DuckDB and grades the FULL "
-    "redacted string. Unregistered; hash-pinned locally.",
-    registered=False,
+    "redacted string. Promoted to a driver slot in the r9 second "
+    "slate (new surface gets a hard driver row in the round it "
+    "lands).",
 )
 def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1962,8 +1965,9 @@ _PACK_ORACLE = f"""
     "pass. Oracle replays FFD exactly via a recursive CTE whose state "
     "is the per-bucket open-pack capacity list — the full "
     "(pack_id, pack_offset) assignment is hash-graded, not just the "
-    "budget invariant. Unregistered; hash-pinned locally.",
-    registered=False,
+    "budget invariant. Promoted to a driver slot in the r9 second "
+    "slate (new surface gets a hard driver row in the round it "
+    "lands).",
 )
 def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.packing import pack_sequences
@@ -2424,6 +2428,7 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_id % 97 = 0 stand in for the eval suite). The benchmark side "
     "collapses to distinct n-grams and broadcasts (bounded — eval "
     "suites are small); the corpus side is one scan + explode.",
+    registered=False,  # r9 continuation: ceded (second slate); the explode+broadcast-overlap shape stays driver-graded via ngram_lm + heavy_hitters_q; hash-pinned in the unregistered gate
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -2500,6 +2505,7 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "end-to-end: tf and df are partial-aggregatable counts, corpus "
     "size rides a 1-row broadcast, rank is a per-doc window with a "
     "total order (tfidf desc, term asc).",
+    registered=False,  # r9 continuation: ceded (second slate); tf/df partial-agg + per-doc window stays driver-graded via pr_curve_q + token_budget_q; hash-pinned in the unregistered gate
 )
 def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ts.tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
@@ -2534,6 +2540,7 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training-data curation. The term filter lands BEFORE the tf "
     "aggregation so only query-term rows shuffle; corpus stats (N, "
     "avgdl) ride a 1-row broadcast.",
+    registered=False,  # r9 continuation: ceded (second slate); retrieval scoring stays driver-graded via ngram_lm + hashed_classifier; hash-pinned in the unregistered gate
 )
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.bm25_scores(
