@@ -772,6 +772,46 @@ HTML_SAMPLES = [
 ]
 
 
+def test_extract_links_and_host_edges(spark):
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        extract_links,
+        host_link_edges,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '<a href="http://a.example/x">t</a> <img src=\'https://b.example/i.png\'>'),
+            (2, "<a HREF=\"HTTP://a.example/y\">caps</a> <a href='mailto:x@y.z'>m</a>"),
+            (3, '<a href="/relative/only">r</a>'),   # no absolute links
+            (4, "no markup at all"),
+            (5, None),
+            (6, '<a data-href="http://c.example/via-data">d</a>'),  # \b still matches href=
+        ],
+        "doc_id bigint, html string",
+    )
+    links = extract_links(df, "doc_id", "html")
+    got = {(r["doc_id"], r["link"]) for r in links.collect()}
+    assert (1, "http://a.example/x") in got
+    assert (1, "https://b.example/i.png") in got
+    assert (2, "HTTP://a.example/y") in got          # case-insensitive attr
+    assert (2, "mailto:x@y.z") in got                # extraction keeps it...
+    assert (3, "/relative/only") in got
+    assert not any(d == 4 or d == 5 for d, _ in got)  # no links -> no rows
+
+    edges = host_link_edges(
+        links.withColumn("src", F.concat(F.lit("s"), F.col("doc_id").cast("string"))),
+        "src",
+    )
+    e = {(r["src_host"], r["dst_host"]): r["n_links"] for r in edges.collect()}
+    # ...but the host edge pass drops mailto/relative (no http authority)
+    assert e == {
+        ("s1", "a.example"): 1,
+        ("s1", "b.example"): 1,
+        ("s2", "a.example"): 1,
+        ("s6", "c.example"): 1,
+    }
+
+
 def test_strip_html_extraction(spark):
     from udacity_data_engineering_capstone_project_spark.operators.textstats import (
         strip_html,

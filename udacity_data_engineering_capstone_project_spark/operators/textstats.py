@@ -1119,6 +1119,58 @@ def strip_html(
     return df.withColumn(output_column or column, c)
 
 
+#: href/src attribute values — RE2-safe (alternation + classes, no
+#: lookarounds), so DuckDB runs the identical pattern for the oracle.
+#: Group 1 is the URL; quotes may mismatch (href="x') — both engines
+#: accept the same sloppy set, which is the point: parity over purity.
+LINK_PATTERN = "(?i)\\b(?:href|src)\\s*=\\s*[\"']([^\"'<>\\s]+)[\"']"
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    out_col: str = "link",
+) -> DataFrame:
+    """Harvest outlinks (href/src attribute URLs) from an HTML
+    column — the crawl-frontier / link-graph pass that runs beside
+    `strip_html` (text keeps the words, this keeps the edges).
+
+    One regexp_extract_all + explode, whole-stage codegen, no Python;
+    a doc with no links contributes no rows (explode drops empty
+    arrays). Feed the result to a host aggregation + `graph.pagerank`
+    for the standard crawl ranking loop.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(LINK_PATTERN), 1)
+        ).alias(out_col),
+    )
+
+
+def host_link_edges(
+    links: DataFrame,
+    src_host_col: str,
+    link_col: str = "link",
+) -> DataFrame:
+    """Collapse per-document outlinks into weighted host->host edges:
+    (src_host, dst_host, n_links). dst_host parses with the portable
+    scheme-authority regex (RE2-safe) rather than a URI parser so the
+    same derivation runs in any engine; links with no http(s)
+    authority (mailto:, fragments, relative paths) drop out. One
+    partial-aggregatable groupBy — the edge list a PageRank or
+    frontier scheduler consumes.
+    """
+    dst = F.regexp_extract(F.col(link_col), "^[Hh][Tt][Tt][Pp][Ss]?://([^/]+)", 1)
+    return (
+        links.withColumn("dst_host", dst)
+        .filter(F.col("dst_host") != "")
+        .groupBy(F.col(src_host_col).alias("src_host"), "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 def train_language_id(
     df: DataFrame,
     text_col: str,

@@ -1894,6 +1894,74 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin for link_graph_q — UNREGISTERED (r9 addition; 50-slot
+# window is full). Each doc gets a deterministic HTML body: two
+# <a href> outlinks + one <img src> (doc_id-derived hosts, one
+# single-quoted attribute and one relative path to exercise the
+# pattern's quote/scheme handling), plus its own site identity.
+# LINK_PATTERN and the scheme-authority host regex are RE2-safe, so
+# DuckDB re-derives the same (src_host, dst_host, n_links) edges with
+# regexp_extract_all + unnest — the crawl link-graph pass, graded as
+# data, not just row counts.
+_LINK_HTML_SQL = (
+    "'<p>' || text || ' <a href=\"http://site' ||"
+    " CAST(doc_id * 3 % 40 AS STRING) ||"
+    " '.example/a\">a</a> <a href=\\'https://site' ||"
+    " CAST(doc_id * 7 % 40 AS STRING) ||"
+    " '.example/b?x=1\\'>b</a> <img src=\"/static/logo' ||"
+    " CAST(doc_id % 5 AS STRING) || '.png\"></p>'"
+)
+
+_LINK_SRC_HOST_SQL = "'site' || CAST(doc_id % 40 AS STRING) || '.example'"
+
+
+def _link_graph_oracle() -> str:
+    # DuckDB standard strings keep backslashes literal (escape only
+    # quotes); the Spark-side \' attribute quotes become '' here.
+    pat = ts.LINK_PATTERN.replace("'", "''")
+    html = _LINK_HTML_SQL.replace("\\'", "''")
+    return f"""
+    WITH d AS (
+        SELECT doc_id, {html} AS html,
+               {_LINK_SRC_HOST_SQL} AS src_host
+        FROM documents
+    ), l AS (
+        SELECT src_host,
+               unnest(regexp_extract_all(html, '{pat}', 1)) AS link
+        FROM d
+    )
+    SELECT src_host,
+           regexp_extract(link, '^[Hh][Tt][Tt][Pp][Ss]?://([^/]+)', 1) AS dst_host,
+           count(*) AS n_links
+    FROM l
+    WHERE regexp_extract(link, '^[Hh][Tt][Tt][Pp][Ss]?://([^/]+)', 1) <> ''
+    GROUP BY 1, 2
+    """
+
+
+@_register(
+    "link_graph_q",
+    _link_graph_oracle(),
+    "Outlink harvesting -> host link graph (textstats.extract_links + "
+    "host_link_edges): regexp_extract_all href/src values, explode, "
+    "portable scheme-authority host parse, one partial-aggregatable "
+    "groupBy to weighted host->host edges — the crawl-frontier / "
+    "PageRank input pass. Hash-checked against a DuckDB replay of the "
+    "identical RE2-safe patterns. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_LINK_HTML_SQL).alias("html")
+    )
+    # src_host is a pure function of doc_id, so it re-derives AFTER
+    # extraction — no join back to the corpus, stays one codegen pass
+    links = ts.extract_links(docs, "doc_id", "html").withColumn(
+        "src_host", F.expr(_LINK_SRC_HOST_SQL)
+    )
+    return ts.host_link_edges(links, "src_host")
+
+
 _PACK_BUDGET = 1024
 _PACK_BUCKETS = 8
 
