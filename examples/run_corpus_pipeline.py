@@ -2,7 +2,8 @@
 corpus — the north-star workflow composed from the engine's operators,
 all lazy DataFrame plans until each stage's action:
 
-  documents --(strip_html + normalize_unicode)--> canonical text
+  documents --(extract_links + host_link_edges + pagerank)--> host ranks
+            --(strip_html + normalize_unicode)--> canonical text
             --(text_profile + gopher_quality)--> quality filter
             --(repetition_signals)--> drop boilerplate
             --(ngram_overlap)--> drop benchmark-contaminated docs
@@ -106,6 +107,35 @@ def main() -> None:
     docs = filter_robots_disallowed(docs, rules, "url").drop("url")
     n_robots = docs.count()
     tick("robots-screen")
+
+    # -1c. outlink harvest -> host link graph -> PageRank: the crawl
+    #      frontier ranking loop. The corpus is plain text, so plant
+    #      two doc_id-derived outlinks per doc the way a real page
+    #      carries them; src_host re-derives from doc_id (the same
+    #      h<doc_id % 3>.com identity the robots stage used), so no
+    #      join back to the corpus is needed after extraction.
+    from udacity_data_engineering_capstone_project_spark.operators.graph import pagerank
+
+    planted = docs.select(
+        "doc_id",
+        F.expr(
+            "'<a href=\"http://h' || CAST(doc_id * 3 % 5 AS STRING) ||"
+            " '.com/x\">x</a> <a href=\"http://h' ||"
+            " CAST(doc_id * 7 % 5 AS STRING) || '.com/y\">y</a>'"
+        ).alias("html"),
+    )
+    links = ts.extract_links(planted, "doc_id", "html").withColumn(
+        "src_host",
+        F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string"), F.lit(".com")),
+    )
+    host_edges = ts.host_link_edges(links, "src_host")
+    top_hosts = (
+        pagerank(host_edges, "src_host", "dst_host", max_iter=8)
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(3)
+        .collect()
+    )
+    tick("link-graph-rank")
 
     # 0. canonicalize: HTML -> visible text (no-op whitespace collapse
     #    on plain text) and NFKC unicode normalization, so every
@@ -435,6 +465,7 @@ def main() -> None:
         f"day-2 screen={screen_summary} "
         f"(bloom fast-passed {n_bloom_fast}/3); "
         f"top sources={[(r['value'], r['count']) for r in top_sources]}; "
+        f"top linked hosts={[(r['node'], round(r['rank'], 4)) for r in top_hosts]}; "
         f"len p50/p95={len_p50_p95}; "
         f"corpus at {out_dir}"
     )
