@@ -267,6 +267,34 @@ def test_pack_sequences_deterministic_and_oversize(spark):
     assert packs_of_2[0] not in others.values()
 
 
+def test_temperature_mix_q_threshold_margin(spark, sf_dir):
+    """The temperature_mix_q oracle re-derives the per-source keep
+    rates in DuckDB floats and both engines round rate*65536 to the
+    hex threshold — pin that no rate sits near a .5 rounding boundary
+    (where Python's banker's round and DuckDB's half-away round could
+    disagree). Margin-headroom pattern: the guard FAILS loudly if a
+    future corpus/tier change lands on the edge."""
+    from udacity_data_engineering_capstone_project_spark.plans.queries import (
+        _TEMP_MIX_TIER_SQL,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.expr(_TEMP_MIX_TIER_SQL).alias("tier")
+    )
+    counts = {
+        r["tier"]: r["n"]
+        for r in docs.groupBy("tier").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    weights = {s: float(n) ** 0.5 for s, n in counts.items()}
+    t_max = min(counts[s] / w for s, w in weights.items())
+    for s, w in weights.items():
+        rate = min(1.0, (w * t_max) / counts[s])
+        if rate >= 1.0:
+            continue
+        frac = abs((rate * 65536) % 1.0 - 0.5)
+        assert frac > 1e-3, (s, rate, rate * 65536)
+
+
 def test_pack_ffd_tree_matches_scan_exactly():
     """The segment-tree first-fit must return the SAME pack for every
     item as the reference linear scan — randomized over length

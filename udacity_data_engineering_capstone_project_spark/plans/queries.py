@@ -1962,6 +1962,280 @@ def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.host_link_edges(links, "src_host")
 
 
+# Oracle twin for k_anonymity_q — UNREGISTERED (r9 addition). The
+# privacy gate is one grouped count + filter; the quasi-identifier
+# here is (lang, source, n_chars // 100) — granular enough that small
+# groups exist at driver scale, so the gate returns real violations,
+# not an empty certificate.
+_K_ANON_ORACLE = """
+    SELECT lang, source,
+           CAST(n_chars // 100 AS BIGINT) AS len_band,
+           count(*) AS n_rows
+    FROM documents
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 4
+"""
+
+
+@_register(
+    "k_anonymity_q",
+    _K_ANON_ORACLE,
+    "k-anonymity privacy gate (quality.k_anonymity_violations): "
+    "quasi-identifier combinations shared by fewer than k rows — the "
+    "groups a release would re-identify; one partial-aggregated "
+    "shuffle. Complements redact_pii (direct identifiers). "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        k_anonymity_violations,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "source", (F.col("n_chars") / 100).cast("long").alias("len_band")
+    )
+    return k_anonymity_violations(docs, ["lang", "source", "len_band"], k=4)
+
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+# Oracle twin for chunk_q — UNREGISTERED (r9 addition). DuckDB
+# replays the window arithmetic on its own list machinery:
+# regexp_split_to_array + the same 1 + ceil(max(n - chunk, 0) /
+# stride) window count, list slicing clamped at the array end exactly
+# as Spark's slice() clamps. Chunk CONTENT (the joined text) is
+# graded, not just counts.
+_CHUNK_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ), c AS (
+        SELECT doc_id, words, len(words) AS n,
+               1 + CAST(ceil(greatest(len(words) - {_CHUNK_TOKENS}, 0)
+                             / {_CHUNK_STRIDE}.0) AS INT) AS n_chunks
+        FROM w
+    ), e AS (
+        SELECT doc_id, words,
+               unnest(range(0, n_chunks)) AS cid
+        FROM c
+    ), s AS (
+        SELECT doc_id, cid,
+               words[cid * {_CHUNK_STRIDE} + 1 :
+                     cid * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}] AS toks
+        FROM e
+    )
+    SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           array_to_string(toks, ' ') AS chunk_text
+    FROM s
+"""
+
+
+@_register(
+    "chunk_q",
+    _CHUNK_ORACLE,
+    "Document chunking (textstats.chunk_documents): overlapping "
+    "token windows (64 tokens, stride 48) via transform-over-sequence "
+    "+ slice — a linear shuffle-free map; a final partial window is "
+    "emitted only when it adds new tokens. Oracle replays the window "
+    "arithmetic on DuckDB lists and grades chunk content. "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ts.chunk_documents(
+        docs, "doc_id", "text",
+        chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE,
+    )
+
+
+# Oracle twin for temperature_mix_q — UNREGISTERED (r9 addition).
+# The corpus's natural sources are near-uniform (T-flattening would
+# keep everything — a vacuous predicate test), so the query derives a
+# SKEWED 70/20/10 web/books/code tier from doc_id in both engines.
+# T=2 makes the weight pow(n, 0.5) — BOTH engines call the platform
+# pow, and every later step (min over sources, w*t_max/n, the 4-hex
+# round) is IEEE-deterministic, so DuckDB re-derives the per-source
+# keep-rate thresholds bit-for-bit and replays the md5 membership
+# predicate. The boundary guard (rate*65536 never within 1e-3 of a
+# .5 rounding edge) is pinned in pytest, the margin-headroom pattern.
+_TEMP_MIX_TIER_SQL = (
+    "CASE WHEN doc_id % 10 < 7 THEN 'web' "
+    "WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END"
+)
+
+_TEMP_MIX_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars, {_TEMP_MIX_TIER_SQL} AS tier
+        FROM documents
+    ),
+    c AS (SELECT tier AS s, count(*) AS n FROM d GROUP BY 1),
+    w AS (SELECT s, n, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),
+    t AS (SELECT min(n / wt) AS t_max FROM w),
+    r AS (SELECT s, least(1.0, wt * t_max / n) AS rate FROM w, t),
+    thr AS (SELECT s,
+                   CASE WHEN CAST(round(rate * 65536) AS BIGINT) >= 65536
+                        THEN 'g'
+                        ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT))
+                   END AS th
+            FROM r)
+    SELECT d.doc_id, d.lang, d.tier, d.n_chars
+    FROM d JOIN thr ON thr.s = d.tier
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.th
+"""
+
+
+@_register(
+    "temperature_mix_q",
+    _TEMP_MIX_ORACLE,
+    "Temperature-flattened source mixture at T=2 (sampling."
+    "temperature_mix -> mix_sources -> stratified_hash_sample) over a "
+    "derived 70/20/10 source skew: target share ~ n^(1/T), "
+    "downsample-only, membership a pure md5 predicate. Oracle "
+    "re-derives counts, weights, the capped rates and the hex "
+    "thresholds in SQL and replays the predicate. Unregistered; "
+    "hash-pinned locally.",
+    registered=False,
+)
+def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.expr(_TEMP_MIX_TIER_SQL).alias("tier")
+    )
+    return temperature_mix(docs, "doc_id", "tier", temperature=2.0).select(
+        "doc_id", "lang", "tier", "n_chars"
+    )
+
+
+# Oracle twin for calibration_q — UNREGISTERED (r9 addition). The
+# synthetic classifier is exactly reproducible: score = md5-prefix /
+# 65536 (a DYADIC rational — per-bin sums of <=500 such values are
+# EXACT in float64, so mean_score has no summation-order noise at
+# all), label a deterministic residue. n_pos is CAST to BIGINT in the
+# oracle (DuckDB sum -> HUGEINT -> driver float otherwise; the r7
+# pr_curve lesson).
+_CALIB_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) AS v
+        FROM documents
+    ), s AS (
+        SELECT v / 65536.0 AS sc,
+               CASE WHEN (v + doc_id) % 7 < 3 THEN 1 ELSE 0 END AS y
+        FROM t
+    ), b AS (
+        SELECT CAST(least(greatest(floor(sc * 10), 0), 9) AS INT) AS bin, sc, y
+        FROM s
+    )
+    SELECT bin,
+           round(CAST(bin AS DOUBLE) / 10, 6) AS bin_lo,
+           count(*) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(sum(y) * 1.0 / count(*), 6) AS frac_pos,
+           round(sum(sc) / count(*), 6) AS mean_score
+    FROM b GROUP BY 1
+"""
+
+
+@_register(
+    "calibration_q",
+    _CALIB_ORACLE,
+    "Reliability-diagram calibration bins (textstats.calibration_bins) "
+    "over a derived md5-prefix classifier: one grouped aggregation on "
+    "bucket = floor(score * n_bins), mean prediction vs observed "
+    "positive rate per bin — decides whether a screen classifier's "
+    "scores read as probabilities. Scores are dyadic rationals, so "
+    "bin means are float-exact cross-engine. Unregistered; hash-pinned "
+    "locally.",
+    registered=False,
+)
+def calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    scored = _t(spark, sf_dir, "documents").select(
+        (v / F.lit(65536.0)).alias("score"),
+        ((v + F.col("doc_id")) % 7 < 3).cast("long").alias("label"),
+    )
+    return ts.calibration_bins(scored, "score", "label", n_bins=10)
+
+
+def _label_prop_oracle(rounds: int) -> str:
+    # Unrolled synchronous label propagation (the dedup_clusters /
+    # pagerank precedent: fixed rounds as MATERIALIZED CTE levels).
+    # Each round: per-node neighbor-label counts -> argmax with the
+    # engine's exact tie order (cnt desc, label asc).
+    parts = [
+        """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), adj AS MATERIALIZED (
+        SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+    ), l0 AS MATERIALIZED (
+        SELECT DISTINCT u AS node, u AS label FROM adj
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""", c{i} AS MATERIALIZED (
+        SELECT adj.u AS node, l.label, count(*) AS cnt
+        FROM adj JOIN l{i - 1} l ON l.node = adj.v
+        GROUP BY 1, 2
+    ), l{i} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label ASC) AS r
+            FROM c{i}
+        ) WHERE r = 1
+    )""")
+    parts.append(
+        f"\n    SELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}"
+    )
+    return "".join(parts)
+
+
+_LABEL_PROP_ROUNDS = 4
+
+
+@_register(
+    "label_prop_q",
+    _label_prop_oracle(_LABEL_PROP_ROUNDS),
+    "Deterministic synchronous label propagation (graph."
+    "label_propagation, Raghavan et al. 2007 with smallest-label "
+    "ties) over the supplier co-occurrence graph — community "
+    "detection, finer than connected components. Oracle unrolls the "
+    "same fixed rounds as MATERIALIZED CTE levels with the identical "
+    "argmax tie order; labels are integer node ids, so parity is "
+    "exact. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def label_prop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        on=[
+            F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+            F.col("a.l_suppkey") < F.col("b.l_suppkey"),
+        ],
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    return label_propagation(edges, max_iter=_LABEL_PROP_ROUNDS)
+
+
 _PACK_BUDGET = 1024
 _PACK_BUCKETS = 8
 
@@ -2790,6 +3064,89 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tol=0.0: always run exactly 8 rounds so the row count and ranks
     # are run-to-run deterministic for the driver's rows-only check
     ranks = pagerank(edges, max_iter=8, tol=0.0)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+_PPR_SEEDS = ("s1", "s5", "s9")
+_PPR_ROUNDS = 8
+
+
+def _ppr_oracle(iters: int = _PPR_ROUNDS, damping: float = 0.85) -> str:
+    # Personalized-PageRank twin of `_pagerank_oracle` (r9): teleport
+    # AND dangling mass return to the seed set via the per-node reset
+    # weight; init rank = reset. Same unrolled-materialized-CTE shape,
+    # same transcendental-free 8dp headroom class.
+    seeds_values = ", ".join(f"('{s}')" for s in _PPR_SEEDS)
+    reset = f"1.0 / {len(_PPR_SEEDS)}"
+    sql = f"""
+    WITH e AS MATERIALIZED (
+        SELECT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+               'p' || CAST(l_partkey AS VARCHAR) AS v
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    seeds(node) AS (VALUES {seeds_values}),
+    nodes AS MATERIALIZED (
+        SELECT node,
+               CASE WHEN node IN (SELECT node FROM seeds)
+                    THEN {reset} ELSE 0.0 END AS reset
+        FROM (SELECT u AS node FROM e UNION SELECT v FROM e
+              UNION SELECT node FROM seeds)
+    ),
+    deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+    w AS MATERIALIZED (
+        SELECT e.u, e.v, 1.0 / deg.deg AS w FROM e JOIN deg USING (u)
+    ),
+    r0 AS MATERIALIZED (SELECT node, reset AS rank FROM nodes)"""
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        sql += f""",
+    d{i} AS MATERIALIZED (
+        SELECT COALESCE(sum(r.rank), 0) AS dm
+        FROM {p} r LEFT JOIN deg ON r.node = deg.u WHERE deg.u IS NULL
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT w.v AS node, sum(w.w * r.rank) AS cin
+        FROM w JOIN {p} r ON r.node = w.u GROUP BY 1
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT n.node,
+               (1.0 - {damping!r}) * n.reset
+               + {damping!r} * (COALESCE(c.cin, 0) + d.dm * n.reset) AS rank
+        FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+        CROSS JOIN d{i} d
+    )"""
+    return sql + f"\n    SELECT node, round(rank, 8) AS rank FROM r{iters}"
+
+
+@_register(
+    "ppr_q",
+    _ppr_oracle(),
+    "Personalized PageRank (graph.personalized_pagerank): teleport "
+    "and dangling mass return to a 3-supplier seed set over the "
+    "part->supplier graph — seed-set expansion, the trusted-domain "
+    "whitelist grower. Fixed 8 rounds (tol=0.0); oracle is the "
+    "unrolled materialized-CTE twin of the pagerank oracle with the "
+    "per-node reset weight; 8dp rounding, the same measured "
+    "transcendental-free headroom class. Unregistered; hash-pinned "
+    "locally.",
+    registered=False,
+)
+def ppr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # supplier -> part orientation: the seed suppliers HAVE
+    # out-edges, so rank actually propagates (seeds -> their parts ->
+    # dangling mass back to seeds) instead of pooling on sink seeds
+    edges = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    ranks = personalized_pagerank(
+        edges, list(_PPR_SEEDS), max_iter=_PPR_ROUNDS, tol=0.0
+    )
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
