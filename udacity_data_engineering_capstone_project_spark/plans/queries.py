@@ -3067,6 +3067,91 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
+# Oracle twin for salted_join_q — UNREGISTERED (r9 addition). The
+# skew-salting contract is EXACT result equivalence with the plain
+# equi-join (the salt spreads a hot key across tasks without changing
+# semantics), so the oracle IS the plain join — any bug in the
+# salt/replicate/drop mechanics (a lost bucket, a duplicated right
+# row) breaks the row-multiset hash.
+_SALTED_JOIN_ORACLE = """
+    SELECT l.l_orderkey, l.l_suppkey, l.l_quantity, s.s_name
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+"""
+
+
+@_register(
+    "salted_join_q",
+    _SALTED_JOIN_ORACLE,
+    "Skew-salted equi-join (relational.salted_join): the hot-key "
+    "spread (round-robin left salt x replicated right) must reproduce "
+    "the plain join EXACTLY — the oracle is that plain join, so the "
+    "salt mechanics are graded end-to-end, not just plan-shaped. "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        salted_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return salted_join(li, sup, "l_suppkey", salts=8, how="inner")
+
+
+@_register(
+    "asof_next_q",
+    """
+    WITH clicks AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        WHERE event_type = 'click'
+    ),
+    err AS (
+        SELECT user_id, event_id AS error_id, value AS error_value,
+               epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, c.event_id, c.ts_us,
+           e.error_id AS asof_error_id, e.error_value AS asof_error_value
+    FROM clicks c ASOF LEFT JOIN err e
+      ON c.user_id = e.user_id AND c.ts_us <= e.ts_us
+    """,
+    "FORWARD as-of join (relational.asof_join(direction='forward')): "
+    "each click paired with the user's NEXT error at-or-after it — "
+    "the time-to-failure attribution shape; same union+window "
+    "composition with the sort flipped. Oracle is DuckDB's native "
+    "forward ASOF (<=). The backward direction is driver-graded via "
+    "asof_last_click. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def asof_next_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        asof_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us"
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("value").alias("error_value"),
+        "ts_us",
+    )
+    return asof_join(
+        clicks, err, key_cols=["user_id"], ts_col="ts_us",
+        right_payload=["error_id", "error_value"], direction="forward",
+    ).select("user_id", "event_id", "ts_us", "asof_error_id", "asof_error_value")
+
+
 _PPR_SEEDS = ("s1", "s5", "s9")
 _PPR_ROUNDS = 8
 
