@@ -356,9 +356,18 @@ def salted_join(
     mod salts) — round-robin within each input partition, so even
     fully-identical duplicate rows of one hot key spread across all
     buckets (a value-derived hash would send them to a single salt).
-    Deterministic for a fixed input layout. AQE's skew-join split
-    handles moderate skew automatically; explicit salting is for the
-    pathological keys AQE can't subdivide.
+    Deterministic for a fixed input layout.
+
+    When to use — measured, not assumed
+    (tools/scale_probe_salted_join.py): for a single-hot-key SMJ,
+    AQE's skew-join split subdivides the skewed partition by
+    map-output ranges and BEATS salting (5.4 s vs 14.4 s on a 20M-row
+    50%-hot probe; the x``salts`` right-side replication costs more
+    than the straggler it removes). Reach for explicit salting only
+    where AQE's split cannot run: stream-stream joins, skew-split
+    disabled environments, or when the downstream stage must inherit
+    the spread partitioning. Result equivalence with the plain join
+    is hash-graded end-to-end by `salted_join_q`.
 
     Replicating the right side across salts is only sound when
     unmatched RIGHT rows are never emitted, so ``how`` is restricted
