@@ -187,6 +187,74 @@ def test_pil_and_stdlib_png_decode_agree():
         assert np.frombuffer(praw, dtype=np.uint8).reshape(3, 4, 4).tolist() == rgba.tolist()
 
 
+def test_mmr_q_decision_margins(spark, sf_dir):
+    """mmr_q's DuckDB oracle replays the greedy with sequential
+    list_dot_product while the engine uses numpy BLAS (summation
+    orders differ by ~1e-15) — pin that every decision the greedy
+    makes on the graded corpora has margin >> that noise: the pool
+    boundary, each round's chosen-vs-runner-up gap, and each graded
+    score's distance from a 6dp rounding midpoint (Python banker's
+    round vs DuckDB half-away could only disagree AT a midpoint)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        cosine,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.queries import (
+        _MMR_K,
+        _MMR_LAM,
+        _MMR_POOL,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qv = np.asarray(list(q), dtype=np.float64)
+    qlit = F.expr("array(" + ",".join(f"{float(x)!r}D" for x in qv) + ")")
+    sim_col = cosine(F.col("embedding").cast("array<double>"), qlit)
+    rel_all = sorted(
+        (r["rel"] for r in corpus.select(F.round(sim_col, 9).alias("rel")).collect()),
+        reverse=True,
+    )
+    if len(rel_all) > _MMR_POOL:
+        assert rel_all[_MMR_POOL - 1] - rel_all[_MMR_POOL] > 1e-6
+
+    cand = (
+        corpus.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == len(qv))
+        )
+        .select("vec_id", "embedding", F.round(sim_col, 9).alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+        .collect()
+    )
+    ids = [r["vec_id"] for r in cand]
+    rel = np.array([r["rel"] for r in cand])
+    V = np.asarray([r["embedding"] for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    U = V / norms[:, None]
+    picked = np.zeros(len(ids), dtype=bool)
+    max_sel = np.full(len(ids), -np.inf)
+    for rank in range(_MMR_K):
+        score = _MMR_LAM * rel if rank == 0 else (
+            _MMR_LAM * rel - (1 - _MMR_LAM) * max_sel
+        )
+        s = np.where(picked, -np.inf, score)
+        order = sorted(
+            (i for i in range(len(ids)) if not picked[i]),
+            key=lambda i: (-s[i], ids[i]),
+        )
+        best, runner = order[0], order[1]
+        assert s[best] - s[runner] > 1e-8, (rank, s[best] - s[runner])
+        # graded value: distance from the nearest 1e-6 rounding midpoint
+        frac = abs((s[best] * 1e6) % 1.0 - 0.5)
+        assert frac > 1e-6, (rank, s[best])
+        picked[best] = True
+        max_sel = np.maximum(max_sel, U @ U[best])
+
+
 def test_diverse_topk_spreads_clusters(spark):
     """MMR must spend the budget across clusters where plain top-k
     returns one cluster's near-duplicates repeatedly."""

@@ -3067,6 +3067,93 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
+_MMR_K = 10
+_MMR_LAM = 0.7
+_MMR_POOL = 200
+
+
+def _mmr_oracle(k: int = _MMR_K, lam: float = _MMR_LAM, pool: int = _MMR_POOL) -> str:
+    # DuckDB replays the WHOLE MMR loop: pool pruning by rounded
+    # relevance, then a recursive CTE whose LATERAL picks each round's
+    # argmax of lam*rel - (1-lam)*max_sim_to_selected. The engine's
+    # greedy runs in numpy (BLAS summation order differs from
+    # DuckDB's sequential list_dot_product by ~1e-15); decision
+    # margins on the graded corpora are ~6e-4 — pinned with 1e5x
+    # headroom by test_mmr_q_decision_margins. (1-lam) is written as
+    # the PYTHON float repr so both engines multiply by the same
+    # 0.30000000000000004.
+    one_minus_lam = repr(1 - lam)
+    return f"""
+    WITH RECURSIVE qv AS (
+        SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+    ), c0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               round(list_dot_product(embedding::DOUBLE[], q)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q, q))), 9) AS rel
+        FROM embeddings, qv
+        WHERE vec_id != 0 AND embedding IS NOT NULL AND len(embedding) = len(q)
+    ), pool AS (
+        SELECT vec_id, v, rel FROM (
+            SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
+            FROM c0
+        ) WHERE rn <= {pool}
+    ), up AS (
+        SELECT vec_id, rel,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+        FROM pool
+    ), sel AS (
+        SELECT 0 AS rank, CAST(NULL AS BIGINT) AS vec_id,
+               CAST(NULL AS DOUBLE) AS score, CAST([] AS BIGINT[]) AS chosen
+        UNION ALL
+        SELECT s.rank + 1, pick.vec_id, pick.score,
+               list_append(s.chosen, pick.vec_id)
+        FROM sel s, LATERAL (
+            SELECT c.vec_id,
+                   CASE WHEN len(s.chosen) = 0 THEN {lam!r} * c.rel
+                        ELSE {lam!r} * c.rel - {one_minus_lam} * (
+                            SELECT max(list_dot_product(c.u, p.u))
+                            FROM up p WHERE list_contains(s.chosen, p.vec_id))
+                   END AS score
+            FROM up c
+            WHERE NOT list_contains(s.chosen, c.vec_id)
+            ORDER BY score DESC, c.vec_id ASC
+            LIMIT 1
+        ) pick
+        WHERE s.rank < {k}
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(score, 6) AS mmr_score
+    FROM sel WHERE rank >= 1
+"""
+
+
+@_register(
+    "mmr_q",
+    _mmr_oracle(),
+    "Maximal Marginal Relevance diverse top-k (similarity."
+    "diverse_topk, Carbonell & Goldstein 1998): distributed "
+    "pool-prune to the 200 most query-relevant candidates, then the "
+    "sequential greedy (relevance minus similarity-to-selected) on "
+    "the model-sized pool. Oracle replays the ENTIRE loop in a "
+    "recursive CTE with a LATERAL argmax per round; decision margins "
+    "~6e-4 are margin-pinned in pytest. Unregistered; hash-pinned "
+    "locally.",
+    registered=False,
+)
+def mmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return sim.diverse_topk(
+        emb.filter(F.col("vec_id") != 0),
+        list(qvec),
+        "vec_id",
+        "embedding",
+        k=_MMR_K,
+        lam=_MMR_LAM,
+        pool=_MMR_POOL,
+    )
+
+
 # Oracle twin for salted_join_q — UNREGISTERED (r9 addition). The
 # skew-salting contract is EXACT result equivalence with the plain
 # equi-join (the salt spreads a hot key across tasks without changing
