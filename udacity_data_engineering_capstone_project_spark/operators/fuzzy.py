@@ -34,6 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+    _ensure_parallelism,
+)
+
 
 def _delete_one(arr_sql: str) -> str:
     """SQL fragment: all single-character deletions of every string in
@@ -79,6 +83,7 @@ def fuzzy_pairs(
     id_col: str,
     text_col: str,
     max_distance: int = 1,
+    lazy: bool = False,
 ) -> DataFrame:
     """All pairs of rows whose ``text_col`` values are within
     Levenshtein distance ``max_distance`` — exact precision AND exact
@@ -105,18 +110,30 @@ def fuzzy_pairs(
     blocking keys — a corpus that is 50% NULL keys shuffles only its
     non-null half, instead of funneling every NULL row into one
     quadratic bucket.
+
+    EAGER at construction (like `minhash_verified_pairs`): the
+    deletion-neighborhood explode is the expensive stage (O(L^k)
+    string builds per row) and feeds BOTH sides of the candidate
+    self-join, so it is spread to full parallelism and
+    localCheckpoint'ed ONCE — without the barrier the self-join
+    recomputes it twice (measured 3.8 s -> 1.3 s at sf0.1;
+    BASELINE.md r9 continuation). ``lazy=True`` skips the spread +
+    checkpoint for plan-only callers (zero jobs at construction).
     """
     if max_distance not in (1, 2):
         raise ValueError(
             f"max_distance must be 1 or 2 (keys grow O(L^k)), got {max_distance}"
         )
+    src = df if lazy else _ensure_parallelism(df, id_col)
     keys = (
-        df.select(
+        src.select(
             F.col(id_col).alias("__id"),
             deletion_key_hashes(text_col, max_distance).alias("__ks"),
         )
         .select("__id", F.explode("__ks").alias("__k"))
     )
+    if not lazy:
+        keys = keys.localCheckpoint(eager=True)
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(
