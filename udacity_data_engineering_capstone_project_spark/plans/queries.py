@@ -3067,6 +3067,68 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
+_SHARDS_N = 16
+
+# Oracle twin for shards_q — UNREGISTERED (r9 addition). The
+# training-shard export's determinism contract is the ASSIGNMENT
+# function: shard = hash(key, seed) % N and within-shard order by an
+# independent second hash — both pure functions of (key, seed), so
+# the export is byte-stable across layouts/retries and a new seed is
+# a fresh epoch permutation. With the portable md5-prefix family
+# (sinks.shard_assignment_hashes(portable=True)) DuckDB re-derives
+# the FULL (shard, rank) assignment; 0x9E3779B9 = 2654435769 is the
+# golden-ratio seed offset between the two hashes.
+_SHARDS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS STRING) || ':0'), 1, 15))
+                    AS BIGINT) AS hs,
+               CAST(('0x' || substr(md5(CAST(doc_id AS STRING) || ':2654435769'), 1, 15))
+                    AS BIGINT) AS ho
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hs % {_SHARDS_N} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hs % {_SHARDS_N}
+                                   ORDER BY ho, doc_id) AS BIGINT) AS ord_rank
+    FROM t
+"""
+
+
+@_register(
+    "shards_q",
+    _SHARDS_ORACLE,
+    "Training-shard assignment contract (sources.sinks."
+    "shard_assignment_hashes, the pair behind write_training_shards): "
+    "shard choice and within-shard order are independent pure hashes "
+    "of (key, seed), graded via the portable md5-prefix family — "
+    "DuckDB recomputes every row's (shard, rank). The export itself "
+    "is filesystem-tested (manifest recount); this grades the "
+    "determinism the manifest relies on. Unregistered; hash-pinned "
+    "locally.",
+    registered=False,
+)
+def shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from udacity_data_engineering_capstone_project_spark.sources.sinks import (
+        shard_assignment_hashes,
+    )
+
+    h_shard, h_order = shard_assignment_hashes("doc_id", seed=0, portable=True)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(h_shard, F.lit(_SHARDS_N)).cast("long").alias("shard"),
+        h_order.alias("__ho"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__ho").asc(), F.col("doc_id").asc())
+    return docs.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("ord_rank"),
+    )
+
+
 _MMR_K = 10
 _MMR_LAM = 0.7
 _MMR_POOL = 200

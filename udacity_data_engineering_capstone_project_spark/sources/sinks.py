@@ -259,6 +259,40 @@ def compact_parquet(
     return n_files
 
 
+def shard_assignment_hashes(
+    key_col: str, seed: int, portable: bool = False
+):
+    """The (shard_hash, order_hash) pair behind `write_training_shards`:
+    two independent pure hashes of (key, seed) — shard choice and
+    within-shard order decorrelate via a golden-ratio seed offset.
+
+    Default family is xxhash64 (one fused JVM codegen call; the
+    byte-stable export contract existing shards were written under).
+    ``portable=True`` swaps in the 60-bit md5-prefix family
+    (`conv(substr(md5(key || ':' || seed), 1, 15), 16, 10)`) that any
+    engine with md5() reproduces bit-for-bit — the seam `shards_q`
+    uses to hash-grade the full (shard, within-shard rank) assignment
+    against DuckDB (the simhash/pack_sequences portability pattern).
+    """
+    from pyspark.sql import functions as F
+
+    key = F.col(key_col).cast("string")
+    if portable:
+        def h(s: int):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(key, F.lit(f":{s}"))), 1, 15
+                ), 16, 10,
+            ).cast("long")
+        return h(seed), h(seed + 0x9E3779B9)
+    # golden-ratio offset keeps seeds distinct for every caller seed
+    # without int64 overflow for any sane input
+    return (
+        F.xxhash64(key, F.lit(seed)),
+        F.xxhash64(key, F.lit(seed + 0x9E3779B9)),
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -300,12 +334,8 @@ def write_training_shards(
 
     if num_shards < 1 or files_per_shard < 1:
         raise ValueError("num_shards and files_per_shard must be >= 1")
+    h_shard, h_order = shard_assignment_hashes(key_col, seed)
     key = F.col(key_col).cast("string")
-    # independent hashes: different seeds decorrelate shard choice from
-    # within-shard order (golden-ratio offset keeps seeds distinct for
-    # every caller seed without int64 overflow for any sane input)
-    h_shard = F.xxhash64(key, F.lit(seed))
-    h_order = F.xxhash64(key, F.lit(seed + 0x9E3779B9))
     staged = (
         df.withColumn("shard", F.pmod(h_shard, F.lit(num_shards)).cast("int"))
         .withColumn("__grp", F.pmod(h_order, F.lit(files_per_shard)).cast("int"))
