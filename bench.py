@@ -122,10 +122,10 @@ BENCH_QUERIES = [
     # first-fit inside applyInPandas), edit-distance fuzzy matching
     # (SymSpell deletion-neighborhood block join), and BPE
     # train+tokenize (vocab-sized merge rounds + distinct-word
-    # tokenize mapped by equi-join). The ceded queries
-    # (contamination_check / tfidf_topk / bm25_retrieval /
-    # dedup_simhash) stay benched above though their driver slots
-    # rotated out.
+    # tokenize mapped by equi-join). Of the ceded queries,
+    # contamination_check / bm25_retrieval / dedup_simhash stay
+    # benched above though their driver slots rotated out
+    # (tfidf_topk was never a bench row).
     "pii_redact_q",
     "pack_sequences_q",
     "fuzzy_join",

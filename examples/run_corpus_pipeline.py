@@ -392,7 +392,10 @@ def main() -> None:
     chunks = chunks.withColumn(
         "chunk_key", F.col("doc_id") * 10_000 + F.col("chunk_id")
     )
-    packed = pack_sequences(chunks, "chunk_key", "n_tokens", budget=512)
+    # explicit buckets: the auto default (buckets=None) derives the
+    # scatter width from a count(), which would evaluate the lazy
+    # chunks plan twice — pin the historical 64 here instead
+    packed = pack_sequences(chunks, "chunk_key", "n_tokens", budget=512, buckets=64)
     n_packs = packed.select("pack_id").distinct().count()
     n_chunks = packed.count()
 

@@ -43,6 +43,37 @@ def test_asof_join_forward_semantics(spark):
     assert out["l3"] is None  # right at 40 < 50 is NOT a forward match
 
 
+def test_asof_right_side_ts_unique_per_user(spark, sf_dir):
+    """Data precondition behind the asof_last_click / asof_next_q
+    hash grades: with TWO right rows at the same (user_id, ts_us),
+    neither the union+window composition nor DuckDB's native ASOF
+    defines which one wins — both would pick arbitrarily and the
+    parity hash could flake. Pin that the graded events data has no
+    such collision on either right side (clicks for backward, errors
+    for forward), so a future testdata regeneration that introduces
+    one fails HERE with a clear message instead of as a mystery
+    hash mismatch (r9 review finding)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ),
+    )
+    for etype in ("click", "error"):
+        dups = (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", "ts_us")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dups == 0, (
+            f"{etype}: {dups} duplicate (user_id, ts_us) rows — the "
+            "as-of tie is undefined; add a tiebreak to the graded "
+            "queries before regenerating parity hashes"
+        )
+
+
 def test_asof_join_bad_direction(spark):
     import pytest
 

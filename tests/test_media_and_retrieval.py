@@ -219,6 +219,16 @@ def test_mmr_q_decision_margins(spark, sf_dir):
     )
     if len(rel_all) > _MMR_POOL:
         assert rel_all[_MMR_POOL - 1] - rel_all[_MMR_POOL] > 1e-6
+    # rel itself rounds to 9dp in BOTH engines before the greedy; a
+    # raw cosine within float noise (~1e-15 abs = 1e-6 in these
+    # units) of a 0.5e-9 rounding boundary could round differently
+    # per engine. Measured minimum distance on the graded corpora is
+    # 6.8e-5 (sf0.001) / 6.5e-4 (sf0.01) — pin 1e-5, a 10x noise
+    # floor the measured data clears by 6.8x+
+    raw = [r["raw"] for r in corpus.select(sim_col.alias("raw")).collect()]
+    for v in raw:
+        frac = abs((v * 1e9) % 1.0 - 0.5)
+        assert frac > 1e-5, f"rel {v!r} sits {frac:.2e} from a 9dp boundary"
 
     cand = (
         corpus.filter(

@@ -99,11 +99,15 @@ class _FirstFitTree:
 
 def _ffd_scan(ids, lens, budget: int):
     """Textbook first-fit-decreasing: linear scan of open packs.
-    O(items x packs); the reference implementation for the tree."""
+    O(items x packs); the reference implementation for the tree.
+    take clamps to [0, budget]: a negative length would INCREASE a
+    pack's capacity in the scan and match the tree's -1 empty-slot
+    sentinel (IndexError) — clamping keeps the two paths identical on
+    any input (r9 review finding)."""
     packs: list[int] = []  # remaining capacity per local pack
     rows = []
     for rid, ln in zip(ids, lens):
-        take = min(int(ln), budget)
+        take = min(max(int(ln), 0), budget)
         for i, cap in enumerate(packs):
             if cap >= take:
                 rows.append((int(rid), i, budget - cap))
@@ -123,7 +127,7 @@ def _ffd_tree(ids, lens, budget: int):
     caps: list[int] = []
     rows = []
     for rid, ln in zip(ids, lens):
-        take = min(int(ln), budget)
+        take = min(max(int(ln), 0), budget)
         i = tree.first_fit(take)
         if i >= 0:
             cap = caps[i]

@@ -1827,8 +1827,9 @@ def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle twin for pii_redact_q — UNREGISTERED (r9 addition; 50-slot
-# window is full). The PII patterns are written RE2-compatible (no
+# Oracle twin for pii_redact_q (r9 addition; promoted to a driver
+# slot in the r9 second slate). The PII patterns are written
+# RE2-compatible (no
 # backrefs/lookarounds — textstats.PII_PATTERNS), so DuckDB's RE2
 # runs the SAME regexes: counts via len(regexp_extract_all) on the
 # ORIGINAL text, redaction via the same email->ipv4->phone->url
@@ -2239,8 +2240,9 @@ def label_prop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 1024
 _PACK_BUCKETS = 8
 
-# Oracle twin for pack_sequences_q — UNREGISTERED (r9 addition;
-# 50-slot window is full). First-fit-decreasing is a sequential
+# Oracle twin for pack_sequences_q (r9 addition; promoted to a
+# driver slot in the r9 second slate). First-fit-decreasing is a
+# sequential
 # recurrence (the engine runs it per hash bucket inside
 # applyInPandas — the documented justified-Python seam), so the
 # oracle SIMULATES it: a recursive CTE advances every bucket one item
@@ -3161,8 +3163,15 @@ def _mmr_oracle(k: int = _MMR_K, lam: float = _MMR_LAM, pool: int = _MMR_POOL) -
             FROM c0
         ) WHERE rn <= {pool}
     ), up AS (
+        -- zero-norm guard mirrors the engine (similarity.py:
+        -- diverse_topk sets norms[norms == 0] = 1.0, so a zero
+        -- vector's u is the zero vector, not NaN); zero vectors are
+        -- upstream-gated in real corpora but the oracle must not
+        -- diverge if one appears
         SELECT vec_id, rel,
-               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+               list_transform(v, x -> x /
+                   CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+                        ELSE sqrt(list_dot_product(v, v)) END) AS u
         FROM pool
     ), sel AS (
         SELECT 0 AS rank, CAST(NULL AS BIGINT) AS vec_id,

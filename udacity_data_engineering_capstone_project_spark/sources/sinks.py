@@ -335,7 +335,6 @@ def write_training_shards(
     if num_shards < 1 or files_per_shard < 1:
         raise ValueError("num_shards and files_per_shard must be >= 1")
     h_shard, h_order = shard_assignment_hashes(key_col, seed)
-    key = F.col(key_col).cast("string")
     staged = (
         df.withColumn("shard", F.pmod(h_shard, F.lit(num_shards)).cast("int"))
         .withColumn("__grp", F.pmod(h_order, F.lit(files_per_shard)).cast("int"))
