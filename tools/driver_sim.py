@@ -30,6 +30,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="", help="comma-separated query names")
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="also run the UNREGISTERED registry (the full 100-query "
+        "gate the pytest parity file covers, in one command)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +55,15 @@ def main() -> int:
 
     assert len(e.entry(spark).collect()) > 0, "entry() produced no rows"
     qs, osql = e.queries(), e.oracle_sql()
+    if args.all:
+        from udacity_data_engineering_capstone_project_spark.plans.queries import (
+            UNREGISTERED,
+        )
+
+        for name, spec in UNREGISTERED.items():
+            qs[name] = spec.fn
+            if spec.oracle:
+                osql[name] = spec.oracle
     only = {n for n in args.only.split(",") if n}
 
     green, red, rows_only = 0, [], []
