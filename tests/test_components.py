@@ -367,3 +367,92 @@ def test_fuzzy_null_texts_emit_no_keys(spark):
         "id", F.explode(deletion_key_hashes("s", 2)).alias("k")
     )
     assert {r.id for r in keys.collect()} == {3}
+
+
+def test_fuzzy_join_reference_brute_force_and_semantics(spark):
+    """fuzzy_join_reference (r10, VERDICT r9 #3) vs python brute
+    force on a randomized dirty corpus x small clean dim: best_only
+    picks (min distance, then min dim id); best_only=False returns
+    the full within-bound match set; unmatched and NULL dirty rows
+    are absent; NULL dim texts never match."""
+    import random
+
+    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
+        fuzzy_join_reference,
+    )
+
+    rng = random.Random(4242)
+    dim_rows = [(i, "".join(rng.choice("abc") for _ in range(3)))
+                for i in range(20)] + [(99, None)]
+    dirty_rows = [
+        (100 + i, "".join(rng.choice("abcd") for _ in range(rng.randint(0, 5))))
+        for i in range(150)
+    ] + [(990, None)]
+    dim = spark.createDataFrame(dim_rows, "dim_id bigint, name string")
+    dirty = spark.createDataFrame(dirty_rows, "rec_id bigint, name string")
+
+    for k in (1, 2):
+        brute = {}
+        for rid, s in dirty_rows:
+            if s is None:
+                continue
+            ms = sorted(
+                (_brute_levenshtein(s, t), did)
+                for did, t in dim_rows
+                if t is not None and _brute_levenshtein(s, t) <= k
+            )
+            if ms:
+                brute[rid] = ms
+        got_best = sorted(
+            tuple(r)
+            for r in fuzzy_join_reference(
+                dirty, "rec_id", "name", dim, "dim_id", "name", max_distance=k
+            ).collect()
+        )
+        want_best = sorted(
+            (rid, ms[0][1], ms[0][0]) for rid, ms in brute.items()
+        )
+        assert got_best == want_best and len(want_best) > 10, (k, len(want_best))
+
+        got_all = sorted(
+            tuple(r)
+            for r in fuzzy_join_reference(
+                dirty, "rec_id", "name", dim, "dim_id", "name",
+                max_distance=k, best_only=False,
+            ).collect()
+        )
+        want_all = sorted(
+            (rid, did, d) for rid, ms in brute.items() for d, did in ms
+        )
+        assert got_all == want_all
+
+
+def test_fuzzy_join_reference_plan_is_broadcast_no_cartesian(spark):
+    """The candidate join must be a broadcast equi-join on the key
+    hash for a provably-small dim (driver-local -> annotated small):
+    no cartesian/BNL, no shuffle of the dirty side before the join."""
+    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
+        fuzzy_join_reference,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.lint import (
+        lint_plan,
+        plan_summary,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "dim_id bigint, name string"
+    )
+    dirty = spark.createDataFrame(
+        [(10, "alpa"), (11, "betta"), (12, "zzzzzz")],
+        "rec_id bigint, name string",
+    )
+    out = fuzzy_join_reference(
+        dirty, "rec_id", "name", dim, "dim_id", "name", max_distance=1
+    )
+    summ = plan_summary(out)
+    assert summ["bnl_joins"] == 0
+    assert summ["broadcast_joins"] >= 1, summ
+    assert not any(f["rule"] == "cartesian-product" for f in lint_plan(out))
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (10, 1, 1), (11, 2, 1)
+    ]

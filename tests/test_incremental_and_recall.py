@@ -673,6 +673,7 @@ def test_embedding_lsh_matches_duckdb_twin(spark, sf_dir):
     )
     from udacity_data_engineering_capstone_project_spark.plans.queries import (
         REGISTRY,
+        UNREGISTERED,
         _embedding_lsh_oracle,
     )
     from tests.oracle_utils import compare_frames, run_oracle
@@ -697,7 +698,7 @@ def test_embedding_lsh_matches_duckdb_twin(spark, sf_dir):
         f"plane-dot sign margin collapsed to {margin}; bucket parity "
         "between Spark and the DuckDB twin is no longer provable"
     )
-    spec = REGISTRY["dedup_embedding_lsh"]
+    spec = REGISTRY.get("dedup_embedding_lsh") or UNREGISTERED["dedup_embedding_lsh"]
     assert spec.oracle == _embedding_lsh_oracle()
     compare_frames(
         spec.fn(spark, sf_dir).toPandas(),

@@ -37,6 +37,10 @@ from pyspark.sql import functions as F
 from udacity_data_engineering_capstone_project_spark.operators.dedup import (
     _ensure_parallelism,
 )
+from udacity_data_engineering_capstone_project_spark.operators.relational import (
+    DEFAULT_BROADCAST_MAX_BYTES,
+    maybe_broadcast,
+)
 
 
 def _delete_one(arr_sql: str) -> str:
@@ -119,6 +123,15 @@ def fuzzy_pairs(
     recomputes it twice (measured 3.8 s -> 1.3 s at sf0.1;
     BASELINE.md r9 continuation). ``lazy=True`` skips the spread +
     checkpoint for plan-only callers (zero jobs at construction).
+
+    Checkpoint durability (ADVICE r9): ``localCheckpoint`` stores
+    blocks on executors only — on a cluster, losing an executor after
+    construction makes the checkpointed keys unrecoverable (downstream
+    actions FAIL instead of recomputing). When the session has a
+    reliable checkpoint dir configured (``sc.setCheckpointDir``), the
+    keys use ``.checkpoint()`` instead, which survives executor loss;
+    long-running cluster jobs should set one. On local[n] (no executor
+    to lose) localCheckpoint is strictly better — no FS round-trip.
     """
     if max_distance not in (1, 2):
         raise ValueError(
@@ -133,7 +146,11 @@ def fuzzy_pairs(
         .select("__id", F.explode("__ks").alias("__k"))
     )
     if not lazy:
-        keys = keys.localCheckpoint(eager=True)
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            keys = keys.checkpoint(eager=True)
+        else:
+            keys = keys.localCheckpoint(eager=True)
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(
@@ -169,4 +186,95 @@ def fuzzy_pairs(
             dist.cast("long").alias("distance"),
         )
         .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
+    )
+
+
+def fuzzy_join_reference(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: DataFrame,
+    dim_id_col: str,
+    dim_text_col: str,
+    max_distance: int = 1,
+    best_only: bool = True,
+) -> DataFrame:
+    """Match a DIRTY string column against a CLEAN reference dimension
+    within Levenshtein ``max_distance`` — the classic entity-resolution
+    shape (free-text airline/port/country fields vs a curated dim, cf.
+    reference etl.py:261-269's airline/port lookups, which assume exact
+    codes; this is the fuzzy upgrade). VERDICT r9 #3.
+
+    Unlike `fuzzy_pairs` (corpus x corpus self-join) the dimension is
+    small, so the plan is SHUFFLE-FREE on the big side:
+
+    1. the dim's deletion neighborhood (`deletion_key_hashes`) is
+       exploded to (key_hash, dim_id, dim_text) and broadcast —
+       size-gated via `maybe_broadcast` with the budget divided by the
+       neighborhood's O(L^k) row inflation (a dim whose parquet
+       estimate is broadcast-sized can explode 100-1000x; gating on
+       the RAW estimate would be a scale landmine). Over the gate it
+       degrades to a plain shuffle join, still exact.
+    2. the dirty side explodes its own neighborhood IN THE SAME STAGE
+       as the scan (explode -> broadcast-hash-join pipelines; zero
+       shuffle of corpus rows, zero data sent for rows that match no
+       dim variant).
+    3. verify inline with thresholded `levenshtein` (early-exits past
+       the bound), then collapse multi-key agreement per (row, dim)
+       pair.
+
+    By the SymSpell pigeonhole (module docstring) recall is exact for
+    ed <= max_distance; the verify keeps precision exact. NULL dirty
+    or dim texts emit no keys (never pair, never cost).
+
+    Output: ``best_only=True`` (default) -> one row per matched input
+    row: (id_col, dim_id_col, distance) with the minimum distance,
+    ties broken by smallest dim id — resolved by ONE partial-
+    aggregatable groupBy (min over a (distance, dim_id) struct is
+    lexicographic), not a window, so the only shuffle in the whole
+    plan is candidate-sized. ``best_only=False`` -> all matches
+    within the bound. Unmatched rows are absent (caller left-joins
+    the output back when it wants keep-unmatched semantics).
+    """
+    if max_distance not in (1, 2):
+        raise ValueError(
+            f"max_distance must be 1 or 2 (keys grow O(L^k)), got {max_distance}"
+        )
+    dim_keys = dim.select(
+        F.col(dim_id_col).alias("__did"),
+        F.col(dim_text_col).alias("__dt"),
+        deletion_key_hashes(dim_text_col, max_distance).alias("__ks"),
+    ).select("__did", "__dt", F.explode("__ks").alias("__k"))
+    # O(L^k) explode inflation: ~L rows/string at k=1, ~L^2/2 at k=2
+    # (L ~ 30 for entity keys) — shrink the broadcast budget by the
+    # worst of it so the gate reasons about POST-explode bytes.
+    inflation = 64 if max_distance == 1 else 1024
+    dim_keys = maybe_broadcast(
+        dim_keys, max_bytes=DEFAULT_BROADCAST_MAX_BYTES // inflation
+    )
+    dirty_keys = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        deletion_key_hashes(text_col, max_distance).alias("__ks"),
+    ).select("__id", "__t", F.explode("__ks").alias("__k"))
+    dist = F.levenshtein(F.col("__t"), F.col("__dt"), max_distance)
+    cand = (
+        dirty_keys.join(dim_keys, "__k")
+        # cheap exact prefilter implied by the distance bound
+        .filter(F.abs(F.length("__t") - F.length("__dt")) <= max_distance)
+        .select("__id", "__did", dist.cast("long").alias("distance"))
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
+    )
+    if best_only:
+        return cand.groupBy("__id").agg(
+            F.min(F.struct("distance", "__did")).alias("__best")
+        ).select(
+            F.col("__id").alias(id_col),
+            F.col("__best.__did").alias(dim_id_col),
+            F.col("__best.distance").alias("distance"),
+        )
+    return cand.dropDuplicates(["__id", "__did"]).select(
+        F.col("__id").alias(id_col),
+        F.col("__did").alias(dim_id_col),
+        "distance",
     )

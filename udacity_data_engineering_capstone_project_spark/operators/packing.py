@@ -160,8 +160,12 @@ def pack_sequences(
 
     `buckets=None` auto-sizes the scatter width from one count():
     max(64, ceil(n / 200k)) — per-task memory stays bounded while
-    small inputs keep the historical 64-bucket layout. Pass an
-    explicit `buckets` for a pinned, count-free layout.
+    small inputs keep the historical 64-bucket layout. The (id, len)
+    slice is persisted around that count so a lazy upstream plan is
+    evaluated ONCE, not once for the count and again for the pack
+    (the persisted slice is unpersisted lazily after the plan is
+    built — blocks age out once the pack job has consumed them).
+    Pass an explicit `buckets` for a pinned, count-free layout.
 
     `portable_bucket=True` swaps the xxhash64 bucket hash for the
     60-bit md5-prefix family (`conv(substr(md5(id), 1, 15), 16, 10)`)
@@ -175,8 +179,13 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    source = df.select(id_col, len_col)
     if buckets is None:
-        n = df.count()
+        # Auto-sizing pays one count() over the upstream plan; persist
+        # the 2-column slice so the pack reuses the materialized rows
+        # instead of recomputing the whole lineage (ADVICE r9).
+        source = source.persist()
+        n = source.count()
         buckets = max(64, math.ceil(n / _AUTO_BUCKET_ITEMS))
 
     out_schema = StructType(
@@ -209,5 +218,5 @@ def pack_sequences(
         )
     else:
         bucket_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
-    with_bucket = df.select(id_col, len_col).withColumn("__bucket", bucket_expr)
+    with_bucket = source.withColumn("__bucket", bucket_expr)
     return with_bucket.groupBy("__bucket").applyInPandas(_pack, out_schema)

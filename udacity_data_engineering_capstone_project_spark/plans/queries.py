@@ -150,6 +150,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     """,
     "Domain normalization: when/~isin/otherwise + fillna (P6-P8, etl.py:108-110).",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def normalize_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "customer").withColumn("segment", F.col("c_mktsegment"))
@@ -171,6 +172,7 @@ def normalize_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "SAS-date decode as native date_add — replaces the reference's only "
     "Python UDF (F7, etl.py:41-47), null-in -> null-out preserved.",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def sas_date_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -221,6 +223,7 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Dimension extraction with deterministic surrogate key "
     "(D2+F8, etl.py:227-230; row_number mode per SURVEY.md §4 item 3).",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def dim_with_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_dimension(
@@ -269,6 +272,7 @@ def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "The reference's tie-preserving argmax formulation "
     "(J1+A2+A3, etl.py:181-204): count -> max -> self-join.",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def argmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return argmax_join(
@@ -303,6 +307,7 @@ def argmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Full star-schema build: dims w/ deterministic keys + row-preserving "
     "left dim joins (J3-J8, etl.py:221-293 via plans.star).",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def star_schema_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -365,6 +370,7 @@ def avg_of_avgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "The analyst query shape (J9+A8, nb cell 46): fact x fact join, "
     "group, order by count desc, top-n.",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def analyst_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -706,6 +712,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regexp_extract / case funcs (F1-F2, etl.py:135-158), string "
     "pad/slice/translate/repeat, date diff/trunc, sign/power/ln/sqrt, "
     "greatest/nullif — all JVM expressions inside one codegen stage.",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def scalar_function_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -775,6 +782,7 @@ def scalar_function_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpolated percentiles on numeric columns (Spark `percentile` == "
     "DuckDB `quantile_cont`), plus per-table row counts (Q1/Q2, "
     "etl.py:336-351) as `rows:<table>` rows.",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.quality import (
@@ -1235,6 +1243,7 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     "Exact content dedup: normalized md5 fingerprint, min-id survivor.",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_text_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -1339,6 +1348,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Jaccard verification >= 0.8: the O(n) two-phase near-dup scale "
     "path, hash-checked end-to-end against DuckDB's all-pairs truth "
     "(est_jaccard screening stays available via minhash_dedup_pairs).",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_verified_pairs(
@@ -1625,6 +1635,78 @@ def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(allp, "eid", "title", max_distance=2)
 
 
+# Oracle twin for fuzzy_join_reference — UNREGISTERED (r10 addition,
+# VERDICT r9 #3; 50-slot window is full). DuckDB recomputes the match
+# by BRUTE FORCE: dirty CROSS JOIN dim with native levenshtein, then
+# best match per dirty row via row_number over (distance, dim id) —
+# independent of the Spark side's deletion-neighborhood blocking AND
+# of its groupBy-min-struct tie-break, so both a recall miss in the
+# pigeonhole join and a tie-break drift break the hash. Dim = the
+# distinct first-3-word titles (min-doc_id id, the clean reference);
+# dirty = a deterministic typo replica (drop first char + append 'x'
+# = distance <= 2) of every 7th entity under a disjoint id range.
+FUZZY_JOIN_REF_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string((string_split(text, ' '))[1:3], ' ') AS title
+        FROM documents
+    ),
+    dim AS (SELECT min(doc_id) AS dim_id, title FROM t GROUP BY title),
+    dirty AS (
+        SELECT dim_id + 10000000 AS rec_id, substr(title, 2) || 'x' AS title
+        FROM dim WHERE dim_id % 7 = 3
+    ),
+    cand AS (
+        SELECT d.rec_id, r.dim_id,
+               CAST(levenshtein(d.title, r.title) AS BIGINT) AS distance,
+               row_number() OVER (
+                   PARTITION BY d.rec_id
+                   ORDER BY levenshtein(d.title, r.title), r.dim_id
+               ) AS rn
+        FROM dirty d JOIN dim r
+          ON abs(length(d.title) - length(r.title)) <= 2
+        WHERE levenshtein(d.title, r.title) <= 2
+    )
+    SELECT rec_id, dim_id, distance FROM cand WHERE rn = 1
+"""
+
+
+@_register(
+    "fuzzy_join_ref_q",
+    FUZZY_JOIN_REF_ORACLE,
+    "Entity resolution against a clean reference dimension "
+    "(operators/fuzzy.py:fuzzy_join_reference, VERDICT r9 #3): dirty "
+    "free-text keys matched to a curated dim within Levenshtein 2 — "
+    "deletion-neighborhood keys of the DIM exploded + broadcast "
+    "(inflation-discounted size gate), dirty side explodes in the "
+    "scan stage, thresholded-levenshtein verify, best match per row "
+    "via one partial-aggregatable min-struct groupBy (no window). "
+    "Hash-checked against DuckDB's brute-force cross-join best match. "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def fuzzy_join_ref_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
+        fuzzy_join_reference,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("title"),
+    )
+    dim = titles.groupBy("title").agg(F.min("doc_id").alias("dim_id"))
+    dirty = dim.select(
+        (F.col("dim_id") + F.lit(10_000_000)).alias("rec_id"),
+        F.concat(F.expr("substring(title, 2, length(title))"), F.lit("x")).alias(
+            "title"
+        ),
+    ).filter((F.col("rec_id") - 10_000_000) % 7 == 3)
+    return fuzzy_join_reference(
+        dirty, "rec_id", "title", dim, "dim_id", "title", max_distance=2
+    )
+
+
 # Oracle twin for split_with_dedup_guard — UNREGISTERED (r9 addition;
 # 50-slot window is full). The Spark side derives near-dup edges as a
 # CHAIN of consecutive doc_ids inside each 4-word template key — the
@@ -1666,7 +1748,6 @@ LEAKAGE_SPLIT_ORACLE = """
     "Oracle recomputes representatives as the template-partition min "
     "(a chain connects the whole group) and the split ranges verbatim. "
     "Unregistered; hash-pinned locally.",
-    registered=False,
 )
 def leakage_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1790,7 +1871,6 @@ def _bpe_oracle_sql(num_merges: int, max_token_len: int, tokenize: bool) -> str:
     "stop on cnt<2 or token length). Oracle RETRAINS all rounds in "
     "generated DuckDB SQL via the wrapped-symbol replace identity. "
     "Unregistered; hash-pinned locally.",
-    registered=False,
 )
 def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1949,7 +2029,6 @@ def _link_graph_oracle() -> str:
     "groupBy to weighted host->host edges — the crawl-frontier / "
     "PageRank input pass. Hash-checked against a DuckDB replay of the "
     "identical RE2-safe patterns. Unregistered; hash-pinned locally.",
-    registered=False,
 )
 def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
@@ -1986,7 +2065,6 @@ _K_ANON_ORACLE = """
     "groups a release would re-identify; one partial-aggregated "
     "shuffle. Complements redact_pii (direct identifiers). "
     "Unregistered; hash-pinned locally.",
-    registered=False,
 )
 def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.quality import (
@@ -2043,7 +2121,6 @@ _CHUNK_ORACLE = f"""
     "emitted only when it adds new tokens. Oracle replays the window "
     "arithmetic on DuckDB lists and grades chunk content. "
     "Unregistered; hash-pinned locally.",
-    registered=False,
 )
 def chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -2099,7 +2176,6 @@ _TEMP_MIX_ORACLE = f"""
     "re-derives counts, weights, the capped rates and the hex "
     "thresholds in SQL and replays the predicate. Unregistered; "
     "hash-pinned locally.",
-    registered=False,
 )
 def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.sampling import (
@@ -2154,7 +2230,6 @@ _CALIB_ORACLE = """
     "scores read as probabilities. Scores are dyadic rationals, so "
     "bin means are float-exact cross-engine. Unregistered; hash-pinned "
     "locally.",
-    registered=False,
 )
 def calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.conv(
@@ -2216,7 +2291,6 @@ _LABEL_PROP_ROUNDS = 4
     "same fixed rounds as MATERIALIZED CTE levels with the identical "
     "argmax tie order; labels are integer node ids, so parity is "
     "exact. Unregistered; hash-pinned locally.",
-    registered=False,
 )
 def label_prop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.graph import (
@@ -2349,6 +2423,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Brute-force cosine top-k ANN baseline (broadcast queries, "
     "no corpus shuffle).",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -2400,6 +2475,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pruned scale path, with multi-probe recovering boundary recall "
     "(corpus vectors live in exactly one cell, so probed candidate "
     "sets are disjoint and need no dedup).",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -2486,6 +2562,7 @@ def _embedding_lsh_oracle(
     "candidate union, the hot-bucket cap, and the cosine verify are "
     "all independently recomputed (sign margin ~1e9x float noise, "
     "pytest-pinned).",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_near_dup_pairs(
@@ -2625,6 +2702,7 @@ def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Composite training-data prep pipeline: exact dedup (min-id "
     "survivor) -> quality filter -> per (lang, source) corpus stats. "
     "The operators compose as one lazy plan — a single pass shape.",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -2679,6 +2757,7 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame counts derived from doc_id); the stdlib header parsers and "
     "the seek-based frame sampler must recover exactly those values "
     "from the bytes (oracle checks the closed forms).",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -3108,7 +3187,6 @@ _SHARDS_ORACLE = f"""
     "is filesystem-tested (manifest recount); this grades the "
     "determinism the manifest relies on. Unregistered; hash-pinned "
     "locally.",
-    registered=False,
 )
 def shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -3209,7 +3287,6 @@ def _mmr_oracle(k: int = _MMR_K, lam: float = _MMR_LAM, pool: int = _MMR_POOL) -
     "recursive CTE with a LATERAL argmax per round; decision margins "
     "~6e-4 are margin-pinned in pytest. Unregistered; hash-pinned "
     "locally.",
-    registered=False,
 )
 def mmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -3245,7 +3322,6 @@ _SALTED_JOIN_ORACLE = """
     "the plain join EXACTLY — the oracle is that plain join, so the "
     "salt mechanics are graded end-to-end, not just plan-shaped. "
     "Unregistered; hash-pinned locally.",
-    registered=False,
 )
 def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.relational import (
@@ -3284,7 +3360,6 @@ def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composition with the sort flipped. Oracle is DuckDB's native "
     "forward ASOF (<=). The backward direction is driver-graded via "
     "asof_last_click. Unregistered; hash-pinned locally.",
-    registered=False,
 )
 def asof_next_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.relational import (
@@ -3373,7 +3448,6 @@ def _ppr_oracle(iters: int = _PPR_ROUNDS, damping: float = 0.85) -> str:
     "per-node reset weight; 8dp rounding, the same measured "
     "transcendental-free headroom class. Unregistered; hash-pinned "
     "locally.",
-    registered=False,
 )
 def ppr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.graph import (
@@ -3541,7 +3615,6 @@ WEIGHTED_SAMPLE_ORACLE = """
     "Deterministic weighted sampling without replacement "
     "(Efraimidis-Spirakis, RNG-free). Unregistered; hash-pinned "
     "locally.",
-    registered=False,
 )
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement, n_chars as
@@ -3681,7 +3754,6 @@ RESAMPLE_ORACLE = """
     RESAMPLE_ORACLE,
     "Gap-filling resample to a dense per-key hourly grid. "
     "Unregistered; hash-pinned locally.",
-    registered=False,
 )
 def resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filling resample to a dense per-key hourly grid

@@ -273,10 +273,18 @@ def shard_assignment_hashes(
     engine with md5() reproduces bit-for-bit — the seam `shards_q`
     uses to hash-grade the full (shard, within-shard rank) assignment
     against DuckDB (the simhash/pack_sequences portability pattern).
+
+    NULL keys (ADVICE r9): both families hash
+    ``coalesce(key, '\\x00null')`` so a NULL-keyed row lands in the
+    SAME shard under either family — previously md5(concat(NULL,..))
+    propagated NULL (row dropped from any portable re-derivation)
+    while xxhash64 hashed NULL to a seed-derived value, so the two
+    families disagreed exactly on NULL-keyed rows. The sentinel starts
+    with a NUL byte no real cast-to-string key produces.
     """
     from pyspark.sql import functions as F
 
-    key = F.col(key_col).cast("string")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
     if portable:
         def h(s: int):
             return F.conv(
