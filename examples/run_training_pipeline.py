@@ -1,0 +1,234 @@
+"""End-to-end TRAINING-DATA pipeline composing the r9 surface
+(VERDICT r9 #5) — crawl wire format in, manifested epoch shards out,
+with a per-stage audit trail (rows + id_sum pins the exact surviving
+set at every stage, the same contract crawl_pipeline_q grades):
+
+  documents --(build_http_response + write_warc)--> .warc.gz segments
+    --(warc_http_documents)--> HTTP decode (status/charset honored)
+    --(strip_html)--> visible text
+    --(extract_links + host_link_edges)--> host link graph
+    --(pagerank)--> host rank prior, broadcast back onto the corpus
+    --(apply_filter_cascade: gopher rules + rank prior)--> kept docs
+    --(fuzzy_pairs on title + minhash_verified_pairs on text)--> edges
+    --(split_with_dedup_guard)--> leakage-safe train/val/test
+    --(temperature_mix T=2)--> flattened source mix (train split)
+    --(token_counts + pack_sequences)--> budget-packed sequences
+    --(write_training_shards)--> manifested, epoch-shuffled shards
+
+Differences from run_corpus_pipeline.py (the r6 example): this one
+runs the HTTP-response decode path (not bare resource records), uses
+the quality CASCADE operator (first-reject-wins audit) instead of
+serial filters, unions the FUZZY edge set into the near-dup graph
+before the leakage-safe split, and ends at the packer — i.e. it is
+the minimal straight line from crawl bytes to trainer input, not the
+full curation zoo.
+
+Usage: python examples/run_training_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineering_capstone_project_spark import get_spark
+from udacity_data_engineering_capstone_project_spark.operators import dedup as dd
+from udacity_data_engineering_capstone_project_spark.operators import textstats as ts
+from udacity_data_engineering_capstone_project_spark.operators.fuzzy import fuzzy_pairs
+from udacity_data_engineering_capstone_project_spark.operators.graph import pagerank
+from udacity_data_engineering_capstone_project_spark.operators.packing import (
+    pack_sequences,
+)
+from udacity_data_engineering_capstone_project_spark.operators.quality import (
+    apply_filter_cascade,
+)
+from udacity_data_engineering_capstone_project_spark.operators.relational import (
+    maybe_broadcast,
+)
+from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+    split_with_dedup_guard,
+    temperature_mix,
+)
+from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
+from udacity_data_engineering_capstone_project_spark.sources.sinks import (
+    write_training_shards,
+)
+from udacity_data_engineering_capstone_project_spark.sources.warc import (
+    build_http_response,
+    warc_http_documents,
+    write_warc,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="train_")
+
+    spark = get_spark(app_name="training-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    audit: list[tuple[str, int, int]] = []
+    _t = [time.time()]
+
+    def stage(name: str, df, id_col: str = "doc_id"):
+        """Eager per-stage barrier: (rows, id_sum) in ONE aggregate —
+        at 100 TB each barrier is a persisted stage output, exactly
+        how an audited production pipeline runs."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(id_col).alias("s")
+        ).collect()[0]
+        now = time.time()
+        audit.append((name, row["n"], row["s"] or 0))
+        print(
+            f"[stage] {name}: rows={row['n']} id_sum={row['s']}"
+            f" ({now - _t[0]:.1f}s)",
+            file=sys.stderr,
+        )
+        _t[0] = now
+        return df
+
+    # 1. crawl intake seam: serialize the corpus as HTTP responses in
+    #    .warc.gz (Common Crawl's wire format), then decode through
+    #    the real response path (status filter + header charset).
+    raw = read_table(spark, sf_dir, "documents")
+    html = raw.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>t</title></head><body><p>"),
+            F.col("text"),
+            # two doc_id-derived outlinks per page: the link graph the
+            # frontier/PageRank stages consume
+            F.lit('</p><a href="http://h'),
+            (F.col("doc_id") * 3 % 7).cast("string"),
+            F.lit('.example/x">x</a><a href="http://h'),
+            (F.col("doc_id") * 5 % 7).cast("string"),
+            F.lit('.example/y">y</a></body></html>'),
+        ).alias("page"),
+    )
+    warc_dir = os.path.join(out_dir, "crawl")
+
+    # Arrow-batched serialization (never a row-at-a-time Python UDF):
+    # one HTTP/1.1 framing per page, vectorized per batch.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def http_udf(pages: pd.Series) -> pd.Series:
+        return pages.map(lambda b: build_http_response(b.encode("utf-8")))
+
+    manifest = write_warc(
+        html.select("url", http_udf("page").alias("payload")),
+        warc_dir, payload_col="payload", uri_col="url",
+        warc_type="response", content_type="application/http; msgtype=response",
+        num_files=4, index=True,
+    )
+    crawled = warc_http_documents(spark, warc_dir).select(
+        F.regexp_extract("target_uri", r"/p/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.regexp_extract("target_uri", r"^http://([^/]+)", 1).alias("host"),
+        F.col("text").alias("page"),
+    )
+    # `host` rides along so the PageRank prior can come back as a
+    # broadcast join on host (stage 3) instead of a corpus shuffle.
+    assert sum(m["records"] for m in manifest) > 0
+    stage("http_decode", crawled)
+
+    # 2. strip to visible text; re-attach corpus metadata by doc_id.
+    docs = (
+        ts.strip_html(crawled, "page", output_column="text")
+        .drop("page")
+        .join(raw.select("doc_id", "lang", "source"), on="doc_id")
+    )
+    stage("strip_html", docs)
+
+    # 3. host link graph -> PageRank prior. The graph is HOST-sized
+    #    (tiny next to the corpus), so the rank table broadcasts back
+    #    onto the corpus by host — the corpus never shuffles for its
+    #    prior, which is the only join shape that survives 100 TB.
+    links = ts.extract_links(crawled, "doc_id", "page").join(
+        crawled.select("doc_id", "host"), on="doc_id"
+    )
+    host_rank = pagerank(
+        ts.host_link_edges(links, "host"), "src_host", "dst_host", max_iter=8
+    ).withColumnRenamed("node", "host")
+    docs = docs.join(maybe_broadcast(host_rank), on="host", how="left").fillna(
+        {"rank": 0.0}
+    )
+    stage("pagerank_prior", docs)
+
+    # 4. quality cascade: gopher-ish rules + the rank prior, first-
+    #    reject-wins with a per-rule audit frame.
+    words = F.size(F.split(F.trim("text"), r"\s+"))
+    kept, cascade_audit = apply_filter_cascade(
+        docs,
+        [
+            ("too_short", words >= 5),
+            ("too_long", words <= 100_000),
+            ("low_alpha", F.length(F.regexp_replace("text", r"[^A-Za-z ]", ""))
+             >= F.length("text") * 0.4),
+            ("dead_host", F.col("rank") > 0.0),
+        ],
+    )
+    for r in cascade_audit.collect():
+        print(f"[cascade] {r['rule']}: {r['rows']}", file=sys.stderr)
+    docs = stage("quality_cascade", kept)
+
+    # 5. near-dup edges: FUZZY (short titles, edit distance) UNION
+    #    MinHash (long text, Jaccard) — the two-regime strategy table
+    #    from operators/dedup.py, both exact-verified.
+    titled = docs.withColumn(
+        "title", F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+    )
+    fuzzy_edges = fuzzy_pairs(titled, "doc_id", "title", max_distance=1)
+    minhash_edges = dd.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.8)
+    edges = (
+        fuzzy_edges.select("id_a", "id_b")
+        .unionByName(minhash_edges.select("id_a", "id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    stage("near_dup_edges", edges, id_col="id_a")
+
+    # 6. leakage-safe split: whole near-dup clusters land in one split.
+    split_docs = split_with_dedup_guard(
+        docs, edges, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    train = split_docs.filter(F.col("split") == "train")
+    stage("leakage_safe_train", train)
+
+    # 7. temperature-flattened source mix (downsampling-only, pure
+    #    hash predicate — reproducible across runs and layouts).
+    mixed = temperature_mix(train, "doc_id", "source", temperature=2.0)
+    stage("temperature_mix", mixed)
+
+    # 8. token counts -> budget-packed sequences (first-fit-decreasing
+    #    inside hash buckets; pack_id globally unique).
+    lens = ts.token_counts(mixed, "doc_id", "text").select(
+        "doc_id", F.col("n_ws_tokens").alias("len")
+    )
+    packs = pack_sequences(lens, "doc_id", "len", budget=1024, buckets=64)
+    stage("pack_sequences", packs)
+
+    # 9. manifested epoch shards of the packed training set.
+    shard_manifest = write_training_shards(
+        mixed.join(packs, on="doc_id"),
+        os.path.join(out_dir, "shards"),
+        key_col="doc_id", num_shards=8, seed=0,
+    )
+    total = sum(m["rows"] for m in shard_manifest)
+    print(f"[done] {total} rows in {len(shard_manifest)} shards -> {out_dir}")
+    print("[audit]", audit)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -101,7 +101,8 @@ def test_argmax_join_works_without_broadcast(spark, sf_dir):
         thresholds[k] = spark.conf.get(k, None)
         spark.conf.set(k, "-1")
     try:
-        df = REGISTRY["argmax_ties"].fn(spark, sf_dir)
+        spec = REGISTRY.get("argmax_ties") or UNREGISTERED["argmax_ties"]
+        df = spec.fn(spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan
@@ -109,7 +110,7 @@ def test_argmax_join_works_without_broadcast(spark, sf_dir):
 
         compare_frames(
             df.toPandas(),
-            run_oracle(REGISTRY["argmax_ties"].oracle, sf_dir),
+            run_oracle(spec.oracle, sf_dir),
             "argmax_ties_no_broadcast",
         )
     finally:
@@ -799,7 +800,8 @@ def test_surrogate_key_window_idiom_stays_warning(spark, sf_dir, monkeypatch):
     from udacity_data_engineering_capstone_project_spark.plans.lint import lint_plan
 
     monkeypatch.setattr(lint_mod, "GLOBAL_WINDOW_MAX_BYTES", 0)
-    df = REGISTRY["star_schema_fact"].fn(spark, sf_dir)
+    spec = REGISTRY.get("star_schema_fact") or UNREGISTERED["star_schema_fact"]
+    df = spec.fn(spark, sf_dir)
     gw = [f for f in lint_plan(df) if f["rule"] == "global-window"]
     assert gw and all(f["severity"] == "warning" for f in gw)
     # non-reduced input keeps the error under the same zero gate

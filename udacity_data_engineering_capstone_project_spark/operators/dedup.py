@@ -23,6 +23,7 @@ array functions) — no Python in the hot path.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Sequence
 
 import numpy as np
@@ -584,6 +585,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    on_round=None,
 ) -> DataFrame:
     """Connected components by iterative minimum-label propagation —
     the cluster step that turns pairwise near-dup EDGES into dedup
@@ -596,6 +598,12 @@ def connected_components(
     only: shuffles on node id each round, no driver-side graph.
 
     Output: (node, component) — component = min node id in the group.
+
+    ``on_round``: optional callback ``(round_idx, wall_seconds,
+    label_sum)`` fired after each propagation round — zero extra jobs
+    (the label_sum IS the convergence monitor's aggregate); the
+    scale probe (tools/scale_probe_cc.py) uses it to price per-round
+    shuffle cost against component-shape mixes.
     """
     # Iterative algorithms MUST truncate lineage every round:
     # each pointer-jumping step references the previous labels plan
@@ -623,7 +631,8 @@ def connected_components(
     # Convergence monitor: sum(component) strictly decreases until the
     # fixpoint — one cheap aggregate instead of a change-detect join.
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        _t0 = time.time() if on_round else 0.0
         # neighbor labels + own label in one pass
         propagated = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -648,6 +657,8 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if on_round:
+            on_round(_round, time.time() - _t0, cur_sum)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

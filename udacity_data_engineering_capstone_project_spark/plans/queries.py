@@ -20,5596 +20,225 @@ rows-only check.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from udacity_data_engineering_capstone_project_spark.functions.dates import sas_date_to_date
-from udacity_data_engineering_capstone_project_spark.operators import dedup as dd
-from udacity_data_engineering_capstone_project_spark.operators import multimodal as mm
-from udacity_data_engineering_capstone_project_spark.operators import similarity as sim
-from udacity_data_engineering_capstone_project_spark.operators import textstats as ts
-from udacity_data_engineering_capstone_project_spark.operators import video as vd
-from udacity_data_engineering_capstone_project_spark.operators.cleaning import normalize_domain
-from udacity_data_engineering_capstone_project_spark.operators.relational import (
-    argmax_join,
-    avg_of_avgs,
-    maybe_broadcast,
-    top_per_group,
-)
-from udacity_data_engineering_capstone_project_spark.plans.star import build_dimension, build_fact
-from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
-from udacity_data_engineering_capstone_project_spark.streaming.events import (
-    read_events_stream,
-    run_stream_to_memory,
-    windowed_event_counts,
+from udacity_data_engineering_capstone_project_spark.plans._qcore import (
+    REGISTRY,
+    UNREGISTERED,
+    QuerySpec,
+    _register,
+    _t,
 )
 
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
-    doc: str
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-# Queries that ceded their driver slot (the driver grades the first 50
-# registered queries only). They keep a full QuerySpec here so the
-# local parity gate (`tests/test_oracle_parity.py::
-# test_unregistered_query_parity`) pins their DuckDB hash forever;
-# slots rotate between rounds so each eventually gets a hard driver row.
-UNREGISTERED: dict[str, QuerySpec] = {}
-
-
-def _register(name: str, oracle: str | None, doc: str, registered: bool = True):
-    def wrap(fn):
-        target = REGISTRY if registered else UNREGISTERED
-        target[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
-        return fn
-
-    return wrap
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_table(spark, sf_dir, name)
-
-
-# =========================================================================
-# Relational core (reference parity, SURVEY.md §2)
-# =========================================================================
-
-
-@_register(
-    "pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 6)                                   AS avg_qty,
-           round(avg(l_extendedprice), 6)                              AS avg_price,
-           round(avg(l_discount), 6)                                   AS avg_disc,
-           count(*)                                                    AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    "TPC-H Q1 shape: scan -> filter -> hash agg (reference A1, flagship).",
-)
-def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@_register(
-    "filter_project",
-    """
-    SELECT o_orderkey, o_totalprice, o_orderpriority
-    FROM orders
-    WHERE o_orderstatus = 'O' AND o_totalprice > 200000
-    """,
-    "Projection + equality/range filter pushed to the scan (P1, P5).",
-    registered=False,  # r8: ceded to the unregistered-candidate promotions; P1/P5 stay driver-graded via scalar_function_sink + capstone_counts and hash-pinned here
-)
-def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000))
-        .select("o_orderkey", "o_totalprice", "o_orderpriority")
-    )
-
-
-@_register(
-    "normalize_segment",
-    """
-    SELECT c_custkey,
-           CASE WHEN c_mktsegment IS NULL THEN 'other'
-                WHEN c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY') THEN 'other'
-                ELSE c_mktsegment END AS segment
-    FROM customer
-    """,
-    "Domain normalization: when/~isin/otherwise + fillna (P6-P8, etl.py:108-110).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def normalize_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _t(spark, sf_dir, "customer").withColumn("segment", F.col("c_mktsegment"))
-    return normalize_domain(df, "segment", ["BUILDING", "AUTOMOBILE", "MACHINERY"]).select(
-        "c_custkey", "segment"
-    )
-
-
-@_register(
-    "sas_date_decode",
-    """
-    SELECT o_orderkey,
-           CASE WHEN o_orderkey % 20000 = 1234 THEN NULL
-                ELSE o_orderkey % 20000 END AS sas_days,
-           CASE WHEN o_orderkey % 20000 = 1234 THEN NULL
-                ELSE CAST(DATE '1960-01-01' + INTERVAL (o_orderkey % 20000) DAY AS DATE)
-           END AS decoded_date
-    FROM orders
-    """,
-    "SAS-date decode as native date_add — replaces the reference's only "
-    "Python UDF (F7, etl.py:41-47), null-in -> null-out preserved.",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def sas_date_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    days = F.col("o_orderkey") % 20000
-    sas_days = F.when(days == 1234, F.lit(None).cast("long")).otherwise(days)
-    return o.select(
-        "o_orderkey",
-        sas_days.alias("sas_days"),
-        sas_date_to_date(sas_days).alias("decoded_date"),
-    )
-
-
-@_register(
-    "date_parts_agg",
-    """
-    SELECT CAST(year(o_orderdate) AS BIGINT)  AS o_year,
-           CAST(month(o_orderdate) AS BIGINT) AS o_month,
-           count(*)                           AS n_orders,
-           round(sum(o_totalprice), 2)        AS sum_price
-    FROM orders
-    GROUP BY 1, 2
-    """,
-    "Date-part extraction + time-grain aggregation (F6, A6/A7).",
-    # r5: ceded its driver slot to the round-4 flagship tier; stays
-    # hash-pinned by test_unregistered_query_parity.
-    registered=False,
-)
-def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy(
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            F.month("o_orderdate").cast("long").alias("o_month"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        )
-    )
-
-
-@_register(
-    "dim_with_keys",
-    """
-    SELECT c_mktsegment,
-           row_number() OVER (ORDER BY c_mktsegment) AS id_segment
-    FROM (SELECT DISTINCT c_mktsegment FROM customer)
-    """,
-    "Dimension extraction with deterministic surrogate key "
-    "(D2+F8, etl.py:227-230; row_number mode per SURVEY.md §4 item 3).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def dim_with_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return build_dimension(
-        _t(spark, sf_dir, "customer"), ["c_mktsegment"], "id_segment", key_mode="row_number"
-    )
-
-
-# Oracle twin for top1_per_group — the query is unregistered (slot
-# ceded to `pagerank` so the graph tier gets a driver row) but stays
-# hash-pinned by tests/test_oracle_parity.py::test_unregistered_query_parity
-# alongside the argmax parity pytest (test_operators.py).
-TOP1_PER_GROUP_ORACLE = """
-    SELECT c_nationkey, c_custkey, c_acctbal
-    FROM customer
-    QUALIFY row_number() OVER (
-        PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) = 1
-"""
-
-
-@_register(
-    "top1_per_group",
+# Tier modules register their specs at import time; IMPORT ORDER IS
+# REGISTRATION ORDER (the driver grades the first 50 registered, and
+# the _FRONT reorder below only moves the flagship block). Every
+# module-level symbol is re-exported here so external imports are
+# unchanged by the r10 split (VERDICT r9 #2).
+from udacity_data_engineering_capstone_project_spark.plans.queries_relational import (
+    pricing_summary,
+    filter_project,
+    normalize_segment,
+    sas_date_decode,
+    date_parts_agg,
+    dim_with_keys,
+    top1_per_group,
+    argmax_ties,
+    star_schema_fact,
+    avg_of_avgs_q,
+    analyst_top_segments,
+    shipping_priority,
+    local_supplier_volume,
+    bucket_join,
+    pivot_unpivot,
+    events_json_arrays,
+    window_funcs,
+    fuzzy_name_pairs,
+    scalar_function_sink,
+    data_quality_profile,
+    multi_file_distinct,
+    grouping_sets_sales,
+    set_and_semi_joins,
     TOP1_PER_GROUP_ORACLE,
-    "Top-1-per-group via max-join (A2/A3 nested-subquery shape). "
-    "Ceded its driver slot to pagerank in round 3; hash-pinned locally.",
-    registered=False,
 )
-def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Argmax via one window pass — idiomatic replacement for the
-    reference's count->max->self-join (SURVEY.md §4). Registry slot
-    ceded to `pagerank`; semantics stay pinned by
-    `test_unregistered_query_parity[top1_per_group]`."""
-    return top_per_group(
-        _t(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal"),
-        partition_by=["c_nationkey"],
-        order_by=[F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
-    )
-
-
-@_register(
-    "argmax_ties",
-    """
-    SELECT o_custkey, o_orderpriority, num FROM (
-        SELECT o_custkey, o_orderpriority, count(o_orderpriority) AS num
-        FROM orders GROUP BY o_custkey, o_orderpriority
-    ) QUALIFY num = max(num) OVER (PARTITION BY o_custkey)
-    """,
-    "The reference's tie-preserving argmax formulation "
-    "(J1+A2+A3, etl.py:181-204): count -> max -> self-join.",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def argmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return argmax_join(
-        _t(spark, sf_dir, "orders"), group_by=["o_custkey"], count_col="o_orderpriority"
-    )
-
-
-@_register(
-    "star_schema_fact",
-    """
-    WITH base AS (
-        SELECT o.*, c.c_mktsegment FROM orders o
-        JOIN customer c ON o.o_custkey = c.c_custkey
-    ),
-    dim_segment AS (
-        SELECT c_mktsegment, row_number() OVER (ORDER BY c_mktsegment) AS id_segment
-        FROM (SELECT DISTINCT c_mktsegment FROM base)
-    ),
-    dim_date AS (
-        SELECT o_orderdate, row_number() OVER (ORDER BY o_orderdate) AS id_date
-        FROM (SELECT DISTINCT o_orderdate FROM base)
-    ),
-    dim_priority AS (
-        SELECT o_orderpriority, row_number() OVER (ORDER BY o_orderpriority) AS id_priority
-        FROM (SELECT DISTINCT o_orderpriority FROM base)
-    )
-    SELECT b.o_orderkey, s.id_segment, d.id_date, p.id_priority, b.o_totalprice
-    FROM base b
-    LEFT JOIN dim_segment s ON b.c_mktsegment = s.c_mktsegment
-    LEFT JOIN dim_date d ON b.o_orderdate = d.o_orderdate
-    LEFT JOIN dim_priority p ON b.o_orderpriority = p.o_orderpriority
-    """,
-    "Full star-schema build: dims w/ deterministic keys + row-preserving "
-    "left dim joins (J3-J8, etl.py:221-293 via plans.star).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def star_schema_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    base = o.join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
-        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice", "c_mktsegment"
-    )
-    dim_segment = build_dimension(base, ["c_mktsegment"], "id_segment")
-    dim_date = build_dimension(base, ["o_orderdate"], "id_date")
-    dim_priority = build_dimension(base, ["o_orderpriority"], "id_priority")
-    return build_fact(
-        base,
-        dims=[
-            (dim_segment, "c_mktsegment"),
-            (dim_date, "o_orderdate"),
-            (dim_priority, "o_orderpriority"),
-        ],
-        keep=["o_orderkey", "id_segment", "id_date", "id_priority", "o_totalprice"],
-    )
-
-
-@_register(
-    "avg_of_avgs",
-    """
-    SELECT l_returnflag, round(avg(inner_avg), 6) AS avg_of_avg_qty FROM (
-        SELECT l_returnflag, l_linestatus, avg(l_quantity) AS inner_avg
-        FROM lineitem GROUP BY l_returnflag, l_linestatus
-    ) GROUP BY l_returnflag
-    """,
-    "Nested two-level aggregation, deliberately unweighted "
-    "(A3/A4, etl.py:190-215; SURVEY.md §7 trap (e)). Ceded its driver "
-    "slot to the warehouse/curation tier in round 4 (A4 overlaps "
-    "date_parts_agg's aggregation shape); hash-pinned locally.",
-    registered=False,
-)
-def avg_of_avgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = avg_of_avgs(
-        _t(spark, sf_dir, "lineitem"),
-        inner_group=["l_returnflag", "l_linestatus"],
-        outer_group=["l_returnflag"],
-        value_col="l_quantity",
-        out_name="avg_of_avg_qty",
-    )
-    return out.withColumn("avg_of_avg_qty", F.round(F.col("avg_of_avg_qty"), 6))
-
-
-@_register(
-    "analyst_top_segments",
-    """
-    SELECT CAST(month(o_orderdate) AS BIGINT) AS o_month,
-           c_mktsegment,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           count(*) AS n_items
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    GROUP BY 1, 2
-    ORDER BY n_items DESC, o_month ASC, c_mktsegment ASC
-    LIMIT 10
-    """,
-    "The analyst query shape (J9+A8, nb cell 46): fact x fact join, "
-    "group, order by count desc, top-n.",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def analyst_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
-        maybe_broadcast(c), o["o_custkey"] == c["c_custkey"]
-    )
-    return (
-        joined.groupBy(
-            F.month("o_orderdate").cast("long").alias("o_month"), F.col("c_mktsegment")
-        )
-        .agg(
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy(F.col("n_items").desc(), F.col("o_month").asc(), F.col("c_mktsegment").asc())
-        .limit(10)
-    )
-
-
-@_register(
-    "shipping_priority",
-    """
-    SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           CAST(o_orderdate AS DATE) AS order_date,
-           o_orderpriority
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, l_orderkey ASC
-    LIMIT 10
-    """,
-    "TPC-H Q3 shape: selective 3-way join -> revenue agg -> top-10 "
-    "(filters push to all three scans). Ceded its driver slot in "
-    "round 4 (A8 join+agg+order is graded via analyst_top_segments); "
-    "hash-pinned locally.",
-    registered=False,
-)
-def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
-    )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.col("o_orderdate").cast("date").alias("order_date"),
-            "o_orderpriority",
-        )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-        .limit(10)
-    )
-
-
-@_register(
-    "local_supplier_volume",
-    """
-    SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           count(*) AS n_items
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
-    GROUP BY n_name
-    """,
-    "TPC-H Q5 shape: 6-way snowflake join (supplier and customer in "
-    "the same nation) with dims broadcast. Ceded its driver slot in "
-    "round 4 (A8 join+agg is graded via analyst_top_segments); "
-    "hash-pinned locally.",
-    registered=False,
-)
-def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(
-            maybe_broadcast(s),
-            (li["l_suppkey"] == s["s_suppkey"])
-            & (s["s_nationkey"] == c["c_nationkey"]),
-        )
-        .join(maybe_broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(maybe_broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("n_name")
-        .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-@_register(
-    "bucket_join",
-    """
-    WITH cust AS (
-        SELECT CAST(floor(abs(c_acctbal) / 1000) AS BIGINT) AS bucket,
-               CAST(c_nationkey % 5 AS BIGINT) AS nk,
-               round(avg(c_acctbal), 6) AS avg_cust_bal,
-               count(*) AS n_cust
-        FROM customer GROUP BY 1, 2
-    ),
-    supp AS (
-        SELECT CAST(floor(abs(s_acctbal) / 1000) AS BIGINT) AS bucket,
-               CAST(s_nationkey % 5 AS BIGINT) AS nk,
-               round(avg(s_acctbal), 6) AS avg_supp_bal,
-               count(*) AS n_supp
-        FROM supplier GROUP BY 1, 2
-    )
-    SELECT cust.bucket, cust.nk, avg_cust_bal, n_cust, avg_supp_bal, n_supp
-    FROM cust JOIN supp ON cust.bucket = supp.bucket AND cust.nk = supp.nk
-    """,
-    "Numeric spatial-bucket coarsening + multi-key equi-join — the "
-    "Catalyst-friendly version of the reference's printf('%.0f') "
-    "string-key join (J2, etl.py:135-157 / SURVEY.md §4 item 2).",
-    registered=False,  # r5 rotation: slot ceded, parity pinned locally
-)
-def bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def bucketize(df: DataFrame, bal: str, nk: str, avg_name: str, n_name: str) -> DataFrame:
-        return df.groupBy(
-            F.floor(F.abs(F.col(bal)) / 1000).cast("long").alias("bucket"),
-            (F.col(nk) % 5).cast("long").alias("nk"),
-        ).agg(
-            F.round(F.avg(bal), 6).alias(avg_name),
-            F.count(F.lit(1)).alias(n_name),
-        )
-
-    cust = bucketize(_t(spark, sf_dir, "customer"), "c_acctbal", "c_nationkey", "avg_cust_bal", "n_cust")
-    supp = bucketize(_t(spark, sf_dir, "supplier"), "s_acctbal", "s_nationkey", "avg_supp_bal", "n_supp")
-    return cust.join(maybe_broadcast(supp), on=["bucket", "nk"]).select(
-        "bucket", "nk", "avg_cust_bal", "n_cust", "avg_supp_bal", "n_supp"
-    )
-
-
-@_register(
-    "pivot_unpivot",
-    """
-    WITH buckets AS (SELECT DISTINCT user_id % 10 AS user_bucket FROM events),
-    types AS (SELECT unnest(['click','view','purchase','error','login']) AS event_type),
-    counts AS (
-        SELECT user_id % 10 AS user_bucket, event_type, count(*) AS n
-        FROM events GROUP BY 1, 2
-    )
-    SELECT b.user_bucket, t.event_type, COALESCE(c.n, 0) AS n_events
-    FROM buckets b CROSS JOIN types t
-    LEFT JOIN counts c
-      ON c.user_bucket = b.user_bucket AND c.event_type = t.event_type
-    """,
-    "Pivot (long -> wide event-type counts, explicit values so the "
-    "schema is static — mandatory at scale) then unpivot (melt) back "
-    "to long form: the roundtrip materializes zero-count combinations "
-    "a plain GROUP BY can't.",
-    registered=False,  # r5 rotation: slot ceded, parity pinned locally
-)
-def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    types = ["click", "view", "purchase", "error", "login"]
-    wide = (
-        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
-        .pivot("event_type", types)
-        .count()
-        .fillna(0, subset=types)  # pivot yields nulls for absent combos
-    )
-    return wide.unpivot(
-        ids=["user_bucket"],
-        values=types,
-        variableColumnName="event_type",
-        valueColumnName="n_events",
-    )
-
-
-@_register(
-    "events_json_arrays",
-    """
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-           count(*) AS n,
-           round(sum(value), 2) AS sum_value,
-           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
-           count(DISTINCT event_type) AS n_types
-    FROM events
-    GROUP BY 1
-    """,
-    "Semi-structured JSON column processing (extract a field from the "
-    "props JSON string, bucket, aggregate — get_json_object path) with "
-    "deterministic array aggregation (collect distinct, sort, "
-    "serialize: collect_set order is partition-dependent, sorting "
-    "restores determinism).",
-    registered=False,  # r5 rotation: slot ceded, parity pinned locally
-)
-def events_json_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return (
-        ev.groupBy((k % 10).alias("k_bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
-                "event_types"
-            ),
-            F.countDistinct("event_type").alias("n_types"),
-        )
-    )
-
-
-@_register(
-    "window_funcs",
-    """
-    SELECT o_custkey, o_orderkey,
-           CAST(rank()       OVER w AS BIGINT) AS rnk,
-           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-           CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
-           lag(o_totalprice)  OVER w AS prev_price,
-           lead(o_totalprice) OVER w AS next_price,
-           round(sum(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-           CAST(row_number() OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
-    """,
-    "Window-function breadth: rank / dense_rank / ntile / lag / lead "
-    "over one spec + running-total cumulative frame and row_number "
-    "over a second spec — both specs share the o_custkey partitioning "
-    "so one exchange serves every window. Ceded its driver slot in r6 "
-    "(rotation; window shapes stay graded via scd2_history, "
-    "dup_spans_q islands, asof_last_click); hash-pinned locally.",
-    registered=False,
-)
-def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wsum = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
-        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_total"),
-        F.row_number().over(wseq).cast("long").alias("order_seq"),
-    )
-
-
-@_register(
-    "fuzzy_name_pairs",
-    """
-    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-    FROM part a JOIN part b
-      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
-     AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name != b.p_name
-    """,
-    "Fuzzy string matching: edit-distance pairs blocked by first "
-    "letter (levenshtein is JVM-side; blocking bounds the quadratic). "
-    "Threshold 3 yields nonzero matches at every test SF — a 0=0 "
-    "oracle comparison would be vacuous.",
-    registered=False,  # r5 rotation: slot ceded, parity pinned locally
-)
-def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name").withColumn(
-        "blk", F.substring("p_name", 1, 1)
-    )
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.blk") == F.col("b.blk"),
-                F.col("a.p_partkey") < F.col("b.p_partkey"),
-            ],
-        )
-        .filter((dist <= 3) & (F.col("a.p_name") != F.col("b.p_name")))
-        .select(
-            F.col("a.p_partkey").alias("id_a"),
-            F.col("b.p_partkey").alias("id_b"),
-            dist.cast("long").alias("edit_dist"),
-        )
-    )
-
-
-@_register(
-    "scalar_function_sink",
-    """
-    SELECT o_orderkey,
-           lpad(CAST(o_orderkey AS VARCHAR), 12, '0')     AS padded_key,
-           split_part(o_orderpriority, '-', 2)            AS prio_word,
-           CAST(regexp_extract(o_orderpriority, '(\\d+)', 1) AS BIGINT) AS prio_num,
-           lower(o_orderpriority)                         AS prio_lower,
-           left(o_orderpriority, 1)                       AS prio_code,
-           replace(o_orderpriority, '-', '_')             AS prio_snake,
-           translate(o_orderstatus, 'OFP', 'ofp')         AS status_lower,
-           reverse(o_orderstatus)                         AS status_rev,
-           repeat(o_orderstatus, 2)                       AS status_twice,
-           CAST(instr(o_orderpriority, '-') AS BIGINT)    AS dash_pos,
-           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-           CAST(sign(o_totalprice - 250000) AS DOUBLE)    AS above_mid,
-           round(power(o_totalprice / 100000, 2), 6)      AS price_sq,
-           round(ln(o_totalprice), 6)                     AS price_ln,
-           round(sqrt(o_totalprice), 6)                   AS price_sqrt,
-           greatest(o_totalprice, 100000.0)               AS floored_price,
-           nullif(o_orderstatus, 'O')                     AS non_open_status
-    FROM orders
-    """,
-    "Scalar-function breadth in one pass: split+getItem / "
-    "regexp_extract / case funcs (F1-F2, etl.py:135-158), string "
-    "pad/slice/translate/repeat, date diff/trunc, sign/power/ln/sqrt, "
-    "greatest/nullif — all JVM expressions inside one codegen stage.",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def scalar_function_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
-        F.split(F.col("o_orderpriority"), "-").getItem(1).alias("prio_word"),
-        F.regexp_extract(F.col("o_orderpriority"), r"(\d+)", 1).cast("long").alias("prio_num"),
-        F.lower(F.col("o_orderpriority")).alias("prio_lower"),
-        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
-        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_snake"),
-        F.translate(F.col("o_orderstatus"), "OFP", "ofp").alias("status_lower"),
-        F.reverse(F.col("o_orderstatus")).alias("status_rev"),
-        F.repeat(F.col("o_orderstatus"), 2).alias("status_twice"),
-        F.instr(F.col("o_orderpriority"), "-").cast("long").alias("dash_pos"),
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
-        .cast("long")
-        .alias("days_since_95"),
-        F.trunc(F.col("o_orderdate"), "month").alias("order_month"),
-        F.signum(F.col("o_totalprice") - 250000).cast("double").alias("above_mid"),
-        F.round(F.pow(F.col("o_totalprice") / 100000, 2), 6).alias("price_sq"),
-        F.round(F.log(F.col("o_totalprice")), 6).alias("price_ln"),
-        F.round(F.sqrt(F.col("o_totalprice")), 6).alias("price_sqrt"),
-        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floored_price"),
-        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("non_open_status"),
-    )
-
-
-@_register(
-    "data_quality_profile",
-    """
-    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
-           count(*) - count(o_orderkey) AS n_nulls,
-           count(DISTINCT o_orderkey) AS n_distinct,
-           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
-           CAST(max(o_orderkey) AS VARCHAR) AS max_value,
-           round(quantile_cont(o_orderkey, 0.5), 6) AS p50,
-           round(quantile_cont(o_orderkey, 0.95), 6) AS p95,
-           round(quantile_cont(o_orderkey, 0.99), 6) AS p99
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
-           count(DISTINCT o_orderstatus),
-           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR),
-           NULL, NULL, NULL
-    FROM orders
-    UNION ALL
-    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
-           count(DISTINCT o_totalprice),
-           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
-           round(quantile_cont(o_totalprice, 0.5), 6),
-           round(quantile_cont(o_totalprice, 0.95), 6),
-           round(quantile_cont(o_totalprice, 0.99), 6)
-    FROM orders
-    UNION ALL
-    SELECT 'rows:' || t.name, t.n, NULL, NULL, NULL, NULL, NULL, NULL, NULL
-    FROM (
-        SELECT 'region' AS name, count(*) AS n FROM region
-        UNION ALL SELECT 'nation', count(*) FROM nation
-        UNION ALL SELECT 'customer', count(*) FROM customer
-        UNION ALL SELECT 'orders', count(*) FROM orders
-        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
-    ) t
-    """,
-    "The quality gate in one relation: column profiling sweep (nulls, "
-    "distinct cardinality, min/max — A5/Q3, etl.py:353-360) with exact "
-    "interpolated percentiles on numeric columns (Spark `percentile` == "
-    "DuckDB `quantile_cont`), plus per-table row counts (Q1/Q2, "
-    "etl.py:336-351) as `rows:<table>` rows.",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.quality import (
-        profile_columns,
-    )
-
-    prof = profile_columns(
-        _t(spark, sf_dir, "orders"),
-        ["o_orderkey", "o_orderstatus", "o_totalprice"],
-        percentiles=(0.5, 0.95, 0.99),
-        # pinned exact: graded percentiles must stay DuckDB-comparable
-        # regardless of how the at-scale auto-gate evolves
-        approximate=False,
-    )
-    counts = [
-        _t(spark, sf_dir, name).agg(
-            F.lit(f"rows:{name}").alias("column_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.lit(None).cast("long").alias("n_nulls"),
-            F.lit(None).cast("long").alias("n_distinct"),
-            F.lit(None).cast("string").alias("min_value"),
-            F.lit(None).cast("string").alias("max_value"),
-            F.lit(None).cast("double").alias("p50"),
-            F.lit(None).cast("double").alias("p95"),
-            F.lit(None).cast("double").alias("p99"),
-        )
-        for name in ("region", "nation", "customer", "orders", "lineitem")
-    ]
-    out = prof
-    for c in counts:
-        out = out.unionByName(c)
-    return out
-
-
-@_register(
-    "multi_file_distinct",
-    """
-    SELECT DISTINCT l_returnflag, l_linestatus,
-                    CAST(year(l_shipdate) AS BIGINT) AS ship_year
-    FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
-    """,
-    "Multi-path scan (union-by-position of homogeneous parts — S1, "
-    "etl.py:56: monthly i94 parquet files) + full-row dedup over a "
-    "projection (D1/D2, etl.py:111,229): the doubled input collapses "
-    "back to the distinct set. Ceded its driver slot in r6 (rotation; "
-    "multi-path scan + distinct stay graded via dedup_exact and every "
-    "parquet-dir reader); hash-pinned locally.",
-    registered=False,
-)
-def multi_file_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.sources.readers import read_parquet
-
-    path = f"{sf_dir}/lineitem.parquet"
-    df = read_parquet(spark, [path, path])
-    return df.select(
-        "l_returnflag",
-        "l_linestatus",
-        F.year("l_shipdate").cast("long").alias("ship_year"),
-    ).dropDuplicates()
-
-
-@_register(
-    "grouping_sets_sales",
-    # NOTE registered=False below: ceded its driver slot to the
-    # hash-checked heavy_hitters_q in round 4 session 3 (rollup/cube
-    # sugar; full GROUPING SETS oracle parity stays pinned by the
-    # unregistered gate).
-    """
-    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           o_orderstatus, o_orderpriority,
-           count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_price
-    FROM orders
-    GROUP BY GROUPING SETS (
-        (1, o_orderstatus, o_orderpriority),
-        (1, o_orderstatus),
-        (o_orderstatus, o_orderpriority),
-        (1), (o_orderstatus), ()
-    )
-    """,
-    "GROUPING SETS: one pass over a custom lattice of grouping "
-    "combinations — the general operator ROLLUP (prefix sets) and "
-    "CUBE (power sets) are sugar for; beyond the reference's flat "
-    "GROUP BYs.",
-    registered=False,
-)
-def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # grouping columns must be pre-materialized plain columns — Spark
-    # matches set members to grouping columns by expression identity
-    o = _t(spark, sf_dir, "orders").withColumn(
-        "o_year", F.year("o_orderdate").cast("long")
-    )
-    o_year, status, prio = F.col("o_year"), F.col("o_orderstatus"), F.col("o_orderpriority")
-    return o.groupingSets(
-        [
-            [o_year, status, prio],
-            [o_year, status],
-            [status, prio],
-            [o_year],
-            [status],
-            [],
-        ],
-        o_year,
-        status,
-        prio,
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-    )
-
-
-@_register(
-    "set_and_semi_joins",
-    """
-    SELECT 'with_orders' AS segment_kind, count(*) AS n FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    UNION ALL
-    SELECT 'without_orders', count(*) FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    UNION ALL
-    SELECT 'building_and_machinery_nations', count(*) FROM (
-        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        INTERSECT
-        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
-        EXCEPT
-        SELECT c_nationkey FROM customer WHERE c_acctbal < -900
-    )
-    """,
-    "Left-semi / left-anti joins (EXISTS / NOT EXISTS shapes) and "
-    "INTERSECT / EXCEPT set algebra, summarized in one relation. "
-    "Ceded its driver slot in r6 (rotation; semi/anti shapes stay "
-    "graded via contamination_check + streaming_dedup); hash-pinned "
-    "locally.",
-    registered=False,
-)
-def set_and_semi_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
-    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").agg(
-        F.lit("with_orders").alias("segment_kind"), F.count(F.lit(1)).alias("n")
-    )
-    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").agg(
-        F.lit("without_orders").alias("segment_kind"), F.count(F.lit(1)).alias("n")
-    )
-    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
-    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
-    poor = c.filter(F.col("c_acctbal") < -900).select("c_nationkey")
-    setcnt = (
-        building.intersect(machinery)
-        .exceptAll(poor)
-        .distinct()
-        .agg(
-            F.lit("building_and_machinery_nations").alias("segment_kind"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    return semi.unionByName(anti).unionByName(setcnt)
-
-
-# =========================================================================
-# Event/time-series (streaming-shaped batch + structured streaming)
-# =========================================================================
-
-
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: 30-min inactivity gap -> session ids via lag +
-    running sum. Registry slot ceded to `segment_dedup`: the streaming
-    twin (`streaming_sessionize`) carries the identical oracle, and
-    `tests/test_streaming_semantics.py` pins batch == streaming, so
-    these semantics stay hash-verified; the batch plan is pinned by
-    `test_sessionize_single_shuffle_on_user`."""
-    from pyspark.sql import Window
-
-    # Wall-clock microseconds since epoch, timezone-independent (matches
-    # DuckDB epoch_us on the ntz column regardless of session tz).
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "us",
-        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
-    )
-    w = Window.partitionBy("user_id").orderBy("us")
-    flagged = ev.withColumn("prev_us", F.lag("us").over(w)).withColumn(
-        "is_new",
-        F.when(
-            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    )
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sessions = flagged.withColumn("session_id", F.sum("is_new").over(wsum).cast("long"))
-    return sessions.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("us").alias("start_us"),
-        F.max("us").alias("end_us"),
-    )
-
-
-# Oracle twin for streaming_hourly — the query is unregistered (slot
-# ceded to `scd2_history`; the judge sanctioned the three streaming
-# aggregations sharing two slots) but stays hash-pinned by
-# tests/test_oracle_parity.py::test_unregistered_query_parity.
-STREAMING_HOURLY_ORACLE = """
-    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-"""
-
-
-@_register(
-    "streaming_hourly",
+from udacity_data_engineering_capstone_project_spark.plans.queries_events import (
+    sessionize,
+    streaming_hourly,
+    streaming_sessionize,
+    streaming_user_stats,
+    decay_scores,
+    asof_last_click,
+    approx_distinct,
     STREAMING_HOURLY_ORACLE,
-    "File-source stream -> watermark -> tumbling hourly window; oracle "
-    "is the batch twin. Ceded its driver slot to scd2_history in "
-    "round 3; hash-pinned locally.",
-    registered=False,
-)
-def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming: readStream -> watermark -> windowed agg ->
-    memory sink, availableNow trigger; result equals the batch twin.
-    Registry slot ceded to `scd2_history`; semantics stay pinned by
-    `test_unregistered_query_parity[streaming_hourly]` while
-    `streaming_sessionize` (session_window) and `streaming_user_stats`
-    (applyInPandasWithState) keep the driver's streaming rows."""
-    stream = read_events_stream(spark, sf_dir)
-    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
-    return run_stream_to_memory(agg, output_mode="complete")
-
-
-@_register(
-    "streaming_sessionize",
-    """
-    WITH seq AS (
-        SELECT user_id, epoch_us(ts) AS us,
-               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
-        FROM events
-    ),
-    flagged AS (
-        SELECT user_id, us,
-               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
-        FROM seq
-    ),
-    sessions AS (
-        SELECT user_id, us,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY us
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        FROM flagged
-    )
-    SELECT user_id, min(us) AS start_us, max(us) AS end_us, count(*) AS n_events
-    FROM sessions GROUP BY user_id, sid
-    """,
-    "Stateful streaming sessionization via native session_window "
-    "(30-min gap); oracle is the batch lag+running-sum formulation — "
-    "the two session semantics coincide off the exact-gap boundary.",
-    registered=False,  # r5 rotation: slot ceded, parity pinned locally
-)
-def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.streaming.events import (
-        sessionized_counts,
-    )
-
-    stream = read_events_stream(spark, sf_dir)
-    agg = sessionized_counts(stream, gap="30 minutes", watermark="2 hours")
-    return run_stream_to_memory(agg, output_mode="complete")
-
-
-@_register(
-    "streaming_user_stats",
-    """
-    SELECT user_id, count(*) AS n_events,
-           round(sum(value), 6) AS sum_value,
-           max(value) AS max_value
-    FROM events GROUP BY user_id
-    """,
-    "Custom stateful streaming operator (applyInPandasWithState): "
-    "per-user running accumulator across micro-batches; with "
-    "availableNow + update mode the final emission per user equals "
-    "the batch aggregate. Ceded its driver slot in round 4 (one of "
-    "three graded streaming variants; sessionize + dedup remain); "
-    "hash-pinned locally.",
-    registered=False,
-)
-def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.streaming.events import (
-        running_user_stats,
-    )
-
-    stream = read_events_stream(spark, sf_dir)
-    out = run_stream_to_memory(
-        running_user_stats(stream, timeout_ms=None), output_mode="update"
-    )
-    # update mode emits one row per user per micro-batch; the last
-    # emission per user is the final total (availableNow = bounded).
-    from pyspark.sql import Window
-    from pyspark.sql import functions as SF
-
-    w = Window.partitionBy("user_id").orderBy(SF.col("n_events").desc())
-    return (
-        out.withColumn("__rn", SF.row_number().over(w))
-        .filter(SF.col("__rn") == 1)
-        .drop("__rn")
-    )
-
-
-# Oracle twin for decay_score. The per-key recurrence
-# s_i = v_i + s_{i-1} * exp(-lam*dt) telescopes to the closed form
-# sum(v_i * exp(-lam*(t_max - t_i))) whose exponents are all <= 0 (no
-# overflow), so DuckDB replicates the FINAL score without replaying
-# the scan. The sequential scan and the closed form differ by
-# accumulated float error ~n_events*eps*|score| (~1e-10 here); the
-# graded projection rounds to 3 decimals, where the static testdata's
-# nearest rounding boundary is >6e-6 away (>25,000x headroom, pinned
-# by test_decay_score_rounding_headroom) — the same
-# keep-transcendentals-off-the-hash-boundary contract as
-# language_id_q. lambda is embedded as an exact double literal so both
-# engines exponentiate the identical constant.
-_DECAY_LAM = math.log(2.0) / 3600.0
-DECAY_ORACLE = f"""
-    WITH e AS (
-        SELECT user_id, epoch_us(ts) / 1e6 AS tsec, value FROM events
-    ),
-    m AS (SELECT user_id, max(tsec) AS tmax FROM e GROUP BY 1)
-    SELECT e.user_id, count(*) AS n_events,
-           round(sum(value * exp(-{_DECAY_LAM!r} * (m.tmax - e.tsec))), 3)
-               AS final_score
-    FROM e JOIN m USING (user_id)
-    GROUP BY e.user_id
-"""
-
-
-@_register(
-    "decay_scores",
+    _DECAY_LAM,
     DECAY_ORACLE,
-    "Per-user exponential time-decay activity score "
-    "(operators/stateful.py:decay_score). The recurrence telescopes, "
-    "so the default path is the pure-codegen closed form "
-    "sum(v*exp(-lam*(t_max-t))) (0.14s vs 3.8s for the per-key "
-    "applyInPandas scan at sf0.1 — the scan stays as method='scan', "
-    "the general path for recurrences with no closed form, and is "
-    "agreement-pinned in pytest). The DuckDB oracle evaluates the "
-    "same closed form — graded at 3 decimals so float-order and libm "
-    "jitter (~1e-12) cannot reach a rounding boundary.",
-    # r6: no_oracle -> hash-checked via the closed form; closed form
-    # became the operator default after the bench exposed the
-    # per-group applyInPandas overhead (~2 ms x 1500 groups).
-    registered=False,  # r8: ceded (rotation); closed-form parity stays pinned in the unregistered gate
 )
-def decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.stateful import decay_score
-
-    return decay_score(
-        _t(spark, sf_dir, "events"),
-        key_col="user_id",
-        ts_col="ts",
-        value_col="value",
-        half_life_seconds=3600.0,
-        round_dp=3,
-    )
-
-
-@_register(
-    "asof_last_click",
-    """
-    WITH err AS (
-        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
-        WHERE event_type = 'error'
-    ),
-    clicks AS (
-        SELECT user_id, event_id AS click_id, value AS click_value,
-               epoch_us(ts) AS ts_us
-        FROM events WHERE event_type = 'click'
-    )
-    SELECT e.user_id, e.event_id, e.ts_us,
-           c.click_id AS asof_click_id, c.click_value AS asof_click_value
-    FROM err e ASOF LEFT JOIN clicks c
-      ON e.user_id = c.user_id AND e.ts_us >= c.ts_us
-    """,
-    "As-of join (operator Spark lacks): each error event paired with "
-    "the user's most recent prior click — union+window composition, "
-    "one shuffle; oracle is DuckDB's native ASOF JOIN.",
-    registered=False,  # r8: ceded (rotation); ASOF parity + hostile-tz probe stay pinned in the unregistered gate
-)
-def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.relational import asof_join
-
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_us",
-        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
-    )
-    err = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts_us")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("event_id").alias("click_id"),
-        F.col("value").alias("click_value"),
-        "ts_us",
-    )
-    return asof_join(
-        err, clicks, key_cols=["user_id"], ts_col="ts_us",
-        right_payload=["click_id", "click_value"],
-    ).select("user_id", "event_id", "ts_us", "asof_click_id", "asof_click_value")
-
-
-@_register(
-    "approx_distinct",
-    # r7: converted from rows-only to a graded DERIVED contract. The
-    # HLL register values are engine-internal (Spark HLL++ vs DuckDB
-    # HLL differ by design), so the raw estimate can never hash-match
-    # — but the estimate's ERROR BOUND is the operator's actual
-    # promise, and THAT is gradable: emit the exact cardinality plus
-    # an in-bound verdict (|approx-exact|/exact <= 0.15 = 3x the
-    # default 0.05 rsd; worst observed on the graded corpora is
-    # 0.097). A broken sketch (merge bug, register corruption) flips
-    # the verdict and fails the hash. Raw estimate accuracy stays
-    # pytest-pinned in test_sketches.py.
-    """
-    SELECT o_orderpriority,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
-           'in_bound' AS hll_verdict
-    FROM orders GROUP BY 1
-    """,
-    "approx_count_distinct (HLL) per segment, graded on its error "
-    "contract: exact cardinality hash-checked, HLL estimate verified "
-    "within 3x rsd of it (the sketch's design promise — the only "
-    "cross-engine-checkable property of an engine-internal sketch).",
-    registered=False,
-)
-def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    agg = o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs"),
-        F.countDistinct("o_custkey").alias("exact_custs"),
-    )
-    rel_err = F.abs(F.col("approx_custs") - F.col("exact_custs")) / F.col(
-        "exact_custs"
-    )
-    return agg.select(
-        "o_orderpriority",
-        "exact_custs",
-        F.when(rel_err <= 0.15, F.lit("in_bound"))
-        .otherwise(F.lit("OUT_OF_BOUND"))
-        .alias("hll_verdict"),
-    )
-
-
-# =========================================================================
-# North-star extensions: dedup / similarity / text / multimodal
-# =========================================================================
-
-
-@_register(
-    "dedup_exact",
-    """
-    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
-           min(doc_id) AS keep_id,
-           count(*)    AS n_copies
-    FROM documents
-    GROUP BY 1
-    """,
-    "Exact content dedup: normalized md5 fingerprint, min-id survivor.",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.exact_text_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@_register(
-    "segment_dedup",
-    """
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1, 6)) AS i FROM words),
-    segs AS (SELECT doc_id, i, array_to_string(ws[i : i+5], ' ') AS seg FROM idx),
-    hot AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
-    SELECT s.doc_id,
-           count(*) AS n_segments,
-           count(*) FILTER (WHERE h.seg IS NULL) AS n_kept,
-           md5(coalesce(string_agg(s.seg, ' ' ORDER BY s.i)
-                        FILTER (WHERE h.seg IS NULL), '')) AS cleaned_hash
-    FROM segs s LEFT JOIN hot h ON s.seg = h.seg
-    GROUP BY s.doc_id
-    """,
-    "Cross-document duplicated-segment removal (C4/CCNet boilerplate "
-    "scrub): 6-word chunks appearing in >=2 distinct docs are dropped "
-    "everywhere, survivors reassembled in order; md5 pins the exact "
-    "cleaned text.",
-    registered=False,  # r7: ceded to the crawl-tier promotions; the C4 boilerplate-scrub shape stays pytest/parity-pinned
-)
-def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.remove_duplicated_segments(
-        _t(spark, sf_dir, "documents"),
-        id_col="doc_id",
-        text_col="text",
-        window=6,
-        min_docs=2,
-    )
-
-
-@_register(
-    "dedup_ngram_jaccard",
-    """
-    WITH sh AS (
-        SELECT DISTINCT doc_id, lang, substr(lower(text), CAST(i AS INTEGER), 3) AS s
-        FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        FROM sh a JOIN sh b
-          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6
-    """,
-    "Exact char-3-gram Jaccard near-dup pairs, lang-blocked "
-    "(verification twin of the MinHash-LSH scale path).",
-    registered=False,  # r7: ceded to the crawl-tier promotions; dedup_minhash_lsh now grades exact Jaccard end-to-end with an all-pairs oracle (superset contract)
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"),
-        id_col="doc_id",
-        text_col="text",
-        block_cols=["lang"],
-        shingle_k=3,
-        threshold=0.6,
-    )
-
-
-@_register(
-    "dedup_minhash_lsh",
-    # The oracle recomputes the FULL all-pairs exact Jaccard — so this
-    # row grades the complete two-phase pipeline: a candidate missed
-    # by the banding (recall < 1.0) or a wrong verification value
-    # would both surface as a hash mismatch. LSH recall at the graded
-    # threshold is 1.0 on both driver corpora, margin-pinned by
-    # test_minhash_verified_matches_exact_all_pairs (min |J - 0.8|
-    # boundary distance measured 0.066/0.090 — r7 conversion of the
-    # former no_oracle engine-hash contract).
-    """
-    WITH sh AS (
-        SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INTEGER), 3) AS s
-        FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
-    """,
-    "MinHash(64) + LSH(8 bands x 8) candidates -> EXACT shingle-"
-    "Jaccard verification >= 0.8: the O(n) two-phase near-dup scale "
-    "path, hash-checked end-to-end against DuckDB's all-pairs truth "
-    "(est_jaccard screening stays available via minhash_dedup_pairs).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_verified_pairs(
-        _t(spark, sf_dir, "documents"),
-        id_col="doc_id",
-        text_col="text",
-        num_hashes=64,
-        bands=8,
-        threshold=0.8,
-    )
-
-
-def minhash_screen_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only row (the heavy_hitters_bench pattern — NOT a graded
-    query): the est-Jaccard screening path `minhash_dedup_pairs`, kept
-    on the bench clock so its r4-r6 baseline continuity (1.5-1.8 s at
-    sf0.1) survives dedup_minhash_lsh's r7 contract change to exact
-    verification. A regression in the screen — which is also the
-    verified contract's first two phases — shows up here undiluted by
-    verification cost."""
-    return dd.minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"),
-        id_col="doc_id",
-        text_col="text",
-        num_hashes=64,
-        bands=8,
-        threshold=0.8,
-    )
-
-
-def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> str:
-    """Generate the DuckDB twin of the portable-hash SimHash pipeline
-    (r7 conversion of the former no_oracle row): token hash = first 15
-    md5 hex digits as a 60-bit integer (the `_ngram_bucket` portable
-    convention), per-bit majority vote, pigeonhole chunk join, exact
-    bit_count(xor) hamming. Every quantity is INTEGER arithmetic, so
-    the twin is bit-exact — no rounding contract needed."""
-    width = bits // chunks
-    mask = (1 << width) - 1
-    sums = ",\n               ".join(
-        f"sum((h >> {i}) & 1) AS c{i}" for i in range(bits)
-    )
-    sig = " + ".join(
-        f"(CASE WHEN 2 * c{i} > n THEN {1 << i} ELSE 0 END)"
-        for i in range(bits)
-    )
-    chunk_rows = ", ".join(str(i) for i in range(chunks))
-    return f"""
-    WITH tok AS (
-        SELECT doc_id,
-               CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
-        FROM (SELECT doc_id,
-                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-              FROM documents)
-    ),
-    agg AS (
-        SELECT doc_id, count(*) AS n,
-               {sums}
-        FROM tok GROUP BY doc_id
-    ),
-    sig AS (SELECT doc_id, ({sig}) AS s FROM agg),
-    ch AS (
-        SELECT doc_id, s, u.ci AS ci, (s >> (u.ci * {width})) & {mask} AS cv
-        FROM sig, (SELECT unnest([{chunk_rows}]) AS ci) u
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.s, b.s)) AS hamming
-        FROM ch a JOIN ch b
-          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-    FROM pairs WHERE hamming <= {max_hamming}
-    """
-
-
-@_register(
-    "dedup_simhash",
-    _simhash_oracle(),
-    "SimHash near-dup pairs within hamming<=3 via 15-bit band LSH "
-    "(pigeonhole-exact recall). Hash-checked since r7: the graded "
-    "path uses the PORTABLE 60-bit md5-prefix token-hash family "
-    "(integer-exact in any ANSI engine), so DuckDB re-derives "
-    "signatures, chunk buckets, and hamming bit-for-bit; the xxhash64 "
-    "family stays the production default in simhash_signatures.",
-    registered=False,  # r9 continuation: ceded (second slate); band-LSH dedup stays driver-graded via dedup_minhash_lsh + dedup_embedding_lsh + dedup_clusters; hash-pinned in the unregistered gate
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist for intra-job reuse (the banded self-join consumes the
-    # signature lineage twice), eagerly checkpoint the small pair
-    # output, then RELEASE the cache — a bare persist would pin it for
-    # the session lifetime (see minhash_dedup_pairs).
-    sigs = dd.simhash_signatures(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=60,
-        portable=True,
-    ).persist()
-    try:
-        pairs = dd.simhash_near_pairs(
-            sigs, "doc_id", max_hamming=3, chunks=4, bits=60
-        )
-        return pairs.withColumn(
-            "hamming", F.col("hamming").cast("long")
-        ).localCheckpoint(eager=True)
-    finally:
-        sigs.unpersist()
-
-
-def _dedup_clusters_oracle(rounds: int = 6, threshold: float = 0.8) -> str:
-    """DuckDB twin of minhash_verified_pairs -> connected_components ->
-    representatives (r7): pairs from the all-pairs exact-Jaccard truth
-    (the same derivation dedup_minhash_lsh grades), components via
-    ``rounds`` unrolled min-label propagation steps as MATERIALIZED
-    CTEs (the pagerank lesson: materialization kills the exponential
-    re-inlining of an iterative plan). ``rounds`` exceeds the cluster
-    diameter on the graded corpora by construction — pinned by
-    test_dedup_clusters_oracle_rounds_converged."""
-    prop = "\n".join(
-        f"""    l{i + 1} AS MATERIALIZED (
-        SELECT l.node,
-               least(l.lbl, coalesce(min(nb.lbl), l.lbl)) AS lbl
-        FROM l{i} l
-        LEFT JOIN edges e ON e.u = l.node
-        LEFT JOIN l{i} nb ON nb.node = e.v
-        GROUP BY l.node, l.lbl
-    ),"""
-        for i in range(rounds)
-    )
-    return f"""
-    WITH sh AS (
-        SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INTEGER), 3) AS s
-        FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    pairs AS MATERIALIZED (
-        SELECT id_a, id_b
-        FROM inter
-        JOIN sizes sa ON id_a = sa.doc_id
-        JOIN sizes sb ON id_b = sb.doc_id
-        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold}
-    ),
-    edges AS MATERIALIZED (
-        SELECT id_a AS u, id_b AS v FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs
-    ),
-    l0 AS (
-        SELECT DISTINCT u AS node, u AS lbl FROM edges
-    ),
-{prop}
-    comp AS (SELECT node, lbl FROM l{rounds})
-    SELECT lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN coalesce(c.lbl, d.doc_id) = d.doc_id
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(sum(CASE WHEN coalesce(c.lbl, d.doc_id) = d.doc_id
-                         THEN d.doc_id ELSE 0 END) AS BIGINT) AS rep_id_sum
-    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-    GROUP BY lang
-    """
-
-
-@_register(
-    "dedup_clusters",
-    _dedup_clusters_oracle(),
-    "Iterative connected components over VERIFIED near-dup pairs: "
-    "every doc mapped to its cluster representative (transitive "
-    "closure the pairwise output can't express). r7: converted from "
-    "rows-only to a full DuckDB oracle — the pair set is the exact "
-    "all-pairs Jaccard truth (recall-1.0-pinned LSH), and the oracle "
-    "unrolls min-label propagation as 6 materialized CTE rounds "
-    "(clusters here are shallow; convergence is pinned by "
-    "test_dedup_clusters_oracle_rounds_converged). rep_id_sum pins "
-    "WHICH documents represent their clusters, not just how many. "
-    "Promoted to a driver slot in r9 (rotation).",
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dd.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.8)
-    out = dd.dedup_representatives(docs.select("doc_id", "lang"), pairs, "doc_id")
-    return out.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("is_representative").cast("long")).alias("n_kept"),
-        F.sum(
-            F.when(F.col("is_representative"), F.col("doc_id")).otherwise(
-                F.lit(0)
-            )
-        ).alias("rep_id_sum"),
-    )
-
-
-@_register(
-    "dedup_embedding",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-               AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
-    """,
-    "Embedding near-dup: exact cosine within a blocking key (label). "
-    "Ceded its driver slot in r6 (rotation; the strategy pair stays "
-    "graded via dedup_embedding_lsh + ann_topk); hash-pinned "
-    "locally.",
-    registered=False,
-)
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"),
-        id_col="vec_id",
-        vec_col="embedding",
-        block_col="label",
-        threshold=0.3,
-    )
-
-
-# Oracle twin for fuzzy_join — UNREGISTERED (r9 addition; 50-slot
-# window is full). DuckDB recomputes the pair set by brute force:
-# all ordered pairs with a |length| prefilter (implied exactly by the
-# distance bound) and its native levenshtein — INDEPENDENT of the
-# Spark side's SymSpell deletion-neighborhood blocking, so a recall
-# miss in the pigeonhole join breaks the hash here and in the local
-# parity gate. Entity strings are the documents' first-3-word
-# "titles" (distinct, min-doc_id representative) plus a deterministic
-# typo replica (drop first char + append 'x' = distance <= 2) for
-# eids % 7 = 3 under a disjoint id range.
-FUZZY_JOIN_ORACLE = """
-    WITH t AS (
-        SELECT doc_id,
-               array_to_string((string_split(text, ' '))[1:3], ' ') AS title
-        FROM documents
-    ),
-    ents AS (SELECT min(doc_id) AS eid, title FROM t GROUP BY title),
-    dirty AS (
-        SELECT eid + 10000000 AS eid, substr(title, 2) || 'x' AS title
-        FROM ents WHERE eid % 7 = 3
-    ),
-    allp AS (
-        SELECT eid, title FROM ents
-        UNION ALL SELECT eid, title FROM dirty
-    )
-    SELECT a.eid AS id_a, b.eid AS id_b,
-           CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
-    FROM allp a JOIN allp b
-      ON a.eid < b.eid
-     AND abs(length(a.title) - length(b.title)) <= 2
-    WHERE levenshtein(a.title, b.title) <= 2
-"""
-
-
-@_register(
-    "fuzzy_join",
+from udacity_data_engineering_capstone_project_spark.plans.queries_dedup import (
+    dedup_exact,
+    segment_dedup,
+    dedup_ngram_jaccard,
+    dedup_minhash_lsh,
+    minhash_screen_bench,
+    _simhash_oracle,
+    dedup_simhash,
+    _dedup_clusters_oracle,
+    dedup_clusters,
+    dedup_embedding,
+    fuzzy_join,
+    fuzzy_join_ref_q,
+    leakage_split_q,
     FUZZY_JOIN_ORACLE,
-    "Edit-distance entity resolution (operators/fuzzy.py:fuzzy_pairs): "
-    "SymSpell deletion-neighborhood blocking (exact recall for "
-    "Levenshtein <= k by the pigeonhole argument in the module "
-    "docstring) + thresholded-levenshtein verify, never a cross "
-    "join. Hash-checked against DuckDB's brute-force all-pairs "
-    "levenshtein. Promoted to a driver slot in the r9 second slate "
-    "(new surface gets a hard driver row in the round it lands).",
-)
-def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import fuzzy_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    titles = docs.select(
-        "doc_id",
-        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("title"),
-    )
-    ents = titles.groupBy("title").agg(F.min("doc_id").alias("eid"))
-    dirty = ents.select(
-        (F.col("eid") + F.lit(10_000_000)).alias("eid"),
-        F.concat(F.expr("substring(title, 2, length(title))"), F.lit("x")).alias(
-            "title"
-        ),
-    ).filter((F.col("eid") - 10_000_000) % 7 == 3)
-    allp = ents.select("eid", "title").unionByName(dirty)
-    return fuzzy_pairs(allp, "eid", "title", max_distance=2)
-
-
-# Oracle twin for fuzzy_join_reference — UNREGISTERED (r10 addition,
-# VERDICT r9 #3; 50-slot window is full). DuckDB recomputes the match
-# by BRUTE FORCE: dirty CROSS JOIN dim with native levenshtein, then
-# best match per dirty row via row_number over (distance, dim id) —
-# independent of the Spark side's deletion-neighborhood blocking AND
-# of its groupBy-min-struct tie-break, so both a recall miss in the
-# pigeonhole join and a tie-break drift break the hash. Dim = the
-# distinct first-3-word titles (min-doc_id id, the clean reference);
-# dirty = a deterministic typo replica (drop first char + append 'x'
-# = distance <= 2) of every 7th entity under a disjoint id range.
-FUZZY_JOIN_REF_ORACLE = """
-    WITH t AS (
-        SELECT doc_id,
-               array_to_string((string_split(text, ' '))[1:3], ' ') AS title
-        FROM documents
-    ),
-    dim AS (SELECT min(doc_id) AS dim_id, title FROM t GROUP BY title),
-    dirty AS (
-        SELECT dim_id + 10000000 AS rec_id, substr(title, 2) || 'x' AS title
-        FROM dim WHERE dim_id % 7 = 3
-    ),
-    cand AS (
-        SELECT d.rec_id, r.dim_id,
-               CAST(levenshtein(d.title, r.title) AS BIGINT) AS distance,
-               row_number() OVER (
-                   PARTITION BY d.rec_id
-                   ORDER BY levenshtein(d.title, r.title), r.dim_id
-               ) AS rn
-        FROM dirty d JOIN dim r
-          ON abs(length(d.title) - length(r.title)) <= 2
-        WHERE levenshtein(d.title, r.title) <= 2
-    )
-    SELECT rec_id, dim_id, distance FROM cand WHERE rn = 1
-"""
-
-
-@_register(
-    "fuzzy_join_ref_q",
     FUZZY_JOIN_REF_ORACLE,
-    "Entity resolution against a clean reference dimension "
-    "(operators/fuzzy.py:fuzzy_join_reference, VERDICT r9 #3): dirty "
-    "free-text keys matched to a curated dim within Levenshtein 2 — "
-    "deletion-neighborhood keys of the DIM exploded + broadcast "
-    "(inflation-discounted size gate), dirty side explodes in the "
-    "scan stage, thresholded-levenshtein verify, best match per row "
-    "via one partial-aggregatable min-struct groupBy (no window). "
-    "Hash-checked against DuckDB's brute-force cross-join best match. "
-    "Unregistered; hash-pinned locally.",
-    registered=False,
-)
-def fuzzy_join_ref_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
-        fuzzy_join_reference,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    titles = docs.select(
-        "doc_id",
-        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("title"),
-    )
-    dim = titles.groupBy("title").agg(F.min("doc_id").alias("dim_id"))
-    dirty = dim.select(
-        (F.col("dim_id") + F.lit(10_000_000)).alias("rec_id"),
-        F.concat(F.expr("substring(title, 2, length(title))"), F.lit("x")).alias(
-            "title"
-        ),
-    ).filter((F.col("rec_id") - 10_000_000) % 7 == 3)
-    return fuzzy_join_reference(
-        dirty, "rec_id", "title", dim, "dim_id", "title", max_distance=2
-    )
-
-
-# Oracle twin for split_with_dedup_guard — UNREGISTERED (r9 addition;
-# 50-slot window is full). The Spark side derives near-dup edges as a
-# CHAIN of consecutive doc_ids inside each 4-word template key — the
-# hardest shape for component collapse (the oracle's min must
-# propagate the full chain length, not one hop) — then runs connected
-# components + md5-range split on the representative. The oracle
-# sidesteps the iteration entirely: a chain within a key connects the
-# whole key group, so representative == min(doc_id) OVER the template
-# partition, and the split thresholds are the hash_split hex ranges
-# verbatim (sorted split names, last absorbs slack: test < 0ccd <=
-# train < f333 <= val for 90/5/5).
-LEAKAGE_SPLIT_ORACLE = """
-    WITH k AS (
-        SELECT doc_id,
-               array_to_string((string_split(text, ' '))[1:4], ' ') AS tkey
-        FROM documents
-    ),
-    reps AS (
-        SELECT doc_id,
-               min(doc_id) OVER (PARTITION BY tkey) AS representative
-        FROM k
-    )
-    SELECT doc_id, representative,
-           CASE WHEN substr(md5(CAST(representative AS VARCHAR)), 1, 4) < '0ccd'
-                THEN 'test'
-                WHEN substr(md5(CAST(representative AS VARCHAR)), 1, 4) < 'f333'
-                THEN 'train'
-                ELSE 'val' END AS split
-    FROM reps
-"""
-
-
-@_register(
-    "leakage_split_q",
     LEAKAGE_SPLIT_ORACLE,
-    "Leakage-safe train/val/test split (sampling.split_with_dedup_guard): "
-    "near-dup chain edges -> connected components -> md5-range split on "
-    "the cluster representative, so no near-dup pair straddles a split. "
-    "Oracle recomputes representatives as the template-partition min "
-    "(a chain connects the whole group) and the split ranges verbatim. "
-    "Unregistered; hash-pinned locally.",
 )
-def leakage_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
-        split_with_dedup_guard,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    keyed = docs.select(
-        "doc_id",
-        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("tkey"),
-    )
-    w = Window.partitionBy("tkey").orderBy("doc_id")
-    pairs = (
-        keyed.withColumn("id_b", F.lead("doc_id").over(w))
-        .filter(F.col("id_b").isNotNull())
-        .select(F.col("doc_id").alias("id_a"), "id_b")
-    )
-    out = split_with_dedup_guard(
-        docs, pairs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
-    )
-    return out.select("doc_id", "representative", "split")
-
-
-# --- DuckDB-retrained BPE oracles (r9 addition) ---------------------------
-#
-# The oracle RETRAINS the full BPE merge sequence in SQL (the
-# language_id_q precedent) and, for the tokenize query, re-applies it
-# to every document. The key identity: textstats' JVM aggregate-fold
-# merge (merge each adjacent (a, b), leftmost-first, non-overlapping)
-# is EXACTLY SQL replace() over a string where every symbol is
-# individually wrapped in chr(31): doubled delimiters mean adjacent
-# matches never share a boundary char, and replace()'s left-to-right
-# non-overlapping scan is the BPE merge rule (' a a a ' -> 'aa a',
-# never 'aa aa'). A merged product a||b can never textually equal a
-# (b is non-empty), so the fold and the replace agree symbol-for-
-# symbol; test_bpe_fold_equals_wrapped_replace pins it on hostile
-# shapes (runs, '_' markers, repeated merges).
-#
-# Early-stop parity needs no conditional SQL: when a round's best
-# candidate fails the cnt>=2 / max-token-len gate, Spark BREAKS and
-# the word table freezes — and because the oracle's failing round
-# applies a no-op (LEFT JOIN against the empty best_r), its word
-# table freezes too, so every later cand_r recomputes the SAME
-# failing candidate and best_r stays empty. Frozen on both sides.
-
-_BPE_NUM_MERGES = 12
-_BPE_MAX_TOKEN_LEN = 16
-
-
-def _bpe_oracle_sql(num_merges: int, max_token_len: int, tokenize: bool) -> str:
-    S, SS, RS = "chr(31)", "chr(31)||chr(31)", "chr(30)"
-    wrap_w = f"{S} || array_to_string(string_split(w || '_', ''), {SS}) || {S}"
-    ctes = [
-        f"""wt0 AS MATERIALIZED (
-        SELECT w, count(*) AS n, {wrap_w} AS s
-        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-              FROM documents)
-        GROUP BY w
-    )"""
-    ]
-    for r in range(1, num_merges + 1):
-        p = r - 1
-        ctes.append(f"""cand{r} AS MATERIALIZED (
-        SELECT p[1] AS a, p[2] AS b, sum(n) AS cnt
-        FROM (SELECT n, unnest(list_zip(l, l[2:])) AS p
-              FROM (SELECT n, string_split(substr(s, 2, greatest(length(s) - 2, 0)), {SS}) AS l
-                    FROM wt{p}))
-        WHERE p[2] IS NOT NULL
-        GROUP BY a, b ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
-    )""")
-        ctes.append(f"""best{r} AS MATERIALIZED (
-        SELECT a, b FROM cand{r}
-        WHERE cnt >= 2 AND length(a) + length(b) <= {max_token_len}
-    )""")
-        ctes.append(f"""wt{r} AS MATERIALIZED (
-        SELECT w, n, CASE WHEN x.a IS NULL THEN s
-            ELSE replace(s, {S}||x.a||{SS}||x.b||{S}, {S}||x.a||x.b||{S}) END AS s
-        FROM wt{p} LEFT JOIN best{r} x ON TRUE
-    )""")
-    if not tokenize:
-        merges = "\n        UNION ALL ".join(
-            f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs FROM best{r}"
-            for r in range(1, num_merges + 1)
-        )
-        return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM ({merges})"
-    ctes.append(f"""docs0 AS MATERIALIZED (
-        SELECT doc_id, CASE WHEN len(words) = 0 THEN ''
-            ELSE array_to_string(list_transform(words,
-                w -> {wrap_w}), {RS}) END AS d
-        FROM (SELECT doc_id,
-                     coalesce(regexp_extract_all(lower(text), '[a-z]+'), []) AS words
-              FROM documents)
-    )""")
-    for r in range(1, num_merges + 1):
-        ctes.append(f"""docs{r} AS MATERIALIZED (
-        SELECT doc_id, CASE WHEN x.a IS NULL THEN d
-            ELSE replace(d, {S}||x.a||{SS}||x.b||{S}, {S}||x.a||x.b||{S}) END AS d
-        FROM docs{r - 1} LEFT JOIN best{r} x ON TRUE
-    )""")
-    return (
-        "WITH " + ",\n    ".join(ctes) + f"""
-    SELECT doc_id,
-           CAST(CASE WHEN toks = '' THEN 0
-                ELSE len(string_split(toks, ' ')) END AS BIGINT) AS n_bpe_tokens,
-           toks AS toks_str
-    FROM (SELECT doc_id,
-                 replace(replace(substr(d, 2, greatest(length(d) - 2, 0)),
-                                 {S}||{RS}||{S}, ' '), {SS}, ' ') AS toks
-          FROM docs{num_merges})"""
-    )
-
-
-@_register(
-    "bpe_train_q",
-    _bpe_oracle_sql(_BPE_NUM_MERGES, _BPE_MAX_TOKEN_LEN, tokenize=False),
-    "BPE merge-table training (textstats.train_bpe_merges): one corpus "
-    "pass to the word-frequency table, then vocabulary-sized merge "
-    "rounds (top adjacent pair by weighted count, ties lexicographic, "
-    "stop on cnt<2 or token length). Oracle RETRAINS all rounds in "
-    "generated DuckDB SQL via the wrapped-symbol replace identity. "
-    "Unregistered; hash-pinned locally.",
-)
-def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    merges = ts.train_bpe_merges(
-        docs, "text", num_merges=_BPE_NUM_MERGES, max_token_len=_BPE_MAX_TOKEN_LEN
-    )
-    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
-    return spark.createDataFrame(rows, "merge_rank BIGINT, lhs STRING, rhs STRING")
-
-
-@_register(
-    "bpe_tokenize_q",
-    _bpe_oracle_sql(_BPE_NUM_MERGES, _BPE_MAX_TOKEN_LEN, tokenize=True),
-    "BPE tokenization (textstats.bpe_tokenize): train the merge table, "
-    "then segment every document — Python touches only the DISTINCT "
-    "words (vocabulary-sized, Arrow-batched), the corpus maps through "
-    "an equi-join. Oracle retrains AND re-tokenizes every document in "
-    "SQL (per-doc wrapped string, one replace per merge round); grades "
-    "token CONTENT (the joined token string), not just counts. "
-    "Promoted to a driver slot in the r9 second slate (new surface "
-    "gets a hard driver row in the round it lands); bpe_train_q stays "
-    "unregistered — tokenize subsumes train.",
-)
-def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    merges = ts.train_bpe_merges(
-        docs, "text", num_merges=_BPE_NUM_MERGES, max_token_len=_BPE_MAX_TOKEN_LEN
-    )
-    out = ts.bpe_tokenize(docs, "doc_id", "text", merges, return_tokens=True)
-    return out.select(
-        "doc_id",
-        "n_bpe_tokens",
-        F.array_join("bpe_tokens", " ").alias("toks_str"),
-    )
-
-
-# Oracle twin for pii_redact_q (r9 addition; promoted to a driver
-# slot in the r9 second slate). The PII patterns are written
-# RE2-compatible (no
-# backrefs/lookarounds — textstats.PII_PATTERNS), so DuckDB's RE2
-# runs the SAME regexes: counts via len(regexp_extract_all) on the
-# ORIGINAL text, redaction via the same email->ipv4->phone->url
-# replace chain with the 'g' flag. The synthetic corpus has no PII,
-# so the query plants a deterministic doc_id-derived suffix (one
-# email, one URL, one dotted-quad, one +1- phone) in BOTH engines —
-# every doc exercises every pattern AND the replacement chain, and
-# the graded column is the full redacted STRING, not just counts.
-_PII_SUFFIX_SQL = (
-    "' contact user' || CAST(doc_id AS STRING) || '@example.com"
-    " via http://site' || CAST(doc_id AS STRING) || '.example/p?id='"
-    " || CAST(doc_id AS STRING) || ' from 10.0.' ||"
-    " CAST(doc_id % 256 AS STRING) || '.' ||"
-    " CAST((doc_id * 7) % 256 AS STRING) || ' call +1-555-' ||"
-    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || '-1234'"
-)
-
-
-def _pii_oracle_sql() -> str:
-    # DuckDB standard strings keep backslashes literal — escape ONLY
-    # the quote (the url pattern's negated class contains one).
-    from udacity_data_engineering_capstone_project_spark.operators.textstats import PII_PATTERNS
-
-    counts = ",\n           ".join(
-        "CAST(len(regexp_extract_all(txt, '{p}')) AS BIGINT) AS n_{k}".format(
-            k=k, p=PII_PATTERNS[k].replace("'", "''")
-        )
-        for k in ("email", "ipv4", "phone", "url")
-    )
-    red = "txt"
-    for k in ("email", "ipv4", "phone", "url"):
-        pat = PII_PATTERNS[k].replace("'", "''")
-        red = f"regexp_replace({red}, '{pat}', '[{k.upper()}]', 'g')"
-    return f"""
-    WITH t AS (
-        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS txt FROM documents
-    )
-    SELECT doc_id,
-           {counts},
-           {red} AS redacted_text
-    FROM t
-    """
-
-
-@_register(
-    "pii_redact_q",
-    _pii_oracle_sql(),
-    "PII redaction (textstats.redact_pii): per-kind regexp_count on "
-    "the original text + chained regexp_replace in kind order, one "
-    "whole-stage-codegen projection, zero shuffle. Oracle reruns the "
-    "identical RE2-compatible patterns in DuckDB and grades the FULL "
-    "redacted string. Promoted to a driver slot in the r9 second "
-    "slate (new surface gets a hard driver row in the round it "
-    "lands).",
-)
-def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id", F.expr(f"text || {_PII_SUFFIX_SQL}").alias("txt")
-    )
-    return ts.redact_pii(planted, "txt").select(
-        "doc_id", "n_email", "n_ipv4", "n_phone", "n_url", "redacted_text"
-    )
-
-
-# Oracle twin for link_graph_q — UNREGISTERED (r9 addition; 50-slot
-# window is full). Each doc gets a deterministic HTML body: two
-# <a href> outlinks + one <img src> (doc_id-derived hosts, one
-# single-quoted attribute and one relative path to exercise the
-# pattern's quote/scheme handling), plus its own site identity.
-# LINK_PATTERN and the scheme-authority host regex are RE2-safe, so
-# DuckDB re-derives the same (src_host, dst_host, n_links) edges with
-# regexp_extract_all + unnest — the crawl link-graph pass, graded as
-# data, not just row counts.
-_LINK_HTML_SQL = (
-    "'<p>' || text || ' <a href=\"http://site' ||"
-    " CAST(doc_id * 3 % 40 AS STRING) ||"
-    " '.example/a\">a</a> <a href=\\'https://site' ||"
-    " CAST(doc_id * 7 % 40 AS STRING) ||"
-    " '.example/b?x=1\\'>b</a> <img src=\"/static/logo' ||"
-    " CAST(doc_id % 5 AS STRING) || '.png\"></p>'"
-)
-
-_LINK_SRC_HOST_SQL = "'site' || CAST(doc_id % 40 AS STRING) || '.example'"
-
-
-def _link_graph_oracle() -> str:
-    # DuckDB standard strings keep backslashes literal (escape only
-    # quotes); the Spark-side \' attribute quotes become '' here.
-    pat = ts.LINK_PATTERN.replace("'", "''")
-    html = _LINK_HTML_SQL.replace("\\'", "''")
-    return f"""
-    WITH d AS (
-        SELECT doc_id, {html} AS html,
-               {_LINK_SRC_HOST_SQL} AS src_host
-        FROM documents
-    ), l AS (
-        SELECT src_host,
-               unnest(regexp_extract_all(html, '{pat}', 1)) AS link
-        FROM d
-    )
-    SELECT src_host,
-           regexp_extract(link, '^[Hh][Tt][Tt][Pp][Ss]?://([^/]+)', 1) AS dst_host,
-           count(*) AS n_links
-    FROM l
-    WHERE regexp_extract(link, '^[Hh][Tt][Tt][Pp][Ss]?://([^/]+)', 1) <> ''
-    GROUP BY 1, 2
-    """
-
-
-@_register(
-    "link_graph_q",
-    _link_graph_oracle(),
-    "Outlink harvesting -> host link graph (textstats.extract_links + "
-    "host_link_edges): regexp_extract_all href/src values, explode, "
-    "portable scheme-authority host parse, one partial-aggregatable "
-    "groupBy to weighted host->host edges — the crawl-frontier / "
-    "PageRank input pass. Hash-checked against a DuckDB replay of the "
-    "identical RE2-safe patterns. Unregistered; hash-pinned locally.",
-)
-def link_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_LINK_HTML_SQL).alias("html")
-    )
-    # src_host is a pure function of doc_id, so it re-derives AFTER
-    # extraction — no join back to the corpus, stays one codegen pass
-    links = ts.extract_links(docs, "doc_id", "html").withColumn(
-        "src_host", F.expr(_LINK_SRC_HOST_SQL)
-    )
-    return ts.host_link_edges(links, "src_host")
-
-
-# Oracle twin for k_anonymity_q — UNREGISTERED (r9 addition). The
-# privacy gate is one grouped count + filter; the quasi-identifier
-# here is (lang, source, n_chars // 100) — granular enough that small
-# groups exist at driver scale, so the gate returns real violations,
-# not an empty certificate.
-_K_ANON_ORACLE = """
-    SELECT lang, source,
-           CAST(n_chars // 100 AS BIGINT) AS len_band,
-           count(*) AS n_rows
-    FROM documents
-    GROUP BY 1, 2, 3
-    HAVING count(*) < 4
-"""
-
-
-@_register(
-    "k_anonymity_q",
+from udacity_data_engineering_capstone_project_spark.plans.queries_text import (
+    _bpe_oracle_sql,
+    bpe_train_q,
+    bpe_tokenize_q,
+    _pii_oracle_sql,
+    pii_redact_q,
+    _link_graph_oracle,
+    link_graph_q,
+    k_anonymity_q,
+    chunk_q,
+    temperature_mix_q,
+    calibration_q,
+    _label_prop_oracle,
+    label_prop_q,
+    pack_sequences_q,
+    _BPE_NUM_MERGES,
+    _BPE_MAX_TOKEN_LEN,
+    _PII_SUFFIX_SQL,
+    _LINK_HTML_SQL,
+    _LINK_SRC_HOST_SQL,
     _K_ANON_ORACLE,
-    "k-anonymity privacy gate (quality.k_anonymity_violations): "
-    "quasi-identifier combinations shared by fewer than k rows — the "
-    "groups a release would re-identify; one partial-aggregated "
-    "shuffle. Complements redact_pii (direct identifiers). "
-    "Unregistered; hash-pinned locally.",
-)
-def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.quality import (
-        k_anonymity_violations,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "lang", "source", (F.col("n_chars") / 100).cast("long").alias("len_band")
-    )
-    return k_anonymity_violations(docs, ["lang", "source", "len_band"], k=4)
-
-
-_CHUNK_TOKENS = 64
-_CHUNK_STRIDE = 48
-
-# Oracle twin for chunk_q — UNREGISTERED (r9 addition). DuckDB
-# replays the window arithmetic on its own list machinery:
-# regexp_split_to_array + the same 1 + ceil(max(n - chunk, 0) /
-# stride) window count, list slicing clamped at the array end exactly
-# as Spark's slice() clamps. Chunk CONTENT (the joined text) is
-# graded, not just counts.
-_CHUNK_ORACLE = f"""
-    WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
-        FROM documents
-    ), c AS (
-        SELECT doc_id, words, len(words) AS n,
-               1 + CAST(ceil(greatest(len(words) - {_CHUNK_TOKENS}, 0)
-                             / {_CHUNK_STRIDE}.0) AS INT) AS n_chunks
-        FROM w
-    ), e AS (
-        SELECT doc_id, words,
-               unnest(range(0, n_chunks)) AS cid
-        FROM c
-    ), s AS (
-        SELECT doc_id, cid,
-               words[cid * {_CHUNK_STRIDE} + 1 :
-                     cid * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}] AS toks
-        FROM e
-    )
-    SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           array_to_string(toks, ' ') AS chunk_text
-    FROM s
-"""
-
-
-@_register(
-    "chunk_q",
+    _CHUNK_TOKENS,
+    _CHUNK_STRIDE,
     _CHUNK_ORACLE,
-    "Document chunking (textstats.chunk_documents): overlapping "
-    "token windows (64 tokens, stride 48) via transform-over-sequence "
-    "+ slice — a linear shuffle-free map; a final partial window is "
-    "emitted only when it adds new tokens. Oracle replays the window "
-    "arithmetic on DuckDB lists and grades chunk content. "
-    "Unregistered; hash-pinned locally.",
-)
-def chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return ts.chunk_documents(
-        docs, "doc_id", "text",
-        chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE,
-    )
-
-
-# Oracle twin for temperature_mix_q — UNREGISTERED (r9 addition).
-# The corpus's natural sources are near-uniform (T-flattening would
-# keep everything — a vacuous predicate test), so the query derives a
-# SKEWED 70/20/10 web/books/code tier from doc_id in both engines.
-# T=2 makes the weight pow(n, 0.5) — BOTH engines call the platform
-# pow, and every later step (min over sources, w*t_max/n, the 4-hex
-# round) is IEEE-deterministic, so DuckDB re-derives the per-source
-# keep-rate thresholds bit-for-bit and replays the md5 membership
-# predicate. The boundary guard (rate*65536 never within 1e-3 of a
-# .5 rounding edge) is pinned in pytest, the margin-headroom pattern.
-_TEMP_MIX_TIER_SQL = (
-    "CASE WHEN doc_id % 10 < 7 THEN 'web' "
-    "WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END"
-)
-
-_TEMP_MIX_ORACLE = f"""
-    WITH d AS (
-        SELECT doc_id, lang, n_chars, {_TEMP_MIX_TIER_SQL} AS tier
-        FROM documents
-    ),
-    c AS (SELECT tier AS s, count(*) AS n FROM d GROUP BY 1),
-    w AS (SELECT s, n, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),
-    t AS (SELECT min(n / wt) AS t_max FROM w),
-    r AS (SELECT s, least(1.0, wt * t_max / n) AS rate FROM w, t),
-    thr AS (SELECT s,
-                   CASE WHEN CAST(round(rate * 65536) AS BIGINT) >= 65536
-                        THEN 'g'
-                        ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT))
-                   END AS th
-            FROM r)
-    SELECT d.doc_id, d.lang, d.tier, d.n_chars
-    FROM d JOIN thr ON thr.s = d.tier
-    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.th
-"""
-
-
-@_register(
-    "temperature_mix_q",
+    _TEMP_MIX_TIER_SQL,
     _TEMP_MIX_ORACLE,
-    "Temperature-flattened source mixture at T=2 (sampling."
-    "temperature_mix -> mix_sources -> stratified_hash_sample) over a "
-    "derived 70/20/10 source skew: target share ~ n^(1/T), "
-    "downsample-only, membership a pure md5 predicate. Oracle "
-    "re-derives counts, weights, the capped rates and the hex "
-    "thresholds in SQL and replays the predicate. Unregistered; "
-    "hash-pinned locally.",
-)
-def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
-        temperature_mix,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", F.expr(_TEMP_MIX_TIER_SQL).alias("tier")
-    )
-    return temperature_mix(docs, "doc_id", "tier", temperature=2.0).select(
-        "doc_id", "lang", "tier", "n_chars"
-    )
-
-
-# Oracle twin for calibration_q — UNREGISTERED (r9 addition). The
-# synthetic classifier is exactly reproducible: score = md5-prefix /
-# 65536 (a DYADIC rational — per-bin sums of <=500 such values are
-# EXACT in float64, so mean_score has no summation-order noise at
-# all), label a deterministic residue. n_pos is CAST to BIGINT in the
-# oracle (DuckDB sum -> HUGEINT -> driver float otherwise; the r7
-# pr_curve lesson).
-_CALIB_ORACLE = """
-    WITH t AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) AS v
-        FROM documents
-    ), s AS (
-        SELECT v / 65536.0 AS sc,
-               CASE WHEN (v + doc_id) % 7 < 3 THEN 1 ELSE 0 END AS y
-        FROM t
-    ), b AS (
-        SELECT CAST(least(greatest(floor(sc * 10), 0), 9) AS INT) AS bin, sc, y
-        FROM s
-    )
-    SELECT bin,
-           round(CAST(bin AS DOUBLE) / 10, 6) AS bin_lo,
-           count(*) AS n,
-           CAST(sum(y) AS BIGINT) AS n_pos,
-           round(sum(y) * 1.0 / count(*), 6) AS frac_pos,
-           round(sum(sc) / count(*), 6) AS mean_score
-    FROM b GROUP BY 1
-"""
-
-
-@_register(
-    "calibration_q",
     _CALIB_ORACLE,
-    "Reliability-diagram calibration bins (textstats.calibration_bins) "
-    "over a derived md5-prefix classifier: one grouped aggregation on "
-    "bucket = floor(score * n_bins), mean prediction vs observed "
-    "positive rate per bin — decides whether a screen classifier's "
-    "scores read as probabilities. Scores are dyadic rationals, so "
-    "bin means are float-exact cross-engine. Unregistered; hash-pinned "
-    "locally.",
-)
-def calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("long")
-    scored = _t(spark, sf_dir, "documents").select(
-        (v / F.lit(65536.0)).alias("score"),
-        ((v + F.col("doc_id")) % 7 < 3).cast("long").alias("label"),
-    )
-    return ts.calibration_bins(scored, "score", "label", n_bins=10)
-
-
-def _label_prop_oracle(rounds: int) -> str:
-    # Unrolled synchronous label propagation (the dedup_clusters /
-    # pagerank precedent: fixed rounds as MATERIALIZED CTE levels).
-    # Each round: per-node neighbor-label counts -> argmax with the
-    # engine's exact tie order (cnt desc, label asc).
-    parts = [
-        """
-    WITH e AS MATERIALIZED (
-        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-    ), adj AS MATERIALIZED (
-        SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
-    ), l0 AS MATERIALIZED (
-        SELECT DISTINCT u AS node, u AS label FROM adj
-    )"""
-    ]
-    for i in range(1, rounds + 1):
-        parts.append(f""", c{i} AS MATERIALIZED (
-        SELECT adj.u AS node, l.label, count(*) AS cnt
-        FROM adj JOIN l{i - 1} l ON l.node = adj.v
-        GROUP BY 1, 2
-    ), l{i} AS MATERIALIZED (
-        SELECT node, label FROM (
-            SELECT node, label,
-                   row_number() OVER (PARTITION BY node
-                                      ORDER BY cnt DESC, label ASC) AS r
-            FROM c{i}
-        ) WHERE r = 1
-    )""")
-    parts.append(
-        f"\n    SELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}"
-    )
-    return "".join(parts)
-
-
-_LABEL_PROP_ROUNDS = 4
-
-
-@_register(
-    "label_prop_q",
-    _label_prop_oracle(_LABEL_PROP_ROUNDS),
-    "Deterministic synchronous label propagation (graph."
-    "label_propagation, Raghavan et al. 2007 with smallest-label "
-    "ties) over the supplier co-occurrence graph — community "
-    "detection, finer than connected components. Oracle unrolls the "
-    "same fixed rounds as MATERIALIZED CTE levels with the identical "
-    "argmax tie order; labels are integer node ids, so parity is "
-    "exact. Unregistered; hash-pinned locally.",
-)
-def label_prop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.graph import (
-        label_propagation,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        on=[
-            F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-            F.col("a.l_suppkey") < F.col("b.l_suppkey"),
-        ],
-    ).select(
-        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-    )
-    return label_propagation(edges, max_iter=_LABEL_PROP_ROUNDS)
-
-
-_PACK_BUDGET = 1024
-_PACK_BUCKETS = 8
-
-# Oracle twin for pack_sequences_q (r9 addition; promoted to a
-# driver slot in the r9 second slate). First-fit-decreasing is a
-# sequential
-# recurrence (the engine runs it per hash bucket inside
-# applyInPandas — the documented justified-Python seam), so the
-# oracle SIMULATES it: a recursive CTE advances every bucket one item
-# per iteration, carrying the open-pack remaining-capacity LIST and
-# the assignment list as state; `list_position(list_transform(caps,
-# c -> c >= take), true)` IS first-fit (0/NULL -> open a new pack).
-# portable_bucket=True pins the md5-prefix bucket hash both engines
-# share, so the EXACT (pack_id, pack_offset) assignment — not just
-# pack invariants — is hash-graded.
-_PACK_ORACLE = f"""
-    WITH RECURSIVE base AS (
-        SELECT doc_id,
-               LEAST(n_chars, {_PACK_BUDGET}) AS take,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                   % {_PACK_BUCKETS} AS bucket,
-               n_chars
-        FROM documents
-    ), items AS (
-        SELECT bucket, doc_id, take,
-               row_number() OVER (PARTITION BY bucket
-                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
-        FROM base
-    ), sim AS (
-        SELECT bucket, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS caps,
-               CAST([] AS STRUCT(doc_id BIGINT, local BIGINT, off BIGINT)[]) AS assigned
-        FROM (SELECT DISTINCT bucket FROM items)
-        UNION ALL
-        SELECT s.bucket, s.rn + 1,
-          CASE WHEN COALESCE(list_position(list_transform(s.caps, c -> c >= i.take), true), 0) = 0
-               THEN list_append(s.caps, {_PACK_BUDGET} - i.take)
-               ELSE list_concat(list_concat(
-                      s.caps[1:list_position(list_transform(s.caps, c -> c >= i.take), true) - 1],
-                      [s.caps[list_position(list_transform(s.caps, c -> c >= i.take), true)] - i.take]),
-                      s.caps[list_position(list_transform(s.caps, c -> c >= i.take), true) + 1:len(s.caps)])
-          END AS caps,
-          list_append(s.assigned,
-            CASE WHEN COALESCE(list_position(list_transform(s.caps, c -> c >= i.take), true), 0) = 0
-                 THEN {{'doc_id': i.doc_id, 'local': CAST(len(s.caps) AS BIGINT),
-                        'off': CAST(0 AS BIGINT)}}
-                 ELSE {{'doc_id': i.doc_id,
-                        'local': CAST(list_position(list_transform(s.caps, c -> c >= i.take), true) - 1 AS BIGINT),
-                        'off': CAST({_PACK_BUDGET} - s.caps[list_position(list_transform(s.caps, c -> c >= i.take), true)] AS BIGINT)}}
-            END) AS assigned
-        FROM sim s JOIN items i ON i.bucket = s.bucket AND i.rn = s.rn + 1
-    ), last_rows AS (
-        SELECT s.bucket, s.assigned
-        FROM sim s JOIN (SELECT bucket, MAX(rn) AS mx FROM sim GROUP BY bucket) m
-          ON s.bucket = m.bucket AND s.rn = m.mx
-    ), flat AS (
-        SELECT bucket, UNNEST(assigned) AS a FROM last_rows
-    )
-    SELECT a.doc_id AS doc_id,
-           bucket * 1000000000 + a.local AS pack_id,
-           a.off AS pack_offset
-    FROM flat
-"""
-
-
-@_register(
-    "pack_sequences_q",
+    _LABEL_PROP_ROUNDS,
+    _PACK_BUDGET,
+    _PACK_BUCKETS,
     _PACK_ORACLE,
-    "Sequence packing (packing.pack_sequences): hash-bucket scatter + "
-    "per-bucket first-fit-decreasing, the training-batch construction "
-    "pass. Oracle replays FFD exactly via a recursive CTE whose state "
-    "is the per-bucket open-pack capacity list — the full "
-    "(pack_id, pack_offset) assignment is hash-graded, not just the "
-    "budget invariant. Promoted to a driver slot in the r9 second "
-    "slate (new surface gets a hard driver row in the round it "
-    "lands).",
 )
-def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.packing import pack_sequences
-
-    docs = _t(spark, sf_dir, "documents")
-    return pack_sequences(
-        docs,
-        "doc_id",
-        "n_chars",
-        budget=_PACK_BUDGET,
-        buckets=_PACK_BUCKETS,
-        portable_bucket=True,
-    )
-
-
-@_register(
-    "ann_topk",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-    scored AS (
-        SELECT q.query_id, e.vec_id AS neighbor_id,
-               round(list_dot_product(qv, v) /
-                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
-                   AS cos_sim
-        FROM e CROSS JOIN q
-        WHERE e.vec_id != q.query_id
-    )
-    SELECT query_id, neighbor_id,
-           CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
-           cos_sim
-    FROM scored
-    QUALIFY rank <= 10
-    """,
-    "Brute-force cosine top-k ANN baseline (broadcast queries, "
-    "no corpus shuffle).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
+from udacity_data_engineering_capstone_project_spark.plans.queries_corpus import (
+    ann_topk,
+    ann_ivf,
+    _embedding_lsh_oracle,
+    dedup_embedding_lsh,
+    sql_entrypoint,
+    streaming_dedup,
+    text_profile_q,
+    corpus_prep,
+    multimodal_meta,
+    repetition_signals_q,
+    contamination_check,
+    corpus_sample,
+    tfidf_topk,
+    bm25_retrieval,
+    audio_features_q,
 )
-def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return sim.brute_force_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
-
-
-@_register(
-    "ann_ivf",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 100 = 0),
-    assign AS (
-        SELECT e.vec_id, e.v, cents.cell,
-               round(list_dot_product(e.v, cv) /
-                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))), 6)
-                   AS csim
-        FROM e CROSS JOIN cents
-        QUALIFY row_number() OVER (PARTITION BY e.vec_id
-                                   ORDER BY csim DESC, cents.cell ASC) = 1
-    ),
-    qprobe AS (
-        SELECT e.vec_id AS query_id, e.v AS qv, cents.cell,
-               round(list_dot_product(e.v, cv) /
-                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))), 6)
-                   AS csim
-        FROM e CROSS JOIN cents
-        WHERE e.vec_id < 5
-        QUALIFY row_number() OVER (PARTITION BY e.vec_id
-                                   ORDER BY csim DESC, cents.cell ASC) <= 2
-    ),
-    scored AS (
-        SELECT q.query_id, a.vec_id AS neighbor_id,
-               round(list_dot_product(qv, a.v) /
-                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))), 6)
-                   AS cos_sim
-        FROM assign a JOIN qprobe q ON a.cell = q.cell
-        WHERE a.vec_id != q.query_id
-    )
-    SELECT query_id, neighbor_id,
-           CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
-           cos_sim
-    FROM scored
-    QUALIFY rank <= 10
-    """,
-    "IVF ANN: deterministic centroids (vec_id % 100 = 0), 2-probe "
-    "query search over a 1-probe corpus placement — the partition-"
-    "pruned scale path, with multi-probe recovering boundary recall "
-    "(corpus vectors live in exactly one cell, so probed candidate "
-    "sets are disjoint and need no dedup).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 100 == 0)
-    queries = emb.filter(F.col("vec_id") < 5)
-    return sim.ivf_topk(
-        emb, queries, centroids, id_col="vec_id", vec_col="embedding", k=10, nprobe=2
-    )
-
-
-def _embedding_lsh_oracle(
-    num_planes: int = 8,
-    num_tables: int = 8,
-    dim: int = 64,
-    max_bucket: int = 256,
-    threshold: float = 0.2,
-) -> str:
-    """Generate the DuckDB twin of `lsh_near_dup_pairs` with the
-    hyperplane matrix BAKED IN as double literals (r7 conversion of
-    the former no_oracle row).
-
-    This is possible because the plane family is deterministic
-    splitmix64 ARITHMETIC, not an engine hash: both engines evaluate
-    sign(v . plane) on the same float64 values, so bucket assignment —
-    and with it the candidate pair set — is reproducible in ANSI SQL.
-    Sign agreement is not luck: the smallest |dot| across the graded
-    corpora is ~4e-6 (pinned by test_embedding_lsh_matches_duckdb_
-    twin), ~1e9x above cross-engine summation noise; a bucket
-    mismatch would fail the driver hash. `repr()` literals round-trip
-    float64 exactly.
-    """
-    from udacity_data_engineering_capstone_project_spark.operators.similarity import _splitmix64
-
-    def plane_lit(r: int) -> str:
-        return "[" + ",".join(
-            repr(_splitmix64(r * dim + j) / float(1 << 63) - 1.0)
-            for j in range(dim)
-        ) + "]"
-
-    def bucket_expr(t: int) -> str:
-        return " + ".join(
-            f"(CASE WHEN list_dot_product(v, {plane_lit(t * num_planes + p)})"
-            f" >= 0 THEN {1 << p} ELSE 0 END)"
-            for p in range(num_planes)
-        )
-
-    per_table = "\n    UNION ALL\n    ".join(
-        f"SELECT vec_id, {t} AS t, {bucket_expr(t)} AS bk FROM e"
-        for t in range(num_tables)
-    )
-    cos = (
-        "round(list_dot_product(a.v, b2.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * "
-        "sqrt(list_dot_product(b2.v, b2.v))), 6)"
-    )
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    b AS (
-    {per_table}
-    ),
-    sized AS (SELECT *, count(*) OVER (PARTITION BY t, bk) AS bn FROM b),
-    kept AS (SELECT vec_id, t, bk FROM sized WHERE bn <= {max_bucket}),
-    pairs AS (
-        SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-        FROM kept l JOIN kept r
-          ON l.t = r.t AND l.bk = r.bk AND l.vec_id < r.vec_id
-    )
-    SELECT id_a, id_b, {cos} AS cos_sim
-    FROM pairs
-    JOIN e a ON id_a = a.vec_id
-    JOIN e b2 ON id_b = b2.vec_id
-    WHERE {cos} >= {threshold}
-    """
-
-
-@_register(
-    "dedup_embedding_lsh",
-    _embedding_lsh_oracle(),
-    "Embedding near-dup at scale: multi-table hyperplane LSH (8 tables "
-    "x 8 planes) candidate union -> exact cosine verify >= 0.2 (no "
-    "blocking label needed; recall 1-(1-p^8)^8 per similarity band). "
-    "Hash-checked since r7: the splitmix64 plane matrix is baked into "
-    "the DuckDB oracle as literals, so bucket assignment, the "
-    "candidate union, the hot-bucket cap, and the cosine verify are "
-    "all independently recomputed (sign margin ~1e9x float noise, "
-    "pytest-pinned).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.lsh_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"),
-        id_col="vec_id",
-        vec_col="embedding",
-        threshold=0.2,
-        num_planes=8,
-        dim=64,
-        num_tables=8,
-    )
-
-
-@_register(
-    "sql_entrypoint",
-    """
-    WITH seg AS (
-        SELECT c_mktsegment, count(*) AS n_cust,
-               round(avg(c_acctbal), 6) AS avg_bal
-        FROM customer GROUP BY c_mktsegment
-    )
-    SELECT s.c_mktsegment, s.n_cust, s.avg_bal, count(o.o_orderkey) AS n_orders
-    FROM seg s
-    JOIN customer c ON c.c_mktsegment = s.c_mktsegment
-    JOIN orders o   ON o.o_custkey = c.c_custkey
-    GROUP BY s.c_mktsegment, s.n_cust, s.avg_bal
-    """,
-    "Pure spark.sql over registered temp views (reference entry point "
-    "3, etl.py:171-215) — SQL and DataFrame lineages compose.",
-)
-def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.sources.readers import load_tables
-
-    load_tables(spark, sf_dir, names=("customer", "orders"), register_views=True)
-    return spark.sql(
-        """
-        WITH seg AS (
-            SELECT c_mktsegment, count(*) AS n_cust,
-                   round(avg(c_acctbal), 6) AS avg_bal
-            FROM customer GROUP BY c_mktsegment
-        )
-        SELECT s.c_mktsegment, s.n_cust, s.avg_bal, count(o.o_orderkey) AS n_orders
-        FROM seg s
-        JOIN customer c ON c.c_mktsegment = s.c_mktsegment
-        JOIN orders o   ON o.o_custkey = c.c_custkey
-        GROUP BY s.c_mktsegment, s.n_cust, s.avg_bal
-        """
-    )
-
-
-@_register(
-    "streaming_dedup",
-    """
-    SELECT event_type, count(*) AS n_events
-    FROM (SELECT DISTINCT event_id, event_type FROM events)
-    GROUP BY event_type
-    """,
-    "Streaming exact dedup: stateful dropDuplicates on the event id "
-    "inside a streaming query, then aggregate (complete mode).",
-)
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = read_events_stream(spark, sf_dir)
-    deduped = stream.select("event_id", "event_type").dropDuplicates(["event_id"])
-    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    return run_stream_to_memory(agg, output_mode="complete")
-
-
-@_register(
-    "text_profile",
-    r"""
-    WITH s AS (
-        SELECT doc_id, lang, text,
-               CAST(length(text) AS BIGINT) AS n_chars_calc,
-               CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
-               CAST(length(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS BIGINT) AS n_stop
-        FROM documents
-    )
-    SELECT doc_id, lang, n_chars_calc, n_words, n_stop,
-           round(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END, 6) AS stop_ratio,
-           round((1.0 - CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END)
-                 * least(n_words / 100.0, 1.0), 6) AS quality_score,
-           CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
-           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
-           CASE WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
-                WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
-                WHEN regexp_matches(text, '[\x{0600}-\x{06FF}]') THEN 'ar'
-                WHEN regexp_matches(text, '[\x{0900}-\x{097F}]') THEN 'hi'
-                ELSE 'en' END AS lang_pred,
-           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
-    FROM s
-    """,
-    "Per-document text profile in one codegen pass: quality stats "
-    "(char/word/stopword counts, composite score), token counts "
-    "(whitespace + BPE-ish regex), script-heuristic language ID and "
-    "the normalized md5 document fingerprint — no join, linear scale.",
-    registered=False,  # r9: ceded (rotation); the text-stats family stays driver-graded via gopher_quality_q / language_id_q / strip_html_q and this profile stays hash-pinned in the unregistered gate
-)
-def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.text_profile(
-        _t(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        keep=("lang",),
-        include_fingerprint=True,
-    )
-
-
-@_register(
-    "corpus_prep",
-    r"""
-    WITH fp AS (
-        SELECT doc_id, lang, source, text,
-               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
-        FROM documents
-    ),
-    survivors AS (
-        SELECT * FROM fp
-        QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
-    ),
-    scored AS (
-        SELECT lang, source,
-               CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
-               CAST(length(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS BIGINT) AS n_stop
-        FROM survivors
-    ),
-    kept AS (
-        SELECT lang, source, n_words FROM scored
-        WHERE round((1.0 - CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END)
-                    * least(n_words / 100.0, 1.0), 6) >= 0.1
-    )
-    -- CAST: DuckDB's sum(BIGINT) returns HUGEINT (int128), which the
-    -- driver's hasher coerces to float64 and mismatches Spark's BIGINT.
-    SELECT lang, source, count(*) AS n_docs_kept,
-           CAST(sum(n_words) AS BIGINT) AS total_words
-    FROM kept GROUP BY lang, source
-    """,
-    "Composite training-data prep pipeline: exact dedup (min-id "
-    "survivor) -> quality filter -> per (lang, source) corpus stats. "
-    "The operators compose as one lazy plan — a single pass shape.",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    fp = docs.withColumn("f", ts.fingerprint("text"))
-    survivors = top_per_group(
-        fp, partition_by=["f"], order_by=[F.col("doc_id").asc()]
-    )
-    stats = ts.text_stats(survivors, "doc_id", "text")
-    kept = (
-        survivors.select("doc_id", "lang", "source")
-        .join(stats.filter(F.col("quality_score") >= 0.1), on="doc_id")
-    )
-    return kept.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs_kept"),
-        F.sum("n_words").alias("total_words"),
-    )
-
-
-@_register(
-    "multimodal_meta",
-    """
-    SELECT doc_id,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           -- first UTF-8 BYTE of the payload, derived from the first
-           -- character's codepoint (ascii() returns the codepoint, which
-           -- differs from the leading byte for any non-ASCII character)
-           CAST(CASE WHEN length(text) = 0   THEN -1
-                     WHEN ascii(text) < 128   THEN ascii(text)
-                     WHEN ascii(text) < 2048  THEN 192 + ascii(text) // 64
-                     WHEN ascii(text) < 65536 THEN 224 + ascii(text) // 4096
-                     ELSE 240 + ascii(text) // 262144 END AS BIGINT) AS first_byte,
-           -- the Spark side synthesizes a real PNG with these dims and
-           -- must recover them from the bytes via the header parser
-           'png'                                AS format,
-           CAST(1 + doc_id % 64 AS BIGINT)      AS width,
-           CAST(1 + (7 * doc_id) % 64 AS BIGINT) AS height,
-           -- likewise a real RIFF/AVI per row: header decode and the
-           -- seek-table frame sampler must recover these closed forms
-           CAST(8 + doc_id % 5 AS BIGINT)        AS v_width,
-           CAST(6 + (3 * doc_id) % 5 AS BIGINT)  AS v_height,
-           CAST(3 + doc_id % 6 AS BIGINT)        AS v_n_frames,
-           CAST((3 + doc_id % 6) * 100 AS BIGINT) AS v_duration_ms,
-           CAST(3 AS BIGINT)                     AS n_sampled,
-           -- uniform 3-sample over n frames picks {0, (n-1)//2, n-1}
-           CAST((2 + doc_id % 6) // 2 + 2 + doc_id % 6 AS BIGINT)
-                                                 AS sampled_index_sum
-    FROM documents
-    """,
-    "Multimodal tier end-to-end: opaque binary payload + Arrow-batched "
-    "mapInPandas metadata extraction, plus REAL media decode checks — "
-    "a valid PNG and a valid RIFF/AVI are synthesized per row (dims/"
-    "frame counts derived from doc_id); the stdlib header parsers and "
-    "the seek-based frame sampler must recover exactly those values "
-    "from the bytes (oracle checks the closed forms).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
-)
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    meta = mm.binary_meta(mm.attach_binary(docs, "text"), "doc_id")
-    png_meta = mm.decode_image_meta(
-        mm.synthesize_png(docs.select("doc_id"), "doc_id"), "doc_id"
-    )
-    avi = vd.synthesize_avi(docs.select("doc_id"), "doc_id")
-    video_meta = vd.decode_video_meta(avi, "doc_id").select(
-        "doc_id",
-        F.col("width").alias("v_width"),
-        F.col("height").alias("v_height"),
-        F.col("n_frames").alias("v_n_frames"),
-        F.col("duration_ms").alias("v_duration_ms"),
-    )
-    sampled = (
-        vd.sample_video_frames(avi, "doc_id", n_samples=3)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.sum("frame_index").alias("sampled_index_sum"),
-        )
-    )
-    return meta.join(png_meta, on="doc_id").join(video_meta, on="doc_id").join(
-        sampled, on="doc_id"
-    )
-
-
-@_register(
-    "repetition_signals",
-    """
-    WITH w AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
-        FROM documents
-    ),
-    tok AS (SELECT doc_id, unnest(words) AS word FROM w),
-    wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
-    ws AS (
-        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-               count(*) AS n_distinct, max(c) AS top_c
-        FROM wc GROUP BY 1
-    ),
-    tri AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
-                                     i -> array_to_string(words[i:i+2], ' '))) AS g
-        FROM w
-    ),
-    trs AS (
-        SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS d_tri
-        FROM tri GROUP BY 1
-    )
-    SELECT ws.doc_id, n_words,
-           round(n_distinct * 1.0 / n_words, 6) AS type_token_ratio,
-           round(top_c * 1.0 / n_words, 6) AS top_word_frac,
-           round(coalesce(1.0 - d_tri * 1.0 / n_tri, 0.0), 6) AS dup_ngram_frac
-    FROM ws LEFT JOIN trs ON ws.doc_id = trs.doc_id
-    """,
-    "Gopher-style repetitiousness signals per document (type/token "
-    "ratio, most-common-word fraction, duplicate-trigram fraction) — "
-    "the boilerplate/spam filters a training-data pipeline runs before "
-    "dedup. Two partial-aggregatable explode->count passes joined on "
-    "id; everything JVM-side.",
-    registered=False,  # r9: ceded (rotation); explode->count machinery stays driver-graded via gopher_quality_q + dup_spans_q; hash-pinned in the unregistered gate
-)
-def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@_register(
-    "contamination_check",
-    """
-    WITH w AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
-        FROM documents
-    ),
-    tri AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
-                                     i -> array_to_string(words[i:i+2], ' '))) AS g
-        FROM w
-    ),
-    bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 97 = 0),
-    corp AS (SELECT DISTINCT doc_id, g FROM tri WHERE doc_id % 97 <> 0)
-    SELECT corp.doc_id, count(*) AS n_overlap
-    FROM corp JOIN bench USING (g)
-    GROUP BY 1
-    """,
-    "Benchmark-contamination check: distinct word-trigram overlap of "
-    "every corpus document against a benchmark set (docs with "
-    "doc_id % 97 = 0 stand in for the eval suite). The benchmark side "
-    "collapses to distinct n-grams and broadcasts (bounded — eval "
-    "suites are small); the corpus side is one scan + explode.",
-    registered=False,  # r9 continuation: ceded (second slate); the explode+broadcast-overlap shape stays driver-graded via ngram_lm + heavy_hitters_q; hash-pinned in the unregistered gate
-)
-def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
-    return ts.ngram_overlap(corpus, benchmark, "doc_id", "text", ngram_n=3)
-
-
-@_register(
-    "corpus_sample",
-    """
-    WITH sampled AS (
-        SELECT doc_id, lang, source, n_chars
-        FROM documents
-        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-              CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
-                        ELSE 'c000' END
-    )
-    SELECT doc_id, lang, source, n_chars
-    FROM sampled
-    QUALIFY row_number() OVER (PARTITION BY source
-                               ORDER BY n_chars DESC, doc_id) <= 10
-    """,
-    "Deterministic corpus sampling + data mixing: per-language hash "
-    "sampling (keep 50% of en, 25% of de, 75% of the rest — "
-    "membership is a pure function of md5(doc_id), reproducible across "
-    "runs/engines/cluster layouts, no RNG) followed by a per-source "
-    "quota cap (top 10 by length, deterministic tiebreak) so no domain "
-    "dominates the training mix.",
-    registered=False,  # r9: ceded (rotation); deterministic-sampling machinery stays driver-graded via token_budget_q + skew_report_q; hash-pinned in the unregistered gate
-)
-def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
-        cap_per_group,
-        stratified_hash_sample,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    sampled = stratified_hash_sample(
-        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_rate=0.75
-    )
-    capped = cap_per_group(
-        sampled,
-        ["source"],
-        [F.col("n_chars").desc(), F.col("doc_id").asc()],
-        quota=10,
-    )
-    return capped.select("doc_id", "lang", "source", "n_chars")
-
-
-@_register(
-    "tfidf_topk",
-    """
-    WITH tok AS (
-        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
-        FROM documents
-    ),
-    tfreq AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-    dfreq AS (SELECT term, count(*) AS doc_freq FROM tfreq GROUP BY 1),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (
-        SELECT doc_id, term, tf, doc_freq,
-               round(tf * (ln((n_docs + 1) * 1.0 / (doc_freq + 1)) + 1), 6) AS tfidf
-        FROM tfreq JOIN dfreq USING (term), n
-    )
-    SELECT doc_id, term, tf, doc_freq, tfidf,
-           CAST(row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
-    FROM scored
-    QUALIFY rnk <= 5
-    """,
-    "Top-5 characteristic terms per document by smoothed TF-IDF — the "
-    "corpus-exploration / keyword-extraction operator. Distributed "
-    "end-to-end: tf and df are partial-aggregatable counts, corpus "
-    "size rides a 1-row broadcast, rank is a per-doc window with a "
-    "total order (tfidf desc, term asc).",
-    registered=False,  # r9 continuation: ceded (second slate); tf/df partial-agg + per-doc window stays driver-graded via pr_curve_q + token_budget_q; hash-pinned in the unregistered gate
-)
-def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = ts.tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
-    return out.withColumnRenamed("rank", "rnk")
-
-
-@_register(
-    "bm25_retrieval",
-    """
-    WITH tok AS (
-        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
-        FROM documents
-    ),
-    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-    tfq AS (
-        SELECT doc_id, term, count(*) AS tf FROM tok
-        WHERE term IN ('spark', 'join', 'scan') GROUP BY 1, 2
-    ),
-    dfq AS (SELECT term, count(*) AS doc_freq FROM tfq GROUP BY 1),
-    stats AS (
-        SELECT (SELECT count(*) FROM documents) AS n,
-               (SELECT avg(dl) FROM dl) AS avgdl
-    )
-    SELECT doc_id,
-           round(sum(ln(1 + (n - doc_freq + 0.5) / (doc_freq + 0.5)) * tf * 2.2
-                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
-    FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), stats
-    GROUP BY doc_id
-    """,
-    "BM25 relevance of every document to the query bag "
-    "{spark, join, scan} (k1=1.2, b=0.75) — the retrieval scorer for "
-    "training-data curation. The term filter lands BEFORE the tf "
-    "aggregation so only query-term rows shuffle; corpus stats (N, "
-    "avgdl) ride a 1-row broadcast.",
-    registered=False,  # r9 continuation: ceded (second slate); retrieval scoring stays driver-graded via ngram_lm + hashed_classifier; hash-pinned in the unregistered gate
-)
-def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.bm25_scores(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", ["spark", "join", "scan"]
-    )
-
-
-@_register(
-    "audio_features",
-    """
-    SELECT doc_id,
-           CAST(16000 AS BIGINT) AS sample_rate,
-           CAST(1 AS BIGINT) AS channels,
-           CAST(16 AS BIGINT) AS bits,
-           CAST(150 + doc_id % 50 AS BIGINT) AS n_frames,
-           CAST((150 + doc_id % 50) * 1000 // 16000 AS BIGINT) AS duration_ms,
-           round((1001 + (doc_id % 200) * 14) / 32768.0, 6) AS rms,
-           round((1001 + (doc_id % 200) * 14) / 32768.0, 6) AS peak,
-           round(1.0 / (149 + doc_id % 50), 6) AS zero_crossing_rate
-    FROM documents
-    """,
-    "Audio tier end-to-end: a real mono PCM16 WAV is synthesized per "
-    "row (amplitude/length closed forms in doc_id), then the RIFF "
-    "header parser and the Arrow-batched PCM16 feature extractor "
-    "(rms/peak/zero-crossing rate) must recover exactly the closed "
-    "forms from the bytes. The amplitude family is odd-valued and the "
-    "frame counts avoid power-of-two denominators so 6-decimal "
-    "rounding parity is exact (see synthesize_wav docstring).",
-    registered=False,  # r9: ceded (rotation); the multimodal tier stays driver-graded via multimodal_meta; WAV parity hash-pinned in the unregistered gate
-)
-def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.audio import (
-        audio_features,
-        decode_audio_meta,
-        synthesize_wav,
-    )
-
-    wav = synthesize_wav(_t(spark, sf_dir, "documents"), "doc_id")
-    meta = decode_audio_meta(wav, "doc_id")
-    feats = audio_features(wav, "doc_id")
-    return meta.join(feats, on="doc_id")
-
-
-@_register(
-    "scd2_history",
-    """
-    WITH seq AS (
-        SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
-               lag(o_orderstatus) OVER w AS __ps,
-               lag(o_orderpriority) OVER w AS __pp,
-               row_number() OVER w AS __rn
-        FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
-    ),
-    flagged AS (
-        SELECT *, CASE WHEN __rn = 1
-                         OR o_orderstatus IS DISTINCT FROM __ps
-                         OR o_orderpriority IS DISTINCT FROM __pp
-                       THEN 1 ELSE 0 END AS __chg
-        FROM seq
-    ),
-    runs AS (
-        SELECT *, sum(__chg) OVER (
-            PARTITION BY o_custkey ORDER BY o_orderkey
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __run
-        FROM flagged
-    ),
-    versions AS (
-        SELECT o_custkey,
-               min(o_orderstatus)   AS o_orderstatus,
-               min(o_orderpriority) AS o_orderpriority,
-               min(o_orderkey)      AS valid_from
-        FROM runs GROUP BY o_custkey, __run
-    )
-    SELECT *, (valid_to IS NULL) AS is_current FROM (
-        SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from,
-               lead(valid_from) OVER (
-                   PARTITION BY o_custkey ORDER BY valid_from) AS valid_to
-        FROM versions
-    )
-    """,
-    "SCD type-2 history build (warehouse incremental tier, "
-    "operators/scd.py): per-customer order-attribute snapshots "
-    "collapse into versioned runs with valid_from/valid_to/is_current "
-    "— the reference write-up's 'daily incremental processing' wish "
-    "(Capstone_Project.ipynb cell 44). One shuffle on the business "
-    "key; o_orderkey is the total-order snapshot axis so runs are "
-    "deterministic.",
-)
-def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.scd import (
-        scd2_from_snapshots,
-    )
-
-    snaps = _t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority"
-    )
-    return scd2_from_snapshots(
-        snaps,
-        key_cols=["o_custkey"],
-        attr_cols=["o_orderstatus", "o_orderpriority"],
-        snapshot_col="o_orderkey",
-    ).select(
-        "o_custkey",
-        "o_orderstatus",
-        "o_orderpriority",
-        F.col("valid_from").alias("valid_from"),
-        F.col("valid_to").alias("valid_to"),
-        "is_current",
-    )
-
-
-# Oracle twin for pagerank: the fixed-8-round power method UNROLLED as
-# a chain of materialized CTEs (d_i = dangling mass, c_i = in-flow,
-# r_i = new ranks — the "not SQL-expressible" claim held only for
-# unbounded iteration; a fixed iteration count is just 8 CTE levels).
-# MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and r_{i-1}
-# feeding both d_i and c_i doubles the work per level (2^8 blowup,
-# measured 9.5 s -> 0.5 s at sf0.01). Platform safety: PageRank is
-# TRANSCENDENTAL-FREE (+,*,/ are IEEE-exact everywhere), so the only
-# cross-engine divergence is summation order — measured max |diff|
-# ~1e-17 vs a minimum 8dp-rounding-boundary distance of 5.9e-11 at
-# sf0.01 (4.5e6x headroom; sf0.001 is wider still).
-def _pagerank_oracle(iters: int = 8, damping: float = 0.85) -> str:
-    sql = """
-    WITH e AS MATERIALIZED (
-        SELECT 'p' || CAST(l_partkey AS VARCHAR) AS u,
-               's' || CAST(l_suppkey AS VARCHAR) AS v
-        FROM lineitem
-        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
-    ),
-    nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
-    cnt AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
-    deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY 1),
-    w AS MATERIALIZED (
-        SELECT e.u, e.v, 1.0 / deg.deg AS w FROM e JOIN deg USING (u)
-    ),
-    r0 AS MATERIALIZED (SELECT node, 1.0 / cnt.n AS rank FROM nodes, cnt)"""
-    for i in range(1, iters + 1):
-        p = f"r{i - 1}"
-        sql += f""",
-    d{i} AS MATERIALIZED (
-        SELECT COALESCE(sum(r.rank), 0) AS dm
-        FROM {p} r LEFT JOIN deg ON r.node = deg.u WHERE deg.u IS NULL
-    ),
-    c{i} AS MATERIALIZED (
-        SELECT w.v AS node, sum(w.w * r.rank) AS cin
-        FROM w JOIN {p} r ON r.node = w.u GROUP BY 1
-    ),
-    r{i} AS MATERIALIZED (
-        SELECT n.node,
-               (1.0 - {damping!r}) / cnt.n
-               + {damping!r} * (COALESCE(c.cin, 0) + d.dm / cnt.n) AS rank
-        FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
-        CROSS JOIN cnt CROSS JOIN d{i} d
-    )"""
-    return sql + f"\n    SELECT node, round(rank, 8) AS rank FROM r{iters}"
-
-
-@_register(
-    "pagerank",
-    _pagerank_oracle(),
-    "PageRank over the part->supplier procurement graph derived from "
-    "lineitem (operators/graph.py): damping 0.85, dangling-node "
-    "redistribution, fixed 8 rounds for a deterministic driver row. "
-    "Each round shuffles on node id with localCheckpoint lineage "
-    "truncation and scalar-only driver traffic. r6: hash-checked "
-    "against an unrolled 8-level materialized-CTE DuckDB retrain — "
-    "transcendental-free arithmetic, so the graded 8dp rounding has "
-    "~4.5e6x boundary headroom over summation-order divergence.",
-)
-def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.graph import pagerank
-
-    edges = _t(spark, sf_dir, "lineitem").select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
-    # tol=0.0: always run exactly 8 rounds so the row count and ranks
-    # are run-to-run deterministic for the driver's rows-only check
-    ranks = pagerank(edges, max_iter=8, tol=0.0)
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
-
-
-_SHARDS_N = 16
-
-# Oracle twin for shards_q — UNREGISTERED (r9 addition). The
-# training-shard export's determinism contract is the ASSIGNMENT
-# function: shard = hash(key, seed) % N and within-shard order by an
-# independent second hash — both pure functions of (key, seed), so
-# the export is byte-stable across layouts/retries and a new seed is
-# a fresh epoch permutation. With the portable md5-prefix family
-# (sinks.shard_assignment_hashes(portable=True)) DuckDB re-derives
-# the FULL (shard, rank) assignment; 0x9E3779B9 = 2654435769 is the
-# golden-ratio seed offset between the two hashes.
-_SHARDS_ORACLE = f"""
-    WITH t AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(CAST(doc_id AS STRING) || ':0'), 1, 15))
-                    AS BIGINT) AS hs,
-               CAST(('0x' || substr(md5(CAST(doc_id AS STRING) || ':2654435769'), 1, 15))
-                    AS BIGINT) AS ho
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(hs % {_SHARDS_N} AS BIGINT) AS shard,
-           CAST(row_number() OVER (PARTITION BY hs % {_SHARDS_N}
-                                   ORDER BY ho, doc_id) AS BIGINT) AS ord_rank
-    FROM t
-"""
-
-
-@_register(
-    "shards_q",
+from udacity_data_engineering_capstone_project_spark.plans.queries_ml import (
+    scd2_history,
+    _pagerank_oracle,
+    pagerank_q,
+    shards_q,
+    _mmr_oracle,
+    mmr_q,
+    salted_join_q,
+    asof_next_q,
+    _ppr_oracle,
+    ppr_q,
+    hashed_classifier,
+    ngram_lm,
+    weighted_sample,
+    _SHARDS_N,
     _SHARDS_ORACLE,
-    "Training-shard assignment contract (sources.sinks."
-    "shard_assignment_hashes, the pair behind write_training_shards): "
-    "shard choice and within-shard order are independent pure hashes "
-    "of (key, seed), graded via the portable md5-prefix family — "
-    "DuckDB recomputes every row's (shard, rank). The export itself "
-    "is filesystem-tested (manifest recount); this grades the "
-    "determinism the manifest relies on. Unregistered; hash-pinned "
-    "locally.",
-)
-def shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from udacity_data_engineering_capstone_project_spark.sources.sinks import (
-        shard_assignment_hashes,
-    )
-
-    h_shard, h_order = shard_assignment_hashes("doc_id", seed=0, portable=True)
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.pmod(h_shard, F.lit(_SHARDS_N)).cast("long").alias("shard"),
-        h_order.alias("__ho"),
-    )
-    w = Window.partitionBy("shard").orderBy(F.col("__ho").asc(), F.col("doc_id").asc())
-    return docs.select(
-        "doc_id",
-        "shard",
-        F.row_number().over(w).cast("long").alias("ord_rank"),
-    )
-
-
-_MMR_K = 10
-_MMR_LAM = 0.7
-_MMR_POOL = 200
-
-
-def _mmr_oracle(k: int = _MMR_K, lam: float = _MMR_LAM, pool: int = _MMR_POOL) -> str:
-    # DuckDB replays the WHOLE MMR loop: pool pruning by rounded
-    # relevance, then a recursive CTE whose LATERAL picks each round's
-    # argmax of lam*rel - (1-lam)*max_sim_to_selected. The engine's
-    # greedy runs in numpy (BLAS summation order differs from
-    # DuckDB's sequential list_dot_product by ~1e-15); decision
-    # margins on the graded corpora are ~6e-4 — pinned with 1e5x
-    # headroom by test_mmr_q_decision_margins. (1-lam) is written as
-    # the PYTHON float repr so both engines multiply by the same
-    # 0.30000000000000004.
-    one_minus_lam = repr(1 - lam)
-    return f"""
-    WITH RECURSIVE qv AS (
-        SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
-    ), c0 AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               round(list_dot_product(embedding::DOUBLE[], q)
-                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(q, q))), 9) AS rel
-        FROM embeddings, qv
-        WHERE vec_id != 0 AND embedding IS NOT NULL AND len(embedding) = len(q)
-    ), pool AS (
-        SELECT vec_id, v, rel FROM (
-            SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
-            FROM c0
-        ) WHERE rn <= {pool}
-    ), up AS (
-        -- zero-norm guard mirrors the engine (similarity.py:
-        -- diverse_topk sets norms[norms == 0] = 1.0, so a zero
-        -- vector's u is the zero vector, not NaN); zero vectors are
-        -- upstream-gated in real corpora but the oracle must not
-        -- diverge if one appears
-        SELECT vec_id, rel,
-               list_transform(v, x -> x /
-                   CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
-                        ELSE sqrt(list_dot_product(v, v)) END) AS u
-        FROM pool
-    ), sel AS (
-        SELECT 0 AS rank, CAST(NULL AS BIGINT) AS vec_id,
-               CAST(NULL AS DOUBLE) AS score, CAST([] AS BIGINT[]) AS chosen
-        UNION ALL
-        SELECT s.rank + 1, pick.vec_id, pick.score,
-               list_append(s.chosen, pick.vec_id)
-        FROM sel s, LATERAL (
-            SELECT c.vec_id,
-                   CASE WHEN len(s.chosen) = 0 THEN {lam!r} * c.rel
-                        ELSE {lam!r} * c.rel - {one_minus_lam} * (
-                            SELECT max(list_dot_product(c.u, p.u))
-                            FROM up p WHERE list_contains(s.chosen, p.vec_id))
-                   END AS score
-            FROM up c
-            WHERE NOT list_contains(s.chosen, c.vec_id)
-            ORDER BY score DESC, c.vec_id ASC
-            LIMIT 1
-        ) pick
-        WHERE s.rank < {k}
-    )
-    SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(score, 6) AS mmr_score
-    FROM sel WHERE rank >= 1
-"""
-
-
-@_register(
-    "mmr_q",
-    _mmr_oracle(),
-    "Maximal Marginal Relevance diverse top-k (similarity."
-    "diverse_topk, Carbonell & Goldstein 1998): distributed "
-    "pool-prune to the 200 most query-relevant candidates, then the "
-    "sequential greedy (relevance minus similarity-to-selected) on "
-    "the model-sized pool. Oracle replays the ENTIRE loop in a "
-    "recursive CTE with a LATERAL argmax per round; decision margins "
-    "~6e-4 are margin-pinned in pytest. Unregistered; hash-pinned "
-    "locally.",
-)
-def mmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return sim.diverse_topk(
-        emb.filter(F.col("vec_id") != 0),
-        list(qvec),
-        "vec_id",
-        "embedding",
-        k=_MMR_K,
-        lam=_MMR_LAM,
-        pool=_MMR_POOL,
-    )
-
-
-# Oracle twin for salted_join_q — UNREGISTERED (r9 addition). The
-# skew-salting contract is EXACT result equivalence with the plain
-# equi-join (the salt spreads a hot key across tasks without changing
-# semantics), so the oracle IS the plain join — any bug in the
-# salt/replicate/drop mechanics (a lost bucket, a duplicated right
-# row) breaks the row-multiset hash.
-_SALTED_JOIN_ORACLE = """
-    SELECT l.l_orderkey, l.l_suppkey, l.l_quantity, s.s_name
-    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
-"""
-
-
-@_register(
-    "salted_join_q",
+    _MMR_K,
+    _MMR_LAM,
+    _MMR_POOL,
     _SALTED_JOIN_ORACLE,
-    "Skew-salted equi-join (relational.salted_join): the hot-key "
-    "spread (round-robin left salt x replicated right) must reproduce "
-    "the plain join EXACTLY — the oracle is that plain join, so the "
-    "salt mechanics are graded end-to-end, not just plan-shaped. "
-    "Unregistered; hash-pinned locally.",
-)
-def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.relational import (
-        salted_join,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    )
-    sup = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("l_suppkey"), "s_name"
-    )
-    return salted_join(li, sup, "l_suppkey", salts=8, how="inner")
-
-
-@_register(
-    "asof_next_q",
-    """
-    WITH clicks AS (
-        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
-        WHERE event_type = 'click'
-    ),
-    err AS (
-        SELECT user_id, event_id AS error_id, value AS error_value,
-               epoch_us(ts) AS ts_us
-        FROM events WHERE event_type = 'error'
-    )
-    SELECT c.user_id, c.event_id, c.ts_us,
-           e.error_id AS asof_error_id, e.error_value AS asof_error_value
-    FROM clicks c ASOF LEFT JOIN err e
-      ON c.user_id = e.user_id AND c.ts_us <= e.ts_us
-    """,
-    "FORWARD as-of join (relational.asof_join(direction='forward')): "
-    "each click paired with the user's NEXT error at-or-after it — "
-    "the time-to-failure attribution shape; same union+window "
-    "composition with the sort flipped. Oracle is DuckDB's native "
-    "forward ASOF (<=). The backward direction is driver-graded via "
-    "asof_last_click. Unregistered; hash-pinned locally.",
-)
-def asof_next_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.relational import (
-        asof_join,
-    )
-
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_us",
-        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts_us"
-    )
-    err = ev.filter(F.col("event_type") == "error").select(
-        "user_id",
-        F.col("event_id").alias("error_id"),
-        F.col("value").alias("error_value"),
-        "ts_us",
-    )
-    return asof_join(
-        clicks, err, key_cols=["user_id"], ts_col="ts_us",
-        right_payload=["error_id", "error_value"], direction="forward",
-    ).select("user_id", "event_id", "ts_us", "asof_error_id", "asof_error_value")
-
-
-_PPR_SEEDS = ("s1", "s5", "s9")
-_PPR_ROUNDS = 8
-
-
-def _ppr_oracle(iters: int = _PPR_ROUNDS, damping: float = 0.85) -> str:
-    # Personalized-PageRank twin of `_pagerank_oracle` (r9): teleport
-    # AND dangling mass return to the seed set via the per-node reset
-    # weight; init rank = reset. Same unrolled-materialized-CTE shape,
-    # same transcendental-free 8dp headroom class.
-    seeds_values = ", ".join(f"('{s}')" for s in _PPR_SEEDS)
-    reset = f"1.0 / {len(_PPR_SEEDS)}"
-    sql = f"""
-    WITH e AS MATERIALIZED (
-        SELECT 's' || CAST(l_suppkey AS VARCHAR) AS u,
-               'p' || CAST(l_partkey AS VARCHAR) AS v
-        FROM lineitem
-        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
-    ),
-    seeds(node) AS (VALUES {seeds_values}),
-    nodes AS MATERIALIZED (
-        SELECT node,
-               CASE WHEN node IN (SELECT node FROM seeds)
-                    THEN {reset} ELSE 0.0 END AS reset
-        FROM (SELECT u AS node FROM e UNION SELECT v FROM e
-              UNION SELECT node FROM seeds)
-    ),
-    deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY 1),
-    w AS MATERIALIZED (
-        SELECT e.u, e.v, 1.0 / deg.deg AS w FROM e JOIN deg USING (u)
-    ),
-    r0 AS MATERIALIZED (SELECT node, reset AS rank FROM nodes)"""
-    for i in range(1, iters + 1):
-        p = f"r{i - 1}"
-        sql += f""",
-    d{i} AS MATERIALIZED (
-        SELECT COALESCE(sum(r.rank), 0) AS dm
-        FROM {p} r LEFT JOIN deg ON r.node = deg.u WHERE deg.u IS NULL
-    ),
-    c{i} AS MATERIALIZED (
-        SELECT w.v AS node, sum(w.w * r.rank) AS cin
-        FROM w JOIN {p} r ON r.node = w.u GROUP BY 1
-    ),
-    r{i} AS MATERIALIZED (
-        SELECT n.node,
-               (1.0 - {damping!r}) * n.reset
-               + {damping!r} * (COALESCE(c.cin, 0) + d.dm * n.reset) AS rank
-        FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
-        CROSS JOIN d{i} d
-    )"""
-    return sql + f"\n    SELECT node, round(rank, 8) AS rank FROM r{iters}"
-
-
-@_register(
-    "ppr_q",
-    _ppr_oracle(),
-    "Personalized PageRank (graph.personalized_pagerank): teleport "
-    "and dangling mass return to a 3-supplier seed set over the "
-    "part->supplier graph — seed-set expansion, the trusted-domain "
-    "whitelist grower. Fixed 8 rounds (tol=0.0); oracle is the "
-    "unrolled materialized-CTE twin of the pagerank oracle with the "
-    "per-node reset weight; 8dp rounding, the same measured "
-    "transcendental-free headroom class. Unregistered; hash-pinned "
-    "locally.",
-)
-def ppr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.graph import (
-        personalized_pagerank,
-    )
-
-    # supplier -> part orientation: the seed suppliers HAVE
-    # out-edges, so rank actually propagates (seeds -> their parts ->
-    # dangling mass back to seeds) instead of pooling on sink seeds
-    edges = _t(spark, sf_dir, "lineitem").select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-    )
-    ranks = personalized_pagerank(
-        edges, list(_PPR_SEEDS), max_iter=_PPR_ROUNDS, tol=0.0
-    )
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
-
-
-# Oracle twin for hashed_classifier — UNREGISTERED (50-slot window is
-# full); hash-pinned by test_unregistered_query_parity. The md5-prefix
-# bucket and integer weights are portable SQL, so DuckDB reproduces
-# the scores bit-exactly.
-HASHED_CLASSIFIER_ORACLE = """
-    WITH w AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
-        FROM documents
-    ),
-    grams AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
-                                     i -> array_to_string(words[i:i+1], ' '))) AS g
-        FROM w
-    ),
-    tot AS (
-        SELECT doc_id,
-               sum((CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096)
-                   * 2654435761 % 2001 - 1000) AS t
-        FROM grams GROUP BY 1
-    )
-    SELECT d.doc_id,
-           round(1.0 / (1.0 + exp(-(coalesce(t, 0) / 1000.0))), 6) AS clf_score
-    FROM documents d LEFT JOIN tot USING (doc_id)
-"""
-
-
-@_register(
-    "hashed_classifier",
+    _PPR_SEEDS,
+    _PPR_ROUNDS,
     HASHED_CLASSIFIER_ORACLE,
-    "fastText-style hashed-ngram linear scorer. Promoted to a driver "
-    "slot in r9 (rotation).",
-)
-def hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fastText-style hashed-ngram linear scorer over documents
-    (operators/textstats.py:hashed_classifier_score)."""
-    return ts.hashed_classifier_score(
-        _t(spark, sf_dir, "documents"), "doc_id", "text"
-    )
-
-
-# Oracle twin for ngram_lm — UNREGISTERED. DuckDB retrains the same
-# stupid-backoff trigram LM from the documents table and rescores it:
-# identical counts (integer), identical backoff arithmetic; the only
-# float divergence is summation order inside avg(), ~1e-12 relative,
-# absorbed by round(..., 6).
-NGRAM_LM_ORACLE = """
-    WITH w AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
-        FROM documents
-    ),
-    grams AS (
-        SELECT unnest(flatten(list_transform([1, 2, 3], k ->
-                   list_transform(range(1, greatest(len(words) - k + 1, 0) + 1),
-                                  i -> array_to_string(words[i:i+k-1], ' '))))) AS gram
-        FROM w
-    ),
-    counts AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY 1),
-    toks AS (
-        SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM w
-    ),
-    keys AS (
-        SELECT t.doc_id, t.i, k.k,
-               array_to_string(t.words[t.i - k.k + 1 : t.i], ' ') AS gram,
-               CASE WHEN k.k = 1 THEN ''
-                    ELSE array_to_string(t.words[t.i - k.k + 1 : t.i - 1], ' ')
-               END AS ctx
-        FROM toks t, (VALUES (1), (2), (3)) AS k(k)
-        WHERE t.i >= k.k
-    ),
-    joined AS (
-        SELECT kk.doc_id, kk.i, kk.k, c1.cnt AS gc,
-               CASE WHEN kk.k = 1 THEN (SELECT sum(len(words)) FROM w)
-                    ELSE c2.cnt END AS cc
-        FROM keys kk
-        LEFT JOIN counts c1 ON c1.gram = kk.gram
-        LEFT JOIN counts c2 ON c2.gram = kk.ctx
-    ),
-    windowed AS (
-        SELECT *,
-               max(CASE WHEN gc IS NOT NULL AND cc IS NOT NULL THEN k END)
-                   OVER (PARTITION BY doc_id, i) AS kstar,
-               max(k) OVER (PARTITION BY doc_id, i) AS bigk,
-               max(CASE WHEN k = 1 THEN cc END)
-                   OVER (PARTITION BY doc_id, i) AS tot
-        FROM joined
-    ),
-    per_tok AS (
-        SELECT doc_id, i, bigk, kstar, tot,
-               max(CASE WHEN k = kstar THEN gc * 1.0 / cc END) AS ratio
-        FROM windowed GROUP BY doc_id, i, bigk, kstar, tot
-    ),
-    logp AS (
-        SELECT doc_id,
-               CASE WHEN kstar IS NOT NULL
-                    THEN (bigk - kstar) * ln(0.4) + ln(ratio)
-                    ELSE (bigk - 1) * ln(0.4) - ln(tot) END AS lp
-        FROM per_tok
-    ),
-    agg AS (
-        SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
-               round(exp(-avg(lp)), 6) AS perplexity,
-               count(*) AS n_tokens
-        FROM logp GROUP BY 1
-    )
-    SELECT d.doc_id, avg_logprob, perplexity,
-           coalesce(n_tokens, 0) AS n_tokens
-    FROM documents d LEFT JOIN agg USING (doc_id)
-"""
-
-
-@_register(
-    "ngram_lm",
     NGRAM_LM_ORACLE,
-    "Stupid-backoff trigram LM trained on documents, scoring the same "
-    "corpus (CCNet perplexity filter). Promoted to a driver slot in "
-    "r9 (rotation).",
-)
-def ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a stupid-backoff trigram LM on the documents table and
-    score every document's avg log-prob / perplexity
-    (operators/textstats.py:train_ngram_lm / ngram_lm_logprob)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    lm = ts.train_ngram_lm(docs, "text", n=3)
-    return ts.ngram_lm_logprob(docs, "doc_id", "text", lm, n=3)
-
-
-# Oracle twin for weighted_sample — UNREGISTERED, same pattern. The
-# Efraimidis-Spirakis key is order-compared only (never summed), so
-# float parity holds row-by-row.
-WEIGHTED_SAMPLE_ORACLE = """
-    WITH keyed AS (
-        SELECT doc_id, source, n_chars,
-               -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                         AS BIGINT) + 1.0) / 4294967297.0) / n_chars AS es
-        FROM documents WHERE n_chars > 0
-    )
-    SELECT doc_id, source, n_chars FROM keyed
-    QUALIFY row_number() OVER (PARTITION BY source ORDER BY es, doc_id) <= 10
-"""
-
-
-@_register(
-    "weighted_sample",
     WEIGHTED_SAMPLE_ORACLE,
-    "Deterministic weighted sampling without replacement "
-    "(Efraimidis-Spirakis, RNG-free). Unregistered; hash-pinned "
-    "locally.",
 )
-def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling without replacement, n_chars as
-    the weight, 10 docs per source (quota binds: 20 sources x 25 docs
-    each at sf0.001) (operators/sampling.py:weighted_hash_sample).
-    Unregistered; pinned by
-    `test_unregistered_query_parity[weighted_sample]`."""
-    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
-        weighted_hash_sample,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    return weighted_hash_sample(
-        docs, "doc_id", "n_chars", quota=10, strata=["source"]
-    )
-
-
-# Oracle twin for merge_upsert — UNREGISTERED; last-writer-wins key
-# merge of a changes batch (high-half orders stand in for the batch)
-# into the current snapshot (low half), changes beating ties.
-MERGE_UPSERT_ORACLE = """
-    WITH cur AS (
-        SELECT o_custkey, o_orderkey, o_orderstatus, 0 AS src
-        FROM orders WHERE o_orderkey % 2 = 0
-    ),
-    chg AS (
-        SELECT o_custkey, o_orderkey, o_orderstatus, 1 AS src
-        FROM orders WHERE o_orderkey % 2 = 1
-    ),
-    u AS (SELECT * FROM cur UNION ALL SELECT * FROM chg)
-    SELECT o_custkey, o_orderkey, o_orderstatus FROM u
-    QUALIFY row_number() OVER (
-        PARTITION BY o_custkey ORDER BY o_orderkey DESC, src DESC) = 1
-"""
-
-
-@_register(
-    "merge_upsert_q",
+from udacity_data_engineering_capstone_project_spark.plans.queries_signals import (
+    merge_upsert_q,
+    range_join_q,
+    resample_q,
+    category_drift_q,
+    numeric_drift_q,
+    dup_spans_q,
+    token_budget_q,
+    corpus_diff_q,
+    winsorize_q,
+    language_id_q,
+    clustering_coeff_q,
+    quantile_sketch_q,
+    triangle_count_q,
+    url_canon_q,
+    heavy_hitters_q,
+    heavy_hitters_bench,
     MERGE_UPSERT_ORACLE,
-    "MERGE-INTO shape (operators/scd.py:merge_upsert): per business "
-    "key the row with the highest order column wins, changes beat "
-    "the snapshot on ties. Promoted to a driver slot in round 4.",
-)
-def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE-INTO shape (operators/scd.py:merge_upsert): per business
-    key the row with the highest order column wins, changes beat the
-    snapshot on ties. Promoted to a driver slot in round 4."""
-    from udacity_data_engineering_capstone_project_spark.operators.scd import merge_upsert
-
-    o = _t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderstatus"
-    )
-    current = o.filter(F.col("o_orderkey") % 2 == 0)
-    changes = o.filter(F.col("o_orderkey") % 2 == 1)
-    return merge_upsert(current, changes, ["o_custkey"], "o_orderkey")
-
-
-# Oracle twin for range_join — UNREGISTERED; events land in
-# per-customer order-validity intervals. DuckDB plans the theta join
-# directly; our engine's bucket-and-prune must produce identical rows.
-RANGE_JOIN_ORACLE = """
-    WITH iv AS (
-        SELECT o_custkey AS k, o_orderkey AS iv_id,
-               (o_orderkey % 1000) * 10 AS lo,
-               (o_orderkey % 1000) * 10 + 500 AS hi
-        FROM orders WHERE o_orderkey % 7 = 0
-    ),
-    pt AS (
-        SELECT user_id % 50 AS k, event_id AS pt_id, event_id % 10000 AS p
-        FROM events WHERE event_id % 11 = 0
-    )
-    SELECT pt.k, pt_id, p, iv_id, lo, hi
-    FROM pt JOIN iv ON pt.k = iv.k AND p >= lo AND p <= hi
-"""
-
-
-@_register(
-    "range_join_q",
     RANGE_JOIN_ORACLE,
-    "Interval containment via bucket-and-prune equi-join "
-    "(operators/relational.py:range_join) — Spark would otherwise "
-    "plan a broadcast-nested-loop. Promoted to a driver slot in "
-    "round 4.",
-    registered=False,  # r8: ceded (rotation); bucket-and-prune parity stays pinned in the unregistered gate
-)
-def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval containment via bucket-and-prune equi-join
-    (operators/relational.py:range_join) — Spark would otherwise plan
-    a broadcast-nested-loop. Promoted to a driver slot in round 4."""
-    from udacity_data_engineering_capstone_project_spark.operators.relational import (
-        range_join,
-    )
-
-    o = _t(spark, sf_dir, "orders")
-    iv = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderkey").alias("iv_id"),
-        ((F.col("o_orderkey") % 1000) * 10).alias("lo"),
-        ((F.col("o_orderkey") % 1000) * 10 + 500).alias("hi"),
-    )
-    ev = _t(spark, sf_dir, "events")
-    pt = ev.filter(F.col("event_id") % 11 == 0).select(
-        (F.col("user_id") % 50).alias("k"),
-        F.col("event_id").alias("pt_id"),
-        (F.col("event_id") % 10000).alias("p"),
-    )
-    return range_join(pt, iv, ["k"], "p", "lo", "hi", bucket_width=512).select(
-        "k", "pt_id", "p", "iv_id", "lo", "hi"
-    )
-
-
-# Oracle twin for resample_time_series — UNREGISTERED; the per-key
-# dense hourly spine (silent hours as explicit zero rows) via
-# generate_series in DuckDB vs sequence+explode in Spark.
-RESAMPLE_ORACLE = """
-    WITH e AS (
-        SELECT user_id % 20 AS k, time_bucket(INTERVAL '1 hour', ts) AS b, value
-        FROM events
-    ),
-    agg AS (
-        SELECT k, b, count(*) AS n_events, round(sum(value), 2) AS sum_value
-        FROM e GROUP BY 1, 2
-    ),
-    span AS (SELECT k, min(b) AS lo, max(b) AS hi FROM e GROUP BY 1),
-    spine AS (
-        SELECT k, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS b
-        FROM span
-    )
-    SELECT spine.k, epoch_us(spine.b) AS bucket_us,
-           coalesce(n_events, 0) AS n_events, sum_value
-    FROM spine LEFT JOIN agg USING (k, b)
-"""
-
-
-@_register(
-    "resample_q",
     RESAMPLE_ORACLE,
-    "Gap-filling resample to a dense per-key hourly grid. "
-    "Unregistered; hash-pinned locally.",
-)
-def resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-filling resample to a dense per-key hourly grid
-    (operators/relational.py:resample_time_series). Unregistered;
-    pinned by `test_unregistered_query_parity[resample_q]`."""
-    from udacity_data_engineering_capstone_project_spark.operators.relational import (
-        resample_time_series,
-    )
-
-    ev = _t(spark, sf_dir, "events").select(
-        (F.col("user_id") % 20).alias("k"), "ts", "value"
-    )
-    out = resample_time_series(
-        ev,
-        ["k"],
-        "ts",
-        "1 hour",
-        aggs={
-            "n_events": F.count(F.lit(1)),
-            "sum_value": F.round(F.sum("value"), 2),
-        },
-        fill={"n_events": 0},
-    )
-    return out.select(
-        "k",
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', bucket_start)"
-        ).alias("bucket_us"),
-        "n_events",
-        "sum_value",
-    )
-
-
-# Oracle twin for category_drift — UNREGISTERED; PSI drift of the
-# language mix between the even- and odd-id halves of the corpus.
-CATEGORY_DRIFT_ORACLE = """
-    WITH b AS (
-        SELECT lang AS category,
-               count(*) / (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS sb
-        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
-    ),
-    n AS (
-        SELECT lang AS category,
-               count(*) / (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS sn
-        FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
-    )
-    SELECT coalesce(b.category, n.category) AS category,
-           round(coalesce(sb, 1e-6), 6) AS share_base,
-           round(coalesce(sn, 1e-6), 6) AS share_new,
-           round((coalesce(sn, 1e-6) - coalesce(sb, 1e-6))
-                 * ln(coalesce(sn, 1e-6) / coalesce(sb, 1e-6)), 6) AS psi
-    FROM b FULL OUTER JOIN n ON b.category IS NOT DISTINCT FROM n.category
-"""
-
-
-@_register(
-    "category_drift_q",
     CATEGORY_DRIFT_ORACLE,
-    "PSI drift report of the corpus language mix between snapshot "
-    "halves (operators/quality.py:category_drift). Promoted to a "
-    "driver slot in round 4.",
-    registered=False,  # r7: ceded to the crawl-tier promotions; the PSI drift family keeps numeric_drift_q registered
-)
-def category_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI drift report of the corpus language mix between snapshot
-    halves (operators/quality.py:category_drift). Promoted to a
-    driver slot in round 4."""
-    from udacity_data_engineering_capstone_project_spark.operators.quality import (
-        category_drift,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return category_drift(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
-        "lang",
-    )
-
-
-# Oracle twin for numeric_drift — UNREGISTERED; PSI of n_chars between
-# corpus halves over the base half's rounded decile edges. Both
-# engines round the interpolated quantiles to 6 decimals BEFORE bin
-# assignment, so boundary membership is engine-deterministic.
-NUMERIC_DRIFT_ORACLE = """
-    WITH e AS (
-        SELECT list_transform(
-                   quantile_cont(n_chars,
-                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
-                   q -> round(q, 6)) AS qs
-        FROM documents WHERE doc_id % 2 = 0
-    ),
-    b AS (
-        SELECT len(list_filter(e.qs, x -> x < d.n_chars)) AS bin,
-               count(*) / (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS sb
-        FROM documents d, e WHERE d.doc_id % 2 = 0 GROUP BY 1
-    ),
-    n AS (
-        SELECT len(list_filter(e.qs, x -> x < d.n_chars)) AS bin,
-               count(*) / (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS sn
-        FROM documents d, e WHERE d.doc_id % 2 = 1 GROUP BY 1
-    )
-    SELECT bin,
-           round(coalesce(sb, 1e-6), 6) AS share_base,
-           round(coalesce(sn, 1e-6), 6) AS share_new,
-           round((coalesce(sn, 1e-6) - coalesce(sb, 1e-6))
-                 * ln(coalesce(sn, 1e-6) / coalesce(sb, 1e-6)), 6) AS psi
-    FROM b FULL OUTER JOIN n USING (bin)
-"""
-
-
-@_register(
-    "numeric_drift_q",
     NUMERIC_DRIFT_ORACLE,
-    "Decile-bin PSI of document length between snapshot halves "
-    "(operators/quality.py:numeric_drift). Promoted to a driver "
-    "slot in round 4.",
-)
-def numeric_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile-bin PSI of document length between snapshot halves
-    (operators/quality.py:numeric_drift). Promoted to a driver slot
-    in round 4."""
-    from udacity_data_engineering_capstone_project_spark.operators.quality import (
-        numeric_drift,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    out = numeric_drift(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
-        "n_chars",
-        bins=10,
-    )
-    return out.withColumn("bin", F.col("bin").cast("long"))
-
-
-# Oracle twin for duplicated_spans — UNREGISTERED; ExactSubstr-style
-# repeated-window span detection, islands merged in SQL the same way.
-DUP_SPANS_ORACLE = """
-    WITH t AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-        FROM documents
-    ),
-    w AS (
-        SELECT doc_id, CAST(u.p AS BIGINT) AS p,
-               md5(array_to_string(toks[u.p:u.p + 11], ' ')) AS g
-        FROM t, unnest(generate_series(1, len(toks) - 11)) AS u(p)
-        WHERE len(toks) >= 12
-    ),
-    r AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
-    d AS (SELECT doc_id, p FROM w JOIN r USING (g)),
-    i AS (
-        SELECT doc_id, p,
-               CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
-                         OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 12
-                    THEN 1 ELSE 0 END AS brk
-        FROM d
-    ),
-    s AS (
-        SELECT doc_id, p,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY p
-                              ROWS UNBOUNDED PRECEDING) AS island
-        FROM i
-    )
-    SELECT doc_id, min(p) AS start_token, max(p) + 11 AS end_token,
-           count(*) AS n_windows
-    FROM s GROUP BY doc_id, island
-"""
-
-
-@_register(
-    "dup_spans_q",
     DUP_SPANS_ORACLE,
-    "ExactSubstr-style repeated-substring spans (operators/dedup.py:"
-    "duplicated_spans): maximal token spans whose 12-token windows "
-    "recur anywhere in the corpus — the sub-document dedup granularity "
-    "MinHash misses (Lee et al. 2021). Registered in round 4 (slot "
-    "ceded by the rows-only approx_distinct).",
-)
-def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.duplicated_spans(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=12
-    )
-
-
-# Oracle twin for cap_tokens_per_group — UNREGISTERED; the hash order
-# and the running sum reproduce verbatim in DuckDB (md5 is md5).
-TOKEN_BUDGET_ORACLE = """
-    WITH s AS (
-        SELECT doc_id, source, n_chars,
-               sum(n_chars) OVER (
-                   PARTITION BY source
-                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
-                   ROWS UNBOUNDED PRECEDING
-               ) - n_chars AS started_at
-        FROM documents
-    )
-    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
-    FROM s WHERE started_at < 2000
-"""
-
-
-@_register(
-    "token_budget_q",
     TOKEN_BUDGET_ORACLE,
-    "Weighted per-source budget cap (operators/sampling.py:"
-    "cap_tokens_per_group): hash-ordered documents kept while their "
-    "cumulative size starts under 2000 chars per source — the "
-    "token-budget mixing step. Promoted to a driver slot in r6 (rotation).",
-)
-def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
-        cap_tokens_per_group,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    return cap_tokens_per_group(
-        docs, ["source"], "n_chars", budget=2000, key_col="doc_id"
-    )
-
-
-# Oracle twin for corpus_diff — UNREGISTERED. The "new" corpus
-# version is derived deterministically from documents (drop %13,
-# append a marker to %7, add shifted ids for %11), so both engines
-# compute the same diff from first principles.
-CORPUS_DIFF_ORACLE = """
-    WITH old AS (
-        SELECT doc_id,
-               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS old_fp
-        FROM documents
-    ),
-    new_v AS (
-        SELECT doc_id,
-               md5(regexp_replace(lower(text || CASE WHEN doc_id % 7 = 0
-                        THEN ' edited' ELSE '' END),
-                    '[^a-z0-9]', '', 'g')) AS new_fp
-        FROM documents WHERE doc_id % 13 <> 0
-        UNION ALL
-        SELECT doc_id + 1000000,
-               md5(regexp_replace(lower('brand new doc ' ||
-                        CAST(doc_id AS VARCHAR)), '[^a-z0-9]', '', 'g'))
-        FROM documents WHERE doc_id % 11 = 0
-    )
-    SELECT COALESCE(old.doc_id, new_v.doc_id) AS doc_id,
-           CASE WHEN old.doc_id IS NULL THEN 'added'
-                WHEN new_v.doc_id IS NULL THEN 'removed'
-                WHEN old_fp = new_fp THEN 'unchanged'
-                ELSE 'changed' END AS status,
-           old_fp, new_fp
-    FROM old FULL OUTER JOIN new_v ON old.doc_id = new_v.doc_id
-"""
-
-
-@_register(
-    "corpus_diff_q",
     CORPUS_DIFF_ORACLE,
-    "Corpus-version content diff (operators/dedup.py:corpus_diff): "
-    "added/removed/changed/unchanged per id from fingerprint "
-    "comparison — one id-shuffle full-outer join, content-size-"
-    "independent. Promoted to a driver slot in r6 (rotation).",
-    registered=False,  # r7: ceded to the crawl-tier promotions; fingerprint-diff shape; full-outer-join coverage stays via the drift rows
-)
-def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.dedup import corpus_diff
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    new_v = (
-        docs.filter(F.col("doc_id") % 13 != 0)
-        .withColumn(
-            "text",
-            F.when(
-                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
-            ).otherwise(F.col("text")),
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 11 == 0).select(
-                (F.col("doc_id") + 1_000_000).alias("doc_id"),
-                F.concat(
-                    F.lit("brand new doc "), F.col("doc_id").cast("string")
-                ).alias("text"),
-            )
-        )
-    )
-    return corpus_diff(docs, new_v, "doc_id", "text")
-
-
-# Oracle twin for winsorize — UNREGISTERED. Spark's exact interpolated
-# `percentile` and DuckDB's `quantile_cont` are the same estimator, so
-# the clip bounds (and therefore every clipped value) must agree
-# bit-for-bit before the 2 dp rounding.
-WINSORIZE_ORACLE = """
-    WITH cuts AS (
-        SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS lo_p,
-               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS hi_p,
-               quantile_cont(CAST(l_quantity AS DOUBLE), 0.01) AS lo_q,
-               quantile_cont(CAST(l_quantity AS DOUBLE), 0.99) AS hi_q
-        FROM lineitem
-    )
-    SELECT l_orderkey, l_linenumber,
-           round(least(greatest(CAST(l_extendedprice AS DOUBLE), lo_p), hi_p), 2)
-               AS price_w,
-           round(least(greatest(CAST(l_quantity AS DOUBLE), lo_q), hi_q), 2)
-               AS qty_w
-    FROM lineitem, cuts
-"""
-
-
-@_register(
-    "winsorize_q",
     WINSORIZE_ORACLE,
-    "Quantile clipping (operators/quality.py:winsorize): one "
-    "aggregation derives every column's 1%/99% cuts, the clip is a "
-    "pure projection. Hash-checked against DuckDB "
-    "quantile_cont.",
-    # r5: driver slot; r8: ceded; r9: re-promoted (rotation).
-)
-def winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.quality import winsorize
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
-    )
-    out = winsorize(li, ["l_extendedprice", "l_quantity"], 0.01, 0.99)
-    return out.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.col("l_extendedprice"), 2).alias("price_w"),
-        F.round(F.col("l_quantity"), 2).alias("qty_w"),
-    )
-
-
-# Oracle twin for language_id. DuckDB RETRAINS the same naive-Bayes
-# model in SQL (same lowercased char-3 shingles, same portable md5
-# bucket, same round(1e6*ln p) integer weights) and must reproduce
-# every argmax. The testdata's lang labels are random w.r.t. the
-# text, which only makes the parity stricter: both engines must agree
-# even on noise.
-#
-# GRADED CONTRACT (r6): pred_label + n_buckets only — the raw integer
-# score is NOT in the graded projection. Each engine recomputes every
-# ln() with its own libm; a 1-ulp difference at a round() half-boundary
-# shifts one weight by 1 and broke the r5 driver hash even though all
-# predictions agreed. pred_label itself is jitter-proof on this data:
-# a 1-ulp ln perturbation moves each integer weight by at most 1, so a
-# doc matching S buckets sees its top-2 margin move by at most
-# 2*(S+1); the measured minimum margin/jitter-bound ratio is >100x at
-# sf0.001/0.01/0.1 (pinned by test_language_id_margin_headroom).
-# n_buckets is an exact integer (md5 bucketing, no transcendentals).
-# Exact integer-score parity stays pinned in the local pytest
-# (test_language_id_exact_scores_vs_duckdb), where one libm computes both sides.
-LANGUAGE_ID_ORACLE = """
-    WITH base AS (
-        SELECT doc_id, lang AS label, lower(text) AS t
-        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
-    ),
-    sh AS (
-        SELECT DISTINCT doc_id, label,
-               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS bucket
-        FROM (
-            SELECT doc_id, label,
-                   unnest(list_distinct(list_transform(
-                       range(1, greatest(length(t) - 2, 0) + 1),
-                       i -> substr(t, i, 3)))) AS g
-            FROM base)
-    ),
-    n_docs AS (SELECT label, count(*) AS n FROM base GROUP BY 1),
-    tot AS (SELECT count(*) AS c FROM base),
-    presence AS (
-        SELECT bucket, label, count(*) AS d FROM sh GROUP BY 1, 2
-    ),
-    dense AS (
-        SELECT b.bucket, l.label,
-               CAST(round(1000000.0 *
-                    ln((COALESCE(p.d, 0) + 1.0) / (l.n + 2.0))) AS BIGINT) AS w
-        FROM (SELECT DISTINCT bucket FROM sh) b
-        CROSS JOIN n_docs l
-        LEFT JOIN presence p ON p.bucket = b.bucket AND p.label = l.label
-    ),
-    info AS (
-        SELECT label,
-               CAST(round(1000000.0 * ln(n * 1.0 / tot.c)) AS BIGINT) AS prior_w
-        FROM n_docs, tot
-    ),
-    scored AS (
-        SELECT s.doc_id, d.label, sum(d.w) AS sw,
-               count(*) AS n_buckets
-        FROM (SELECT DISTINCT doc_id, bucket FROM sh) s
-        JOIN dense d USING (bucket)
-        GROUP BY 1, 2
-    ),
-    final AS (
-        SELECT scored.doc_id, scored.label,
-               scored.sw + info.prior_w AS score,
-               scored.n_buckets
-        FROM scored JOIN info USING (label)
-    )
-    SELECT doc_id, label AS pred_label, n_buckets
-    FROM (SELECT *, row_number() OVER (
-              PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
-          FROM final)
-    WHERE rn = 1
-"""
-
-
-@_register(
-    "language_id_q",
     LANGUAGE_ID_ORACLE,
-    "Trained naive-Bayes language ID (operators/textstats.py:"
-    "train_language_id/apply_language_id): hashed char-shingle "
-    "Bernoulli model with integer log-weights. The DuckDB oracle "
-    "retrains the model in SQL and must reproduce every prediction. "
-    "Graded projection is (pred_label, n_buckets) — jitter-proof "
-    "under cross-libm ln() ulp differences (r5 driver hash lesson); "
-    "exact integer scores stay pinned in the local pytest.",
-    # r5: promoted to a driver slot (rotation; was unregistered).
-    # r6: graded projection made platform-safe (score dropped).
-)
-def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
-        apply_language_id,
-        train_language_id,
-    )
-
-    docs = _t(spark, sf_dir, "documents").filter(
-        F.col("lang").isNotNull() & F.col("text").isNotNull()
-    )
-    model, info = train_language_id(docs, "text", "lang")
-    return apply_language_id(
-        docs.select("doc_id", "text"), "doc_id", "text", model, info
-    ).select("doc_id", "pred_label", "n_buckets")
-
-
-# Oracle twin for clustering_coefficient — UNREGISTERED; same
-# supplier co-occurrence graph as triangle_count_q, with DuckDB
-# deriving degree and 2T/(d(d-1)) independently.
-CLUSTERING_COEFF_ORACLE = """
-    WITH pairs AS (
-        SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
-                        greatest(a.l_suppkey, b.l_suppkey) AS v
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-    ),
-    deg AS (
-        SELECT n, count(*) AS degree FROM
-            (SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
-        GROUP BY 1
-    ),
-    tri AS (
-        SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        FROM pairs e1
-        JOIN pairs e2 ON e2.u = e1.v
-        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
-    ),
-    per AS (
-        SELECT n, count(*) AS t
-        FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
-              UNION ALL SELECT c FROM tri)
-        GROUP BY 1
-    )
-    SELECT deg.n AS node, deg.degree,
-           COALESCE(per.t, 0) AS n_triangles,
-           CASE WHEN deg.degree >= 2
-                THEN round(2.0 * COALESCE(per.t, 0)
-                           / (deg.degree * (deg.degree - 1)), 6)
-                ELSE 0.0 END AS coefficient
-    FROM deg LEFT JOIN per ON per.n = deg.n
-"""
-
-
-@_register(
-    "clustering_coeff_q",
     CLUSTERING_COEFF_ORACLE,
-    "Local clustering coefficient (operators/graph.py:"
-    "clustering_coefficient) over the supplier co-occurrence graph — "
-    "the link-farm density signal. Promoted to a driver slot in r6 (rotation).",
-)
-def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.graph import (
-        clustering_coefficient,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        on=[
-            F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-            F.col("a.l_suppkey") < F.col("b.l_suppkey"),
-        ],
-    ).select(
-        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-    )
-    return clustering_coefficient(edges)
-
-
-# Oracle twin for quantile_sketch — UNREGISTERED. DDSketch bucket
-# counts are EXACT integers and both engines bucket with
-# ceil(ln(x)/ln(gamma)) on IEEE doubles; verified value-for-value
-# identical over the (static) testdata before registering — a flip
-# would need an input within one ulp of a bucket boundary.
-QUANTILE_SKETCH_ORACLE = """
-    SELECT lang,
-           CASE WHEN n_chars > 0 THEN 1 WHEN n_chars < 0 THEN -1
-                ELSE 0 END AS sign,
-           CASE WHEN n_chars = 0 THEN 0
-                ELSE CAST(ceil(ln(abs(CAST(n_chars AS DOUBLE))) / 0.020000666706669435)
-                          AS INT) END AS bucket,
-           count(*) AS count
-    FROM documents
-    WHERE n_chars IS NOT NULL
-    GROUP BY 1, 2, 3
-"""
-
-
-@_register(
-    "quantile_sketch_q",
     QUANTILE_SKETCH_ORACLE,
-    "DDSketch quantile partials (operators/sketches.py:quantile_sketch)"
-    " over document lengths per language: geometric buckets with 1%%"
-    " relative error, exact integer counts, mergeable forever."
-    " Hash-checked against DuckDB's independent ln/ceil bucketing."
-    " Promoted to a driver slot in r6 (rotation).",
-)
-def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.sketches import (
-        quantile_sketch,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
-    return quantile_sketch(docs, ["lang"], "n_chars", alpha=0.01)
-
-
-# Oracle twin for triangle_count — UNREGISTERED. Per-node triangle
-# counts ARE single-pass-SQL-expressible (unlike PageRank): DuckDB
-# enumerates ordered triples a<b<c directly, which must equal the
-# engine's degree-oriented wedge-join count exactly.
-TRIANGLE_ORACLE = """
-    WITH pairs AS (
-        SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
-                        greatest(a.l_suppkey, b.l_suppkey) AS v
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-    ),
-    tri AS (
-        SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        FROM pairs e1
-        JOIN pairs e2 ON e2.u = e1.v
-        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
-    ),
-    nodes AS (SELECT u AS n FROM pairs UNION SELECT v AS n FROM pairs),
-    per AS (
-        SELECT n, count(*) AS t
-        FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
-              UNION ALL SELECT c FROM tri)
-        GROUP BY 1
-    )
-    SELECT n AS node, COALESCE(t, 0) AS n_triangles
-    FROM nodes LEFT JOIN per USING (n)
-"""
-
-
-@_register(
-    "triangle_count_q",
     TRIANGLE_ORACLE,
-    "Per-node triangle counts (operators/graph.py:triangle_count) over "
-    "the supplier co-occurrence graph (suppliers sharing an order): "
-    "degree-oriented wedge join, O(m^1.5) wedge bound, hub-safe. "
-    "Hash-checked against DuckDB's direct ordered-triple "
-    "enumeration.",
-    # r5: driver slot; r7: ceded; r9: re-promoted (rotation).
-)
-def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.graph import (
-        triangle_count,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        on=[
-            F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-            F.col("a.l_suppkey") < F.col("b.l_suppkey"),
-        ],
-    ).select(
-        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-    )
-    return triangle_count(edges)
-
-
-# Synthetic-URL construction shared (up to the string-cast spelling)
-# by the Spark query and the DuckDB oracle: every doc gets a URL whose
-# case, default/non-default port, tracking params and fragment vary by
-# doc_id residues, so one query exercises the whole canonicalization
-# matrix. The oracle computes the EXPECTED canonical form directly
-# from the residue cases — an independent derivation, not a port of
-# the algorithm.
-_RAW_URL_SQL = (
-    "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' || "
-    "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source) ELSE source END || "
-    "CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.Co.UK' "
-    "WHEN 2 THEN '.org' ELSE '.net' END || "
-    "CASE WHEN doc_id % 5 = 0 THEN "
-    "(CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END || "
-    "'/p/' || CAST(doc_id AS {T}) || "
-    "CASE doc_id % 7 WHEN 0 THEN '?utm_source=x&q=' || CAST(doc_id AS {T}) "
-    "WHEN 1 THEN '?q=' || CAST(doc_id AS {T}) || '&fbclid=zz' "
-    "WHEN 2 THEN '?utm_campaign=only' ELSE '' END || "
-    "CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END"
-)
-
-URL_CANON_ORACLE = f"""
-    SELECT doc_id,
-           {_RAW_URL_SQL.format(T="VARCHAR")} AS url,
-           (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://' ||
-            lower(CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source)
-                       ELSE source END ||
-                  CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.Co.UK'
-                       WHEN 2 THEN '.org' ELSE '.net' END) ||
-            '/p/' || CAST(doc_id AS VARCHAR) ||
-            CASE WHEN doc_id % 7 IN (0, 1)
-                 THEN '?q=' || CAST(doc_id AS VARCHAR) ELSE '' END
-           ) AS canon_url,
-           (lower(source) ||
-            CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
-                 WHEN 2 THEN '.org' ELSE '.net' END
-           ) AS domain
-    FROM documents
-"""
-
-
-@_register(
-    "url_canon_q",
+    _RAW_URL_SQL,
     URL_CANON_ORACLE,
-    "URL canonicalization + registered-domain extraction "
-    "(functions/urls.py): mixed-case scheme/host, default ports, "
-    "tracking params, fragments and multi-label public suffixes all "
-    "normalized in one codegen projection. Hash-checked "
-    "against an independent case-by-case oracle.",
-    # r5: promoted to a driver slot (rotation; was unregistered).
-    registered=False,  # r9: ceded (rotation); URL normalization stays driver-graded via robots_filter_q + crawl_pipeline_q; hash-pinned in the unregistered gate
-)
-def url_canon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.functions.urls import (
-        canonicalize_url,
-        registered_domain,
-        url_host,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    df = docs.withColumn("url", F.expr(_RAW_URL_SQL.format(T="STRING")))
-    return df.select(
-        "doc_id",
-        "url",
-        canonicalize_url("url").alias("canon_url"),
-        registered_domain(url_host("url")).alias("domain"),
-    )
-
-
-# Oracle twin for heavy_hitters — UNREGISTERED; DuckDB computes the
-# exact answer the slow way (full group-by) and must agree with the
-# two-pass freqItems-refinement exactly, proving the superset guarantee
-# held and the verify pass dropped every false positive.
-HEAVY_HITTERS_ORACLE = """
-    WITH c AS (SELECT user_id AS value, count(*) AS count
-               FROM events GROUP BY 1),
-         t AS (SELECT count(*) AS total FROM events)
-    SELECT value, count, round(count * 1.0 / total, 6) AS frac
-    FROM c, t
-    WHERE value IS NOT NULL AND count >= total * 0.006
-"""
-
-
-@_register(
-    "heavy_hitters_q",
     HEAVY_HITTERS_ORACLE,
-    "Exact heavy hitters (operators/sketches.py:heavy_hitters): "
-    "freqItems candidate pass + one candidate-or-null exact recount — "
-    "bounded-shuffle frequent values with exact counts. Registered in "
-    "round 4 session 3 (slot ceded by grouping_sets_sales).",
 )
-def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.operators.sketches import heavy_hitters
-
-    return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", min_frac=0.006)
-
-
-def heavy_hitters_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only variant (not registered, not graded): at sf0.1 the
-    events table has ~10x the users of sf0.01 with the same flat
-    distribution, so the graded 0.6%% threshold returns 0 rows and the
-    bench measured only the scans, never the candidate->verify join
-    (r5 finding). 0.05%% sits just below the flat per-user share, so
-    the freqItems candidate pass, the exact recount, and the verify
-    join all do real work at sf0.1. Semantics stay pinned by the
-    graded heavy_hitters_q at sf0.01."""
-    from udacity_data_engineering_capstone_project_spark.operators.sketches import heavy_hitters
-
-    return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", min_frac=0.0005)
-
-
-# Oracle twin for gopher_quality — UNREGISTERED; DuckDB reproduces the
-# whole rule battery with list lambdas over the same word/line splits.
-GOPHER_QUALITY_ORACLE = """
-    WITH t AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(text, '\\s+'),
-                           w -> w <> '') AS words,
-               string_split(text, chr(10)) AS lines,
-               len(regexp_extract_all(text, '#')) +
-               len(regexp_extract_all(text, '\\.\\.\\.')) +
-               len(regexp_extract_all(text, '…')) AS n_symbols
-        FROM documents
-    ),
-    s AS (
-        SELECT doc_id,
-               len(words) AS n_words,
-               len(lines) AS n_lines,
-               COALESCE(list_sum(list_transform(words, w -> len(w))), 0)
-                   AS wlen_sum,
-               len(list_filter(words,
-                   w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
-               len(list_filter(lines,
-                   l -> regexp_matches(ltrim(l), '^[-*•‣▪]'))) AS bullet_lines,
-               len(list_filter(lines,
-                   l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
-                   AS ellipsis_lines,
-               n_symbols,
-               len(list_filter(['the', 'a'],
-                   s -> list_contains(list_transform(words, w -> lower(w)), s)))
-                   AS stop_hits
-        FROM t
-    )
-    SELECT doc_id,
-           CAST(n_words AS BIGINT) AS n_words,
-           round(CASE WHEN n_words > 0
-                      THEN wlen_sum * 1.0 / n_words ELSE 0 END, 6)
-               AS mean_word_len,
-           round(CASE WHEN n_words > 0
-                      THEN n_symbols * 1.0 / n_words ELSE 0 END, 6)
-               AS symbol_word_ratio,
-           round(CASE WHEN n_lines > 0
-                      THEN bullet_lines * 1.0 / n_lines ELSE 0 END, 6)
-               AS frac_bullet_lines,
-           round(CASE WHEN n_lines > 0
-                      THEN ellipsis_lines * 1.0 / n_lines ELSE 0 END, 6)
-               AS frac_ellipsis_lines,
-           round(CASE WHEN n_words > 0
-                      THEN alpha_words * 1.0 / n_words ELSE 0 END, 6)
-               AS frac_alpha_words,
-           CAST(stop_hits AS BIGINT) AS n_stop_hits,
-           CAST(CASE WHEN n_words BETWEEN 40 AND 100000
-                      AND (CASE WHEN n_words > 0
-                                THEN wlen_sum * 1.0 / n_words ELSE 0 END)
-                          BETWEEN 3.0 AND 10.0
-                      AND (CASE WHEN n_words > 0
-                                THEN n_symbols * 1.0 / n_words ELSE 0 END) <= 0.1
-                      AND (CASE WHEN n_lines > 0
-                                THEN bullet_lines * 1.0 / n_lines ELSE 0 END)
-                          <= 0.9
-                      AND (CASE WHEN n_lines > 0
-                                THEN ellipsis_lines * 1.0 / n_lines ELSE 0 END)
-                          <= 0.3
-                      AND (CASE WHEN n_words > 0
-                                THEN alpha_words * 1.0 / n_words ELSE 0 END)
-                          >= 0.8
-                      AND stop_hits >= 2
-                 THEN 1 ELSE 0 END AS BIGINT) AS keep
-    FROM s
-"""
-
-
-@_register(
-    "gopher_quality_q",
+from udacity_data_engineering_capstone_project_spark.plans.queries_quality import (
+    gopher_quality_q,
+    pq_ann_q,
+    capstone_counts,
+    ingest_anomaly_q,
+    skew_report_q,
+    quality_bins_q,
+    pr_curve_q,
+    embedding_drift_q,
     GOPHER_QUALITY_ORACLE,
-    "Gopher rule battery (operators/textstats.py:gopher_quality): "
-    "word-count/word-length/symbol/bullet/ellipsis/alpha/stopword "
-    "document quality rules (Rae et al. 2021 App. A). Registered in "
-    "round 4 session 3 (slot ceded by the rows-only dedup_clusters).",
-)
-def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = ts.gopher_quality(
-        _t(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        min_words=40,
-        min_stop_hits=2,
-        stopwords=("the", "a"),
-    )
-    return out.withColumn("keep", F.col("keep").cast("long"))
-
-
-@_register(
-    "pq_ann_q",
-    # r7 conversion of the former no_oracle row: with the rerank pool
-    # sized past the worst ADC rank of any true neighbor (measured 215
-    # of 500 at sf0.01; pool = k*30 = 300, pinned by
-    # test_pq_rerank_pool_covers_exact_topk), the exact-cosine rerank
-    # provably returns the brute-force top-10 — so DuckDB's exact
-    # brute-force IS a fair oracle, and an ADC/codebook regression
-    # that pushed a true neighbor out of the pool would surface as a
-    # hash mismatch here. The k-means/encode internals stay pinned by
-    # tests/test_pq.py numpy parity.
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10),
-    scored AS (
-        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-               round(list_dot_product(q.v, e.v) /
-                     (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
-                   AS cos_sim
-        FROM e CROSS JOIN q
-        WHERE e.vec_id != q.vec_id
-    )
-    SELECT query_id, neighbor_id,
-           CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
-           cos_sim
-    FROM scored
-    QUALIFY rank <= 10
-    """,
-    "Product-quantization ANN (operators/similarity.py:train_pq_"
-    "codebooks/pq_encode/pq_topk): 8-byte PQ codes + ADC search + "
-    "exact-cosine rerank (Jegou et al. 2011), hash-checked against "
-    "DuckDB's brute-force top-10 (rerank pool covers the exact set).",
-    # r5: promoted to a driver slot; r7: oracle-converted.
-)
-def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the embeddings file arrives as one split at bench scales — spread
-    # it once so training/encode/search engage every core (no-op shape
-    # at real scale where inputs arrive already split)
-    emb = sim.normalize_embeddings(
-        _t(spark, sf_dir, "embeddings").repartition(
-            spark.sparkContext.defaultParallelism, "vec_id"
-        ),
-        "embedding",
-    ).localCheckpoint(eager=True)
-    cb = sim.train_pq_codebooks(emb, "vec_id", "embedding", m=16, k=32, iters=3)
-    codes = sim.pq_encode(emb, cb, "embedding")
-    queries_df = emb.orderBy("vec_id").limit(10)
-    # rerank pool derived from CORPUS SIZE, not a fixed multiple (r8,
-    # review finding). Measured ladder of the worst ENGINE-ADC rank of
-    # a true top-10 neighbor (m=16/k=32 codebooks, pq_topk ordering):
-    # 215 of 500 (43%) at sf0.01, 357 of 2000 (17.9%) at sf0.1 — the
-    # absolute rank grows sublinearly while the FRACTION shrinks, so a
-    # fixed fraction is conservative upward in n. A first r8 cut used
-    # 6% on a mis-read of the ladder and an sf0.1 parity sweep caught
-    # the miss (worst rank 357 > 300 pool) — 25% covers both measured
-    # scales with >=1.4x headroom, and the k*30 floor carries small
-    # corpora (at n=500 the fraction term alone is 125 < 215). emb is
-    # checkpointed, so count() is a cached-stat read, not a recompute.
-    k = 10
-    pool_rows = max(k * 30, -(-emb.count() // 4))
-    return sim.pq_topk(
-        codes, queries_df, cb, "vec_id", "embedding", k=k,
-        rerank_with=emb, rerank_factor=-(-pool_rows // k),
-    )
-
-
-# The reference's entire value proposition is the 7-table star-schema
-# build with exact golden counts (`etl.py:338-344`). This query runs
-# the FULL parity pipeline (clean_immigration -> clean_temperature ->
-# clean_airport_codes -> build_state_temperature -> build_star_schema)
-# over staging frames derived DETERMINISTICALLY from the sf_dir tables
-# (every staging column is a pure modular function of a key, so DuckDB
-# can re-derive identical staging), and emits the 7 (table, row_count)
-# pairs — pinning the whole pipeline shape the way the reference's own
-# quality gate does. The oracle recomputes each count from first
-# principles: dims as distincts over the cleaned staging, fact_imm as
-# the cleaned-row count (asserting the 6 dim joins are row-preserving),
-# fact_temp by replaying the coordinate argmax join.
-CAPSTONE_COUNTS_ORACLE = """
-    WITH imm_k AS (
-        -- cicid = j (the 4-block index) makes every staging column a
-        -- function of j, so full-row dropDuplicates() == DISTINCT j;
-        -- field moduli (7, 8, 5, 400) are coprime to the visa-filter
-        -- modulus 3, so the filtered stream still hits every value
-        SELECT DISTINCT o_orderkey // 4 AS j FROM orders
-    ),
-    imm_clean AS (
-        -- tourism filter: i94visa = 1 + j%3 == 2
-        SELECT j, i94port, airline, arrdate_dt,
-               CASE WHEN st IN ('NY','FL','CA','TX','WA')
-                    THEN st ELSE 'other' END AS state
-        FROM (
-            SELECT j,
-                   list_extract(['NYC','MIA','SFO','LVG','ATL','ORD','BOS'],
-                                CAST(j % 7 AS INT) + 1) AS i94port,
-                   list_extract(['AA','DL','UA',NULL,'BA'],
-                                CAST(j % 5 AS INT) + 1) AS airline,
-                   DATE '1960-01-01'
-                       + CAST(19000 + j % 400 AS INT) AS arrdate_dt,
-                   list_extract(['NY','FL','CA','TX','WA','99',NULL,'ZZ'],
-                                CAST(j % 8 AS INT) + 1) AS st
-            FROM imm_k WHERE j % 3 = 1
-        )
-    ),
-    temp_by_coord AS (
-        -- clean_temperature: US filter, dropna (null temp), printf
-        -- coarsening (fraction digits < .5 by construction, so %.0f
-        -- == the integer part on both engines)
-        SELECT DISTINCT CAST(25 + m % 20 AS VARCHAR) AS lat,
-                        CAST(70 + m % 25 AS VARCHAR) AS long,
-                        5 AS month,
-                        CAST(1 + m % 28 AS INT) AS dayofmonth
-        FROM (SELECT c_custkey AS m FROM customer)
-        WHERE m % 7 <> 0 AND m % 11 <> 0
-    ),
-    air_counted AS (
-        SELECT CAST(25 + s % 20 AS VARCHAR) AS latitude,
-               CAST(70 + s % 25 AS VARCHAR) AS longitude,
-               CASE WHEN sp IN ('NY','NJ','FL','CA','TX')
-                    THEN sp ELSE 'other' END AS state,
-               COUNT(*) AS num
-        FROM (
-            SELECT s_suppkey AS s,
-                   -- split('US-U-A', '-')[2] = 'U' -> 'other'
-                   list_extract(['NY','NJ','FL','CA','TX','U'],
-                                CAST(s_suppkey % 6 AS INT) + 1) AS sp
-            FROM supplier
-        )
-        WHERE s % 9 <> 0
-        GROUP BY 1, 2, 3
-    ),
-    dominant AS (
-        SELECT latitude, longitude, state FROM air_counted
-        QUALIFY row_number() OVER (
-            PARTITION BY latitude, longitude
-            ORDER BY num DESC, state ASC
-        ) = 1
-    ),
-    fact_temp_rows AS (
-        SELECT DISTINCT t.dayofmonth, t.month, d.state
-        FROM temp_by_coord t
-        JOIN dominant d ON t.lat = d.latitude AND t.long = d.longitude
-    )
-    SELECT table_name, n_rows FROM (
-        SELECT 'dim_airlines' AS table_name,
-               COUNT(DISTINCT airline)
-                 + MAX(CASE WHEN airline IS NULL THEN 1 ELSE 0 END) AS n_rows
-        FROM imm_clean
-        UNION ALL SELECT 'dim_person', COUNT(*) FROM imm_clean
-        UNION ALL SELECT 'dim_ports', COUNT(DISTINCT i94port) FROM imm_clean
-        UNION ALL SELECT 'dim_state', COUNT(DISTINCT state) FROM imm_clean
-        UNION ALL SELECT 'dim_time', COUNT(DISTINCT arrdate_dt) FROM imm_clean
-        UNION ALL SELECT 'fact_imm', COUNT(*) FROM imm_clean
-        UNION ALL SELECT 'fact_temp', COUNT(*) FROM fact_temp_rows
-    ) ORDER BY table_name
-"""
-
-
-@_register(
-    "capstone_counts",
     CAPSTONE_COUNTS_ORACLE,
-    "End-to-end reference-pipeline golden counts (plans/capstone.py): "
-    "full 7-table star-schema build over deterministic synthetic "
-    "staging; one row per table with its exact row count — the "
-    "reference's own quality-gate shape (etl.py:338-344).",
-)
-def capstone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacity_data_engineering_capstone_project_spark.plans import capstone as cap
-
-    # the 4-block index: ~4 order rows collapse to one immigration row
-    # (exercises the full-row dedup); field moduli are coprime to the
-    # visa-filter modulus 3 so the tourism subset hits every value
-    k = F.floor(F.col("o_orderkey") / 4).cast("long")
-    imm_stage = _t(spark, sf_dir, "orders").select(
-        k.cast("double").alias("cicid"),
-        F.element_at(
-            F.array(*[F.lit(x) for x in
-                      ("NYC", "MIA", "SFO", "LVG", "ATL", "ORD", "BOS")]),
-            (k % 7 + 1).cast("int"),
-        ).alias("i94port"),
-        (F.lit(19000) + k % 400).cast("double").alias("arrdate"),
-        F.element_at(
-            F.array(*[F.lit(x).cast("string") for x in
-                      ("NY", "FL", "CA", "TX", "WA", "99", None, "ZZ")]),
-            (k % 8 + 1).cast("int"),
-        ).alias("i94addr"),
-        F.when(k % 5 == 0, F.lit(None).cast("double")).otherwise(
-            (F.lit(19000) + k % 400 + k % 30).cast("double")
-        ).alias("depdate"),
-        (F.lit(1) + k % 3).cast("double").alias("i94visa"),
-        (F.lit(1950) + k % 50).cast("double").alias("biryear"),
-        F.element_at(
-            F.array(*[F.lit(x).cast("string") for x in ("M", "F", None)]),
-            (k % 3 + 1).cast("int"),
-        ).alias("gender"),
-        F.element_at(
-            F.array(*[F.lit(x).cast("string") for x in
-                      ("AA", "DL", "UA", None, "BA")]),
-            (k % 5 + 1).cast("int"),
-        ).alias("airline"),
-    )
-    m = F.col("c_custkey")
-    # fraction digits are 0-4 by construction so the reference's
-    # %.0f coarsening is tie-free (Java HALF_UP == C half-even here)
-    temp_stage = _t(spark, sf_dir, "customer").select(
-        F.date_add(F.lit("2016-05-01").cast("date"), (m % 28).cast("int"))
-        .cast("string").alias("dt"),
-        F.when(m % 11 == 0, F.lit(None).cast("string")).otherwise(
-            F.concat(F.lit("1"), (m % 9).cast("string"), F.lit(".5"))
-        ).alias("AverageTemperature"),
-        F.concat(F.lit("City"), (m % 40).cast("string")).alias("City"),
-        F.when(m % 7 == 0, F.lit("Canada")).otherwise(
-            F.lit("United States")
-        ).alias("Country"),
-        F.concat((F.lit(25) + m % 20).cast("string"), F.lit("."),
-                 (m % 5).cast("string"), F.lit("N")).alias("Latitude"),
-        F.concat((F.lit(70) + m % 25).cast("string"), F.lit("."),
-                 (m * 3 % 5).cast("string"), F.lit("W")).alias("Longitude"),
-    )
-    s = F.col("s_suppkey")
-    air_stage = _t(spark, sf_dir, "supplier").select(
-        F.col("s_name").alias("ident"),
-        F.when(s % 9 == 0, F.lit("CA")).otherwise(F.lit("US"))
-        .alias("iso_country"),
-        F.concat(
-            F.lit("US-"),
-            F.element_at(
-                F.array(*[F.lit(x) for x in
-                          ("NY", "NJ", "FL", "CA", "TX", "U-A")]),
-                (s % 6 + 1).cast("int"),
-            ),
-        ).alias("iso_region"),
-        F.concat(F.lit("-"), (F.lit(70) + s % 25).cast("string"),
-                 F.lit("."), (s % 5).cast("string"), F.lit(", "),
-                 (F.lit(25) + s % 20).cast("string"), F.lit("."),
-                 (s * 3 % 5).cast("string")).alias("coordinates"),
-    )
-
-    imm = cap.clean_immigration(imm_stage, key_mode="monotonic")
-    temp = cap.clean_temperature(temp_stage)
-    air = cap.clean_airport_codes(air_stage)
-    state_temp = cap.build_state_temperature(
-        temp, air, use_window_argmax=True, key_mode="monotonic"
-    )
-    tables = cap.build_star_schema(
-        imm, state_temp, key_mode="row_number", persist_dims=False
-    )
-    counts = [
-        tables[name].agg(F.count(F.lit(1)).alias("n_rows")).select(
-            F.lit(name).alias("table_name"), "n_rows"
-        )
-        for name in sorted(tables)
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionAll(c)
-    return out.orderBy("table_name")
-
-
-
-# Oracle twin for rolling_zscore — UNREGISTERED. Determinism by
-# construction: the window aggregates are SUM/COUNT over integer
-# hourly counts (exact in both engines), and mean/variance/z are one
-# fixed IEEE expression tree (+ correctly-rounded sqrt) — no
-# engine-internal stddev algorithm in the hash path.
-INGEST_ANOMALY_ORACLE = """
-    WITH hc AS (
-        SELECT event_type,
-               epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us,
-               count(*) AS n
-        FROM events GROUP BY 1, 2
-    ), w AS (
-        SELECT event_type, hour_us, n,
-               sum(CAST(n AS DOUBLE)) OVER win AS s1,
-               sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER win AS s2,
-               count(CAST(n AS DOUBLE)) OVER win AS cnt
-        FROM hc
-        WINDOW win AS (PARTITION BY event_type ORDER BY hour_us
-                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
-    )
-    SELECT event_type, hour_us, n,
-           cnt AS trail_n,
-           CASE WHEN cnt > 0 THEN round(s1 / cnt, 6) END AS trail_mean,
-           CASE WHEN cnt >= 8 AND (s2 - s1 * s1 / cnt) / (cnt - 1) > 0
-                THEN round((CAST(n AS DOUBLE) - s1 / cnt)
-                           / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 6)
-           END AS z,
-           CASE WHEN cnt < 8 OR (s2 - s1 * s1 / cnt) / (cnt - 1) <= 0
-                     THEN 'insufficient'
-                WHEN abs((CAST(n AS DOUBLE) - s1 / cnt)
-                         / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1))) >= 3.0
-                     THEN 'anomaly'
-                ELSE 'normal' END AS verdict
-    FROM w
-"""
-
-
-@_register(
-    "ingest_anomaly_q",
     INGEST_ANOMALY_ORACLE,
-    "Trailing-window z-score volume anomalies over hourly ingest "
-    "counts (operators/quality.py:rolling_zscore) — the intake "
-    "monitor that catches crawler loops / upstream outages before "
-    "they poison a training mix. Unregistered; hash-pinned locally.",
-    # r7: PROMOTED to a driver slot (rotation).
-)
-def ingest_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly event counts per type -> trailing-24h z-score
-    (operators/quality.py:rolling_zscore). Unregistered; pinned by
-    `test_unregistered_query_parity[ingest_anomaly_q]`."""
-    from udacity_data_engineering_capstone_project_spark.operators.quality import (
-        rolling_zscore,
-    )
-
-    hc = (
-        _t(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.expr(
-                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
-                "'1970-01-01 00:00:00', date_trunc('hour', ts))"
-            ).alias("hour_us"),
-        )
-        .groupBy("event_type", "hour_us")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    out = rolling_zscore(
-        hc, ["event_type"], "hour_us", "n", lookback=24, min_history=8
-    )
-    # verdict as a NON-NULL string: a nullable boolean would compare
-    # None (Spark) against NaN (DuckDB .df()) in the hash frame
-    return out.select(
-        "event_type",
-        "hour_us",
-        "n",
-        "trail_n",
-        F.round("trail_mean", 6).alias("trail_mean"),
-        F.round("z", 6).alias("z"),
-        F.when(F.col("z").isNull(), F.lit("insufficient"))
-        .when(F.col("is_anomaly"), F.lit("anomaly"))
-        .otherwise(F.lit("normal"))
-        .alias("verdict"),
-    )
-
-
-# Oracle twin for key_skew_report — UNREGISTERED. Shares and ratios
-# derive from exact integer group counts through one fixed division;
-# both engines agree bit-for-bit before the 6dp rounding.
-SKEW_REPORT_ORACLE = """
-    WITH lk AS (
-        SELECT lang AS key_value, count(*) AS n_rows
-        FROM documents GROUP BY 1
-    ), lt AS (SELECT sum(n_rows) AS total, avg(n_rows) AS mean FROM lk),
-    l AS (
-        SELECT 'documents.lang' AS key, key_value, n_rows,
-               round(n_rows / total, 6) AS share,
-               round(n_rows / mean, 6) AS skew_ratio,
-               CASE WHEN n_rows / total >= 0.05 THEN 'salt'
-                    WHEN n_rows / mean > 4.0 THEN 'watch'
-                    ELSE 'ok' END AS suggestion
-        FROM lk, lt ORDER BY n_rows DESC, key_value ASC LIMIT 20
-    ), uk AS (
-        SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS n_rows
-        FROM events GROUP BY 1
-    ), ut AS (SELECT sum(n_rows) AS total, avg(n_rows) AS mean FROM uk),
-    u AS (
-        SELECT 'events.user_id' AS key, key_value, n_rows,
-               round(n_rows / total, 6) AS share,
-               round(n_rows / mean, 6) AS skew_ratio,
-               CASE WHEN n_rows / total >= 0.05 THEN 'salt'
-                    WHEN n_rows / mean > 4.0 THEN 'watch'
-                    ELSE 'ok' END AS suggestion
-        FROM uk, ut ORDER BY n_rows DESC, key_value ASC LIMIT 5
-    )
-    SELECT * FROM l UNION ALL SELECT * FROM u
-"""
-
-
-@_register(
-    "skew_report_q",
     SKEW_REPORT_ORACLE,
-    "Hot-key diagnostics for two planned join keys "
-    "(operators/quality.py:key_skew_report) — share + max/mean skew "
-    "ratio + the salt/watch/ok operating rule, run before the 100 TB "
-    "join. Promoted to a driver slot in r8 (rotation).",
-)
-def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-skew reports over documents.lang and events.user_id
-    (operators/quality.py:key_skew_report). Unregistered; pinned by
-    `test_unregistered_query_parity[skew_report_q]`."""
-    from udacity_data_engineering_capstone_project_spark.operators.quality import (
-        key_skew_report,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("lang").alias("key_value")
-    )
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("key_value")
-    )
-    r1 = key_skew_report(docs, ["key_value"], top_n=20).withColumn(
-        "key", F.lit("documents.lang")
-    )
-    r2 = key_skew_report(ev, ["key_value"], top_n=5).withColumn(
-        "key", F.lit("events.user_id")
-    )
-    return r1.unionByName(r2).select(
-        "key", "key_value", "n_rows", "share", "skew_ratio", "suggestion"
-    )
-
-
-
-# Oracle twin for quantile_bins — UNREGISTERED. Exact interpolated
-# percentiles: Spark percentile == DuckDB quantile_cont bit-for-bit
-# on the static testdata (same linear interpolation over the same
-# doubles), and bin assignment counts cuts strictly below the value —
-# integer-exact given identical cuts.
-QUALITY_BINS_ORACLE = """
-    WITH cuts AS (
-        SELECT lang,
-               quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS c
-        FROM documents GROUP BY lang
-    ), binned AS (
-        SELECT d.lang, d.doc_id, d.n_chars,
-               CASE WHEN d.n_chars IS NULL THEN NULL
-                    ELSE len(list_filter(c, x -> x < d.n_chars)) END AS bin
-        FROM documents d JOIN cuts USING (lang)
-    )
-    SELECT lang, bin,
-           count(*) AS n_docs,
-           min(n_chars) AS min_chars,
-           max(n_chars) AS max_chars
-    FROM binned GROUP BY 1, 2
-"""
-
-
-@_register(
-    "quality_bins_q",
     QUALITY_BINS_ORACLE,
-    "Per-language length quartiles via equi-depth binning "
-    "(operators/quality.py:quantile_bins) — the curriculum/strata "
-    "primitive, one grouped percentile aggregation + a broadcast "
-    "cut join, never ntile's global sort. Promoted to a driver slot "
-    "in r8 (rotation).",
-)
-def quality_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth quartile bins of document length per language
-    (operators/quality.py:quantile_bins). Unregistered; pinned by
-    `test_unregistered_query_parity[quality_bins_q]`."""
-    from udacity_data_engineering_capstone_project_spark.operators.quality import (
-        quantile_bins,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    binned = quantile_bins(
-        docs, "n_chars", 4, group_cols=["lang"], approximate=False
-    )
-    return binned.groupBy("lang", "bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
-    )
-
-
-
-# Oracle twin for classifier_pr_curve — UNREGISTERED. Every cell
-# derives from exact integer confusion counts (bucketing uses the
-# same float multiply + floor in both engines on the same doubles);
-# F1 uses the 2TP/(2TP+FP+FN) identity so no intermediate can go
-# NULL-divergent.
-PR_CURVE_ORACLE = """
-    WITH scored AS (
-        SELECT CASE WHEN len(ws) > 0
-                    THEN CAST(len(list_filter(ws, w -> w IN
-                         ('the','and','of','to','in','is','that','it',
-                          'for','was'))) AS DOUBLE) / len(ws)
-                    ELSE 0.0 END AS s,
-               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-        FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws,
-                     lang
-              FROM documents)
-    ), counts AS (
-        SELECT LEAST(GREATEST(CAST(floor(s * 100) AS INT), 0), 100) AS b,
-               sum(y) AS pos, sum(1 - y) AS neg
-        FROM scored GROUP BY 1
-    ), spine AS (
-        SELECT unnest(generate_series(0, 100)) AS b
-    ), filled AS (
-        SELECT spine.b,
-               coalesce(pos, 0) AS pos, coalesce(neg, 0) AS neg
-        FROM spine LEFT JOIN counts ON spine.b = counts.b
-    ), cum AS (
-        -- CAST: DuckDB window sum(BIGINT) -> HUGEINT, which lands as
-        -- float64 in the driver's hash while Spark emits int64 (the
-        -- r3 corpus_prep lesson; r7 hash-red root cause).
-        SELECT b,
-               CAST(sum(pos) OVER (ORDER BY b DESC
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS BIGINT) AS tp,
-               CAST(sum(neg) OVER (ORDER BY b DESC
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS BIGINT) AS fp,
-               CAST(sum(pos) OVER () AS BIGINT) AS total_pos
-        FROM filled
-    )
-    SELECT round(CAST(b AS DOUBLE) / 100, 6) AS threshold,
-           tp, fp, CAST(total_pos - tp AS BIGINT) AS fn,
-           CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END
-               AS precision,
-           CASE WHEN total_pos > 0 THEN round(tp / total_pos, 6) END
-               AS recall,
-           CASE WHEN 2 * tp + fp + (total_pos - tp) > 0
-                THEN round(2 * tp / (2 * tp + fp + (total_pos - tp)), 6)
-           END AS f1
-    FROM cum
-"""
-
-
-@_register(
-    "pr_curve_q",
     PR_CURVE_ORACLE,
-    "Precision/recall/F1 threshold sweep "
-    "(operators/textstats.py:classifier_pr_curve) for a stopword-"
-    "density is-English scorer — the operating-point picker for any "
-    "corpus-screen classifier. Unregistered; hash-pinned locally.",
-    # r7: PROMOTED to a driver slot (rotation).
-)
-def pr_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PR curve of an English-stopword-density classifier against the
-    lang=='en' label (operators/textstats.py:classifier_pr_curve).
-    Unregistered; pinned by `test_unregistered_query_parity`."""
-    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
-        classifier_pr_curve,
-    )
-
-    stop = ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was")
-    docs = _t(spark, sf_dir, "documents")
-    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    n_stop = F.size(F.filter(words, lambda w: w.isin(*stop)))
-    scored = docs.select(
-        F.when(
-            F.size(words) > 0,
-            n_stop.cast("double") / F.size(words),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("score"),
-        (F.col("lang") == "en").cast("int").alias("label"),
-    )
-    return classifier_pr_curve(scored, "score", "label", n_thresholds=100)
-
-
-
-# Oracle twin for embedding_drift — UNREGISTERED. Per-dimension means
-# of the same doubles; 6dp rounding absorbs summation-order ulps (the
-# established avg-aggregate precedent, e.g. pricing_summary).
-EMBEDDING_DRIFT_ORACLE = """
-    WITH ex AS (
-        SELECT vec_id,
-               generate_subscripts(embedding, 1) - 1 AS dim,
-               unnest(embedding) AS v
-        FROM embeddings
-    ), a AS (
-        SELECT dim, avg(v) AS ma FROM ex WHERE vec_id % 2 = 0 GROUP BY dim
-    ), b AS (
-        SELECT dim, avg(v) AS mb FROM ex WHERE vec_id % 2 = 1 GROUP BY dim
-    )
-    SELECT a.dim, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
-           round(abs(ma - mb), 6) AS abs_shift
-    FROM a FULL OUTER JOIN b ON a.dim = b.dim
-"""
-
-
-@_register(
-    "embedding_drift_q",
     EMBEDDING_DRIFT_ORACLE,
-    "Per-dimension embedding centroid drift between two corpus "
-    "versions (operators/similarity.py:embedding_drift) — the "
-    "model-ops gate before mixing versions or swapping encoders. "
-    "Promoted to a driver slot in r8 (rotation).",
 )
-def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Centroid drift between the even- and odd-id halves of the
-    embeddings table (operators/similarity.py:embedding_drift).
-    Unregistered; pinned by `test_unregistered_query_parity`."""
-    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
-        embedding_drift,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_drift(
-        emb.filter(F.col("vec_id") % 2 == 0),
-        emb.filter(F.col("vec_id") % 2 == 1),
-        "embedding",
-    )
-
-
-# Oracle twin for apply_filter_cascade — UNREGISTERED. The verdict is
-# a CASE chain over integer lengths/counts and one IEEE-exact ratio
-# (distinct/words, both engines round-half-even the same division);
-# NULL keep-predicates fail via the coalesce form on both sides.
-CASCADE_ORACLE = """
-    WITH w AS (
-        SELECT doc_id, text,
-               regexp_split_to_array(trim(text), '\\s+') AS words
-        FROM documents
-    ), v AS (
-        SELECT doc_id,
-               CASE
-                 WHEN NOT coalesce(length(text) >= 100, false)
-                   THEN 'too_short'
-                 WHEN NOT coalesce(length(text) <= 450, false)
-                   THEN 'too_long'
-                 WHEN NOT coalesce(len(words) >= 30, false)
-                   THEN 'too_few_words'
-                 WHEN NOT coalesce(
-                     len(list_distinct(words)) * 1.0 / len(words) >= 0.45,
-                     false)
-                   THEN 'low_diversity'
-                 ELSE 'kept'
-               END AS verdict
-        FROM w
-    )
-    SELECT v.verdict AS rule,
-           CAST(r.rule_index AS INTEGER) AS rule_index,
-           count(*) AS rows
-    FROM v
-    JOIN (VALUES ('too_short', 0), ('too_long', 1), ('too_few_words', 2),
-                 ('low_diversity', 3), ('kept', 4)) AS r(rule, rule_index)
-      ON v.verdict = r.rule
-    GROUP BY 1, 2
-"""
-
-
-@_register(
-    "filter_cascade_q",
+from udacity_data_engineering_capstone_project_spark.plans.queries_crawl import (
+    filter_cascade_q,
+    robots_filter_q,
+    strip_html_q,
+    blocklist_screen_q,
+    crawl_pipeline_intake,
+    crawl_cascade_rules,
+    crawl_pipeline_stage_fns,
+    crawl_pipeline_stages,
+    crawl_pipeline_q,
     CASCADE_ORACLE,
-    "C4/Gopher-style ordered filter battery with first-failing-rule "
-    "audit attribution (operators/quality.py:apply_filter_cascade) — "
-    "one CASE-chain codegen pass, audit group count sized by rules "
-    "not corpus. Unregistered; hash-pinned locally.",
-    # r7: PROMOTED to a driver slot (crawl-tier rotation).
-)
-def filter_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four-rule quality cascade over documents: length bounds, word
-    count, distinct-word diversity (operators/quality.py:
-    apply_filter_cascade). Every rule's rejection count plus the
-    survivor count in one partial-agg pass. Unregistered; pinned by
-    `test_unregistered_query_parity[filter_cascade_q]`."""
-    from udacity_data_engineering_capstone_project_spark.operators.quality import (
-        apply_filter_cascade,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    diversity = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
-    rules = [
-        ("too_short", F.length("text") >= 100),
-        ("too_long", F.length("text") <= 450),
-        ("too_few_words", F.size(words) >= 30),
-        ("low_diversity", diversity >= 0.45),
-    ]
-    _kept, audit = apply_filter_cascade(docs, rules)
-    # Rules that reject nothing keep a 0 row locally, but the oracle's
-    # inner join cannot see them — on this data every verdict is
-    # populated at both driver scales (pinned by the parity test).
-    return audit.filter(F.col("rows") > 0)
-
-
-# Synthetic crawl-URL construction shared by the Spark query and the
-# DuckDB oracle; the oracle derives the RFC 9309 verdict directly from
-# the (host, path-kind) residue cases — an independent derivation, not
-# a port of the longest-match algorithm.
-_ROBOTS_URL_SQL = (
-    "'http://h' || CAST(doc_id % 3 AS {T}) || '.com' || "
-    "CASE doc_id % 5 "
-    "WHEN 0 THEN '/private/x' || CAST(doc_id AS {T}) "
-    "WHEN 1 THEN '/private/ok' || CAST(doc_id AS {T}) "
-    "WHEN 2 THEN '/doc' || CAST(doc_id AS {T}) || '.pdf' "
-    "WHEN 3 THEN '/doc' || CAST(doc_id AS {T}) || '.pdfx' "
-    "ELSE '/page/' || CAST(doc_id AS {T}) END"
-)
-
-ROBOTS_FILTER_ORACLE = f"""
-    SELECT doc_id,
-           {_ROBOTS_URL_SQL.format(T="VARCHAR")} AS url,
-           CASE
-             WHEN doc_id % 3 = 0 AND doc_id % 5 = 0 THEN 'deny'
-             WHEN doc_id % 3 = 1 AND doc_id % 5 = 2 THEN 'deny'
-             WHEN doc_id % 3 = 1 AND doc_id % 5 = 4 THEN 'deny'
-             ELSE 'allow'
-           END AS verdict
-    FROM documents
-"""
-
-_ROBOTS_TXT = {
-    "h0.com": "User-agent: *\nDisallow: /private/\nAllow: /private/ok",
-    "h1.com": "User-agent: *\nDisallow: /*.pdf$\nDisallow: /page",
-    # h2.com publishes no robots.txt -> everything allowed
-}
-
-
-@_register(
-    "robots_filter_q",
+    _ROBOTS_URL_SQL,
     ROBOTS_FILTER_ORACLE,
-    "RFC 9309 robots.txt screen (functions/robots.py): per-host rule "
-    "frames broadcast-joined to the URL corpus, longest-match wins "
-    "with allow on ties, $-anchoring via the LIKE translation, "
-    "ruleless hosts allowed. Hash-checked against a residue-derived "
-    "verdict oracle. Unregistered; hash-pinned locally.",
-    # r7: PROMOTED to a driver slot (crawl-tier rotation).
-)
-def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-compliance verdicts over synthetic per-doc URLs: three
-    hosts x five path shapes exercise prefix rules, allow-overrides,
-    $-anchored wildcards and the no-robots default
-    (functions/robots.py:with_robots_verdict). Unregistered; pinned by
-    `test_unregistered_query_parity[robots_filter_q]`."""
-    from udacity_data_engineering_capstone_project_spark.functions.robots import (
-        robots_rules_df,
-        with_robots_verdict,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    df = docs.withColumn("url", F.expr(_ROBOTS_URL_SQL.format(T="STRING")))
-    rules = robots_rules_df(spark, sorted(_ROBOTS_TXT.items()))
-    out = with_robots_verdict(df, rules, "url")
-    return out.select(
-        "doc_id",
-        "url",
-        F.when(F.col("robots_allowed"), F.lit("allow"))
-        .otherwise(F.lit("deny"))
-        .alias("verdict"),
-    )
-
-
-# Synthetic HTML wrappings shared by the Spark query and the oracle.
-# The oracle does NOT replay the regex chain: it derives the expected
-# visible text from the extraction INVARIANT — the corpus text is
-# single-spaced lowercase words (pinned below), so wrapping it in
-# head/script/comment chrome and block tags must return it verbatim
-# (plus the one visible list item m2 adds). An independent derivation.
-_HTML_WRAP_SQL = (
-    "CASE doc_id % 4 "
-    "WHEN 0 THEN '<html><head><title>meta junk</title></head><body><p>' "
-    "|| text || '</p></body></html>' "
-    "WHEN 1 THEN '<div class=\"a\">' || text || "
-    "'</div><script type=\"text/javascript\">var x = \"<p>\";</script>' "
-    "WHEN 2 THEN '<ul><li>' || text || "
-    "'</li><li>extra &amp; more</li></ul><!-- hidden -->' "
-    "ELSE text END"
-)
-
-STRIP_HTML_ORACLE = f"""
-    SELECT doc_id,
-           CASE WHEN doc_id % 4 = 2
-                THEN text || chr(10) || 'extra & more'
-                ELSE text END AS stripped
-    FROM documents
-    WHERE regexp_matches(text, '^[a-z]+( [a-z]+)*$')
-"""
-
-
-@_register(
-    "strip_html_q",
+    _ROBOTS_TXT,
+    _HTML_WRAP_SQL,
     STRIP_HTML_ORACLE,
-    "HTML -> visible text extraction (operators/textstats.py:"
-    "strip_html): head/script/comment chrome dropped, block tags to "
-    "newlines, entities decoded, whitespace collapsed — one "
-    "whole-stage-codegen regexp chain. Hash-checked against the "
-    "extraction invariant (wrapped clean text comes back verbatim). "
-    "Promoted to a driver slot in r8 (rotation).",
-)
-def strip_html_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four HTML wrappings (full page, div+script, list+comment,
-    plain) over every document, extracted back to visible text
-    (operators/textstats.py:strip_html). The WHERE mirrors the
-    oracle's clean-text precondition — on this corpus it keeps all
-    rows (the invariant's premise, pinned by equal row counts).
-    Unregistered; pinned by `test_unregistered_query_parity`."""
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("text").rlike(r"^[a-z]+( [a-z]+)*$"))
-        .withColumn("html", F.expr(_HTML_WRAP_SQL))
-    )
-    stripped = ts.strip_html(docs.select("doc_id", "html"), "html", "stripped")
-    return stripped.select("doc_id", "stripped")
-
-
-# Oracle twin for screen_blocked_terms — UNREGISTERED. The oracle
-# brute-forces documents x phrases (fine at driver scale) with the
-# same padded-contains match definition; the Spark side must reach the
-# identical match set through its token-prefilter broadcast join — an
-# independent PLAN, same declarative contract.
-BLOCKLIST_ORACLE = """
-    WITH p(phrase) AS (VALUES ('slow scan'), ('merge window'),
-                              ('customer data'), ('spark')),
-    d AS (SELECT doc_id,
-                 ' ' || regexp_replace(lower(text), '\\W+', ' ', 'g') || ' '
-                 AS nt
-          FROM documents)
-    SELECT doc_id, phrase
-    FROM d, p
-    WHERE contains(nt, ' ' || phrase || ' ')
-"""
-
-
-@_register(
-    "blocklist_screen_q",
     BLOCKLIST_ORACLE,
-    "Blocklist phrase screen (operators/textstats.py:"
-    "screen_blocked_terms): whole-word case-insensitive phrase "
-    "matches via first-token broadcast prefilter + padded-contains "
-    "verify — never documents x phrases. Hash-checked against a "
-    "brute-force cross-join oracle. Promoted to a driver slot in r8 "
-    "(rotation).",
-)
-def blocklist_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, phrase) match rows for a 4-entry blocklist over
-    documents (operators/textstats.py:screen_blocked_terms).
-    Unregistered; pinned by `test_unregistered_query_parity`."""
-    docs = _t(spark, sf_dir, "documents")
-    return ts.screen_blocked_terms(
-        docs, "doc_id",
-        ["slow scan", "merge window", "customer data", "spark"],
-    )
-
-
-# Oracle for the end-to-end crawl pipeline (r7, VERDICT #4): every
-# stage re-derived from first principles — robots from the residue
-# cases, blocklist by brute-force contains, cascade by the rule
-# predicates, dedup by the normalized fingerprint window, budget by
-# the md5-order running sum (each piece individually proven by its
-# own graded/unregistered twin; this composes them). id_sum pins
-# WHICH documents survive each stage, not just how many.
-CRAWL_PIPELINE_ORACLE = f"""
-    WITH raw AS (
-        -- the crawl snapshot re-fetches ~10% of pages under a second
-        -- id (identical content, different URL identity) — the
-        -- deterministic replica derivation that gives the dedup stage
-        -- real work (the base corpus is exact-dup-free by
-        -- construction; dedup_exact pins that)
-        SELECT doc_id, text, lang, n_chars FROM documents
-        UNION ALL
-        SELECT doc_id + 1000000, text, lang, n_chars
-        FROM documents WHERE doc_id % 10 = 3
-    ),
-    d AS (
-        SELECT doc_id, text, lang, n_chars,
-               CASE
-                 WHEN doc_id % 3 = 0 AND doc_id % 5 = 0 THEN 'deny'
-                 WHEN doc_id % 3 = 1 AND doc_id % 5 = 2 THEN 'deny'
-                 WHEN doc_id % 3 = 1 AND doc_id % 5 = 4 THEN 'deny'
-                 ELSE 'allow'
-               END AS robots
-        FROM raw
-    ),
-    s1 AS (SELECT * FROM d WHERE robots = 'allow'),
-    blocked AS (
-        SELECT DISTINCT doc_id
-        FROM (SELECT doc_id,
-                     ' ' || regexp_replace(lower(text), '\\W+', ' ', 'g')
-                     || ' ' AS nt
-              FROM s1),
-             (VALUES (' slow scan '), (' merge window '),
-                     (' customer data ')) AS p(pp)
-        WHERE contains(nt, pp)
-    ),
-    s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM blocked)),
-    s3 AS (
-        SELECT * FROM (
-            SELECT *, regexp_split_to_array(trim(text), '\\s+') AS words
-            FROM s2
-        )
-        WHERE coalesce(length(text) >= 100, false)
-          AND coalesce(length(text) <= 450, false)
-          AND coalesce(len(words) >= 30, false)
-          AND coalesce(len(list_distinct(words)) * 1.0 / len(words) >= 0.45,
-                       false)
-    ),
-    s4 AS (
-        SELECT * FROM (
-            SELECT *, min(doc_id) OVER (
-                PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]',
-                                                '', 'g'))
-            ) AS keep_id
-            FROM s3
-        ) WHERE doc_id = keep_id
-    ),
-    s5 AS (
-        SELECT * FROM (
-            SELECT *, sum(n_chars) OVER (
-                PARTITION BY lang
-                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
-                ROWS UNBOUNDED PRECEDING
-            ) - n_chars AS started_at
-            FROM s4
-        ) WHERE started_at < 2000
-    )
-    SELECT 0 AS stage_index, 'intake' AS stage,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(doc_id) AS BIGINT) AS id_sum FROM d
-    UNION ALL SELECT 1, 'robots',
-           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM s1
-    UNION ALL SELECT 2, 'blocklist',
-           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM s2
-    UNION ALL SELECT 3, 'quality_cascade',
-           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM s3
-    UNION ALL SELECT 4, 'exact_dedup',
-           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM s4
-    UNION ALL SELECT 5, 'token_budget',
-           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM s5
-"""
-
-
-def crawl_pipeline_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-pipeline intake frame: documents + the deterministic
-    ~10% re-fetch replica derivation (identical content under a second
-    id — the dedup stage's real work; the base corpus is exact-dup-
-    free by construction, dedup_exact pins that) + synthetic per-doc
-    URLs."""
-    base = _t(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "n_chars"
-    )
-    docs = base.unionByName(
-        base.filter(F.col("doc_id") % 10 == 3).withColumn(
-            "doc_id", F.col("doc_id") + F.lit(1000000)
-        )
-    )
-    return docs.withColumn("url", F.expr(_ROBOTS_URL_SQL.format(T="STRING")))
-
-
-CRAWL_BLOCKLIST_PHRASES = ["slow scan", "merge window", "customer data"]
-
-
-def crawl_cascade_rules():
-    """The crawl pipeline's quality-cascade rule list — module-level so
-    the batch pipeline, the streaming twin, and their equality test
-    all build the SAME rule expressions."""
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    diversity = F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)
-    return [
-        ("too_short", F.length("text") >= 100),
-        ("too_long", F.length("text") <= 450),
-        ("too_few_words", F.size(words) >= 30),
-        ("low_diversity", diversity >= 0.45),
-    ]
-
-
-def crawl_pipeline_stage_fns(spark: SparkSession):
-    """The crawl pipeline's five stages as a ``(name, fn)`` list of
-    pure DataFrame transforms — the ONE definition behind (a) the
-    graded session-local query (`crawl_pipeline_q` via
-    `crawl_pipeline_stages`), (b) the per-stage scale probe, and (c)
-    the DURABLE form: feed this list to `plans.pipeline.run_pipeline`
-    with a ``checkpoint_dir`` and the same pipeline becomes parquet-
-    checkpointed and crash-resumable (a died stage recomputes, a
-    committed one is skipped) — the 100 TB failure-recovery shape.
-    Equality of the durable path with the graded path is pinned by
-    `test_pipeline_runner.py::test_crawl_pipeline_durable_resume`."""
-    from udacity_data_engineering_capstone_project_spark.functions.robots import (
-        filter_robots_disallowed,
-        robots_rules_df,
-    )
-    from udacity_data_engineering_capstone_project_spark.operators.quality import (
-        apply_filter_cascade,
-    )
-    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
-        cap_tokens_per_group,
-    )
-
-    rules = robots_rules_df(spark, sorted(_ROBOTS_TXT.items()))
-
-    def robots(d: DataFrame) -> DataFrame:
-        return filter_robots_disallowed(d, rules, "url")
-
-    def blocklist(d: DataFrame) -> DataFrame:
-        matches = ts.screen_blocked_terms(
-            d, "doc_id", CRAWL_BLOCKLIST_PHRASES
-        )
-        return d.join(
-            matches.select("doc_id").distinct(), on="doc_id", how="left_anti"
-        )
-
-    cascade_rules = crawl_cascade_rules()
-
-    def quality_cascade(d: DataFrame) -> DataFrame:
-        kept, _audit = apply_filter_cascade(d, cascade_rules)
-        return kept
-
-    def exact_dedup(d: DataFrame) -> DataFrame:
-        survivors = dd.exact_text_dedup(d, "doc_id", "text").select(
-            F.col("keep_id").alias("doc_id")
-        )
-        return d.join(survivors, on="doc_id", how="left_semi")
-
-    def token_budget(d: DataFrame) -> DataFrame:
-        return cap_tokens_per_group(
-            d, ["lang"], "n_chars", budget=2000, key_col="doc_id"
-        )
-
-    return [
-        ("robots", robots),
-        ("blocklist", blocklist),
-        ("quality_cascade", quality_cascade),
-        ("exact_dedup", exact_dedup),
-        ("token_budget", token_budget),
-    ]
-
-
-def crawl_pipeline_stages(spark: SparkSession, sf_dir: str):
-    """Generator over the crawl pipeline's (name, DataFrame) stages,
-    eagerly checkpointing each barrier AS IT IS YIELDED — so a probe
-    can time every stage individually (next() returns when the
-    barrier has materialized) while the graded query just drains it.
-    The stage bodies live in `crawl_pipeline_stage_fns`; see
-    crawl_pipeline_q and the durable twin in plans/pipeline.py."""
-    df = crawl_pipeline_intake(spark, sf_dir)
-    yield "intake", df
-    for name, fn in crawl_pipeline_stage_fns(spark):
-        df = fn(df).localCheckpoint(eager=True)
-        yield name, df
-
-
-@_register(
-    "crawl_pipeline_q",
     CRAWL_PIPELINE_ORACLE,
-    "END-TO-END crawl curation pipeline (r7, VERDICT #4): synthetic "
-    "per-doc URLs -> RFC 9309 robots screen -> blocklist phrase "
-    "screen -> 4-rule quality cascade -> exact dedup -> per-lang "
-    "token budget, composed from the REAL operators "
-    "(filter_robots_disallowed, screen_blocked_terms, "
-    "apply_filter_cascade, exact_text_dedup, cap_tokens_per_group) "
-    "with per-stage (rows, id_sum) audit — the query a real user "
-    "runs; id_sum pins the exact surviving set at every stage.",
+    CRAWL_BLOCKLIST_PHRASES,
 )
-def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six-stage crawl curation composition. Each stage is eagerly
-    checkpointed so the audit union computes every stage ONCE (the
-    same phase-boundary-barrier pattern as the example pipeline);
-    at 100 TB each barrier is a persisted stage output — exactly how
-    an audited production pipeline runs. The stage chain itself lives
-    in `crawl_pipeline_stages` so the scale probe can time each
-    barrier without duplicating the pipeline."""
-
-    def audit(df: DataFrame, idx: int, name: str) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_id").alias("id_sum"),
-        ).select(
-            F.lit(idx).cast("int").alias("stage_index"),
-            F.lit(name).alias("stage"),
-            F.col("n_docs"),
-            F.col("id_sum"),
-        )
-
-    stages = [
-        audit(df, idx, name)
-        for idx, (name, df) in enumerate(crawl_pipeline_stages(spark, sf_dir))
-    ]
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s)
-    return out
-
 
 # ------------------------------------------------------------------
 # Driver grading window: the driver records a CORRECTNESS row for the

@@ -1,0 +1,563 @@
+"""Deduplication + fuzzy-matching query tier.
+
+Split from plans/queries.py in r10 (VERDICT r9 #2): this module
+registers its (spark_fn, oracle_sql) pairs into the shared
+REGISTRY/UNREGISTERED stores (plans/_qcore.py) at import time;
+plans/queries.py is the facade that imports the tiers in grading
+order and re-exports every symbol — the driver contract and all
+external imports are unchanged. Registry-wide contract notes
+(aliasing, rounding, tie-breaking) live in plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from udacity_data_engineering_capstone_project_spark.operators import dedup as dd
+
+from udacity_data_engineering_capstone_project_spark.plans._qcore import _register, _t
+
+
+# =========================================================================
+# North-star extensions: dedup / similarity / text / multimodal
+# =========================================================================
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    "Exact content dedup: normalized md5 fingerprint, min-id survivor.",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_text_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_register(
+    "segment_dedup",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1, 6)) AS i FROM words),
+    segs AS (SELECT doc_id, i, array_to_string(ws[i : i+5], ' ') AS seg FROM idx),
+    hot AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
+    SELECT s.doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE h.seg IS NULL) AS n_kept,
+           md5(coalesce(string_agg(s.seg, ' ' ORDER BY s.i)
+                        FILTER (WHERE h.seg IS NULL), '')) AS cleaned_hash
+    FROM segs s LEFT JOIN hot h ON s.seg = h.seg
+    GROUP BY s.doc_id
+    """,
+    "Cross-document duplicated-segment removal (C4/CCNet boilerplate "
+    "scrub): 6-word chunks appearing in >=2 distinct docs are dropped "
+    "everywhere, survivors reassembled in order; md5 pins the exact "
+    "cleaned text.",
+    registered=False,  # r7: ceded to the crawl-tier promotions; the C4 boilerplate-scrub shape stays pytest/parity-pinned
+)
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.remove_duplicated_segments(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        window=6,
+        min_docs=2,
+    )
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, lang, substr(lower(text), CAST(i AS INTEGER), 3) AS s
+        FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6
+    """,
+    "Exact char-3-gram Jaccard near-dup pairs, lang-blocked "
+    "(verification twin of the MinHash-LSH scale path).",
+    registered=False,  # r7: ceded to the crawl-tier promotions; dedup_minhash_lsh now grades exact Jaccard end-to-end with an all-pairs oracle (superset contract)
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang"],
+        shingle_k=3,
+        threshold=0.6,
+    )
+
+
+@_register(
+    "dedup_minhash_lsh",
+    # The oracle recomputes the FULL all-pairs exact Jaccard — so this
+    # row grades the complete two-phase pipeline: a candidate missed
+    # by the banding (recall < 1.0) or a wrong verification value
+    # would both surface as a hash mismatch. LSH recall at the graded
+    # threshold is 1.0 on both driver corpora, margin-pinned by
+    # test_minhash_verified_matches_exact_all_pairs (min |J - 0.8|
+    # boundary distance measured 0.066/0.090 — r7 conversion of the
+    # former no_oracle engine-hash contract).
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INTEGER), 3) AS s
+        FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
+    """,
+    "MinHash(64) + LSH(8 bands x 8) candidates -> EXACT shingle-"
+    "Jaccard verification >= 0.8: the O(n) two-phase near-dup scale "
+    "path, hash-checked end-to-end against DuckDB's all-pairs truth "
+    "(est_jaccard screening stays available via minhash_dedup_pairs).",
+    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_verified_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=8,
+        threshold=0.8,
+    )
+
+
+def minhash_screen_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only row (the heavy_hitters_bench pattern — NOT a graded
+    query): the est-Jaccard screening path `minhash_dedup_pairs`, kept
+    on the bench clock so its r4-r6 baseline continuity (1.5-1.8 s at
+    sf0.1) survives dedup_minhash_lsh's r7 contract change to exact
+    verification. A regression in the screen — which is also the
+    verified contract's first two phases — shows up here undiluted by
+    verification cost."""
+    return dd.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=8,
+        threshold=0.8,
+    )
+
+
+def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> str:
+    """Generate the DuckDB twin of the portable-hash SimHash pipeline
+    (r7 conversion of the former no_oracle row): token hash = first 15
+    md5 hex digits as a 60-bit integer (the `_ngram_bucket` portable
+    convention), per-bit majority vote, pigeonhole chunk join, exact
+    bit_count(xor) hamming. Every quantity is INTEGER arithmetic, so
+    the twin is bit-exact — no rounding contract needed."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sums = ",\n               ".join(
+        f"sum((h >> {i}) & 1) AS c{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN 2 * c{i} > n THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    chunk_rows = ", ".join(str(i) for i in range(chunks))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              FROM documents)
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n,
+               {sums}
+        FROM tok GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, ({sig}) AS s FROM agg),
+    ch AS (
+        SELECT doc_id, s, u.ci AS ci, (s >> (u.ci * {width})) & {mask} AS cv
+        FROM sig, (SELECT unnest([{chunk_rows}]) AS ci) u
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.s, b.s)) AS hamming
+        FROM ch a JOIN ch b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@_register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    "SimHash near-dup pairs within hamming<=3 via 15-bit band LSH "
+    "(pigeonhole-exact recall). Hash-checked since r7: the graded "
+    "path uses the PORTABLE 60-bit md5-prefix token-hash family "
+    "(integer-exact in any ANSI engine), so DuckDB re-derives "
+    "signatures, chunk buckets, and hamming bit-for-bit; the xxhash64 "
+    "family stays the production default in simhash_signatures.",
+    registered=False,  # r9 continuation: ceded (second slate); band-LSH dedup stays driver-graded via dedup_minhash_lsh + dedup_embedding_lsh + dedup_clusters; hash-pinned in the unregistered gate
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist for intra-job reuse (the banded self-join consumes the
+    # signature lineage twice), eagerly checkpoint the small pair
+    # output, then RELEASE the cache — a bare persist would pin it for
+    # the session lifetime (see minhash_dedup_pairs).
+    sigs = dd.simhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=60,
+        portable=True,
+    ).persist()
+    try:
+        pairs = dd.simhash_near_pairs(
+            sigs, "doc_id", max_hamming=3, chunks=4, bits=60
+        )
+        return pairs.withColumn(
+            "hamming", F.col("hamming").cast("long")
+        ).localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+
+
+def _dedup_clusters_oracle(rounds: int = 6, threshold: float = 0.8) -> str:
+    """DuckDB twin of minhash_verified_pairs -> connected_components ->
+    representatives (r7): pairs from the all-pairs exact-Jaccard truth
+    (the same derivation dedup_minhash_lsh grades), components via
+    ``rounds`` unrolled min-label propagation steps as MATERIALIZED
+    CTEs (the pagerank lesson: materialization kills the exponential
+    re-inlining of an iterative plan). ``rounds`` exceeds the cluster
+    diameter on the graded corpora by construction — pinned by
+    test_dedup_clusters_oracle_rounds_converged."""
+    prop = "\n".join(
+        f"""    l{i + 1} AS MATERIALIZED (
+        SELECT l.node,
+               least(l.lbl, coalesce(min(nb.lbl), l.lbl)) AS lbl
+        FROM l{i} l
+        LEFT JOIN edges e ON e.u = l.node
+        LEFT JOIN l{i} nb ON nb.node = e.v
+        GROUP BY l.node, l.lbl
+    ),"""
+        for i in range(rounds)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INTEGER), 3) AS s
+        FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold}
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (
+        SELECT DISTINCT u AS node, u AS lbl FROM edges
+    ),
+{prop}
+    comp AS (SELECT node, lbl FROM l{rounds})
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(c.lbl, d.doc_id) = d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN coalesce(c.lbl, d.doc_id) = d.doc_id
+                         THEN d.doc_id ELSE 0 END) AS BIGINT) AS rep_id_sum
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    GROUP BY lang
+    """
+
+
+@_register(
+    "dedup_clusters",
+    _dedup_clusters_oracle(),
+    "Iterative connected components over VERIFIED near-dup pairs: "
+    "every doc mapped to its cluster representative (transitive "
+    "closure the pairwise output can't express). r7: converted from "
+    "rows-only to a full DuckDB oracle — the pair set is the exact "
+    "all-pairs Jaccard truth (recall-1.0-pinned LSH), and the oracle "
+    "unrolls min-label propagation as 6 materialized CTE rounds "
+    "(clusters here are shallow; convergence is pinned by "
+    "test_dedup_clusters_oracle_rounds_converged). rep_id_sum pins "
+    "WHICH documents represent their clusters, not just how many. "
+    "Promoted to a driver slot in r9 (rotation).",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.8)
+    out = dd.dedup_representatives(docs.select("doc_id", "lang"), pairs, "doc_id")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_representative").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("is_representative"), F.col("doc_id")).otherwise(
+                F.lit(0)
+            )
+        ).alias("rep_id_sum"),
+    )
+
+
+@_register(
+    "dedup_embedding",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+               AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    """,
+    "Embedding near-dup: exact cosine within a blocking key (label). "
+    "Ceded its driver slot in r6 (rotation; the strategy pair stays "
+    "graded via dedup_embedding_lsh + ann_topk); hash-pinned "
+    "locally.",
+    registered=False,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        threshold=0.3,
+    )
+
+
+# Oracle twin for fuzzy_join — UNREGISTERED (r9 addition; 50-slot
+# window is full). DuckDB recomputes the pair set by brute force:
+# all ordered pairs with a |length| prefilter (implied exactly by the
+# distance bound) and its native levenshtein — INDEPENDENT of the
+# Spark side's SymSpell deletion-neighborhood blocking, so a recall
+# miss in the pigeonhole join breaks the hash here and in the local
+# parity gate. Entity strings are the documents' first-3-word
+# "titles" (distinct, min-doc_id representative) plus a deterministic
+# typo replica (drop first char + append 'x' = distance <= 2) for
+# eids % 7 = 3 under a disjoint id range.
+FUZZY_JOIN_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string((string_split(text, ' '))[1:3], ' ') AS title
+        FROM documents
+    ),
+    ents AS (SELECT min(doc_id) AS eid, title FROM t GROUP BY title),
+    dirty AS (
+        SELECT eid + 10000000 AS eid, substr(title, 2) || 'x' AS title
+        FROM ents WHERE eid % 7 = 3
+    ),
+    allp AS (
+        SELECT eid, title FROM ents
+        UNION ALL SELECT eid, title FROM dirty
+    )
+    SELECT a.eid AS id_a, b.eid AS id_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
+    FROM allp a JOIN allp b
+      ON a.eid < b.eid
+     AND abs(length(a.title) - length(b.title)) <= 2
+    WHERE levenshtein(a.title, b.title) <= 2
+"""
+
+
+@_register(
+    "fuzzy_join",
+    FUZZY_JOIN_ORACLE,
+    "Edit-distance entity resolution (operators/fuzzy.py:fuzzy_pairs): "
+    "SymSpell deletion-neighborhood blocking (exact recall for "
+    "Levenshtein <= k by the pigeonhole argument in the module "
+    "docstring) + thresholded-levenshtein verify, never a cross "
+    "join. Hash-checked against DuckDB's brute-force all-pairs "
+    "levenshtein. Promoted to a driver slot in the r9 second slate "
+    "(new surface gets a hard driver row in the round it lands).",
+)
+def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import fuzzy_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("title"),
+    )
+    ents = titles.groupBy("title").agg(F.min("doc_id").alias("eid"))
+    dirty = ents.select(
+        (F.col("eid") + F.lit(10_000_000)).alias("eid"),
+        F.concat(F.expr("substring(title, 2, length(title))"), F.lit("x")).alias(
+            "title"
+        ),
+    ).filter((F.col("eid") - 10_000_000) % 7 == 3)
+    allp = ents.select("eid", "title").unionByName(dirty)
+    return fuzzy_pairs(allp, "eid", "title", max_distance=2)
+
+
+# Oracle twin for fuzzy_join_reference — UNREGISTERED (r10 addition,
+# VERDICT r9 #3; 50-slot window is full). DuckDB recomputes the match
+# by BRUTE FORCE: dirty CROSS JOIN dim with native levenshtein, then
+# best match per dirty row via row_number over (distance, dim id) —
+# independent of the Spark side's deletion-neighborhood blocking AND
+# of its groupBy-min-struct tie-break, so both a recall miss in the
+# pigeonhole join and a tie-break drift break the hash. Dim = the
+# distinct first-3-word titles (min-doc_id id, the clean reference);
+# dirty = a deterministic typo replica (drop first char + append 'x'
+# = distance <= 2) of every 7th entity under a disjoint id range.
+FUZZY_JOIN_REF_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string((string_split(text, ' '))[1:3], ' ') AS title
+        FROM documents
+    ),
+    dim AS (SELECT min(doc_id) AS dim_id, title FROM t GROUP BY title),
+    dirty AS (
+        SELECT dim_id + 10000000 AS rec_id, substr(title, 2) || 'x' AS title
+        FROM dim WHERE dim_id % 7 = 3
+    ),
+    cand AS (
+        SELECT d.rec_id, r.dim_id,
+               CAST(levenshtein(d.title, r.title) AS BIGINT) AS distance,
+               row_number() OVER (
+                   PARTITION BY d.rec_id
+                   ORDER BY levenshtein(d.title, r.title), r.dim_id
+               ) AS rn
+        FROM dirty d JOIN dim r
+          ON abs(length(d.title) - length(r.title)) <= 2
+        WHERE levenshtein(d.title, r.title) <= 2
+    )
+    SELECT rec_id, dim_id, distance FROM cand WHERE rn = 1
+"""
+
+
+@_register(
+    "fuzzy_join_ref_q",
+    FUZZY_JOIN_REF_ORACLE,
+    "Entity resolution against a clean reference dimension "
+    "(operators/fuzzy.py:fuzzy_join_reference, VERDICT r9 #3): dirty "
+    "free-text keys matched to a curated dim within Levenshtein 2 — "
+    "deletion-neighborhood keys of the DIM exploded + broadcast "
+    "(inflation-discounted size gate), dirty side explodes in the "
+    "scan stage, thresholded-levenshtein verify, best match per row "
+    "via one partial-aggregatable min-struct groupBy (no window). "
+    "Hash-checked against DuckDB's brute-force cross-join best match. "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def fuzzy_join_ref_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
+        fuzzy_join_reference,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("title"),
+    )
+    dim = titles.groupBy("title").agg(F.min("doc_id").alias("dim_id"))
+    dirty = dim.select(
+        (F.col("dim_id") + F.lit(10_000_000)).alias("rec_id"),
+        F.concat(F.expr("substring(title, 2, length(title))"), F.lit("x")).alias(
+            "title"
+        ),
+    ).filter((F.col("rec_id") - 10_000_000) % 7 == 3)
+    return fuzzy_join_reference(
+        dirty, "rec_id", "title", dim, "dim_id", "title", max_distance=2
+    )
+
+
+# Oracle twin for split_with_dedup_guard — UNREGISTERED (r9 addition;
+# 50-slot window is full). The Spark side derives near-dup edges as a
+# CHAIN of consecutive doc_ids inside each 4-word template key — the
+# hardest shape for component collapse (the oracle's min must
+# propagate the full chain length, not one hop) — then runs connected
+# components + md5-range split on the representative. The oracle
+# sidesteps the iteration entirely: a chain within a key connects the
+# whole key group, so representative == min(doc_id) OVER the template
+# partition, and the split thresholds are the hash_split hex ranges
+# verbatim (sorted split names, last absorbs slack: test < 0ccd <=
+# train < f333 <= val for 90/5/5).
+LEAKAGE_SPLIT_ORACLE = """
+    WITH k AS (
+        SELECT doc_id,
+               array_to_string((string_split(text, ' '))[1:4], ' ') AS tkey
+        FROM documents
+    ),
+    reps AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY tkey) AS representative
+        FROM k
+    )
+    SELECT doc_id, representative,
+           CASE WHEN substr(md5(CAST(representative AS VARCHAR)), 1, 4) < '0ccd'
+                THEN 'test'
+                WHEN substr(md5(CAST(representative AS VARCHAR)), 1, 4) < 'f333'
+                THEN 'train'
+                ELSE 'val' END AS split
+    FROM reps
+"""
+
+
+@_register(
+    "leakage_split_q",
+    LEAKAGE_SPLIT_ORACLE,
+    "Leakage-safe train/val/test split (sampling.split_with_dedup_guard): "
+    "near-dup chain edges -> connected components -> md5-range split on "
+    "the cluster representative, so no near-dup pair straddles a split. "
+    "Oracle recomputes representatives as the template-partition min "
+    "(a chain connects the whole group) and the split ranges verbatim. "
+    "Unregistered; hash-pinned locally.",
+)
+def leakage_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        split_with_dedup_guard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("tkey"),
+    )
+    w = Window.partitionBy("tkey").orderBy("doc_id")
+    pairs = (
+        keyed.withColumn("id_b", F.lead("doc_id").over(w))
+        .filter(F.col("id_b").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+    )
+    out = split_with_dedup_guard(
+        docs, pairs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "representative", "split")
