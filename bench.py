@@ -130,6 +130,32 @@ BENCH_QUERIES = [
     "pack_sequences_q",
     "fuzzy_join",
     "bpe_tokenize_q",
+    # round 10: the 15 never-driver-graded queries took driver slots
+    # (r9 VERDICT #1) and join the bench so every graded row carries a
+    # recorded baseline — as-of next event, BPE merge training,
+    # calibration bins, sliding-window chunking, k-anonymity audit,
+    # semi-supervised label propagation, leakage-safe split, outlink
+    # host graph, MMR diversified top-k, personalized PageRank,
+    # time-series resample, AQE-skew-split join, shard assignment,
+    # temperature-flattened mix, weighted hash sample — plus the new
+    # reference-dimension fuzzy join (r9 VERDICT #3). The 15 demoted
+    # veterans keep their existing bench rows above.
+    "asof_next_q",
+    "bpe_train_q",
+    "calibration_q",
+    "chunk_q",
+    "k_anonymity_q",
+    "label_prop_q",
+    "leakage_split_q",
+    "link_graph_q",
+    "mmr_q",
+    "ppr_q",
+    "resample_q",
+    "salted_join_q",
+    "shards_q",
+    "temperature_mix_q",
+    "weighted_sample",
+    "fuzzy_join_ref_q",
 ]
 
 

@@ -39,7 +39,6 @@ def main() -> None:
         fuzzy_join_reference,
     )
     from udacity_data_engineering_capstone_project_spark.session import get_spark
-    from tools.replicate import doc_copies
 
     spark = get_spark(app_name="fuzzy-ref-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -64,23 +63,45 @@ def main() -> None:
     )
     n_dim = dim.count()
 
+    base_titles = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("title"),
+    ).localCheckpoint(eager=True)
+
+    def dirty_tier(mult: int):
+        """mult unions of the base titles, each under a DIFFERENT typo
+        (delete one character at a per-copy position + append a
+        per-copy suffix letter = Levenshtein <= 2 from the clean
+        title) and a disjoint id range — the match-DENSE regime, so
+        every tier exercises the verify + best-match stages at full
+        volume, not just the key explode (the letter-bijection
+        replicas of tools/replicate.py would decorrelate the copies
+        from the FIXED dim and match nothing)."""
+        parts = []
+        for i in range(mult):
+            pos = 2 + (i % 3)
+            suf = "xyz"[i % 3]
+            parts.append(
+                base_titles.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("rec_id"),
+                    F.concat(
+                        F.expr(
+                            f"concat(substring(title, 1, {pos - 1}),"
+                            f" substring(title, {pos + 1}, 1000000))"
+                        ),
+                        F.lit(suf),
+                    ).alias("title"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     results = {}
     for mult in mults:
         tier = f"x{mult}"
-        base = docs if mult == 1 else doc_copies(docs, mult)
-        # dirty side: every row carries a typo'd title (drop first
-        # char + append a copy-varying suffix char so replicas stay
-        # distinct strings and the verify does real work per row).
-        dirty = base.select(
-            F.col("doc_id").alias("rec_id"),
-            F.concat(
-                F.expr(
-                    "substring(array_join(slice(split(text, ' '), 1, 3), ' '),"
-                    " 2, 1000000)"
-                ),
-                F.lit("x"),
-            ).alias("title"),
-        ).localCheckpoint(eager=True)
+        dirty = dirty_tier(mult).localCheckpoint(eager=True)
         n_dirty = dirty.count()
         fuzzy_join_reference(
             dirty, "rec_id", "title", dim, "dim_id", "title", max_distance=2

@@ -39,36 +39,63 @@ def pagerank(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .localCheckpoint(eager=True)
     )
+    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # node spine carries the has-out flag ONCE (r10): the dangling
+    # aggregate used to re-join has_out every round — the flag is
+    # loop-invariant, so it rides the spine and every rank frame
+    # instead (one fewer join per round).
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
+        .join(
+            out_deg.select(F.col("u").alias("node"), F.lit(True).alias("__o")),
+            on="node",
+            how="left",
+        )
+        .select("node", F.coalesce(F.col("__o"), F.lit(False)).alias("__o"))
+        .repartition(F.col("node"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
     # edge weight = 1/out_degree of the source, fixed across iterations
+    # Pre-partition the loop-invariant weight table by the JOIN key
+    # ONCE (r10): localCheckpoint preserves the plan's output
+    # partitioning, and the per-round contrib join's ranks side is a
+    # node->u alias projection (alias-aware output partitioning), so
+    # neither side of the join re-exchanges in ANY round — the only
+    # per-round shuffle is the groupBy(v) destination aggregation.
     w = (
         e.join(out_deg, on="u")
         .select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .repartition(F.col("u"))
         .localCheckpoint(eager=True)
     )
-    has_out = out_deg.select(F.col("u").alias("node"), F.lit(True).alias("__o"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     base = (1.0 - damping) / n
+    # ONE scalar job per round (r10: was three — dangling collect,
+    # eager checkpoint, delta collect — and on host-graph-sized inputs
+    # the loop is JOB/STAGE-count-bound, not data-bound). The dangling
+    # mass of the current ranks is computed once up front; afterwards
+    # each round's fused stats job (a) MATERIALIZES the lazily-
+    # checkpointed new ranks (lineage truncation intact — the blocks
+    # persist when the aggregate computes them), (b) returns the L1
+    # delta, and (c) returns the NEXT round's dangling mass from the
+    # same rows. With tol <= 0 (fixed-iteration callers, e.g. the
+    # oracle-pinned 8-round queries) the old-ranks join is skipped
+    # entirely — the delta could never stop the loop.
+    track_delta = tol > 0.0
+    dangling = (
+        ranks.agg(
+            F.sum(F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0)))
+        ).collect()[0][0]
+        or 0.0
+    )
     for _ in range(max_iter):
-        # rank mass of dangling nodes (no out-edges) teleports uniformly
-        dangling = (
-            ranks.join(has_out, on="node", how="left")
-            .filter(F.col("__o").isNull())
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
         contrib = (
-            w.join(ranks.withColumnRenamed("node", "u"), on="u")
+            w.join(ranks.select(F.col("node").alias("u"), "rank"), on="u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("w") * F.col("rank")).alias("__in"))
         )
@@ -76,25 +103,37 @@ def pagerank(
             nodes.join(contrib, on="node", how="left")
             .select(
                 "node",
+                "__o",
                 (
                     F.lit(base)
                     + F.lit(damping)
                     * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        delta = (
+        stats_src = (
             new_ranks.join(
-                ranks.withColumnRenamed("rank", "__old"), on="node"
+                ranks.select("node", F.col("rank").alias("__old")), on="node"
             )
-            .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
-            .collect()[0][0]
+            if track_delta
+            else new_ranks
         )
+        aggs = [
+            F.sum(
+                F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("__dangling")
+        ]
+        if track_delta:
+            aggs.append(
+                F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("__delta")
+            )
+        stats = stats_src.agg(*aggs).collect()[0]
+        dangling = stats["__dangling"] or 0.0
         ranks = new_ranks
-        if delta < tol:
+        if track_delta and stats["__delta"] < tol:
             break
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def _simple_graph(edges: DataFrame, src: str, dst: str):
@@ -281,40 +320,62 @@ def personalized_pagerank(
     n_seeds = seed_df.count()
     if n_seeds == 0:
         raise ValueError("seeds must contain at least one non-null node id")
+    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # node spine carries the loop-invariant per-node state ONCE (r10):
+    # reset weight AND the has-out flag ride the spine and every rank
+    # frame, so no per-round has_out join.
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .unionByName(seed_df)
         .distinct()
         .join(seed_df.withColumn("__s", F.lit(True)), on="node", how="left")
+        .join(
+            out_deg.select(F.col("u").alias("node"), F.lit(True).alias("__o")),
+            on="node",
+            how="left",
+        )
         .select(
             "node",
             F.when(F.col("__s"), F.lit(1.0 / n_seeds))
             .otherwise(F.lit(0.0))
             .alias("__reset"),
+            F.coalesce(F.col("__o"), F.lit(False)).alias("__o"),
         )
+        .repartition(F.col("node"))
         .localCheckpoint(eager=True)
     )
-    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # Pre-partition the loop-invariant weight table by the JOIN key
+    # ONCE (r10): localCheckpoint preserves the plan's output
+    # partitioning, and the per-round contrib join's ranks side is a
+    # node->u alias projection (alias-aware output partitioning), so
+    # neither side of the join re-exchanges in ANY round — the only
+    # per-round shuffle is the groupBy(v) destination aggregation.
     w = (
         e.join(out_deg, on="u")
         .select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .repartition(F.col("u"))
         .localCheckpoint(eager=True)
     )
-    has_out = out_deg.select(F.col("u").alias("node"), F.lit(True).alias("__o"))
     ranks = nodes.select(
-        "node", F.col("__reset").alias("rank")
+        "node", "__o", F.col("__reset").alias("rank")
     ).localCheckpoint(eager=True)
+    # ONE scalar job per round (r10, same fusion as `pagerank`): the
+    # loop used to run 3 driver jobs/round (dangling collect, eager
+    # checkpoint, delta collect) — the fused stats job materializes
+    # the lazy checkpoint, returns the L1 delta (only when tol > 0;
+    # fixed-iteration callers like the oracle-pinned 8-round ppr_q
+    # skip the old-ranks join entirely) and the next dangling mass.
+    track_delta = tol > 0.0
+    dangling = (
+        ranks.agg(
+            F.sum(F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0)))
+        ).collect()[0][0]
+        or 0.0
+    )
     for _ in range(max_iter):
-        dangling = (
-            ranks.join(has_out, on="node", how="left")
-            .filter(F.col("__o").isNull())
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
         contrib = (
-            w.join(ranks.withColumnRenamed("node", "u"), on="u")
+            w.join(ranks.select(F.col("node").alias("u"), "rank"), on="u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("w") * F.col("rank")).alias("__in"))
         )
@@ -322,7 +383,7 @@ def personalized_pagerank(
             nodes.join(contrib, on="node", how="left")
             .select(
                 "node",
-                "__reset",
+                "__o",
                 (
                     F.lit(1.0 - damping) * F.col("__reset")
                     + F.lit(damping)
@@ -332,19 +393,30 @@ def personalized_pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        delta = (
+        stats_src = (
             new_ranks.join(
                 ranks.select("node", F.col("rank").alias("__old")), on="node"
             )
-            .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
-            .collect()[0][0]
+            if track_delta
+            else new_ranks
         )
-        ranks = new_ranks.select("node", "rank")
-        if delta < tol:
+        aggs = [
+            F.sum(
+                F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("__dangling")
+        ]
+        if track_delta:
+            aggs.append(
+                F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("__delta")
+            )
+        stats = stats_src.agg(*aggs).collect()[0]
+        dangling = stats["__dangling"] or 0.0
+        ranks = new_ranks
+        if track_delta and stats["__delta"] < tol:
             break
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def label_propagation(
