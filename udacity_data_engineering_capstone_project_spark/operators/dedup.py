@@ -615,6 +615,14 @@ def connected_components(
     edges_mat = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
+    # NOT pre-partitioned (r10 A/B): near-dup pair graphs are TINY
+    # relative to the corpus (bounded by dup density), and forcing
+    # co-partitioning by the join key regressed dedup_clusters 5.4 ->
+    # 8.6 s — it defeats AQE's runtime broadcast of the label table
+    # and adds per-round sort stages. The pagerank/PPR weight table
+    # (600k+ edges, where the same trick WON 1.3x) records the other
+    # side of the crossover; callers clustering web-scale edge sets
+    # should repartition the edges by ``v`` before calling.
     sym = (
         edges_mat.unionByName(
             edges_mat.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -646,6 +654,9 @@ def connected_components(
         ptr = propagated.select(
             F.col("node").alias("c_node"), F.col("component").alias("c_comp")
         )
+        # ONE job per round (r10): the convergence aggregate
+        # MATERIALIZES the lazily-checkpointed labels (was two jobs —
+        # eager checkpoint, then the sum collect re-reading it).
         labels = (
             propagated.join(ptr, propagated["component"] == ptr["c_node"], "left")
             .select(
@@ -654,7 +665,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if on_round:

