@@ -36,18 +36,37 @@ def main() -> int:
         help="also run the UNREGISTERED registry (the full 100-query "
         "gate the pytest parity file covers, in one command)",
     )
+    ap.add_argument(
+        "--hostile",
+        choices=["config", "tz"],
+        default=None,
+        help="adversarial session shapes (committed r10; the ad-hoc "
+        "r8/r9 probes): 'config' = local[2] x 200 shuffle partitions "
+        "x default parallelism 2 (catches layout/parallelism "
+        "assumptions — prefer sf0.001 for wall time); 'tz' = session "
+        "timezone Asia/Kolkata (catches instant<->ntz cast bugs)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+    builder = (
+        SparkSession.builder.master(
+            "local[2]" if args.hostile == "config" else "local[32]"
+        )
+        .config(
+            "spark.sql.shuffle.partitions",
+            "200" if args.hostile == "config" else "32",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        .appName("driver-sim")
-        .getOrCreate()
+        .appName(f"driver-sim-{args.hostile or 'plain'}")
     )
+    if args.hostile == "config":
+        builder = builder.config("spark.default.parallelism", "2")
+    if args.hostile == "tz":
+        builder = builder.config("spark.sql.session.timeZone", "Asia/Kolkata")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
