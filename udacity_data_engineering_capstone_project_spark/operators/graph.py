@@ -75,63 +75,69 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     base = (1.0 - damping) / n
-    # ONE scalar job per round (r10: was three — dangling collect,
-    # eager checkpoint, delta collect — and on host-graph-sized inputs
-    # the loop is JOB/STAGE-count-bound, not data-bound). The dangling
-    # mass of the current ranks is computed once up front; afterwards
-    # each round's fused stats job (a) MATERIALIZES the lazily-
-    # checkpointed new ranks (lineage truncation intact — the blocks
-    # persist when the aggregate computes them), (b) returns the L1
-    # delta, and (c) returns the NEXT round's dangling mass from the
-    # same rows. With tol <= 0 (fixed-iteration callers, e.g. the
-    # oracle-pinned 8-round queries) the old-ranks join is skipped
-    # entirely — the delta could never stop the loop.
+    # DRIVER-ACTION-FREE rounds (r10, second pass): the dangling mass
+    # rides as a BROADCAST 1-row frame joined on a literal key (a
+    # BroadcastHashJoin, never a cartesian), so a propagation round is
+    # pure plan — no collect. Convergence-tracked callers (tol > 0)
+    # still materialize every round for the L1 delta (1 fused job per
+    # round: the delta aggregate computes the lazy checkpoint);
+    # fixed-iteration callers (tol <= 0, the oracle-pinned queries)
+    # materialize only every UNROLL rounds — an 8-round PPR runs TWO
+    # driver actions instead of 24 (the r10 first pass's 8). The math
+    # is bit-identical: the broadcast frame carries the exact same
+    # aggregate the scalar collect used to fetch.
     track_delta = tol > 0.0
-    dangling = (
-        ranks.agg(
-            F.sum(F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0)))
-        ).collect()[0][0]
-        or 0.0
-    )
-    for _ in range(max_iter):
+    unroll = 1 if track_delta else 4
+
+    def _one_round(r: DataFrame) -> DataFrame:
+        dm = r.agg(
+            F.sum(
+                F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("__dm")
+        ).withColumn("__k", F.lit(1))
         contrib = (
-            w.join(ranks.select(F.col("node").alias("u"), "rank"), on="u")
+            w.join(r.select(F.col("node").alias("u"), "rank"), on="u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("w") * F.col("rank")).alias("__in"))
         )
-        new_ranks = (
-            nodes.join(contrib, on="node", how="left")
+        return (
+            nodes.withColumn("__k", F.lit(1))
+            .join(contrib, on="node", how="left")
+            .join(F.broadcast(dm), on="__k")
             .select(
                 "node",
                 "__o",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.coalesce(F.col("__dm"), F.lit(0.0)) / n
+                    )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
-        stats_src = (
-            new_ranks.join(
-                ranks.select("node", F.col("rank").alias("__old")), on="node"
-            )
-            if track_delta
-            else new_ranks
-        )
-        aggs = [
-            F.sum(
-                F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0))
-            ).alias("__dangling")
-        ]
+
+    done = 0
+    while done < max_iter:
+        steps = min(unroll, max_iter - done)
+        cur = ranks
+        for _ in range(steps):
+            cur = _one_round(cur)
         if track_delta:
-            aggs.append(
-                F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("__delta")
+            cur = cur.localCheckpoint(eager=False)
+            delta = (
+                cur.join(
+                    ranks.select("node", F.col("rank").alias("__old")), on="node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
+                .collect()[0][0]
             )
-        stats = stats_src.agg(*aggs).collect()[0]
-        dangling = stats["__dangling"] or 0.0
-        ranks = new_ranks
-        if track_delta and stats["__delta"] < tol:
+        else:
+            cur = cur.localCheckpoint(eager=True)
+        ranks = cur
+        done += steps
+        if track_delta and delta < tol:
             break
     return ranks.select("node", "rank")
 
@@ -360,27 +366,29 @@ def personalized_pagerank(
     ranks = nodes.select(
         "node", "__o", F.col("__reset").alias("rank")
     ).localCheckpoint(eager=True)
-    # ONE scalar job per round (r10, same fusion as `pagerank`): the
-    # loop used to run 3 driver jobs/round (dangling collect, eager
-    # checkpoint, delta collect) — the fused stats job materializes
-    # the lazy checkpoint, returns the L1 delta (only when tol > 0;
-    # fixed-iteration callers like the oracle-pinned 8-round ppr_q
-    # skip the old-ranks join entirely) and the next dangling mass.
+    # DRIVER-ACTION-FREE rounds (r10, same shape as `pagerank`): the
+    # dangling mass rides as a broadcast 1-row frame on a literal
+    # join key; tol > 0 materializes every round for the delta, the
+    # fixed-iteration oracle-pinned callers (tol <= 0) materialize
+    # every UNROLL rounds — an 8-round ppr_q runs TWO driver actions.
     track_delta = tol > 0.0
-    dangling = (
-        ranks.agg(
-            F.sum(F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0)))
-        ).collect()[0][0]
-        or 0.0
-    )
-    for _ in range(max_iter):
+    unroll = 1 if track_delta else 4
+
+    def _one_round(r: DataFrame) -> DataFrame:
+        dm = r.agg(
+            F.sum(
+                F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("__dm")
+        ).withColumn("__k", F.lit(1))
         contrib = (
-            w.join(ranks.select(F.col("node").alias("u"), "rank"), on="u")
+            w.join(r.select(F.col("node").alias("u"), "rank"), on="u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("w") * F.col("rank")).alias("__in"))
         )
-        new_ranks = (
-            nodes.join(contrib, on="node", how="left")
+        return (
+            nodes.withColumn("__k", F.lit(1))
+            .join(contrib, on="node", how="left")
+            .join(F.broadcast(dm), on="__k")
             .select(
                 "node",
                 "__o",
@@ -389,32 +397,32 @@ def personalized_pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.lit(dangling) * F.col("__reset")
+                        + F.coalesce(F.col("__dm"), F.lit(0.0)) * F.col("__reset")
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
-        stats_src = (
-            new_ranks.join(
-                ranks.select("node", F.col("rank").alias("__old")), on="node"
-            )
-            if track_delta
-            else new_ranks
-        )
-        aggs = [
-            F.sum(
-                F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0))
-            ).alias("__dangling")
-        ]
+
+    done = 0
+    while done < max_iter:
+        steps = min(unroll, max_iter - done)
+        cur = ranks
+        for _ in range(steps):
+            cur = _one_round(cur)
         if track_delta:
-            aggs.append(
-                F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("__delta")
+            cur = cur.localCheckpoint(eager=False)
+            delta = (
+                cur.join(
+                    ranks.select("node", F.col("rank").alias("__old")), on="node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
+                .collect()[0][0]
             )
-        stats = stats_src.agg(*aggs).collect()[0]
-        dangling = stats["__dangling"] or 0.0
-        ranks = new_ranks
-        if track_delta and stats["__delta"] < tol:
+        else:
+            cur = cur.localCheckpoint(eager=True)
+        ranks = cur
+        done += steps
+        if track_delta and delta < tol:
             break
     return ranks.select("node", "rank")
 
