@@ -162,10 +162,12 @@ def pack_sequences(
     max(64, ceil(n / 200k)) — per-task memory stays bounded while
     small inputs keep the historical 64-bucket layout. The (id, len)
     slice is persisted around that count so a lazy upstream plan is
-    evaluated ONCE, not once for the count and again for the pack
-    (the persisted slice is unpersisted lazily after the plan is
-    built — blocks age out once the pack job has consumed them).
-    Pass an explicit `buckets` for a pinned, count-free layout.
+    evaluated ONCE, not once for the count and again for the pack.
+    The slice stays cached (MEMORY_AND_DISK, LRU-evicted under
+    pressure) for the returned plan's lifetime — it cannot be
+    unpersisted here without the pack action recomputing the
+    lineage. Pass an explicit `buckets` for a pinned, count-free,
+    persist-free layout.
 
     `portable_bucket=True` swaps the xxhash64 bucket hash for the
     60-bit md5-prefix family (`conv(substr(md5(id), 1, 15), 16, 10)`)
