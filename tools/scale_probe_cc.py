@@ -54,15 +54,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def shallow(m: int):
-        # m edges = m/2 clusters of 3 nodes {3k, 3k+1, 3k+2}: edges
-        # (3k, 3k+1), (3k, 3k+2) — diameter 2, min-label = 3k.
+        # m edges = ceil(m/2) clusters of <=3 nodes {3k, 3k+1, 3k+2}:
+        # edges (3k, 3k+1), (3k, 3k+2) — diameter 2, min-label = 3k
+        # (an odd m leaves the last cluster with one edge; the
+        # component count is ceil, not floor — review finding r10).
         return (
             spark.range(m)
             .selectExpr(
                 "3 * (id DIV 2) AS id_a",
                 "3 * (id DIV 2) + 1 + (id % 2) AS id_b",
             ),
-            m // 2,  # expected components
+            (m + 1) // 2,  # expected components
         )
 
     def chain(m: int):

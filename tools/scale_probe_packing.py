@@ -78,6 +78,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     for mult in mults:
+        # auto-sizing (buckets=None) persists the (id, len) slice for
+        # the plan's lifetime; drop prior tiers' caches so each tier's
+        # timing measures a clean store (review finding r10)
+        spark.catalog.clearCache()
         n_items = _BASE_ITEMS * mult
         items = spark.range(0, n_items).select(
             F.col("id"),

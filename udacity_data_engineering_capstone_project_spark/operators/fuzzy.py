@@ -124,14 +124,20 @@ def fuzzy_pairs(
     BASELINE.md r9 continuation). ``lazy=True`` skips the spread +
     checkpoint for plan-only callers (zero jobs at construction).
 
-    Checkpoint durability (ADVICE r9): ``localCheckpoint`` stores
-    blocks on executors only — on a cluster, losing an executor after
-    construction makes the checkpointed keys unrecoverable (downstream
-    actions FAIL instead of recomputing). When the session has a
-    reliable checkpoint dir configured (``sc.setCheckpointDir``), the
-    keys use ``.checkpoint()`` instead, which survives executor loss;
-    long-running cluster jobs should set one. On local[n] (no executor
-    to lose) localCheckpoint is strictly better — no FS round-trip.
+    Checkpoint durability (ADVICE r9, refined r10): ``localCheckpoint``
+    stores blocks on executors only — on a cluster, losing an executor
+    after construction makes the checkpointed keys unrecoverable
+    (downstream actions FAIL instead of recomputing). On a NON-local
+    master with a reliable checkpoint dir configured
+    (``sc.setCheckpointDir``), the keys use ``.checkpoint()`` instead,
+    which survives executor loss. On local[n] masters localCheckpoint
+    is always used (no executor to lose; the FS round-trip would be
+    pure cost even when a checkpoint dir happens to be set for other
+    reasons). Cleanup caveat: Spark deletes reliable checkpoint files
+    only when ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    (default false) — a long-running cluster job calling fuzzy_pairs
+    per batch should set that flag (or pass ``lazy=True`` and manage
+    materialization itself) to avoid unbounded checkpoint-dir growth.
     """
     if max_distance not in (1, 2):
         raise ValueError(
@@ -147,7 +153,9 @@ def fuzzy_pairs(
     )
     if not lazy:
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
+        if sc.getCheckpointDir() is not None and not sc.master.startswith(
+            "local"
+        ):
             keys = keys.checkpoint(eager=True)
         else:
             keys = keys.localCheckpoint(eager=True)
@@ -239,6 +247,12 @@ def fuzzy_join_reference(
     if max_distance not in (1, 2):
         raise ValueError(
             f"max_distance must be 1 or 2 (keys grow O(L^k)), got {max_distance}"
+        )
+    if id_col == dim_id_col or "distance" in (id_col, dim_id_col):
+        raise ValueError(
+            f"output columns would collide: id_col={id_col!r}, "
+            f"dim_id_col={dim_id_col!r}, plus the reserved 'distance' — "
+            "alias one side before joining"
         )
     dim_keys = dim.select(
         F.col(dim_id_col).alias("__did"),

@@ -123,9 +123,15 @@ def pagerank(
         steps = min(unroll, max_iter - done)
         cur = ranks
         for _ in range(steps):
-            cur = _one_round(cur)
+            # EVERY round is a lazy localCheckpoint: each round's frame
+            # is referenced twice by the next (dangling aggregate +
+            # contrib join), and without the RDD-level cache barrier
+            # the unrolled plan would duplicate round bodies 2^k-fold
+            # whenever exchange reuse is off (review finding r10). The
+            # lazy checkpoint makes both references the SAME cached
+            # RDD — still zero driver actions per round.
+            cur = _one_round(cur).localCheckpoint(eager=False)
         if track_delta:
-            cur = cur.localCheckpoint(eager=False)
             delta = (
                 cur.join(
                     ranks.select("node", F.col("rank").alias("__old")), on="node"
@@ -134,7 +140,9 @@ def pagerank(
                 .collect()[0][0]
             )
         else:
-            cur = cur.localCheckpoint(eager=True)
+            # one eager materialization per unrolled batch; the chain
+            # of lazy per-round checkpoints computes once inside it
+            cur.count()
         ranks = cur
         done += steps
         if track_delta and delta < tol:
@@ -408,9 +416,15 @@ def personalized_pagerank(
         steps = min(unroll, max_iter - done)
         cur = ranks
         for _ in range(steps):
-            cur = _one_round(cur)
+            # EVERY round is a lazy localCheckpoint: each round's frame
+            # is referenced twice by the next (dangling aggregate +
+            # contrib join), and without the RDD-level cache barrier
+            # the unrolled plan would duplicate round bodies 2^k-fold
+            # whenever exchange reuse is off (review finding r10). The
+            # lazy checkpoint makes both references the SAME cached
+            # RDD — still zero driver actions per round.
+            cur = _one_round(cur).localCheckpoint(eager=False)
         if track_delta:
-            cur = cur.localCheckpoint(eager=False)
             delta = (
                 cur.join(
                     ranks.select("node", F.col("rank").alias("__old")), on="node"
@@ -419,7 +433,9 @@ def personalized_pagerank(
                 .collect()[0][0]
             )
         else:
-            cur = cur.localCheckpoint(eager=True)
+            # one eager materialization per unrolled batch; the chain
+            # of lazy per-round checkpoints computes once inside it
+            cur.count()
         ranks = cur
         done += steps
         if track_delta and delta < tol:

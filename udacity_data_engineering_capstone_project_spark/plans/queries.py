@@ -247,19 +247,28 @@ from udacity_data_engineering_capstone_project_spark.plans.queries_crawl import 
 # so a future addition can never push an entry outside the window.
 # ------------------------------------------------------------------
 _FRONT = [
+    # Names must be CURRENTLY REGISTERED to have any effect (the
+    # filter below skips rotated-out names silently) — keep this list
+    # in sync with the rotation: it protects exactly the flagships
+    # that must never fall outside the 50-row driver window if the
+    # registry ever grows past 50 (r10 refresh; the pre-rotation list
+    # carried six now-unregistered names, making their "protection"
+    # vacuous — review finding).
     "pricing_summary",  # flagship — entry() runs it
     "sql_entrypoint",
-    "corpus_prep",
-    "contamination_check",
-    "tfidf_topk",
-    "bm25_retrieval",
     "streaming_dedup",
-    "dedup_embedding_lsh",
-    "multimodal_meta",
 ]
-_ordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
+_stale_front = [n for n in _FRONT if n not in REGISTRY]
+assert not _stale_front, (
+    f"_FRONT names not registered (rotate the list too): {_stale_front}"
+)
+_ordered = {n: REGISTRY[n] for n in _FRONT}
 _ordered.update({n: s for n, s in REGISTRY.items() if n not in _ordered})
-REGISTRY = _ordered
+# reorder IN PLACE: plans._qcore.REGISTRY and this module's REGISTRY
+# must stay the SAME object, or a direct _qcore import (the natural
+# import for a tier module) would see a divergent, un-fronted dict
+REGISTRY.clear()
+REGISTRY.update(_ordered)
 assert len(REGISTRY) <= 50, (
     f"registry holds {len(REGISTRY)} queries; the driver verifies only "
     "the first 50 — consolidate before registering more"

@@ -266,21 +266,27 @@ def shard_assignment_hashes(
     two independent pure hashes of (key, seed) — shard choice and
     within-shard order decorrelate via a golden-ratio seed offset.
 
-    Default family is xxhash64 (one fused JVM codegen call; the
-    byte-stable export contract existing shards were written under).
-    ``portable=True`` swaps in the 60-bit md5-prefix family
-    (`conv(substr(md5(key || ':' || seed), 1, 15), 16, 10)`) that any
-    engine with md5() reproduces bit-for-bit — the seam `shards_q`
-    uses to hash-grade the full (shard, within-shard rank) assignment
-    against DuckDB (the simhash/pack_sequences portability pattern).
+    Default family is xxhash64 (one fused JVM codegen call).
+    ``portable=True`` swaps in the 60-bit md5-prefix family —
+    `conv(substr(md5(coalesce(key, '\\x00null') || ':' || seed), 1,
+    15), 16, 10)` — that any engine with md5() reproduces bit-for-bit:
+    the seam `shards_q` uses to hash-grade the full (shard,
+    within-shard rank) assignment against DuckDB (the simhash/
+    pack_sequences portability pattern). Note the coalesce is PART of
+    the portable recipe; an external re-derivation must include it.
 
-    NULL keys (ADVICE r9): both families hash
+    NULL keys (ADVICE r9; behavior change in r10): both families hash
     ``coalesce(key, '\\x00null')`` so a NULL-keyed row lands in the
     SAME shard under either family — previously md5(concat(NULL,..))
     propagated NULL (row dropped from any portable re-derivation)
     while xxhash64 hashed NULL to a seed-derived value, so the two
     families disagreed exactly on NULL-keyed rows. The sentinel starts
-    with a NUL byte no real cast-to-string key produces.
+    with a NUL byte no real cast-to-string key produces. This is a
+    ONE-TIME contract change for NULL-keyed rows only: an export
+    written before r10 that contained NULL keys re-shards those rows
+    under the new recipe (non-null keys are byte-identical); the old
+    placement was unreproducible outside Spark anyway, which is why
+    the fix landed.
     """
     from pyspark.sql import functions as F
 
