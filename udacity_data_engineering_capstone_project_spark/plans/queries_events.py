@@ -80,8 +80,8 @@ STREAMING_HOURLY_ORACLE = """
     STREAMING_HOURLY_ORACLE,
     "File-source stream -> watermark -> tumbling hourly window; oracle "
     "is the batch twin. Ceded its driver slot to scd2_history in "
-    "round 3; hash-pinned locally.",
-    registered=False,
+    "round 3; re-promoted in round 11 (VERDICT r10 #7: give the "
+    "streaming tier a second hard driver row beside streaming_dedup).",
 )
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: readStream -> watermark -> windowed agg ->

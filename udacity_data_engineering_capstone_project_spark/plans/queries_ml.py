@@ -63,7 +63,9 @@ from udacity_data_engineering_capstone_project_spark.plans._qcore import _regist
     "— the reference write-up's 'daily incremental processing' wish "
     "(Capstone_Project.ipynb cell 44). One shuffle on the business "
     "key; o_orderkey is the total-order snapshot axis so runs are "
-    "deterministic.",
+    "deterministic. Ceded its driver slot in round 11 after eight "
+    "green driver rounds (r3-r10); hash-pinned locally.",
+    registered=False,
 )
 def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.scd import (

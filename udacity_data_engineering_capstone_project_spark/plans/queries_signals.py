@@ -42,7 +42,10 @@ MERGE_UPSERT_ORACLE = """
     MERGE_UPSERT_ORACLE,
     "MERGE-INTO shape (operators/scd.py:merge_upsert): per business "
     "key the row with the highest order column wins, changes beat "
-    "the snapshot on ties. Promoted to a driver slot in round 4.",
+    "the snapshot on ties. Promoted to a driver slot in round 4; "
+    "ceded it in round 11 after seven green rounds; hash-pinned "
+    "locally.",
+    registered=False,
 )
 def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-INTO shape (operators/scd.py:merge_upsert): per business
