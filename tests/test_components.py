@@ -426,6 +426,24 @@ def test_fuzzy_join_reference_brute_force_and_semantics(spark):
         )
         assert got_all == want_all
 
+        # keep_unmatched=True (r11, VERDICT r10 #5): LEFT semantics —
+        # every dirty row (including the NULL-text one) appears; rows
+        # without a within-bound match carry NULL dim id + distance
+        got_left = sorted(
+            tuple(r)
+            for r in fuzzy_join_reference(
+                dirty, "rec_id", "name", dim, "dim_id", "name",
+                max_distance=k, keep_unmatched=True,
+            ).collect()
+        )
+        want_left = sorted(
+            (rid, ms[0][1], ms[0][0]) if (ms := brute.get(rid)) else (rid, None, None)
+            for rid, _ in dirty_rows
+        )
+        assert got_left == want_left
+        n_unmatched = sum(1 for _, d, _dist in want_left if d is None)
+        assert n_unmatched > 5, n_unmatched  # the miss slate is exercised
+
 
 def test_fuzzy_join_reference_plan_is_broadcast_no_cartesian(spark):
     """The candidate join must be a broadcast equi-join on the key

@@ -88,9 +88,11 @@ from udacity_data_engineering_capstone_project_spark.plans.queries_dedup import 
     dedup_embedding,
     fuzzy_join,
     fuzzy_join_ref_q,
+    fuzzy_join_ref_left_q,
     leakage_split_q,
     FUZZY_JOIN_ORACLE,
     FUZZY_JOIN_REF_ORACLE,
+    FUZZY_JOIN_REF_LEFT_ORACLE,
     LEAKAGE_SPLIT_ORACLE,
 )
 from udacity_data_engineering_capstone_project_spark.plans.queries_text import (

@@ -472,8 +472,8 @@ FUZZY_JOIN_REF_ORACLE = """
     "scan stage, thresholded-levenshtein verify, best match per row "
     "via one partial-aggregatable min-struct groupBy (no window). "
     "Hash-checked against DuckDB's brute-force cross-join best match. "
-    "Unregistered; hash-pinned locally.",
-    registered=False,
+    "Promoted to a driver slot in round 11 (VERDICT r10 #1: the last "
+    "of the 101 specs without a hard driver row).",
 )
 def fuzzy_join_ref_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
@@ -494,6 +494,97 @@ def fuzzy_join_ref_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter((F.col("rec_id") - 10_000_000) % 7 == 3)
     return fuzzy_join_reference(
         dirty, "rec_id", "title", dim, "dim_id", "title", max_distance=2
+    )
+
+
+# Oracle twin for fuzzy_join_reference's LEFT form — UNREGISTERED
+# (r11 addition, VERDICT r10 #5; 50-slot window is full). Same dim +
+# typo replicas as fuzzy_join_ref_q, PLUS a second dirty slate built
+# to miss: 'xx' || reverse(title) || 'qq' inflates length by 4, so
+# the |len| <= 2 bound alone rules out its own source title, and an
+# accidental match to any OTHER title is decided identically by both
+# engines (the oracle is brute force, so the hash is construction-
+# independent). keep_unmatched=True must emit those rows once with
+# NULL dim_id/NULL distance — the DuckDB side recomputes that as a
+# plain LEFT JOIN from the dirty spine onto the brute-force best
+# match.
+FUZZY_JOIN_REF_LEFT_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string((string_split(text, ' '))[1:3], ' ') AS title
+        FROM documents
+    ),
+    dim AS (SELECT min(doc_id) AS dim_id, title FROM t GROUP BY title),
+    dirty AS (
+        SELECT dim_id + 10000000 AS rec_id, substr(title, 2) || 'x' AS title
+        FROM dim WHERE dim_id % 7 = 3
+        UNION ALL
+        SELECT dim_id + 20000000 AS rec_id,
+               'xx' || reverse(title) || 'qq' AS title
+        FROM dim WHERE dim_id % 7 = 5
+    ),
+    cand AS (
+        SELECT d.rec_id, r.dim_id,
+               CAST(levenshtein(d.title, r.title) AS BIGINT) AS distance,
+               row_number() OVER (
+                   PARTITION BY d.rec_id
+                   ORDER BY levenshtein(d.title, r.title), r.dim_id
+               ) AS rn
+        FROM dirty d JOIN dim r
+          ON abs(length(d.title) - length(r.title)) <= 2
+        WHERE levenshtein(d.title, r.title) <= 2
+    )
+    SELECT d.rec_id, c.dim_id, c.distance
+    FROM dirty d
+    LEFT JOIN (SELECT rec_id, dim_id, distance FROM cand WHERE rn = 1) c
+      ON d.rec_id = c.rec_id
+"""
+
+
+@_register(
+    "fuzzy_join_ref_left_q",
+    FUZZY_JOIN_REF_LEFT_ORACLE,
+    "LEFT-form entity resolution against a clean reference dimension "
+    "(operators/fuzzy.py:fuzzy_join_reference keep_unmatched=True, "
+    "VERDICT r10 #5): every dirty row survives; rows with no dim "
+    "match within Levenshtein 2 carry NULL dim_id/NULL distance. "
+    "Dirty slate = the typo replicas of fuzzy_join_ref_q plus a "
+    "reversed-and-padded slate built to miss the length bound. "
+    "Hash-checked against DuckDB's brute-force LEFT JOIN best match. "
+    "Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def fuzzy_join_ref_left_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
+        fuzzy_join_reference,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("title"),
+    )
+    dim = titles.groupBy("title").agg(F.min("doc_id").alias("dim_id"))
+    typos = dim.select(
+        (F.col("dim_id") + F.lit(10_000_000)).alias("rec_id"),
+        F.concat(F.expr("substring(title, 2, length(title))"), F.lit("x")).alias(
+            "title"
+        ),
+    ).filter((F.col("rec_id") - 10_000_000) % 7 == 3)
+    misses = dim.select(
+        (F.col("dim_id") + F.lit(20_000_000)).alias("rec_id"),
+        F.concat(F.lit("xx"), F.reverse("title"), F.lit("qq")).alias("title"),
+    ).filter((F.col("rec_id") - 20_000_000) % 7 == 5)
+    dirty = typos.unionByName(misses)
+    return fuzzy_join_reference(
+        dirty,
+        "rec_id",
+        "title",
+        dim,
+        "dim_id",
+        "title",
+        max_distance=2,
+        keep_unmatched=True,
     )
 
 
