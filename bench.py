@@ -156,7 +156,25 @@ BENCH_QUERIES = [
     "temperature_mix_q",
     "weighted_sample",
     "fuzzy_join_ref_q",
+    # round 11: the rotation promotion joins the bench (streaming file
+    # source -> watermark -> tumbling hourly window, batch-twin oracle)
+    "streaming_hourly",
 ]
+
+# Rows that have swung 1.3-2x between same-code in-class runs every
+# round since r8 (r10 VERDICT #3) — the C2-JIT placement lottery: WHICH
+# generated method tier lands in the compiled set varies per JVM, and
+# these queries' wide generated code (BPE merge rounds, SymSpell
+# neighborhood join, 60-bit simhash bands) is the most placement-
+# sensitive. For these, the bench repeats the full steady-state
+# measurement 3x and records the MEDIAN plus the spread, so a 1.5x
+# single-sample swing stops reading as a regression in BASELINE.md.
+VOLATILE_QUERIES = {
+    "bpe_train_q",
+    "bpe_tokenize_q",
+    "fuzzy_join",
+    "dedup_simhash",
+}
 
 
 def _host_exclusivity() -> dict:
@@ -245,15 +263,9 @@ def main() -> None:
     calibration = round(min(_calib() for _ in range(3)), 3)
     print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        # benched queries may have ceded their registry slot (driver
-        # window is capped at 50) while staying benchmark headliners —
-        # rotated-out queries keep their registry NAME in UNREGISTERED
-        # (function names can differ, e.g. text_profile -> _q suffix);
-        # bench-only twins (heavy_hitters_bench) are plain module attrs
-        spec = REGISTRY.get(name) or UNREGISTERED.get(name)
-        fn = spec.fn if spec else getattr(qmod, name)
+    def _measure(fn) -> tuple[float, int]:
+        """One steady-state measurement: warm to JIT steady state, then
+        best-of-3. Returns (best_sec, rows)."""
         # isolate queries from each other: drop persisted lineages the
         # LSH operators pin (they accumulate across a shared session —
         # measured 4x swings on dedup_minhash_lsh from cache pressure)
@@ -304,9 +316,74 @@ def main() -> None:
             rows = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+        return best, rows
 
+    def _spec_fn(name: str):
+        # benched queries may have ceded their registry slot (driver
+        # window is capped at 50) while staying benchmark headliners —
+        # rotated-out queries keep their registry NAME in UNREGISTERED
+        # (function names can differ, e.g. text_profile -> _q suffix);
+        # bench-only twins (heavy_hitters_bench) are plain module attrs
+        spec = REGISTRY.get(name) or UNREGISTERED.get(name)
+        return spec.fn if spec else getattr(qmod, name)
+
+    if "--all-specs" in sys.argv:
+        # Tail-coverage mode (r10 VERDICT #6): one steady-state
+        # measurement for EVERY spec in REGISTRY ∪ UNREGISTERED —
+        # including the 33 specs the headline bench never times — so a
+        # perf regression in e.g. sessionize or grouping_sets_sales
+        # shows up as a recorded number, not as wall drift inside the
+        # pytest parity suite. Run at sf0.01 by default (set
+        # SPARK_GRAFT_SF_DIR): this is a drift tripwire, not a
+        # headline; one JSON line to a sibling artifact.
+        all_timings: dict[str, float] = {}
+        for name in list(REGISTRY) + [n for n in UNREGISTERED if n not in REGISTRY]:
+            fn = _spec_fn(name)
+            best, rows = _measure(fn)
+            all_timings[name] = round(best, 3)
+            print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "all_specs_total_wall",
+                    "value": round(sum(all_timings.values()), 3),
+                    "unit": "sec",
+                    "queries": all_timings,
+                    "sf": sf,
+                    "calibration_sec": calibration,
+                    "host_at_start": host,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    timings: dict[str, float] = {}
+    volatile_detail: dict[str, dict] = {}
+    for name in BENCH_QUERIES:
+        fn = _spec_fn(name)
+        if name in VOLATILE_QUERIES:
+            # median-of-3 independent steady-state measurements (r10
+            # VERDICT #3): the placement lottery re-rolls every time
+            # the generated classes are re-JITed, so three full
+            # measurement blocks (each with its own warm-up) sample
+            # three placements; the median is robust to one unlucky
+            # draw and the recorded spread shows the noise band.
+            samples = []
+            for _ in range(3):
+                b, rows = _measure(fn)
+                samples.append(round(b, 3))
+            med = sorted(samples)[1]
+            timings[name] = med
+            volatile_detail[name] = {"median_of": 3, "samples": samples}
+            print(
+                f"# {name}: {med:.3f}s median of {samples} ({rows} rows)",
+                file=sys.stderr,
+            )
+        else:
+            best, rows = _measure(fn)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -319,6 +396,7 @@ def main() -> None:
                 "sf": sf,
                 "calibration_sec": calibration,
                 "host_at_start": host,
+                "volatile": volatile_detail,
             }
         )
     )
