@@ -355,6 +355,27 @@ def test_pack_sequences_auto_buckets(spark):
     assert len({r["id"] for r in out}) == 500
 
 
+def test_pack_sequences_release_caches(spark):
+    """Auto-sized calls pin the (id, len) slice; release_pack_caches
+    (ADVICE r10) unpersists every pinned slice and empties the
+    registry, and an explicit-buckets call pins nothing."""
+    from udacity_data_engineering_capstone_project_spark.operators import packing
+
+    packing.release_pack_caches()  # clean slate from other tests
+    df = spark.range(0, 200).select(F.col("id"), F.lit(10).alias("n"))
+    packing.pack_sequences(df, "id", "n", budget=512).collect()
+    packing.pack_sequences(df, "id", "n", budget=512).collect()
+    assert len(packing._PERSISTED_SLICES) == 2
+    assert all(s.storageLevel.useMemory for s in packing._PERSISTED_SLICES)
+    slices = list(packing._PERSISTED_SLICES)
+    assert packing.release_pack_caches() == 2
+    assert packing._PERSISTED_SLICES == []
+    assert all(not s.storageLevel.useMemory for s in slices)
+    # explicit buckets: count-free, persist-free
+    packing.pack_sequences(df, "id", "n", budget=512, buckets=8).collect()
+    assert packing._PERSISTED_SLICES == []
+
+
 def test_pack_sequences_portable_bucket_matches_md5(spark):
     """portable_bucket=True must scatter by the md5-prefix family the
     DuckDB oracle recomputes — pin the bucket arithmetic itself (the
@@ -813,7 +834,11 @@ def test_extract_links_and_host_edges(spark):
             (3, '<a href="/relative/only">r</a>'),   # no absolute links
             (4, "no markup at all"),
             (5, None),
-            (6, '<a data-href="http://c.example/via-data">d</a>'),  # \b still matches href=
+            # r11 (VERDICT r10 #8): data-href is NOT harvested (the
+            # anchored alternation rejects a preceding hyphen)...
+            (6, '<a data-href="http://c.example/via-data">d</a>'),
+            # ...and unquoted attribute values ARE (valid HTML5)
+            (7, "<script src=http://u.example/unq.js></script>"),
         ],
         "doc_id bigint, html string",
     )
@@ -824,7 +849,8 @@ def test_extract_links_and_host_edges(spark):
     assert (2, "HTTP://a.example/y") in got          # case-insensitive attr
     assert (2, "mailto:x@y.z") in got                # extraction keeps it...
     assert (3, "/relative/only") in got
-    assert not any(d == 4 or d == 5 for d, _ in got)  # no links -> no rows
+    assert not any(d in (4, 5, 6) for d, _ in got)   # no links / data-href -> no rows
+    assert (7, "http://u.example/unq.js") in got     # unquoted value captured
 
     edges = host_link_edges(
         links.withColumn("src", F.concat(F.lit("s"), F.col("doc_id").cast("string"))),
@@ -836,7 +862,7 @@ def test_extract_links_and_host_edges(spark):
         ("s1", "a.example"): 1,
         ("s1", "b.example"): 1,
         ("s2", "a.example"): 1,
-        ("s6", "c.example"): 1,
+        ("s7", "u.example"): 1,
     }
 
 

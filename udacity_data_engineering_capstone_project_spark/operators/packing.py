@@ -37,6 +37,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+#: (id, len) slices persisted by auto-sized pack_sequences calls, so a
+#: long-lived session can release them once its pack actions have
+#: materialized (ADVICE r10: without a handle, repeated auto-sized
+#: calls accumulate MEMORY_AND_DISK entries until LRU pressure).
+#: Strong refs by design — entries are 2-column plans, the list is
+#: bounded by the number of auto-sized calls since the last release.
+_PERSISTED_SLICES: list[DataFrame] = []
+
+
+def release_pack_caches() -> int:
+    """Unpersist every (id, len) slice a `buckets=None` pack_sequences
+    call has pinned since the last release. Call AFTER the pack
+    output has been materialized (written / collected) — a pack plan
+    that has not run yet will recompute its upstream lineage once.
+    Returns the number of slices released. Blocking=False: eviction
+    proceeds asynchronously executor-side."""
+    n = 0
+    while _PERSISTED_SLICES:
+        df = _PERSISTED_SLICES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            # session already stopped — the cache died with it
+            pass
+    return n
+
+
 #: Above this many items in one bucket, first-fit uses the segment
 #: tree (below it the plain scan is faster — no tree maintenance).
 _TREE_MIN_ITEMS = 4096
@@ -166,8 +194,9 @@ def pack_sequences(
     The slice stays cached (MEMORY_AND_DISK, LRU-evicted under
     pressure) for the returned plan's lifetime — it cannot be
     unpersisted here without the pack action recomputing the
-    lineage. Pass an explicit `buckets` for a pinned, count-free,
-    persist-free layout.
+    lineage; long-lived sessions call `release_pack_caches()` after
+    materializing the pack output (ADVICE r10). Pass an explicit
+    `buckets` for a pinned, count-free, persist-free layout.
 
     `portable_bucket=True` swaps the xxhash64 bucket hash for the
     60-bit md5-prefix family (`conv(substr(md5(id), 1, 15), 16, 10)`)
@@ -185,8 +214,14 @@ def pack_sequences(
     if buckets is None:
         # Auto-sizing pays one count() over the upstream plan; persist
         # the 2-column slice so the pack reuses the materialized rows
-        # instead of recomputing the whole lineage (ADVICE r9).
+        # instead of recomputing the whole lineage (ADVICE r9). The
+        # slice is tracked in _PERSISTED_SLICES so long-lived sessions
+        # can release the cache entries once the pack action has
+        # materialized (`release_pack_caches()`, ADVICE r10) — it
+        # cannot be unpersisted HERE without the pack action
+        # recomputing the lineage.
         source = source.persist()
+        _PERSISTED_SLICES.append(source)
         n = source.count()
         buckets = max(64, math.ceil(n / _AUTO_BUCKET_ITEMS))
 

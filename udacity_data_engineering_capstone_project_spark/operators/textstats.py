@@ -1120,20 +1120,23 @@ def strip_html(
 
 
 #: href/src attribute values — RE2-safe (alternation + classes, no
-#: lookarounds), so DuckDB runs the identical pattern for the oracle.
-#: Group 1 is the URL; quotes may mismatch (href="x') — both engines
-#: accept the same sloppy set, which is the point: parity over purity.
+#: lookarounds/backrefs), so DuckDB runs the identical pattern for
+#: the oracle. Group 1 is the URL.
 #:
-#: Known fidelity limits (ADVICE r9, accepted + test-pinned in
-#: test_extract_links_and_host_edges): (1) the leading \b matches
-#: after a hyphen, so data-href=/data-src= attributes are ALSO
-#: harvested (over-capture); (2) unquoted attribute values
-#: (href=http://x) are missed entirely (under-capture). Real-world
-#: crawl fidelity would anchor with an RE2-safe (?:^|[^-\w])(?:href|
-#: src) alternation plus an unquoted-value branch; we keep the
-#: simpler pattern because both engines run it verbatim and the
-#: graded contract is Spark==DuckDB on the same sloppy set.
-LINK_PATTERN = "(?i)\\b(?:href|src)\\s*=\\s*[\"']([^\"'<>\\s]+)[\"']"
+#: r11 fidelity upgrade (ADVICE r9 -> VERDICT r10 #8, both limits
+#: closed): (1) the anchor is (?:^|[^-\w]) instead of \b, so
+#: data-href=/data-src= attributes are no longer harvested (the \b
+#: matched right after the hyphen); (2) the value's quotes are
+#: OPTIONAL ([\"']? on both flanks), so unquoted attribute values
+#: (href=http://x — valid HTML5) are captured up to the next
+#: quote/angle/space. Deliberate slop that remains (browser-like
+#: recovery, identical in both engines): mismatched quotes
+#: (href="x') and an unterminated opening quote (href="x>) still
+#: yield the value — parity over purity, pinned in
+#: test_extract_links_and_host_edges.
+LINK_PATTERN = (
+    "(?i)(?:^|[^-\\w])(?:href|src)\\s*=\\s*[\"']?([^\"'<>\\s]+)[\"']?"
+)
 
 
 def extract_links(

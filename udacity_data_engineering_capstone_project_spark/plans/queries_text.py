@@ -224,18 +224,25 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window is full). Each doc gets a deterministic HTML body: two
 # <a href> outlinks + one <img src> (doc_id-derived hosts, one
 # single-quoted attribute and one relative path to exercise the
-# pattern's quote/scheme handling), plus its own site identity.
-# LINK_PATTERN and the scheme-authority host regex are RE2-safe, so
-# DuckDB re-derives the same (src_host, dst_host, n_links) edges with
-# regexp_extract_all + unnest — the crawl link-graph pass, graded as
-# data, not just row counts.
+# pattern's quote/scheme handling), plus its own site identity —
+# and, since r11's LINK_PATTERN fidelity upgrade (VERDICT r10 #8),
+# an UNQUOTED <script src=...> outlink that must be captured and a
+# data-href decoy that must NOT be. LINK_PATTERN and the
+# scheme-authority host regex are RE2-safe, so DuckDB re-derives the
+# same (src_host, dst_host, n_links) edges with regexp_extract_all +
+# unnest — the crawl link-graph pass, graded as data, not just row
+# counts.
 _LINK_HTML_SQL = (
     "'<p>' || text || ' <a href=\"http://site' ||"
     " CAST(doc_id * 3 % 40 AS STRING) ||"
     " '.example/a\">a</a> <a href=\\'https://site' ||"
     " CAST(doc_id * 7 % 40 AS STRING) ||"
     " '.example/b?x=1\\'>b</a> <img src=\"/static/logo' ||"
-    " CAST(doc_id % 5 AS STRING) || '.png\"></p>'"
+    " CAST(doc_id % 5 AS STRING) || '.png\">"
+    " <script src=http://cdn' || CAST(doc_id * 11 % 40 AS STRING) ||"
+    " '.example/app.js></script>"
+    " <a data-href=\"http://decoy' || CAST(doc_id % 9 AS STRING) ||"
+    " '.example/d\">n</a></p>'"
 )
 
 _LINK_SRC_HOST_SQL = "'site' || CAST(doc_id % 40 AS STRING) || '.example'"
