@@ -159,6 +159,12 @@ BENCH_QUERIES = [
     # round 11: the rotation promotion joins the bench (streaming file
     # source -> watermark -> tumbling hourly window, batch-twin oracle)
     "streaming_hourly",
+    # round 11 new surface: LEFT-form reference fuzzy join (unmatched
+    # rows survive with a NULL-distance marker) and the cross-corpus
+    # embedding decontamination screen (benchmark LSH buckets
+    # broadcast, corpus buckets in the scan stage)
+    "fuzzy_join_ref_left_q",
+    "contamination_embedding_q",
 ]
 
 # Rows that have swung 1.3-2x between same-code in-class runs every

@@ -794,3 +794,91 @@ def test_minhash_verified_pairs_lazy_plan_only(spark, sf_dir):
     got = {(r.id_a, r.id_b): r.jaccard for r in lazy_plan.collect()}
     want = {(r.id_a, r.id_b): r.jaccard for r in eager_plan.collect()}
     assert got == want and len(got) > 0
+
+
+def test_contamination_screen_matches_numpy_replay(spark):
+    """contamination_screen (r11) vs a full numpy replay of the SAME
+    splitmix64 plane family: bucket assignment, candidate collision,
+    cosine verify, threshold, and the max-cos/min-bench-id tie-break
+    are all recomputed independently — the python twin of the DuckDB
+    oracle, on a randomized corpus with planted scaled copies."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        _splitmix64,
+        contamination_screen,
+    )
+
+    rng = np.random.default_rng(77)
+    dim, n_corp, planes_k, tables_l = 16, 120, 6, 4
+    corp = rng.standard_normal((n_corp, dim))
+    # benchmark: scaled copies of every 7th corpus vector (cos == 1,
+    # collide in every table) + 30 independent vectors
+    planted_src = np.arange(0, n_corp, 7)
+    bench = np.vstack([corp[planted_src] * 4.0, rng.standard_normal((30, dim))])
+    bench_ids = [1000 + i for i in range(len(bench))]
+
+    corp_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in corp[i]]) for i in range(n_corp)],
+        "vec_id bigint, v array<double>",
+    )
+    bench_df = spark.createDataFrame(
+        [(bid, [float(x) for x in bench[j]]) for j, bid in enumerate(bench_ids)],
+        "bench_id bigint, v array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["bench_id"], r["cos_sim"])
+        for r in contamination_screen(
+            corp_df, bench_df, "vec_id", "v", "bench_id",
+            threshold=0.5, num_planes=planes_k, dim=dim, num_tables=tables_l,
+        ).collect()
+    }
+
+    # numpy replay of the exact plane family + bucket packing
+    P = np.array(
+        [
+            [_splitmix64(r * dim + j) / float(1 << 63) - 1.0 for j in range(dim)]
+            for r in range(tables_l * planes_k)
+        ]
+    )  # (L*k, dim)
+
+    def buckets(V):
+        signs = (V @ P.T) >= 0  # (n, L*k)
+        out = []
+        for row in signs:
+            out.append(
+                tuple(
+                    sum(1 << p for p in range(planes_k) if row[t * planes_k + p])
+                    for t in range(tables_l)
+                )
+            )
+        return out
+
+    cb, bb = buckets(corp), buckets(bench)
+    want = {}
+    for i in range(n_corp):
+        best = None
+        for j, bid in enumerate(bench_ids):
+            if not any(cb[i][t] == bb[j][t] for t in range(tables_l)):
+                continue
+            c = round(
+                float(
+                    corp[i] @ bench[j]
+                    / (np.linalg.norm(corp[i]) * np.linalg.norm(bench[j]))
+                ),
+                6,
+            )
+            if c >= 0.5 and (best is None or (-c, bid) < best):
+                best = (-c, bid)
+        if best is not None:
+            want[i] = (best[1], -best[0])
+
+    assert set(got) == set(want)
+    for cid in want:
+        assert got[cid][0] == want[cid][0], cid
+        assert abs(got[cid][1] - want[cid][1]) < 2e-6, cid
+    # every planted source is flagged at cos 1.0 (provable recall:
+    # power-of-2... well, x4 scaling preserves all plane signs)
+    for i in planted_src:
+        assert got[int(i)][1] == 1.0, i
+    assert len(want) >= len(planted_src)

@@ -1097,6 +1097,143 @@ def semantic_dedup(
     )
 
 
+def contamination_screen(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bench_id_col: str,
+    threshold: float = 0.8,
+    num_planes: int = 8,
+    dim: int = 64,
+    num_tables: int = 8,
+) -> DataFrame:
+    """Cross-corpus SEMANTIC decontamination screen (r11): flag every
+    corpus vector whose cosine similarity to ANY benchmark/eval vector
+    reaches ``threshold`` — the embedding-space sibling of the n-gram
+    `contamination_check` in `operators.textstats` (paraphrased or
+    translated eval leakage shares no n-grams; an embedding screen
+    still catches it). Training-data hygiene per GPT-3 appx C /
+    PaLM-style decontamination, upgraded from surface overlap to
+    meaning overlap.
+
+    Plan shape (the benchmark side is SMALL — eval suites are 1e3-1e5
+    rows — so this mirrors `fuzzy_join_reference`, not the corpus x
+    corpus self-join of `lsh_near_dup_pairs`):
+
+    1. the benchmark's multi-table hyperplane buckets
+       (`hyperplane_lsh_buckets`, same splitmix64 plane family)
+       explode to (table, bucket, bench_id, vec, norm) and BROADCAST
+       under a `maybe_broadcast` gate discounted by the num_tables
+       explode inflation;
+    2. the corpus explodes its own buckets IN THE SCAN STAGE and
+       broadcast-joins on (table, bucket) — zero corpus shuffle, zero
+       bytes moved for rows colliding with no benchmark bucket;
+    3. exact cosine verify inline (rounded to 6 dp BEFORE the
+       threshold so the boundary is engine-portable), then ONE
+       partial-aggregatable groupBy keeps each flagged corpus row's
+       best match (max cosine, ties to the smallest benchmark id).
+
+    A pair colliding in several tables is verified up to num_tables
+    times (a few redundant 64-dim dot products) instead of paying a
+    dropDuplicates exchange before the verify — the groupBy collapses
+    duplicates anyway, so the only shuffle in the whole plan is
+    match-sized. Over the broadcast gate the join degrades to a
+    shuffle of the EXPLODED corpus buckets (num_tables x corpus
+    rows) — at that benchmark size prefer `search_ivf_index` with the
+    benchmark as the query set instead.
+
+    Candidate recall per pair is the LSH bound 1-(1-p^num_planes)^
+    num_tables with p = 1 - angle/pi (NOT exact, unlike the SymSpell
+    pigeonhole: there is no deletion-neighborhood equivalent for
+    cosine). The defaults (8x8) give >=99.9% recall at cos >= 0.8;
+    verified pairs are exact. Both bucket assignment and the verify
+    are deterministic splitmix64 arithmetic, so an external engine
+    reproduces the EXACT output (see the DuckDB twin in
+    plans/queries_corpus.py).
+
+    Output: (id_col, bench_id_col, cos_sim) — one row per
+    CONTAMINATED corpus vector; clean rows absent (decontaminate with
+    a left_anti join on the ids).
+    """
+    from udacity_data_engineering_capstone_project_spark.operators.relational import (
+        DEFAULT_BROADCAST_MAX_BYTES,
+        maybe_broadcast,
+    )
+
+    if id_col == bench_id_col or "cos_sim" in (id_col, bench_id_col):
+        raise ValueError(
+            f"output columns would collide: id_col={id_col!r}, "
+            f"bench_id_col={bench_id_col!r}, plus the reserved 'cos_sim' — "
+            "alias one side before screening"
+        )
+    bench = _with_norm(
+        hyperplane_lsh_buckets(
+            benchmark.select(
+                F.col(bench_id_col).alias("__bid"), F.col(vec_col)
+            ),
+            "__bid",
+            vec_col,
+            num_planes=num_planes,
+            dim=dim,
+            num_tables=num_tables,
+        ),
+        vec_col,
+        "__bnorm",
+    ).select(
+        "__bid",
+        F.col(vec_col).alias("__bvec"),
+        "__bnorm",
+        F.explode("buckets").alias("__tb"),
+    )
+    # each benchmark row explodes into num_tables bucket rows, every
+    # one carrying the full vector payload — discount the broadcast
+    # budget by that inflation so the gate reasons about post-explode
+    # bytes (the fuzzy_join_reference lesson)
+    bench = maybe_broadcast(
+        bench, max_bytes=DEFAULT_BROADCAST_MAX_BYTES // max(num_tables, 1)
+    )
+    corp = _with_norm(
+        hyperplane_lsh_buckets(
+            corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col)),
+            "__cid",
+            vec_col,
+            num_planes=num_planes,
+            dim=dim,
+            num_tables=num_tables,
+        ),
+        vec_col,
+        "__cnorm",
+    ).select(
+        "__cid",
+        F.col(vec_col).alias("__cvec"),
+        "__cnorm",
+        F.explode("buckets").alias("__tb"),
+    )
+    cos = F.round(
+        _pair_cosine(
+            F.col("__cvec"), F.col("__bvec"), F.col("__cnorm"), F.col("__bnorm")
+        ),
+        6,
+    )
+    cand = (
+        corp.join(bench, on="__tb")
+        .select("__cid", "__bid", cos.alias("__cos"))
+        .filter(F.col("__cos") >= threshold)
+    )
+    # min over (-cos, bench_id) = max cosine, ties to smallest id —
+    # one partial-aggregatable struct agg, no window
+    return (
+        cand.groupBy("__cid")
+        .agg(F.min(F.struct((-F.col("__cos")).alias("n"), F.col("__bid"))).alias("__b"))
+        .select(
+            F.col("__cid").alias(id_col),
+            F.col("__b.__bid").alias(bench_id_col),
+            (-F.col("__b.n")).alias("cos_sim"),
+        )
+    )
+
+
 # =========================================================================
 # Product quantization (Jegou, Douze, Schmid 2011, "Product Quantization
 # for Nearest Neighbor Search"). Extension tier: the reference engine

@@ -132,6 +132,8 @@ from udacity_data_engineering_capstone_project_spark.plans.queries_corpus import
     ann_ivf,
     _embedding_lsh_oracle,
     dedup_embedding_lsh,
+    _contamination_oracle,
+    contamination_embedding_q,
     sql_entrypoint,
     streaming_dedup,
     text_profile_q,

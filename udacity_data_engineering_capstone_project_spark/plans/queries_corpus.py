@@ -203,6 +203,128 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contamination_oracle(
+    num_planes: int = 8,
+    num_tables: int = 8,
+    dim: int = 64,
+    threshold: float = 0.3,
+) -> str:
+    """DuckDB twin of `contamination_screen` (r11): same baked-in
+    splitmix64 plane literals as `_embedding_lsh_oracle`, applied to
+    BOTH sides of the cross-corpus screen. The benchmark set is (a) a
+    x2-scaled copy of every 13th corpus vector — scaling by a power
+    of two is EXACT in fp and preserves every plane sign, so the
+    planted rows collide in all 8 tables and verify at cos_sim
+    exactly 1.0 (recall provably 1, no LSH luck involved) — plus (b)
+    an independent modulo slice screened at the 0.3 band, where the
+    candidate set is whatever the 8x8 family actually catches: both
+    engines recompute the identical bucket arithmetic, so the graded
+    hash pins bucketing, the broadcast-side explode, the cosine
+    verify, and the max-cos/min-id tie-break all at once."""
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import _splitmix64
+
+    def plane_lit(r: int) -> str:
+        return "[" + ",".join(
+            repr(_splitmix64(r * dim + j) / float(1 << 63) - 1.0)
+            for j in range(dim)
+        ) + "]"
+
+    def bucket_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(t * num_planes + p)})"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+
+    corp_tables = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {t} AS t, {bucket_expr(t)} AS bk FROM corp"
+        for t in range(num_tables)
+    )
+    bench_tables = "\n        UNION ALL\n        ".join(
+        f"SELECT bench_id, {t} AS t, {bucket_expr(t)} AS bk FROM bench"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH corp AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bench AS (
+        SELECT vec_id + 10000000 AS bench_id,
+               list_transform(embedding::DOUBLE[], x -> x * 2.0) AS v
+        FROM embeddings WHERE vec_id % 13 = 7
+        UNION ALL
+        SELECT vec_id + 20000000 AS bench_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 11 = 5
+    ),
+    cb AS (
+        {corp_tables}
+    ),
+    bb AS (
+        {bench_tables}
+    ),
+    cand AS (
+        SELECT DISTINCT cb.vec_id, bb.bench_id
+        FROM cb JOIN bb ON cb.t = bb.t AND cb.bk = bb.bk
+    ),
+    scored AS (
+        SELECT c.vec_id, c.bench_id,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM cand c
+        JOIN corp a ON c.vec_id = a.vec_id
+        JOIN bench b ON c.bench_id = b.bench_id
+    ),
+    best AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id
+        ) AS rn
+        FROM scored WHERE cos_sim >= {threshold}
+    )
+    SELECT vec_id, bench_id, cos_sim FROM best WHERE rn = 1
+    """
+
+
+@_register(
+    "contamination_embedding_q",
+    _contamination_oracle(),
+    "Cross-corpus SEMANTIC decontamination "
+    "(similarity.contamination_screen, r11): corpus vectors whose "
+    "cosine to any benchmark/eval vector reaches the threshold — the "
+    "embedding-space sibling of the n-gram contamination_check "
+    "(paraphrased eval leakage shares no n-grams). Benchmark buckets "
+    "broadcast (explode-inflation-discounted gate), corpus buckets "
+    "computed in the scan stage, zero corpus shuffle; planted "
+    "x2-scaled copies verify at cos exactly 1.0 with provable recall "
+    "(power-of-two scaling preserves every plane sign), an "
+    "independent slice exercises the probabilistic 0.3 band. "
+    "Hash-checked against a DuckDB replay of the identical splitmix64 "
+    "plane family. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def contamination_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 13 == 7).select(
+        (F.col("vec_id") + 10_000_000).alias("bench_id"),
+        F.expr(
+            "transform(cast(embedding AS array<double>), x -> x * 2.0D)"
+        ).alias("embedding"),
+    )
+    slice_ = emb.filter(F.col("vec_id") % 11 == 5).select(
+        (F.col("vec_id") + 20_000_000).alias("bench_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    bench = planted.unionByName(slice_)
+    return sim.contamination_screen(
+        emb,
+        bench,
+        id_col="vec_id",
+        vec_col="embedding",
+        bench_id_col="bench_id",
+        threshold=0.3,
+    )
+
+
 @_register(
     "sql_entrypoint",
     """
