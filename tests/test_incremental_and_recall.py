@@ -882,3 +882,20 @@ def test_contamination_screen_matches_numpy_replay(spark):
     for i in planted_src:
         assert got[int(i)][1] == 1.0, i
     assert len(want) >= len(planted_src)
+
+    # NULL vectors never flag and never cost (r11 guard): a NULL
+    # corpus row and a NULL benchmark row must both be ignored
+    corp_null = corp_df.unionByName(
+        spark.createDataFrame([(9999, None)], "vec_id bigint, v array<double>")
+    )
+    bench_null = bench_df.unionByName(
+        spark.createDataFrame([(8888, None)], "bench_id bigint, v array<double>")
+    )
+    got2 = {
+        r["vec_id"]: (r["bench_id"], r["cos_sim"])
+        for r in contamination_screen(
+            corp_null, bench_null, "vec_id", "v", "bench_id",
+            threshold=0.5, num_planes=planes_k, dim=dim, num_tables=tables_l,
+        ).collect()
+    }
+    assert got2 == got

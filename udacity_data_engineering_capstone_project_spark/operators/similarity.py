@@ -1167,11 +1167,13 @@ def contamination_screen(
             f"bench_id_col={bench_id_col!r}, plus the reserved 'cos_sim' — "
             "alias one side before screening"
         )
+    # NULL vectors never flag and never cost (the fuzzy-tier NULL
+    # discipline): the bucket UDF would otherwise choke on None rows
     bench = _with_norm(
         hyperplane_lsh_buckets(
             benchmark.select(
                 F.col(bench_id_col).alias("__bid"), F.col(vec_col)
-            ),
+            ).filter(F.col(vec_col).isNotNull()),
             "__bid",
             vec_col,
             num_planes=num_planes,
@@ -1195,7 +1197,9 @@ def contamination_screen(
     )
     corp = _with_norm(
         hyperplane_lsh_buckets(
-            corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col)),
+            corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col)).filter(
+                F.col(vec_col).isNotNull()
+            ),
             "__cid",
             vec_col,
             num_planes=num_planes,
