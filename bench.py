@@ -161,10 +161,11 @@ BENCH_QUERIES = [
     "streaming_hourly",
     # round 11 new surface: LEFT-form reference fuzzy join (unmatched
     # rows survive with a NULL-distance marker) and the cross-corpus
-    # embedding decontamination screen (benchmark LSH buckets
-    # broadcast, corpus buckets in the scan stage)
+    # embedding decontamination screen, BOTH physical paths — the
+    # replicated-matrix matmul default and the LSH join fallback
     "fuzzy_join_ref_left_q",
     "contamination_embedding_q",
+    "contamination_embedding_lsh_q",
 ]
 
 # Rows that have swung 1.3-2x between same-code in-class runs every

@@ -11,6 +11,7 @@ set at every stage, the same contract crawl_pipeline_q grades):
     --(apply_filter_cascade: gopher rules + rank prior)--> kept docs
     --(fuzzy_pairs on title + minhash_verified_pairs on text)--> edges
     --(split_with_dedup_guard)--> leakage-safe train/val/test
+    --(contamination_screen vs the test split's embeddings)--> clean train
     --(temperature_mix T=2)--> flattened source mix (train split)
     --(token_counts + pack_sequences)--> budget-packed sequences
     --(write_training_shards)--> manifested, epoch-shuffled shards
@@ -56,6 +57,9 @@ from udacity_data_engineering_capstone_project_spark.operators.relational import
 from udacity_data_engineering_capstone_project_spark.operators.sampling import (
     split_with_dedup_guard,
     temperature_mix,
+)
+from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+    contamination_screen,
 )
 from udacity_data_engineering_capstone_project_spark.sources.readers import read_table
 from udacity_data_engineering_capstone_project_spark.sources.sinks import (
@@ -204,6 +208,30 @@ def main() -> None:
     )
     train = split_docs.filter(F.col("split") == "train")
     stage("leakage_safe_train", train)
+
+    # 6.5 semantic decontamination (r11): drop surviving train rows
+    #     whose EMBEDDING is near any held-out eval doc — the
+    #     paraphrase/translation leakage an n-gram overlap screen
+    #     cannot see. The eval side (test split) is tiny, so its LSH
+    #     buckets broadcast and the train side never shuffles; at toy
+    #     scale this usually removes 0-3 rows, which is the point —
+    #     the stage is a tripwire, not a filter.
+    emb = read_table(spark, sf_dir, "embeddings")
+    eval_vecs = (
+        split_docs.filter(F.col("split") == "test")
+        .join(emb, split_docs["doc_id"] == emb["vec_id"])
+        .select(emb["vec_id"].alias("bench_id"), emb["embedding"])
+    )
+    train_vecs = train.join(emb, train["doc_id"] == emb["vec_id"]).select(
+        train["doc_id"], emb["embedding"]
+    )
+    contaminated = contamination_screen(
+        train_vecs, eval_vecs, "doc_id", "embedding", "bench_id", threshold=0.3
+    )
+    n_contam = contaminated.count()
+    train = train.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+    print(f"[stage] semantic_decontam: removed {n_contam} train rows near eval")
+    stage("decontaminated_train", train)
 
     # 7. temperature-flattened source mix (downsampling-only, pure
     #    hash predicate — reproducible across runs and layouts).

@@ -831,6 +831,7 @@ def test_contamination_screen_matches_numpy_replay(spark):
         for r in contamination_screen(
             corp_df, bench_df, "vec_id", "v", "bench_id",
             threshold=0.5, num_planes=planes_k, dim=dim, num_tables=tables_l,
+            method="lsh",
         ).collect()
     }
 
@@ -883,19 +884,51 @@ def test_contamination_screen_matches_numpy_replay(spark):
         assert got[int(i)][1] == 1.0, i
     assert len(want) >= len(planted_src)
 
-    # NULL vectors never flag and never cost (r11 guard): a NULL
-    # corpus row and a NULL benchmark row must both be ignored
+    # matmul path (the auto default for a tiny benchmark): EXACT
+    # recall — must equal the UNRESTRICTED brute force, a superset of
+    # the LSH-candidate-restricted set above, same tie-break
+    want_full = {}
+    for i in range(n_corp):
+        best = None
+        for j, bid in enumerate(bench_ids):
+            c = round(
+                float(
+                    corp[i] @ bench[j]
+                    / (np.linalg.norm(corp[i]) * np.linalg.norm(bench[j]))
+                ),
+                6,
+            )
+            if c >= 0.5 and (best is None or (-c, bid) < best):
+                best = (-c, bid)
+        if best is not None:
+            want_full[i] = (best[1], -best[0])
+    got_mm = {
+        r["vec_id"]: (r["bench_id"], r["cos_sim"])
+        for r in contamination_screen(
+            corp_df, bench_df, "vec_id", "v", "bench_id", threshold=0.5,
+        ).collect()
+    }
+    assert set(got_mm) == set(want_full)
+    for cid in want_full:
+        assert got_mm[cid][0] == want_full[cid][0], cid
+        assert abs(got_mm[cid][1] - want_full[cid][1]) < 2e-6, cid
+    assert set(want) <= set(want_full)
+
+    # NULL vectors never flag and never cost (r11 guard), both paths:
+    # a NULL corpus row and a NULL benchmark row must both be ignored
     corp_null = corp_df.unionByName(
         spark.createDataFrame([(9999, None)], "vec_id bigint, v array<double>")
     )
     bench_null = bench_df.unionByName(
         spark.createDataFrame([(8888, None)], "bench_id bigint, v array<double>")
     )
-    got2 = {
-        r["vec_id"]: (r["bench_id"], r["cos_sim"])
-        for r in contamination_screen(
-            corp_null, bench_null, "vec_id", "v", "bench_id",
-            threshold=0.5, num_planes=planes_k, dim=dim, num_tables=tables_l,
-        ).collect()
-    }
-    assert got2 == got
+    for m, base in (("lsh", got), ("matmul", got_mm)):
+        got2 = {
+            r["vec_id"]: (r["bench_id"], r["cos_sim"])
+            for r in contamination_screen(
+                corp_null, bench_null, "vec_id", "v", "bench_id",
+                threshold=0.5, num_planes=planes_k, dim=dim,
+                num_tables=tables_l, method=m,
+            ).collect()
+        }
+        assert got2 == base, m

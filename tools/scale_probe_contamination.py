@@ -1,15 +1,21 @@
 """Round-11 scale probe: contamination_screen (cross-corpus embedding
-decontamination) at x1/x10/x100 corpus size with a fixed benchmark.
+decontamination) at x1/x10/x100 corpus size with a fixed benchmark,
+BOTH physical paths per scale.
 
 Claims to price (operators/similarity.py:contamination_screen):
-1. the corpus side never shuffles below the broadcast gate — wall
-   should scale ~linearly with corpus rows (bucket hashing is a
-   map-only Arrow matrix product; the only exchange is match-sized);
-2. shuffle write bytes stay MATCH-shaped, not corpus-shaped, as the
-   corpus grows 100x (measured via the UI REST API like
-   scale_probe_pagerank.py);
-3. the planted-duplicate recall is exactly 1.0 at every scale
-   (scaled copies share every plane sign — no LSH luck).
+1. matmul (the auto default for a broadcastable benchmark) scales
+   ~linearly with corpus rows: one Arrow pass, one BLAS product per
+   batch, no joins. This probe is what CAUGHT the original design's
+   landmine: the first cut verified LSH candidates with the SQL
+   higher-order cosine (~340 us/pair interpreted) and then — after
+   vectorizing that — still Arrow-shipped ~31M candidate vector
+   PAIRS at x100 (1.3 ms/row). The replicated-matrix path exists
+   because this probe priced both.
+2. both paths' shuffle write stays MATCH-shaped, not corpus-shaped,
+   as the corpus grows 100x (REST API stage accounting);
+3. planted-duplicate recall is exactly 1.0 at every scale on both
+   paths (matmul is brute force; scaled copies share every plane
+   sign on the LSH path — no luck involved).
 
 Corpus: n synthetic 64-dim vectors (deterministic splitmix-style hash
 features). Benchmark: 2,000 vectors = 1,000 x2-scaled corpus copies
@@ -99,26 +105,26 @@ def main() -> None:
         bench = planted.unionByName(noise).persist()
         n_bench = bench.count()
 
-        out = contamination_screen(
-            corp, bench, "vec_id", "v", "bench_id", threshold=0.8
-        )
-        out.count()  # warm (JIT + broadcast build)
-        w0 = _shuffle_write_bytes(spark)
-        t0 = time.time()
-        flagged = out.count()
-        wall = time.time() - t0
-        w1 = _shuffle_write_bytes(spark)
-        exact = out.filter(F.col("cos_sim") == 1.0).count()
-        entry = {
-            "corpus": n,
-            "bench": n_bench,
-            "flagged": flagged,
-            "planted_found_at_1.0": exact,
-            "wall_s": round(wall, 2),
-            "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
-        }
-        # recall gate: every planted source must surface at cos 1.0
-        entry["planted_recall_ok"] = exact >= n_planted
+        entry: dict = {"corpus": n, "bench": n_bench}
+        for m in ("matmul", "lsh"):
+            out = contamination_screen(
+                corp, bench, "vec_id", "v", "bench_id", threshold=0.8, method=m
+            )
+            out.count()  # warm (JIT + broadcast build)
+            w0 = _shuffle_write_bytes(spark)
+            t0 = time.time()
+            flagged = out.count()
+            wall = time.time() - t0
+            w1 = _shuffle_write_bytes(spark)
+            exact = out.filter(F.col("cos_sim") == 1.0).count()
+            entry[m] = {
+                "flagged": flagged,
+                "planted_found_at_1.0": exact,
+                "wall_s": round(wall, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+                # recall gate: every planted copy must surface at 1.0
+                "planted_recall_ok": exact >= n_planted,
+            }
         result[f"x{s}"] = entry
         print(f"# x{s}: {json.dumps(entry)}", file=sys.stderr)
         corp.unpersist()

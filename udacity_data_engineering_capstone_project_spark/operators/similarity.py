@@ -1097,6 +1097,82 @@ def semantic_dedup(
     )
 
 
+def _contamination_matmul(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bench_id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Replicated-benchmark brute force for `contamination_screen`:
+    collect the (small, gate-checked) benchmark to one normalized
+    float64 matrix, ship it to every task, and score each corpus
+    Arrow batch with a single BLAS matmul. Exact recall; the only
+    Python crossing is the corpus itself, once."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, corpus.schema[id_col].dataType),
+            StructField(bench_id_col, benchmark.schema[bench_id_col].dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    rows = (
+        benchmark.select(
+            F.col(bench_id_col).alias("__bid"), F.col(vec_col).alias("__v")
+        )
+        .filter(F.col("__v").isNotNull())
+        .collect()
+    )
+    # ascending bench ids so np.argmax's first-hit IS the smallest-id
+    # tie-break on rounded scores
+    rows.sort(key=lambda r: r["__bid"])
+    spark = corpus.sparkSession
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    bids = [r["__bid"] for r in rows]
+    B = np.array([r["__v"] for r in rows], dtype=np.float64)  # (m, dim)
+    bnorm = np.linalg.norm(B, axis=1)
+    keep = bnorm > 0.0  # zero-norm benchmark vectors never match
+    bids = np.asarray(bids)[keep]
+    if bids.size == 0:
+        return spark.createDataFrame([], out_schema)
+    BnT = (B[keep] / bnorm[keep][:, None]).T  # (dim, m), normalized
+    bc = spark.sparkContext.broadcast((bids, BnT))
+    thr = float(threshold)
+
+    def score(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vn = np.linalg.norm(V, axis=1)
+            nz = vn > 0.0
+            vn[~nz] = 1.0  # placeholder; masked out below
+            S = np.round((V / vn[:, None]) @ b_mat, 6)  # (batch, m)
+            j = np.argmax(S, axis=1)  # first max = smallest bench id
+            best = S[np.arange(len(S)), j]
+            mask = (best >= thr) & nz
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values[mask],
+                    bench_id_col: b_ids[j[mask]],
+                    "cos_sim": best[mask],
+                }
+            )
+
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(score, out_schema)
+    )
+
+
 def contamination_screen(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -1107,6 +1183,7 @@ def contamination_screen(
     num_planes: int = 8,
     dim: int = 64,
     num_tables: int = 8,
+    method: str = "auto",
 ) -> DataFrame:
     """Cross-corpus SEMANTIC decontamination screen (r11): flag every
     corpus vector whose cosine similarity to ANY benchmark/eval vector
@@ -1117,55 +1194,73 @@ def contamination_screen(
     PaLM-style decontamination, upgraded from surface overlap to
     meaning overlap.
 
-    Plan shape (the benchmark side is SMALL — eval suites are 1e3-1e5
-    rows — so this mirrors `fuzzy_join_reference`, not the corpus x
-    corpus self-join of `lsh_near_dup_pairs`):
+    Two physical strategies, both shuffle-free on the corpus;
+    ``method="auto"`` picks by the benchmark's matrix footprint:
 
-    1. the benchmark's multi-table hyperplane buckets
-       (`hyperplane_lsh_buckets`, same splitmix64 plane family)
-       explode to (table, bucket, bench_id, vec, norm) and BROADCAST
-       under a `maybe_broadcast` gate discounted by the num_tables
-       explode inflation;
-    2. the corpus explodes its own buckets IN THE SCAN STAGE and
-       broadcast-joins on (table, bucket) — zero corpus shuffle, zero
-       bytes moved for rows colliding with no benchmark bucket;
-    3. exact cosine verify inline (rounded to 6 dp BEFORE the
-       threshold so the boundary is engine-portable), then ONE
-       partial-aggregatable groupBy keeps each flagged corpus row's
-       best match (max cosine, ties to the smallest benchmark id).
+    **matmul** (the default when the benchmark matrix fits the
+    broadcast budget — eval suites are 1e3-1e5 rows, so almost
+    always): the benchmark collapses to ONE normalized numpy matrix
+    shipped to every task; a single `mapInPandas` pass scores each
+    Arrow batch of corpus vectors against ALL benchmark vectors with
+    one BLAS matmul and emits each row's best match above the
+    threshold. EXACT recall (it IS the brute force, vectorized),
+    zero joins, zero shuffle, one corpus scan. This is the plan you
+    want at 100 TB for any broadcastable benchmark: the r11 scale
+    probe measured the LSH+pair-verify alternative at 1.3 ms/row at
+    x100 (Arrow-transferring ~31M candidate vector PAIRS into
+    Python) vs one matrix product per batch here.
 
-    A pair colliding in several tables is verified up to num_tables
-    times (a few redundant 64-dim dot products) instead of paying a
-    dropDuplicates exchange before the verify — the groupBy collapses
-    duplicates anyway, so the only shuffle in the whole plan is
-    match-sized. Over the broadcast gate the join degrades to a
-    shuffle of the EXPLODED corpus buckets (num_tables x corpus
-    rows) — at that benchmark size prefer `search_ivf_index` with the
-    benchmark as the query set instead.
+    **lsh** (the fallback past the broadcast budget): the benchmark's
+    multi-table hyperplane buckets (`hyperplane_lsh_buckets`, the
+    splitmix64 plane family) explode and broadcast under a
+    `maybe_broadcast` gate discounted by the num_tables explode
+    inflation; the corpus explodes its buckets in the scan stage,
+    broadcast-joins on (table, bucket), verifies exact cosine with a
+    vectorized Arrow kernel, and one partial-aggregatable min-struct
+    groupBy keeps the best match (the only shuffle, match-sized).
+    Candidate recall is the LSH bound 1-(1-p^num_planes)^num_tables,
+    p = 1 - angle/pi (>=99.9% at cos >= 0.8 with the 8x8 defaults);
+    verified pairs are exact. For benchmarks too big even for this
+    (the bucket table over the gate), prefer `search_ivf_index` with
+    the benchmark as the query set.
 
-    Candidate recall per pair is the LSH bound 1-(1-p^num_planes)^
-    num_tables with p = 1 - angle/pi (NOT exact, unlike the SymSpell
-    pigeonhole: there is no deletion-neighborhood equivalent for
-    cosine). The defaults (8x8) give >=99.9% recall at cos >= 0.8;
-    verified pairs are exact. Both bucket assignment and the verify
-    are deterministic splitmix64 arithmetic, so an external engine
-    reproduces the EXACT output (see the DuckDB twin in
-    plans/queries_corpus.py).
+    Both paths round cosine to 6 dp BEFORE the threshold and
+    tie-break equal scores to the smallest benchmark id, so their
+    flagged sets agree wherever LSH recall is 1 and an external
+    engine (the DuckDB twins in plans/queries_corpus.py) reproduces
+    either exactly.
 
     Output: (id_col, bench_id_col, cos_sim) — one row per
     CONTAMINATED corpus vector; clean rows absent (decontaminate with
-    a left_anti join on the ids).
+    a left_anti join on the ids). NULL or zero-norm vectors on either
+    side never flag and never cost.
     """
     from udacity_data_engineering_capstone_project_spark.operators.relational import (
         DEFAULT_BROADCAST_MAX_BYTES,
         maybe_broadcast,
     )
 
+    if method not in ("auto", "matmul", "lsh"):
+        raise ValueError(f"method must be auto|matmul|lsh, got {method!r}")
     if id_col == bench_id_col or "cos_sim" in (id_col, bench_id_col):
         raise ValueError(
             f"output columns would collide: id_col={id_col!r}, "
             f"bench_id_col={bench_id_col!r}, plus the reserved 'cos_sim' — "
             "alias one side before screening"
+        )
+    if method == "auto":
+        # one benchmark-sized count prices the matrix: ids + float64
+        # matrix + slack. Eval suites are small; only a benchmark too
+        # big to replicate falls through to the LSH join path.
+        n_bench = benchmark.count()
+        method = (
+            "matmul"
+            if n_bench * dim * 8 * 2 <= DEFAULT_BROADCAST_MAX_BYTES
+            else "lsh"
+        )
+    if method == "matmul":
+        return _contamination_matmul(
+            corpus, benchmark, id_col, vec_col, bench_id_col, threshold
         )
     # NULL vectors never flag and never cost (the fuzzy-tier NULL
     # discipline): the bucket UDF would otherwise choke on None rows
@@ -1214,10 +1309,25 @@ def contamination_screen(
         "__cnorm",
         F.explode("buckets").alias("__tb"),
     )
+    # Vectorized verify (r11 probe finding): the SQL higher-order
+    # aggregate cosine (`_pair_cosine`) evaluates an interpreted
+    # lambda per element — measured ~340 us/pair, which turns a
+    # multi-million-candidate verify into core-HOURS at x100 corpus
+    # (tools/scale_probe_contamination.py caught it). One Arrow
+    # pandas UDF does the whole batch as a single numpy einsum;
+    # round(6) absorbs the summation-order difference vs the fold
+    # exactly as it does for DuckDB's list_dot_product in the oracle.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
     cos = F.round(
-        _pair_cosine(
-            F.col("__cvec"), F.col("__bvec"), F.col("__cnorm"), F.col("__bnorm")
-        ),
+        _pair_dot(F.col("__cvec"), F.col("__bvec"))
+        / (F.col("__cnorm") * F.col("__bnorm")),
         6,
     )
     cand = (

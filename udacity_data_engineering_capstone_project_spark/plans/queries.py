@@ -133,7 +133,9 @@ from udacity_data_engineering_capstone_project_spark.plans.queries_corpus import
     _embedding_lsh_oracle,
     dedup_embedding_lsh,
     _contamination_oracle,
+    CONTAMINATION_ORACLE,
     contamination_embedding_q,
+    contamination_embedding_lsh_q,
     sql_entrypoint,
     streaming_dedup,
     text_profile_q,

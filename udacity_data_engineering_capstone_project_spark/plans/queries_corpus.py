@@ -203,24 +203,63 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared benchmark-set construction for the two contamination twins:
+# (a) a x2-scaled copy of every 13th corpus vector — scaling by a
+# power of two is EXACT in fp and preserves direction, so planted
+# rows verify at cos_sim exactly 1.0 — plus (b) an independent modulo
+# slice screened at the 0.3 band.
+_CONTAM_BENCH_SQL = """
+        SELECT vec_id + 10000000 AS bench_id,
+               list_transform(embedding::DOUBLE[], x -> x * 2.0) AS v
+        FROM embeddings WHERE vec_id % 13 = 7
+        UNION ALL
+        SELECT vec_id + 20000000 AS bench_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 11 = 5
+"""
+
+# Oracle for the DEFAULT (matmul) path: plain brute-force cross join —
+# the matmul path IS the brute force (vectorized), exact recall, so
+# the twin needs no plane replay at all.
+CONTAMINATION_ORACLE = f"""
+    WITH corp AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bench AS (
+        {_CONTAM_BENCH_SQL}
+    ),
+    scored AS (
+        SELECT c.vec_id, b.bench_id,
+               round(list_dot_product(c.v, b.v) /
+                     (sqrt(list_dot_product(c.v, c.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM corp c CROSS JOIN bench b
+    ),
+    best AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id
+        ) AS rn
+        FROM scored WHERE cos_sim >= 0.3
+    )
+    SELECT vec_id, bench_id, cos_sim FROM best WHERE rn = 1
+"""
+
+
 def _contamination_oracle(
     num_planes: int = 8,
     num_tables: int = 8,
     dim: int = 64,
     threshold: float = 0.3,
 ) -> str:
-    """DuckDB twin of `contamination_screen` (r11): same baked-in
-    splitmix64 plane literals as `_embedding_lsh_oracle`, applied to
-    BOTH sides of the cross-corpus screen. The benchmark set is (a) a
-    x2-scaled copy of every 13th corpus vector — scaling by a power
-    of two is EXACT in fp and preserves every plane sign, so the
-    planted rows collide in all 8 tables and verify at cos_sim
-    exactly 1.0 (recall provably 1, no LSH luck involved) — plus (b)
-    an independent modulo slice screened at the 0.3 band, where the
-    candidate set is whatever the 8x8 family actually catches: both
-    engines recompute the identical bucket arithmetic, so the graded
-    hash pins bucketing, the broadcast-side explode, the cosine
-    verify, and the max-cos/min-id tie-break all at once."""
+    """DuckDB twin of `contamination_screen(method="lsh")` (r11):
+    same baked-in splitmix64 plane literals as
+    `_embedding_lsh_oracle`, applied to BOTH sides of the
+    cross-corpus screen. The planted x2-scaled copies collide in all
+    8 tables (every plane sign preserved -> recall provably 1, no
+    LSH luck involved); the independent slice's candidate set is
+    whatever the 8x8 family actually catches: both engines recompute
+    the identical bucket arithmetic, so the hash pins bucketing, the
+    broadcast-side explode, the cosine verify, and the
+    max-cos/min-id tie-break all at once."""
     from udacity_data_engineering_capstone_project_spark.operators.similarity import _splitmix64
 
     def plane_lit(r: int) -> str:
@@ -285,24 +324,7 @@ def _contamination_oracle(
     """
 
 
-@_register(
-    "contamination_embedding_q",
-    _contamination_oracle(),
-    "Cross-corpus SEMANTIC decontamination "
-    "(similarity.contamination_screen, r11): corpus vectors whose "
-    "cosine to any benchmark/eval vector reaches the threshold — the "
-    "embedding-space sibling of the n-gram contamination_check "
-    "(paraphrased eval leakage shares no n-grams). Benchmark buckets "
-    "broadcast (explode-inflation-discounted gate), corpus buckets "
-    "computed in the scan stage, zero corpus shuffle; planted "
-    "x2-scaled copies verify at cos exactly 1.0 with provable recall "
-    "(power-of-two scaling preserves every plane sign), an "
-    "independent slice exercises the probabilistic 0.3 band. "
-    "Hash-checked against a DuckDB replay of the identical splitmix64 "
-    "plane family. Unregistered; hash-pinned locally.",
-    registered=False,
-)
-def contamination_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _contam_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     planted = emb.filter(F.col("vec_id") % 13 == 7).select(
         (F.col("vec_id") + 10_000_000).alias("bench_id"),
@@ -314,14 +336,60 @@ def contamination_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 20_000_000).alias("bench_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    bench = planted.unionByName(slice_)
+    return planted.unionByName(slice_)
+
+
+@_register(
+    "contamination_embedding_q",
+    CONTAMINATION_ORACLE,
+    "Cross-corpus SEMANTIC decontamination "
+    "(similarity.contamination_screen, r11): corpus vectors whose "
+    "cosine to any benchmark/eval vector reaches the threshold — the "
+    "embedding-space sibling of the n-gram contamination_check "
+    "(paraphrased eval leakage shares no n-grams). Default (matmul) "
+    "path: the benchmark collapses to one normalized replicated "
+    "matrix, one mapInPandas BLAS pass scores the corpus — exact "
+    "recall, zero joins, zero shuffle; hash-checked against DuckDB's "
+    "brute-force cross join. Planted x2-scaled copies verify at cos "
+    "exactly 1.0. Unregistered; hash-pinned locally.",
+    registered=False,
+)
+def contamination_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
     return sim.contamination_screen(
         emb,
-        bench,
+        _contam_bench(spark, sf_dir),
         id_col="vec_id",
         vec_col="embedding",
         bench_id_col="bench_id",
         threshold=0.3,
+    )
+
+
+@_register(
+    "contamination_embedding_lsh_q",
+    _contamination_oracle(),
+    "The LSH join path of contamination_screen (method='lsh' — the "
+    "fallback for benchmarks past the replicated-matrix budget): "
+    "benchmark hyperplane buckets broadcast "
+    "(explode-inflation-discounted gate), corpus buckets in the scan "
+    "stage, vectorized Arrow cosine verify, min-struct best match. "
+    "Hash-checked against a DuckDB replay of the identical splitmix64 "
+    "plane family (probabilistic recall is construction-independent: "
+    "both engines recompute the same buckets). Unregistered; "
+    "hash-pinned locally.",
+    registered=False,
+)
+def contamination_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.contamination_screen(
+        emb,
+        _contam_bench(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        bench_id_col="bench_id",
+        threshold=0.3,
+        method="lsh",
     )
 
 
