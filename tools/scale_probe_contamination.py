@@ -6,11 +6,12 @@ Claims to price (operators/similarity.py:contamination_screen):
 1. matmul (the auto default for a broadcastable benchmark) scales
    ~linearly with corpus rows: one Arrow pass, one BLAS product per
    batch, no joins. This probe is what CAUGHT the original design's
-   landmine: the first cut verified LSH candidates with the SQL
-   higher-order cosine (~340 us/pair interpreted) and then — after
-   vectorizing that — still Arrow-shipped ~31M candidate vector
-   PAIRS at x100 (1.3 ms/row). The replicated-matrix path exists
-   because this probe priced both.
+   landmine — skew-inflated CANDIDATE VOLUME: the near-isotropic
+   vectors' bucket occupancy skew ALIGNS across the two sides, so
+   candidates measured ~10x the uniform estimate (39M pairs at x10)
+   and every per-candidate microsecond multiplied into core-hours
+   at x100. The replicated-matrix path exists because this probe
+   priced it (full attribution trail in BASELINE.md r11).
 2. both paths' shuffle write stays MATCH-shaped, not corpus-shaped,
    as the corpus grows 100x (REST API stage accounting);
 3. planted-duplicate recall is exactly 1.0 at every scale on both

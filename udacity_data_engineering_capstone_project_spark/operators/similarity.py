@@ -1309,14 +1309,17 @@ def contamination_screen(
         "__cnorm",
         F.explode("buckets").alias("__tb"),
     )
-    # Vectorized verify (r11 probe finding): the SQL higher-order
-    # aggregate cosine (`_pair_cosine`) evaluates an interpreted
-    # lambda per element — measured ~340 us/pair, which turns a
-    # multi-million-candidate verify into core-HOURS at x100 corpus
-    # (tools/scale_probe_contamination.py caught it). One Arrow
-    # pandas UDF does the whole batch as a single numpy einsum;
-    # round(6) absorbs the summation-order difference vs the fold
-    # exactly as it does for DuckDB's list_dot_product in the oracle.
+    # Arrow-vectorized verify. Honest record (r11, BASELINE.md): a
+    # 1M-pair microbench puts this einsum kernel (~1.2 s/M pairs)
+    # within noise of the interpreted `_pair_cosine` fold (~0.9 s/M)
+    # at dim 64 — the kernel is kept because this is the one verify
+    # site whose candidate volume is UNBOUNDED (corpus x benchmark
+    # through skew-correlated buckets measured at ~10x the uniform
+    # estimate), and batch-matrix work is the shape that survives a
+    # wider dim or a hotter bucket. The actual scale fix is the
+    # matmul path above. round(6) absorbs the summation-order
+    # difference vs the fold exactly as it does for DuckDB's
+    # list_dot_product in the oracle.
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
