@@ -351,8 +351,8 @@ def _contam_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     "matrix, one mapInPandas BLAS pass scores the corpus — exact "
     "recall, zero joins, zero shuffle; hash-checked against DuckDB's "
     "brute-force cross join. Planted x2-scaled copies verify at cos "
-    "exactly 1.0. Unregistered; hash-pinned locally.",
-    registered=False,
+    "exactly 1.0. Promoted to a driver slot in round 11, the round "
+    "it landed (new surface gets a hard driver row).",
 )
 def contamination_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -376,9 +376,8 @@ def contamination_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stage, vectorized Arrow cosine verify, min-struct best match. "
     "Hash-checked against a DuckDB replay of the identical splitmix64 "
     "plane family (probabilistic recall is construction-independent: "
-    "both engines recompute the same buckets). Unregistered; "
-    "hash-pinned locally.",
-    registered=False,
+    "both engines recompute the same buckets). Promoted to a driver "
+    "slot in round 11, the round it landed.",
 )
 def contamination_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

@@ -551,8 +551,8 @@ FUZZY_JOIN_REF_LEFT_ORACLE = """
     "Dirty slate = the typo replicas of fuzzy_join_ref_q plus a "
     "reversed-and-padded slate built to miss the length bound. "
     "Hash-checked against DuckDB's brute-force LEFT JOIN best match. "
-    "Unregistered; hash-pinned locally.",
-    registered=False,
+    "Promoted to a driver slot in round 11, the round it landed (new "
+    "surface gets a hard driver row).",
 )
 def fuzzy_join_ref_left_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (

@@ -258,7 +258,9 @@ NUMERIC_DRIFT_ORACLE = """
     NUMERIC_DRIFT_ORACLE,
     "Decile-bin PSI of document length between snapshot halves "
     "(operators/quality.py:numeric_drift). Promoted to a driver "
-    "slot in round 4.",
+    "slot in round 4; ceded it in round 11 (seven green rounds) to "
+    "the r11 additions; hash-pinned locally.",
+    registered=False,
 )
 def numeric_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile-bin PSI of document length between snapshot halves
@@ -319,7 +321,10 @@ DUP_SPANS_ORACLE = """
     "duplicated_spans): maximal token spans whose 12-token windows "
     "recur anywhere in the corpus — the sub-document dedup granularity "
     "MinHash misses (Lee et al. 2021). Registered in round 4 (slot "
-    "ceded by the rows-only approx_distinct).",
+    "ceded by the rows-only approx_distinct); ceded its own slot in "
+    "round 11 (seven green rounds) to the r11 additions; hash-pinned "
+    "locally.",
+    registered=False,
 )
 def dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_spans(
@@ -821,7 +826,10 @@ HEAVY_HITTERS_ORACLE = """
     "Exact heavy hitters (operators/sketches.py:heavy_hitters): "
     "freqItems candidate pass + one candidate-or-null exact recount — "
     "bounded-shuffle frequent values with exact counts. Registered in "
-    "round 4 session 3 (slot ceded by grouping_sets_sales).",
+    "round 4 session 3 (slot ceded by grouping_sets_sales); ceded its "
+    "own slot in round 11 (seven green rounds) to the r11 additions; "
+    "hash-pinned locally.",
+    registered=False,
 )
 def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.sketches import heavy_hitters
