@@ -143,12 +143,27 @@ def hyperplane_lsh_buckets(
     # per element (L*k*dim interpreted ops per row — measured seconds
     # per invocation at 2 000 rows), so this is the textbook case for
     # an Arrow-vectorized pandas UDF: numpy does the (batch, dim) @
-    # (dim, L*k) product in one BLAS call. The sign bits and bucket
-    # packing stay JVM-side.
+    # (dim, L*k) product in one BLAS call.
+    #
+    # Since r11 the sign bits and bucket PACKING also happen in the
+    # same numpy batch (they used to be a JVM-side codegen case
+    # chain): when a caller explodes the buckets array, Catalyst's
+    # InferFiltersFromGenerate adds a `size(child) > 0` filter whose
+    # pushdown SUBSTITUTES the generator child's defining expression —
+    # with JVM-side packing that duplicated the entire case chain AND
+    # the Arrow UDF into a second ArrowEvalPython (the whole bucket
+    # stage evaluated twice; measured in the r11 contamination probe).
+    # With the UDF returning the packed longs, the only thing the
+    # inferred filter can duplicate is the cheap struct-wrapping
+    # transform over the UDF's output attribute — the UDF itself
+    # evaluates once. Sign convention: `~(dots < 0)` so NaN dots count
+    # as >= 0, matching both Spark's and DuckDB's NaN-is-largest
+    # comparison semantics (a plain numpy `>= 0` would diverge).
     from pyspark.sql.functions import pandas_udf
 
     first = table * num_planes if num_tables == 1 else 0
     total = num_planes if num_tables == 1 else num_tables * num_planes
+    n_tables_eff = 1 if num_tables == 1 else num_tables
     planes = np.array(
         [
             [
@@ -158,27 +173,25 @@ def hyperplane_lsh_buckets(
             for r in range(total)
         ]
     ).T  # (dim, total)
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
 
-    @pandas_udf("array<double>")
-    def _dots(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("array<long>")
+    def _packed(vecs: pd.Series) -> pd.Series:
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        return pd.Series(list(mat @ planes))
+        signs = ~((mat @ planes) < 0.0)  # NaN counts as >= 0 (see above)
+        bits = signs.reshape(len(mat), n_tables_eff, num_planes)
+        packed = (bits * weights).sum(axis=2, dtype=np.int64)
+        return pd.Series(list(packed))
 
-    with_dots = df.withColumn("__dots", _dots(F.col(vec_col)))
-
-    def bucket_expr(t: int) -> str:
-        return " | ".join(
-            f"if(element_at(__dots, {t * num_planes + p + 1}) >= 0D, "
-            f"shiftleft(1L, {p}), 0L)"
-            for p in range(num_planes)
-        )
-
+    with_pk = df.withColumn("__pk", _packed(F.col(vec_col)))
     if num_tables == 1:
-        return with_dots.withColumn("bucket", F.expr(bucket_expr(0))).drop("__dots")
-    entries = ", ".join(
-        f"named_struct('t', {t}, 'b', ({bucket_expr(t)}))" for t in range(num_tables)
-    )
-    return with_dots.withColumn("buckets", F.expr(f"array({entries})")).drop("__dots")
+        return with_pk.withColumn(
+            "bucket", F.element_at("__pk", 1)
+        ).drop("__pk")
+    return with_pk.withColumn(
+        "buckets",
+        F.expr("transform(__pk, (b, i) -> named_struct('t', i, 'b', b))"),
+    ).drop("__pk")
 
 
 def auto_num_planes(n: int, target_bucket: int = 20) -> int:
