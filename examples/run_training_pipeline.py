@@ -213,9 +213,13 @@ def main() -> None:
     #     whose EMBEDDING is near any held-out eval doc — the
     #     paraphrase/translation leakage an n-gram overlap screen
     #     cannot see. The eval side (test split) is tiny, so its LSH
-    #     buckets broadcast and the train side never shuffles; at toy
-    #     scale this usually removes 0-3 rows, which is the point —
-    #     the stage is a tripwire, not a filter.
+    #     buckets broadcast and the train side never shuffles. The
+    #     0.5 threshold keeps the stage a TRIPWIRE, not a filter: on
+    #     the synthetic near-isotropic embeddings it removes a
+    #     handful of rows (0-20 across sf0.001-sf0.1); a production
+    #     corpus tunes it against a labeled paraphrase set (at 0.3
+    #     these embeddings' random near-band swallowed 22% of train
+    #     at sf0.1 — recorded here as the cautionary calibration).
     emb = read_table(spark, sf_dir, "embeddings")
     eval_vecs = (
         split_docs.filter(F.col("split") == "test")
@@ -226,7 +230,7 @@ def main() -> None:
         train["doc_id"], emb["embedding"]
     )
     contaminated = contamination_screen(
-        train_vecs, eval_vecs, "doc_id", "embedding", "bench_id", threshold=0.3
+        train_vecs, eval_vecs, "doc_id", "embedding", "bench_id", threshold=0.5
     )
     n_contam = contaminated.count()
     train = train.join(contaminated.select("doc_id"), "doc_id", "left_anti")
