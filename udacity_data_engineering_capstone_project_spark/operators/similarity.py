@@ -1136,7 +1136,10 @@ def _contamination_matmul(
         benchmark.select(
             F.col(bench_id_col).alias("__bid"), F.col(vec_col).alias("__v")
         )
-        .filter(F.col("__v").isNotNull())
+        # NULL-id benchmark rows are dropped too: an unidentifiable
+        # eval row can't anchor a best-match output (and None would
+        # crash the tie-break sort below)
+        .filter(F.col("__v").isNotNull() & F.col("__bid").isNotNull())
         .collect()
     )
     # ascending bench ids so np.argmax's first-hit IS the smallest-id
