@@ -102,7 +102,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pruned scale path, with multi-probe recovering boundary recall "
     "(corpus vectors live in exactly one cell, so probed candidate "
     "sets are disjoint and need no dedup).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
+    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -573,7 +573,7 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame counts derived from doc_id); the stdlib header parsers and "
     "the seek-based frame sampler must recover exactly those values "
     "from the bytes (oracle checks the closed forms).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
+    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -808,7 +808,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forms from the bytes. The amplitude family is odd-valued and the "
     "frame counts avoid power-of-two denominators so 6-decimal "
     "rounding parity is exact (see synthesize_wav docstring).",
-    registered=False,  # r9: ceded (rotation); the multimodal tier stays driver-graded via multimodal_meta; WAV parity hash-pinned in the unregistered gate
+    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
 )
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.audio import (

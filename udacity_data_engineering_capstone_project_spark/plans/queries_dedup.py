@@ -138,7 +138,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Jaccard verification >= 0.8: the O(n) two-phase near-dup scale "
     "path, hash-checked end-to-end against DuckDB's all-pairs truth "
     "(est_jaccard screening stays available via minhash_dedup_pairs).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
+    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_verified_pairs(
@@ -317,6 +317,7 @@ def _dedup_clusters_oracle(rounds: int = 6, threshold: float = 0.8) -> str:
     "test_dedup_clusters_oracle_rounds_converged). rep_id_sum pins "
     "WHICH documents represent their clusters, not just how many. "
     "Promoted to a driver slot in r9 (rotation).",
+    registered=False,  # r12: ceded (rotation, VERDICT r11 #2) to the 10 long-rotated veterans; hash-pinned in the unregistered gate
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

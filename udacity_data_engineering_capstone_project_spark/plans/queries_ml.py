@@ -65,7 +65,7 @@ from udacity_data_engineering_capstone_project_spark.plans._qcore import _regist
     "key; o_orderkey is the total-order snapshot axis so runs are "
     "deterministic. Ceded its driver slot in round 11 after eight "
     "green driver rounds (r3-r10); hash-pinned locally.",
-    registered=False,
+    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
 )
 def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.scd import (
@@ -148,6 +148,7 @@ def _pagerank_oracle(iters: int = 8, damping: float = 0.85) -> str:
     "against an unrolled 8-level materialized-CTE DuckDB retrain — "
     "transcendental-free arithmetic, so the graded 8dp rounding has "
     "~4.5e6x boundary headroom over summation-order divergence.",
+    registered=False,  # r12: ceded (rotation, VERDICT r11 #2) to the 10 long-rotated veterans; hash-pinned in the unregistered gate
 )
 def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.graph import pagerank

@@ -97,6 +97,7 @@ GOPHER_QUALITY_ORACLE = """
     "word-count/word-length/symbol/bullet/ellipsis/alpha/stopword "
     "document quality rules (Rae et al. 2021 App. A). Registered in "
     "round 4 session 3 (slot ceded by the rows-only dedup_clusters).",
+    registered=False,  # r12: ceded (rotation, VERDICT r11 #2) to the 10 long-rotated veterans; hash-pinned in the unregistered gate
 )
 def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ts.gopher_quality(
@@ -144,6 +145,7 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact-cosine rerank (Jegou et al. 2011), hash-checked against "
     "DuckDB's brute-force top-10 (rerank pool covers the exact set).",
     # r5: promoted to a driver slot; r7: oracle-converted.
+    registered=False,  # r12: ceded (rotation, VERDICT r11 #2) to the 10 long-rotated veterans; hash-pinned in the unregistered gate
 )
 def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the embeddings file arrives as one split at bench scales — spread

@@ -219,7 +219,7 @@ def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "The reference's tie-preserving argmax formulation "
     "(J1+A2+A3, etl.py:181-204): count -> max -> self-join.",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
+    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
 )
 def argmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return argmax_join(
@@ -254,7 +254,7 @@ def argmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Full star-schema build: dims w/ deterministic keys + row-preserving "
     "left dim joins (J3-J8, etl.py:221-293 via plans.star).",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
+    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
 )
 def star_schema_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -317,7 +317,7 @@ def avg_of_avgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "The analyst query shape (J9+A8, nb cell 46): fact x fact join, "
     "group, order by count desc, top-n.",
-    registered=False,  # r10: ceded (rotation, VERDICT r9 #1) to the 15 never-driver-graded promotions; hash-pinned in the unregistered gate
+    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
 )
 def analyst_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

@@ -45,7 +45,7 @@ MERGE_UPSERT_ORACLE = """
     "the snapshot on ties. Promoted to a driver slot in round 4; "
     "ceded it in round 11 after seven green rounds; hash-pinned "
     "locally.",
-    registered=False,
+    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
 )
 def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-INTO shape (operators/scd.py:merge_upsert): per business
@@ -260,7 +260,7 @@ NUMERIC_DRIFT_ORACLE = """
     "(operators/quality.py:numeric_drift). Promoted to a driver "
     "slot in round 4; ceded it in round 11 (seven green rounds) to "
     "the r11 additions; hash-pinned locally.",
-    registered=False,
+    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
 )
 def numeric_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile-bin PSI of document length between snapshot halves
@@ -356,6 +356,7 @@ TOKEN_BUDGET_ORACLE = """
     "cap_tokens_per_group): hash-ordered documents kept while their "
     "cumulative size starts under 2000 chars per source — the "
     "token-budget mixing step. Promoted to a driver slot in r6 (rotation).",
+    registered=False,  # r12: ceded (rotation, VERDICT r11 #2) to the 10 long-rotated veterans; hash-pinned in the unregistered gate
 )
 def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.sampling import (
@@ -462,6 +463,7 @@ WINSORIZE_ORACLE = """
     "pure projection. Hash-checked against DuckDB "
     "quantile_cont.",
     # r5: driver slot; r8: ceded; r9: re-promoted (rotation).
+    registered=False,  # r12: ceded (rotation, VERDICT r11 #2) to the 10 long-rotated veterans; hash-pinned in the unregistered gate
 )
 def winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.quality import winsorize
@@ -563,6 +565,7 @@ LANGUAGE_ID_ORACLE = """
     "exact integer scores stay pinned in the local pytest.",
     # r5: promoted to a driver slot (rotation; was unregistered).
     # r6: graded projection made platform-safe (score dropped).
+    registered=False,  # r12: ceded (rotation, VERDICT r11 #2) to the 10 long-rotated veterans; hash-pinned in the unregistered gate
 )
 def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.textstats import (
@@ -622,6 +625,7 @@ CLUSTERING_COEFF_ORACLE = """
     "Local clustering coefficient (operators/graph.py:"
     "clustering_coefficient) over the supplier co-occurrence graph — "
     "the link-farm density signal. Promoted to a driver slot in r6 (rotation).",
+    registered=False,  # r12: ceded (rotation, VERDICT r11 #2) to the 10 long-rotated veterans; hash-pinned in the unregistered gate
 )
 def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.graph import (
@@ -669,6 +673,7 @@ QUANTILE_SKETCH_ORACLE = """
     " relative error, exact integer counts, mergeable forever."
     " Hash-checked against DuckDB's independent ln/ceil bucketing."
     " Promoted to a driver slot in r6 (rotation).",
+    registered=False,  # r12: ceded (rotation, VERDICT r11 #2) to the 10 long-rotated veterans; hash-pinned in the unregistered gate
 )
 def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.sketches import (
@@ -717,6 +722,7 @@ TRIANGLE_ORACLE = """
     "Hash-checked against DuckDB's direct ordered-triple "
     "enumeration.",
     # r5: driver slot; r7: ceded; r9: re-promoted (rotation).
+    registered=False,  # r12: ceded (rotation, VERDICT r11 #2) to the 10 long-rotated veterans; hash-pinned in the unregistered gate
 )
 def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.graph import (
