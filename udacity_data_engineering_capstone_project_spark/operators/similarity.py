@@ -177,6 +177,11 @@ def hyperplane_lsh_buckets(
 
     @pandas_udf("array<long>")
     def _packed(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            # np.vstack([]) raises on the zero-row Arrow batches an
+            # empty partition produces (ADVICE r11) — mirror the
+            # len(pdf) == 0 guard in the contamination matmul scorer
+            return pd.Series([], dtype=object)
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         signs = ~((mat @ planes) < 0.0)  # NaN counts as >= 0 (see above)
         bits = signs.reshape(len(mat), n_tables_eff, num_planes)
@@ -216,6 +221,81 @@ def auto_num_planes(n: int, target_bucket: int = 20) -> int:
     if n <= pivot:
         return 8
     return min(30, 8 + math.ceil(math.log2(n / pivot)))
+
+
+def auto_lsh_family(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_tables: int = 64,
+    n_small_side: int = 1024,
+) -> tuple[int, int]:
+    """Pick a sign-LSH family (num_planes, num_tables) from the
+    similarity THRESHOLD so low-threshold screens widen instead of
+    silently missing (r12; the fixed 8x8 default caught 112/291 exact
+    flags at the 0.3 band — recall at the boundary is
+    1-(1-p^k)^L with p = 1 - arccos(t)/pi, only 12% for 8x8 at 0.3).
+
+    Selection = datasketch-style threshold optimization with an
+    explicit cost model: for each k in 1..24 take the minimal L with
+    boundary recall >= ``target_recall`` (the FN constraint), then
+    among feasible (k, L) minimize
+
+        L * (1 + n_small_side / 2^k)
+
+    — per big-side row, L is the explode/plane/join-probe cost and
+    L * n_small_side / 2^k the expected RANDOM-collision verifies
+    (per-table collision probability for near-orthogonal pairs is
+    2^-k). ``n_small_side`` is the benchmark/query-set row count when
+    the caller knows it (`contamination_screen` passes its gate
+    count); the default prices a typical eval suite. Pure
+    collision-mass minimization (no L term) over-widens k to ~20
+    planes x 58 tables at t=0.8 — 754 plane dots per row to shave
+    already-negligible verify work. Infeasible thresholds (even
+    L=max_tables can't reach the target at any k) fall back to the
+    recall-maximizing (k, L=max_tables) — by then you want IVF, not
+    LSH (see `lsh_near_dup_pairs` notes).
+
+    Cost curve at the defaults (generated by this function;
+    BASELINE.md r12 carries the bound-vs-measured recall table from
+    `tools/scale_probe_contamination.py --family`):
+
+        threshold   p      (k, L)   boundary recall
+          0.9     0.856   (11, 15)       0.951
+          0.8     0.795   (11, 36)       0.951
+          0.7     0.747   (10, 54)       0.950
+          0.5     0.667   ( 7, 50)       0.951
+          0.3     0.597   ( 5, 38)       0.950
+
+    Recall rises with the actual similarity (p is increasing in cos),
+    so the boundary bound is the worst case over the flagged set.
+    """
+    import math
+
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall}"
+        )
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best: tuple[float, int, int] | None = None  # (cost, L, k)
+    for k in range(1, 25):
+        pk = p**k
+        if pk >= 1.0:  # threshold 1.0: any single table is exact
+            return k, 1
+        L = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pk))
+        if L > max_tables:
+            continue
+        cand = (L * (1.0 + n_small_side / float(1 << k)), L, k)
+        if best is None or cand < best:
+            best = cand
+    if best is None:  # infeasible: maximize recall at the table cap
+        k = max(
+            range(1, 25),
+            key=lambda kk: 1.0 - (1.0 - p**kk) ** max_tables,
+        )
+        return k, max_tables
+    return best[2], best[1]
 
 
 def lsh_near_dup_pairs(
@@ -1265,13 +1345,19 @@ def contamination_screen(
             "alias one side before screening"
         )
     if method == "auto":
-        # one benchmark-sized count prices the matrix: ids + float64
-        # matrix + slack. Eval suites are small; only a benchmark too
-        # big to replicate falls through to the LSH join path.
-        n_bench = benchmark.count()
+        # one benchmark-sized agg prices the matrix: row count x the
+        # ACTUAL vector width (max over rows — `dim` is LSH-family
+        # tuning, not a trusted width; a 768-dim caller who leaves
+        # dim=64 would otherwise underprice the broadcast 12x,
+        # ADVICE r11) x float64 x2 slack. Eval suites are small; only
+        # a benchmark too big to replicate falls through to LSH.
+        n_bench, width = benchmark.select(
+            F.count(F.lit(1)), F.max(F.size(F.col(vec_col)))
+        ).first()
+        width = width if width and width > 0 else dim
         method = (
             "matmul"
-            if n_bench * dim * 8 * 2 <= DEFAULT_BROADCAST_MAX_BYTES
+            if n_bench * width * 8 * 2 <= DEFAULT_BROADCAST_MAX_BYTES
             else "lsh"
         )
     if method == "matmul":
@@ -1279,12 +1365,18 @@ def contamination_screen(
             corpus, benchmark, id_col, vec_col, bench_id_col, threshold
         )
     # NULL vectors never flag and never cost (the fuzzy-tier NULL
-    # discipline): the bucket UDF would otherwise choke on None rows
+    # discipline): the bucket UDF would otherwise choke on None rows.
+    # NULL benchmark ids are dropped with the same rationale as the
+    # matmul path (ADVICE r11): an unidentifiable eval row can't
+    # anchor a best-match output, and keeping them only here would
+    # make method='auto' output depend on which path the gate picked.
     bench = _with_norm(
         hyperplane_lsh_buckets(
             benchmark.select(
                 F.col(bench_id_col).alias("__bid"), F.col(vec_col)
-            ).filter(F.col(vec_col).isNotNull()),
+            ).filter(
+                F.col(vec_col).isNotNull() & F.col(bench_id_col).isNotNull()
+            ),
             "__bid",
             vec_col,
             num_planes=num_planes,
