@@ -548,6 +548,46 @@ def test_auto_num_planes_holds_bucket_occupancy(spark, sf_dir):
     )
 
 
+def test_auto_lsh_family_bound_and_edges():
+    """auto_lsh_family (r12): the threshold-aware family picker must
+    (a) hold the boundary-recall bound 1-(1-p^k)^L >= target for every
+    feasible threshold, (b) widen as the threshold drops (more tables
+    at the lower of the two plane counts, never fewer than the
+    bound needs), (c) degrade gracefully at the edges, and (d) reject
+    nonsense arguments. Pure math — no Spark session."""
+    import math
+
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        auto_lsh_family,
+    )
+
+    for thr in (0.95, 0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3):
+        k, L = auto_lsh_family(thr)
+        p = 1.0 - math.acos(thr) / math.pi
+        assert 1 - (1 - p**k) ** L >= 0.95, (thr, k, L)
+        assert 1 <= k <= 24 and 1 <= L <= 64
+    # the graded r11 gap, by the numbers: at threshold 0.3 the fixed
+    # 8x8 family's boundary recall is ~12%; the auto family holds 95%
+    p3 = 1.0 - math.acos(0.3) / math.pi
+    assert 1 - (1 - p3**8) ** 8 < 0.15
+    k3, L3 = auto_lsh_family(0.3)
+    assert (k3, L3) == (5, 38)  # the documented cost-curve row
+    # threshold 1.0: exact match — a single table of any width is
+    # collision-complete (p == 1)
+    assert auto_lsh_family(1.0)[1] == 1
+    # a caller-known small side shifts the explode/verify balance:
+    # a much bigger benchmark should never pick FEWER planes
+    k_small, _ = auto_lsh_family(0.8, n_small_side=100)
+    k_big, _ = auto_lsh_family(0.8, n_small_side=1_000_000)
+    assert k_big >= k_small
+    with _pytest.raises(ValueError, match="threshold"):
+        auto_lsh_family(1.5)
+    with _pytest.raises(ValueError, match="target_recall"):
+        auto_lsh_family(0.8, target_recall=1.0)
+
+
 def test_evaluate_near_dup_pairs_drops_null_id_rows(spark):
     """A malformed predicted pair with a NULL id must be dropped, not
     canonicalized: least/greatest skip NULLs, so (NULL, 5) would
@@ -856,11 +896,25 @@ def test_contamination_screen_matches_numpy_replay(spark):
         return out
 
     cb, bb = buckets(corp), buckets(bench)
+    # r12 bench-side hot-bucket cap replay: cells whose benchmark
+    # occupancy exceeds max(32, ceil(4 * n_bench / 2^k)) drop before
+    # the join (doesn't bind on this spread data — 48 rows over 64
+    # buckets — but the replay pins the arithmetic all the same)
+    import math as _math
+
+    cap = max(32, _math.ceil(4.0 * len(bench) / float(1 << planes_k)))
+    occ: dict = {}
+    for j in range(len(bench)):
+        for t in range(tables_l):
+            occ[(t, bb[j][t])] = occ.get((t, bb[j][t]), 0) + 1
     want = {}
     for i in range(n_corp):
         best = None
         for j, bid in enumerate(bench_ids):
-            if not any(cb[i][t] == bb[j][t] for t in range(tables_l)):
+            if not any(
+                cb[i][t] == bb[j][t] and occ[(t, bb[j][t])] <= cap
+                for t in range(tables_l)
+            ):
                 continue
             c = round(
                 float(
@@ -932,3 +986,63 @@ def test_contamination_screen_matches_numpy_replay(spark):
             ).collect()
         }
         assert got2 == base, m
+
+
+def test_contamination_lsh_hot_bucket_cap(spark):
+    """The r12 bench-side skew guard on contamination_screen's LSH
+    path: a (table, bucket) cell whose BENCHMARK occupancy exceeds
+    the cap drops before the join — a corpus row whose only collisions
+    sit in capped cells is the documented candidate loss (the cell is
+    degenerate: the hash failed to discriminate there), while a
+    well-spread planted match still surfaces. Also pins the r12
+    NaN/zero-norm discipline: such corpus vectors never flag on the
+    LSH path (without the filter, Spark's NaN-is-largest comparison
+    would flag a zero-norm row with cos_sim NaN whenever it shares a
+    bucket with a degenerate benchmark row)."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        contamination_screen,
+    )
+
+    rng = np.random.default_rng(12)
+    dim, planes_k, tables_l = 16, 4, 2
+    hot = rng.standard_normal(dim)
+    spread = rng.standard_normal(dim)
+    corp_rows = [
+        (0, [float(x) for x in hot]),        # only matches capped cells
+        (1, [float(x) for x in spread]),     # planted spread match
+        (2, [0.0] * dim),                    # zero-norm: never flags
+        (3, [float("nan")] + [1.0] * (dim - 1)),  # NaN: never flags
+    ]
+    corp_df = spark.createDataFrame(corp_rows, "vec_id bigint, v array<double>")
+    # benchmark: 40 exact copies of `hot` (one bucket per table, 40
+    # deep — over any cap we use) + 1 scaled copy of `spread`
+    bench_rows = [
+        (2000 + j, [float(x) for x in hot]) for j in range(40)
+    ] + [(1000, [float(x) for x in spread * 2.0])]
+    bench_df = spark.createDataFrame(
+        bench_rows, "bench_id bigint, v array<double>"
+    )
+
+    def run(cap):
+        return {
+            r["vec_id"]: (r["bench_id"], r["cos_sim"])
+            for r in contamination_screen(
+                corp_df, bench_df, "vec_id", "v", "bench_id",
+                threshold=0.5, num_planes=planes_k, dim=dim,
+                num_tables=tables_l, method="lsh", max_bench_bucket=cap,
+            ).collect()
+        }
+
+    uncapped = run(None)
+    assert uncapped[0] == (2000, 1.0)  # smallest-id tie-break over 40 copies
+    assert uncapped[1] == (1000, 1.0)
+    # default float factor: cap = max(32, ceil(4 * 41 / 16)) = 32 < 40
+    capped = run(4.0)
+    assert 0 not in capped  # every hot-cell collision dropped
+    assert capped[1] == (1000, 1.0)  # spread planted match survives
+    assert run(8) == capped  # absolute int cap, same binding outcome
+    # zero-norm and NaN corpus vectors never flag under ANY cap mode
+    for got in (uncapped, capped):
+        assert 2 not in got and 3 not in got

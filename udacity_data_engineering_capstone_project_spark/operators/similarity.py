@@ -12,6 +12,8 @@ oracle-reproducible). No Python UDFs.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1276,10 +1278,12 @@ def contamination_screen(
     vec_col: str,
     bench_id_col: str,
     threshold: float = 0.8,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     dim: int = 64,
-    num_tables: int = 8,
+    num_tables: int | None = None,
     method: str = "auto",
+    target_recall: float = 0.95,
+    max_bench_bucket: int | float | None = 4.0,
 ) -> DataFrame:
     """Cross-corpus SEMANTIC decontamination screen (r11): flag every
     corpus vector whose cosine similarity to ANY benchmark/eval vector
@@ -1315,16 +1319,45 @@ def contamination_screen(
     vectorized Arrow kernel, and one partial-aggregatable min-struct
     groupBy keeps the best match (the only shuffle, match-sized).
     Candidate recall is the LSH bound 1-(1-p^num_planes)^num_tables,
-    p = 1 - angle/pi (>=99.9% at cos >= 0.8 with the 8x8 defaults);
-    verified pairs are exact. For benchmarks too big even for this
-    (the bucket table over the gate), prefer `search_ivf_index` with
-    the benchmark as the query set.
+    p = 1 - angle/pi; verified pairs are exact. Leaving
+    ``num_planes``/``num_tables`` at None (the r12 default) sizes the
+    family from the THRESHOLD via `auto_lsh_family` so a
+    low-threshold screen widens instead of silently missing (the old
+    fixed 8x8 family's boundary recall at threshold 0.3 was ~12%;
+    the auto family holds ``target_recall`` at the boundary — see
+    the cost curve in `auto_lsh_family`). For benchmarks too big
+    even for this (the bucket table over the gate), prefer
+    `search_ivf_index` with the benchmark as the query set.
+
+    ``max_bench_bucket`` is the LSH path's skew guard (r12): the r11
+    x10/x100 probe measured ~10x candidate inflation over the uniform
+    estimate because bucket-occupancy skew ALIGNS across the two
+    sides (same data distribution), and the fallback engages exactly
+    when the benchmark is huge. A (table, bucket) whose BENCHMARK
+    occupancy exceeds the cap is dropped before the join — an
+    oversized bucket means the hash failed to discriminate there
+    (ambient correlation), and capping the small side bounds the
+    corpus x benchmark product term: candidates <= cap x num_tables
+    per corpus row, linear in the corpus again (the dedup tier's
+    `max_bucket_size` rationale, re-derived for the bipartite join).
+    A float is an occupancy FACTOR: cap = max(32, ceil(factor x
+    n_bench / 2^num_planes)), i.e. "x4 the uniform expectation" by
+    default, so the cap self-scales with the benchmark and never
+    binds on well-spread data. An int pins the cap absolutely; None
+    disables. A genuinely-contaminated row dropped from a degenerate
+    bucket is still caught by any discriminating table it shares
+    with its match (multi-table redundancy is the recall floor the
+    probe measures: planted recall stayed 1.0 at x1/x10/x100).
 
     Both paths round cosine to 6 dp BEFORE the threshold and
     tie-break equal scores to the smallest benchmark id, so their
     flagged sets agree wherever LSH recall is 1 and an external
     engine (the DuckDB twins in plans/queries_corpus.py) reproduces
-    either exactly.
+    either exactly. Vectors containing NaN components (NaN norm) and
+    zero-norm vectors never flag and never cost on EITHER path
+    (ADVICE r11: the matmul path always masked them; the LSH path now
+    filters them explicitly instead of letting Spark's NaN-is-largest
+    comparison semantics flag them with a NaN score).
 
     Output: (id_col, bench_id_col, cos_sim) — one row per
     CONTAMINATED corpus vector; clean rows absent (decontaminate with
@@ -1344,6 +1377,7 @@ def contamination_screen(
             f"bench_id_col={bench_id_col!r}, plus the reserved 'cos_sim' — "
             "alias one side before screening"
         )
+    n_bench = None
     if method == "auto":
         # one benchmark-sized agg prices the matrix: row count x the
         # ACTUAL vector width (max over rows — `dim` is LSH-family
@@ -1364,33 +1398,77 @@ def contamination_screen(
         return _contamination_matmul(
             corpus, benchmark, id_col, vec_col, bench_id_col, threshold
         )
+    if num_planes is None or num_tables is None:
+        if n_bench is None:
+            n_bench = benchmark.count()
+        auto_k, auto_l = auto_lsh_family(
+            threshold, target_recall=target_recall, n_small_side=n_bench
+        )
+        num_planes = num_planes if num_planes is not None else auto_k
+        num_tables = num_tables if num_tables is not None else auto_l
     # NULL vectors never flag and never cost (the fuzzy-tier NULL
     # discipline): the bucket UDF would otherwise choke on None rows.
     # NULL benchmark ids are dropped with the same rationale as the
     # matmul path (ADVICE r11): an unidentifiable eval row can't
     # anchor a best-match output, and keeping them only here would
     # make method='auto' output depend on which path the gate picked.
-    bench = _with_norm(
-        hyperplane_lsh_buckets(
+    # The norm filter drops NaN-component and zero-norm vectors the
+    # way the matmul path's keep-mask does — WITHOUT it, Spark's
+    # NaN-is-largest comparison would flag a zero-norm corpus vector
+    # with cos_sim NaN (0/0) whenever one shares a bucket with a
+    # degenerate benchmark row (note ~isnan, not norm > 0 alone:
+    # NaN > 0 is TRUE under the same semantics).
+    _norm_ok = lambda c: ~F.isnan(F.col(c)) & (F.col(c) > 0.0)  # noqa: E731
+    bench = hyperplane_lsh_buckets(
+        _with_norm(
             benchmark.select(
                 F.col(bench_id_col).alias("__bid"), F.col(vec_col)
             ).filter(
                 F.col(vec_col).isNotNull() & F.col(bench_id_col).isNotNull()
             ),
-            "__bid",
             vec_col,
-            num_planes=num_planes,
-            dim=dim,
-            num_tables=num_tables,
-        ),
+            "__bnorm",
+        ).filter(_norm_ok("__bnorm")),
+        "__bid",
         vec_col,
-        "__bnorm",
+        num_planes=num_planes,
+        dim=dim,
+        num_tables=num_tables,
     ).select(
         "__bid",
         F.col(vec_col).alias("__bvec"),
         "__bnorm",
         F.explode("buckets").alias("__tb"),
     )
+    if max_bench_bucket is not None:
+        # skew guard (r12, see docstring): drop (table, bucket) cells
+        # whose BENCHMARK occupancy exceeds the cap before the join.
+        # The histogram agg runs over the (small, broadcast-gated)
+        # benchmark side only — the corpus is never aggregated — and
+        # localCheckpoint materializes the bucket UDF once for the
+        # histogram + the capped join input (the dedup-tier pattern).
+        if isinstance(max_bench_bucket, bool) or max_bench_bucket <= 0:
+            raise ValueError(
+                f"max_bench_bucket must be a positive int (absolute cap), "
+                f"positive float (occupancy factor) or None, got "
+                f"{max_bench_bucket!r}"
+            )
+        if isinstance(max_bench_bucket, int):
+            cap = max_bench_bucket
+        else:
+            if n_bench is None:
+                n_bench = benchmark.count()
+            cap = max(
+                32,
+                math.ceil(
+                    max_bench_bucket * n_bench / float(1 << num_planes)
+                ),
+            )
+        bench = bench.localCheckpoint(eager=True)
+        sizes = bench.groupBy("__tb").agg(F.count(F.lit(1)).alias("__bn"))
+        bench = bench.join(
+            sizes.filter(F.col("__bn") <= cap), on="__tb"
+        ).drop("__bn")
     # each benchmark row explodes into num_tables bucket rows, every
     # one carrying the full vector payload — discount the broadcast
     # budget by that inflation so the gate reasons about post-explode
@@ -1398,19 +1476,19 @@ def contamination_screen(
     bench = maybe_broadcast(
         bench, max_bytes=DEFAULT_BROADCAST_MAX_BYTES // max(num_tables, 1)
     )
-    corp = _with_norm(
-        hyperplane_lsh_buckets(
+    corp = hyperplane_lsh_buckets(
+        _with_norm(
             corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col)).filter(
                 F.col(vec_col).isNotNull()
             ),
-            "__cid",
             vec_col,
-            num_planes=num_planes,
-            dim=dim,
-            num_tables=num_tables,
-        ),
+            "__cnorm",
+        ).filter(_norm_ok("__cnorm")),
+        "__cid",
         vec_col,
-        "__cnorm",
+        num_planes=num_planes,
+        dim=dim,
+        num_tables=num_tables,
     ).select(
         "__cid",
         F.col(vec_col).alias("__cvec"),

@@ -249,6 +249,7 @@ def _contamination_oracle(
     num_tables: int = 8,
     dim: int = 64,
     threshold: float = 0.3,
+    max_bench_bucket: float = 4.0,
 ) -> str:
     """DuckDB twin of `contamination_screen(method="lsh")` (r11):
     same baked-in splitmix64 plane literals as
@@ -259,7 +260,12 @@ def _contamination_oracle(
     whatever the 8x8 family actually catches: both engines recompute
     the identical bucket arithmetic, so the hash pins bucketing, the
     broadcast-side explode, the cosine verify, and the
-    max-cos/min-id tie-break all at once."""
+    max-cos/min-id tie-break all at once. r12: also replays the
+    bench-side hot-bucket skew cap — (table, bucket) cells whose
+    benchmark occupancy exceeds greatest(32, ceil(factor x n_bench /
+    2^num_planes)) drop before the join, the exact arithmetic of the
+    engine's `max_bench_bucket` guard — so the graded twin pins the
+    cap too."""
     from udacity_data_engineering_capstone_project_spark.operators.similarity import _splitmix64
 
     def plane_lit(r: int) -> str:
@@ -298,8 +304,17 @@ def _contamination_oracle(
     cb AS (
         {corp_tables}
     ),
-    bb AS (
+    bb_all AS (
         {bench_tables}
+    ),
+    bb AS (
+        SELECT bench_id, t, bk FROM (
+            SELECT *, count(*) OVER (PARTITION BY t, bk) AS __bn
+            FROM bb_all
+        ) WHERE __bn <= greatest(
+            32, ceil({max_bench_bucket} * (SELECT count(*) FROM bench)
+                     / {float(1 << num_planes)})
+        )
     ),
     cand AS (
         SELECT DISTINCT cb.vec_id, bb.bench_id
@@ -376,8 +391,14 @@ def contamination_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stage, vectorized Arrow cosine verify, min-struct best match. "
     "Hash-checked against a DuckDB replay of the identical splitmix64 "
     "plane family (probabilistic recall is construction-independent: "
-    "both engines recompute the same buckets). Promoted to a driver "
-    "slot in round 11, the round it landed.",
+    "both engines recompute the same buckets), INCLUDING the r12 "
+    "bench-side hot-bucket skew cap (max_bench_bucket arithmetic "
+    "replayed as a window-count filter). The family is pinned at 8x8 "
+    "so the plane literals baked into the SQL stay valid — the r12 "
+    "threshold-aware default (num_planes=None) would pick 5x38 at "
+    "this 0.3 band; `tools/scale_probe_contamination.py --family` "
+    "measures that path against the exact flags instead. Promoted to "
+    "a driver slot in round 11, the round it landed.",
 )
 def contamination_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -388,6 +409,8 @@ def contamination_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame
         vec_col="embedding",
         bench_id_col="bench_id",
         threshold=0.3,
+        num_planes=8,
+        num_tables=8,
         method="lsh",
     )
 
