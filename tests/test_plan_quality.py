@@ -652,6 +652,82 @@ def test_plan_linter_flags_known_scale_smells(spark, sf_dir, monkeypatch):
         assert_scalable(spec.fn(spark, sf_dir))
 
 
+def test_linter_flags_skew_aligned_explode_join(spark):
+    """The r12 rule (VERDICT r11 #8): a join whose BOTH sides explode
+    the same generator expression is the LSH shape where bucket skew
+    aligns across sides (~10x candidate inflation, r11 probe). The
+    UNMITIGATED contamination LSH plan (max_bench_bucket=None)
+    triggers; the default capped plan does NOT (its bench side is
+    materialized by the cap pass, so the generator appears once); the
+    matmul plan has no join at all."""
+    from udacity_data_engineering_capstone_project_spark.operators.similarity import (
+        contamination_screen,
+    )
+    from udacity_data_engineering_capstone_project_spark.plans.lint import lint_plan
+
+    def rules(df):
+        return {f["rule"] for f in lint_plan(df)}
+
+    corp = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, -1.0]) for i in range(40)],
+        "vec_id bigint, v array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100 + j, [float(j % 5), 1.0, -0.5, 1.0]) for j in range(10)],
+        "bench_id bigint, v array<double>",
+    )
+
+    common = dict(
+        id_col="vec_id", vec_col="v", bench_id_col="bench_id",
+        threshold=0.5, num_planes=4, dim=4, num_tables=2,
+    )
+    uncapped = contamination_screen(
+        corp, bench, method="lsh", max_bench_bucket=None, **common
+    )
+    assert "skew-aligned-explode-join" in rules(uncapped)
+    capped = contamination_screen(corp, bench, method="lsh", **common)
+    assert "skew-aligned-explode-join" not in rules(capped)
+    matmul = contamination_screen(corp, bench, method="matmul", **common)
+    assert "skew-aligned-explode-join" not in rules(matmul)
+    # warning severity: an aligned explode join is a smell to review,
+    # not an automatic scale failure (bounded shapes exist)
+    sev = {
+        f["severity"]
+        for f in lint_plan(uncapped)
+        if f["rule"] == "skew-aligned-explode-join"
+    }
+    assert sev == {"warning"}
+
+    # precision guards: (a) two tables that merely SHARE a column name
+    # don't flag (generator attributes resolve to their defining
+    # expressions — different source expressions, no match); (b) a
+    # positional explode feeding an (id, pos) equi-join is ~1:1
+    # sequence alignment, exempt
+    import pyspark.sql.functions as SF
+
+    a = spark.createDataFrame(
+        [(1, "x y z")], "id bigint, text string"
+    ).select("id", SF.split("text", " ").alias("toks"))
+    b2 = spark.createDataFrame(
+        [(1, "p-q-r")], "id bigint, other string"
+    ).select(
+        (SF.col("id") + 100).alias("bid"),
+        SF.split("other", "-").alias("toks"),  # same NAME, other expr
+    )
+    name_coincidence = (
+        a.select("id", SF.explode("toks").alias("tok"))
+        .join(b2.select("bid", SF.explode("toks").alias("tok")), "tok")
+    )
+    assert "skew-aligned-explode-join" not in rules(name_coincidence)
+    pos_a = a.select("id", SF.posexplode("toks").alias("pos", "tok"))
+    positional = pos_a.alias("l").join(
+        pos_a.alias("r"),
+        (SF.col("l.id") == SF.col("r.id"))
+        & (SF.col("l.pos") == SF.col("r.pos") + 1),
+    )
+    assert "skew-aligned-explode-join" not in rules(positional)
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(set(REGISTRY) | set(UNREGISTERED)),

@@ -25,6 +25,21 @@ function instead of a review habit, so a pipeline can gate CI on
 - ``exact-percentile``: F.percentile buffers every value of the column
   in one aggregation state — the wall `winsorize`/`numeric_drift`
   auto-gate around (use approx_percentile above memory scale).
+- ``skew-aligned-explode-join``: both sides of a join explode the same
+  generator expression — the LSH bucket-join shape where occupancy
+  skew ALIGNS across the sides (one data distribution feeds both), so
+  candidate volume runs far over the uniform estimate (~10x in the
+  r11 contamination probe — and the wall there was candidate VOLUME,
+  not kernel cost; the rule encodes that attribution lesson).
+  Precision guards: generator attributes resolve through Project
+  aliases to their defining expressions (no column-name-coincidence
+  flags), a Generate below an Aggregate is exempt (the side is
+  model/dictionary-sized), and posexplode is exempt (positional
+  equi-joins are ~1:1 sequence alignment, not value-bucket joins).
+  Capped or salted plans don't trigger (the mitigation pass
+  materializes one side). Two graded plans carry this warning by
+  design — contamination_check and dedup_ngram_jaccard, the n-gram
+  overlap tiers whose small side is broadcast/distinct-bounded.
 - ``oversized-broadcast-hint``: a join carrying an explicit broadcast
   hint whose hinted side the optimizer estimates ABOVE the broadcast
   ceiling (or cannot size and the side reads an external source). A
@@ -53,6 +68,8 @@ review a machine can't do.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame
 
@@ -140,6 +157,70 @@ def _materialized_plan_size(plan, sc) -> int | None:
     except Exception:
         return None
     return None
+
+
+#: Strips Catalyst expression ids (`buckets#123` -> `buckets`) so one
+#: generator expression compares equal across the two sides of a join.
+_EXPR_ID_RE = re.compile(r"#\d+L?")
+
+
+def _generator_signatures(side) -> set[str]:
+    """Resolved generator signatures of one join side, for the
+    skew-aligned-explode rule: every Generate NOT below an Aggregate,
+    with its generator expression's attribute references substituted
+    transitively through the side's Project aliases (bounded depth)
+    and expression ids stripped — so `explode(buckets)` on two sides
+    compares by what ACTUALLY computes `buckets` (e.g. the hyperplane
+    bucket UDF), not by the coincidence of a shared column name."""
+    defs: dict[str, str] = {}
+    gens: list[tuple[str, bool]] = []
+
+    def rec(n, under_agg: bool) -> None:
+        nm = _simple_name(n)
+        if nm == "Aggregate":
+            under_agg = True
+        elif nm == "Project":
+            pl = n.projectList()
+            for i in range(pl.size()):
+                e = pl.apply(i)
+                try:
+                    if _simple_name(e) == "Alias":
+                        # first definition wins: the walk is top-down,
+                        # and the topmost alias is the one the
+                        # generator's scope sees
+                        defs.setdefault(e.name(), e.child().sql())
+                except Exception:
+                    pass
+        elif nm == "Generate":
+            try:
+                gens.append((n.generator().sql(), under_agg))
+            except Exception:
+                pass
+        ch = n.children()
+        for i in range(ch.size()):
+            rec(ch.apply(i), under_agg)
+
+    rec(side, False)
+    out: set[str] = set()
+    for sql, under_agg in gens:
+        if under_agg:
+            continue
+        if sql.startswith("posexplode("):
+            # positional explodes feed (id, position) equi-joins —
+            # deterministic ~1:1 sequence alignment (the BPE
+            # adjacent-pair shape), not a value-bucket join; skew
+            # alignment needs the JOIN KEY to be the exploded VALUE
+            continue
+        for _ in range(8):  # transitive, bounded (no cycle risk)
+            new = sql
+            for name, d in defs.items():
+                if name in new:
+                    new = re.sub(rf"\b{re.escape(name)}\b", f"({d})", new)
+            if new == sql:
+                break
+            sql = new
+        out.add(_EXPR_ID_RE.sub("", sql))
+    return out
 
 
 def _walk(node, parent=None):
@@ -237,6 +318,50 @@ def lint_plan(df: DataFrame) -> list[dict]:
                         "full-data range shuffle + sort; use "
                         "TakeOrderedAndProject (orderBy+limit) or "
                         "sortWithinPartitions for write clustering",
+                    }
+                )
+        elif name == "Join":
+            # skew-aligned explode join (r12, VERDICT r11 #8): both
+            # sides of a join explode the SAME generator expression —
+            # the LSH bucket-join shape where bucket-occupancy skew
+            # ALIGNS across the sides because both draw from one
+            # distribution, measured at ~10x the uniform candidate
+            # estimate in the r11 contamination probe (candidate
+            # VOLUME, not kernel cost, was the wall — the attribution
+            # lesson this rule encodes). Matching resolves generator
+            # attributes through Project aliases to their DEFINING
+            # expressions (a bare `explode(ngrams)` name match would
+            # flag every join of two tables that happen to share a
+            # column name), and a Generate sitting BELOW an Aggregate
+            # on its side is exempt — the aggregation collapses the
+            # exploded cardinality, so the joined side is model/
+            # dictionary-sized, not raw x raw. Mitigated plans don't
+            # trigger: a hot-bucket cap / salting pass materializes
+            # one side (localCheckpoint -> LogicalRDD leaf), so the
+            # generator no longer appears on both sides.
+            side_gens = [
+                _generator_signatures(node.left()),
+                _generator_signatures(node.right()),
+            ]
+            shared = side_gens[0] & side_gens[1]
+            if shared:
+                findings.append(
+                    {
+                        "rule": "skew-aligned-explode-join",
+                        "severity": "warning",
+                        "detail": (
+                            "both join sides explode the same generator "
+                            f"({next(iter(shared))[:80]}); if the "
+                            "exploded values are hash/LSH buckets over "
+                            "one data distribution, occupancy skew "
+                            "aligns across the sides and candidate "
+                            "volume can run ~10x the uniform estimate "
+                            "(r11 contamination probe) — cap hot "
+                            "buckets (max_bucket_size / "
+                            "max_bench_bucket), salt them, or replace "
+                            "the join with a broadcast/matmul pass "
+                            "when one side is broadcastable"
+                        ),
                     }
                 )
         elif name == "Aggregate":
