@@ -268,6 +268,60 @@ def test_decode_mp4_meta_stage(spark):
         sample_mp4_frames(df, "id")
 
 
+def test_sample_mp4_frames_pluggable_backend(spark):
+    """sample_mp4_frames (r12): the codec is a pluggable seam — the
+    default backend requires PyAV (NotImplementedError at plan time in
+    this container, pinned above), but the Spark-side plumbing is real
+    and runs end-to-end with any injected backend: mapInPandas schema,
+    per-row error guard (corrupt payload -> zero rows, not a task
+    kill), PNG re-encode, and the output rows flowing straight into
+    the image tier (`decode_image_meta`)."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.multimodal import (
+        decode_image_meta,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.video import (
+        sample_mp4_frames,
+    )
+
+    def fake_backend(b: bytes, n_samples: int):
+        # deterministic stand-in for an H.264 decode: payload
+        # "FAKE<n>" yields n flat rgb24 frames at 8x6, 40 ms apart
+        if not b.startswith(b"FAKE"):
+            raise ValueError("not a fake mp4")
+        n = min(b[4], n_samples)
+        return [
+            (idx, idx * 40, 8, 6,
+             np.full((6, 8, 3), idx * 10, dtype=np.uint8).tobytes())
+            for idx in range(n)
+        ]
+
+    rows = [
+        (1, b"FAKE" + bytes([3])),
+        (2, b"FAKE" + bytes([1])),
+        (3, b"not a video"),   # backend raises -> zero rows
+        (4, None),             # NULL payload -> zero rows
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    out = sample_mp4_frames(df, "id", n_samples=4, frame_backend=fake_backend)
+    got = sorted(
+        (r["id"], r["frame_index"], r["t_ms"], r["width"], r["height"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 0, 0, 8, 6), (1, 1, 40, 8, 6), (1, 2, 80, 8, 6),
+        (2, 0, 0, 8, 6),
+    ]
+    # the PNG payloads are image-tier citizens: decode round-trips
+    meta = decode_image_meta(
+        out.select(F.col("frame_index").alias("img_id"), "payload"),
+        "img_id",
+    ).collect()
+    assert all((m["width"], m["height"]) == (8, 6) for m in meta)
+    assert all(m["format"] == "png" for m in meta)
+
+
 def test_mp4_parser_hostile_nested_shapes(spark):
     """Adversarial container shapes the random fuzz can't construct
     (review findings, r6): an empty mvhd at end-of-buffer must raise
