@@ -31,6 +31,7 @@ any corpus size.
 from __future__ import annotations
 
 import math
+import threading
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -43,7 +44,11 @@ from pyspark.sql.types import LongType, StructField, StructType
 #: calls accumulate MEMORY_AND_DISK entries until LRU pressure).
 #: Strong refs by design — entries are 2-column plans, the list is
 #: bounded by the number of auto-sized calls since the last release.
+#: Guarded by _SLICES_LOCK: a threaded driver may run pack_sequences
+#: and release_pack_caches concurrently (ADVICE r11), and list.pop
+#: racing list.append is how a slice leaks or double-releases.
 _PERSISTED_SLICES: list[DataFrame] = []
+_SLICES_LOCK = threading.Lock()
 
 
 def release_pack_caches() -> int:
@@ -51,11 +56,17 @@ def release_pack_caches() -> int:
     call has pinned since the last release. Call AFTER the pack
     output has been materialized (written / collected) — a pack plan
     that has not run yet will recompute its upstream lineage once.
+    NOTE: this releases the slices pinned by ALL in-flight packs in
+    the process, not just the caller's — in a threaded driver, only
+    release once every thread's pack output has materialized (an
+    early release is correctness-safe but forces a full lineage
+    recompute of the unmaterialized pack's source slice).
     Returns the number of slices released. Blocking=False: eviction
     proceeds asynchronously executor-side."""
     n = 0
-    while _PERSISTED_SLICES:
-        df = _PERSISTED_SLICES.pop()
+    with _SLICES_LOCK:
+        drained, _PERSISTED_SLICES[:] = _PERSISTED_SLICES[:], []
+    for df in drained:
         try:
             df.unpersist()
             n += 1
@@ -221,7 +232,8 @@ def pack_sequences(
         # cannot be unpersisted HERE without the pack action
         # recomputing the lineage.
         source = source.persist()
-        _PERSISTED_SLICES.append(source)
+        with _SLICES_LOCK:
+            _PERSISTED_SLICES.append(source)
         n = source.count()
         buckets = max(64, math.ceil(n / _AUTO_BUCKET_ITEMS))
 
