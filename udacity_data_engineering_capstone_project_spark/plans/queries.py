@@ -136,6 +136,7 @@ from udacity_data_engineering_capstone_project_spark.plans.queries_corpus import
     CONTAMINATION_ORACLE,
     contamination_embedding_q,
     contamination_embedding_lsh_q,
+    contamination_embedding_auto_q,
     sql_entrypoint,
     streaming_dedup,
     text_profile_q,

@@ -415,6 +415,43 @@ def contamination_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# The threshold-aware family at a second operating point, pinned
+# cross-engine: auto_lsh_family(0.9, n_small_side=1024) = (11, 15) is
+# computed AT BUILD TIME with a fixed n_small_side (the family must
+# not drift with the test scale factor — plane literals are baked
+# into the SQL), then passed explicitly; the pytest twin
+# (test_auto_lsh_family_bound_and_edges + the replay test) covers the
+# None->auto wiring itself.
+_AUTO_K, _AUTO_L = sim.auto_lsh_family(0.9, n_small_side=1024)
+
+
+@_register(
+    "contamination_embedding_auto_q",
+    _contamination_oracle(_AUTO_K, _AUTO_L, threshold=0.9),
+    "The contamination LSH path at the auto_lsh_family(0.9) operating "
+    "point (11 planes x 15 tables, vs the 8x8 spec above): a DuckDB "
+    "replay of a SECOND plane family plus the r12 bench-side "
+    "hot-bucket cap at 2^11 buckets — pins the family-sizing math "
+    "into the oracle-hash contract, not just the probe. Planted "
+    "x2-scaled copies still collide in all 15 tables (sign-preserving "
+    "scaling), so recall of the planted set is 1 by construction.",
+    registered=False,  # unregistered tier: identical DuckDB hash contract via the pytest parity gate
+)
+def contamination_embedding_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.contamination_screen(
+        emb,
+        _contam_bench(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        bench_id_col="bench_id",
+        threshold=0.9,
+        num_planes=_AUTO_K,
+        num_tables=_AUTO_L,
+        method="lsh",
+    )
+
+
 @_register(
     "sql_entrypoint",
     """
