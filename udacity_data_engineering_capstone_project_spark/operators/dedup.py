@@ -749,7 +749,12 @@ def embedding_near_dup_pairs(
     )
 
     slim = _with_norm(
-        df.select(F.col(block_col).alias("__blk"), F.col(id_col), F.col(vec_col)),
+        _ensure_parallelism(
+            df.select(
+                F.col(block_col).alias("__blk"), F.col(id_col), F.col(vec_col)
+            ),
+            id_col,
+        ),
         vec_col,
         "__n",
     )

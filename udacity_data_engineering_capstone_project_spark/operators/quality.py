@@ -99,6 +99,17 @@ def profile_columns(
     if approximate is None:
         approximate = _estimated_size_exceeds(df, APPROX_DRIFT_MIN_BYTES)
 
+    # spread a narrow input before the agg: countDistinct expansion
+    # and (exact-path) percentile buffering do their partial work
+    # per-partition, so a single-split input pins the whole profile
+    # to one task (r12; the _ensure_parallelism idiom from the
+    # textstats/dedup tiers — a no-op at real scale where inputs
+    # arrive already split, and aggregation output is
+    # partitioning-independent so round-robin is safe)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }

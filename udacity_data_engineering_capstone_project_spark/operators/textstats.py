@@ -1226,7 +1226,10 @@ def train_language_id(
     # (two same-doc shingles colliding into one bucket would count
     # twice; caught by the DuckDB parity oracle)
     sh = (
-        base.withColumn("__doc", F.monotonically_increasing_id())
+        _ensure_parallelism(
+            base.withColumn("__doc", F.monotonically_increasing_id()),
+            "__doc",
+        )
         .select(
             "label",
             "__doc",
@@ -1304,7 +1307,8 @@ def apply_language_id(
     tests/test_sampling_and_signals.py::test_language_id_margin_headroom.
     """
     sh = (
-        df.select(F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("__g"))
+        _ensure_parallelism(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("__g"))
         .select(id_col, _ngram_bucket(F.col("__g"), num_buckets).alias("bucket"))
         .dropDuplicates([id_col, "bucket"])
     )
