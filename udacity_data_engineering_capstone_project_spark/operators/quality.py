@@ -403,6 +403,11 @@ def drift_bin_edges(
             e = F.percentile(F.col(col), F.lit(q))
         return F.round(e, 6).alias(f"e{i}")
 
+    # spread a narrow baseline before the agg (see profile_columns):
+    # each edge expression buffers/sketches per-partition first
+    target = base.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
     return base.agg(*[edge_expr(q, i) for i, q in enumerate(qs)])
 
 
@@ -578,7 +583,16 @@ def winsorize(
             *[f"__lo_{c}" for c in columns], *[f"__hi_{c}" for c in columns]
         )
 
-    bounds_row = df.agg(
+    # spread the aggregation branch only (see profile_columns):
+    # exact-percentile partial buffering is per-partition, and a
+    # single-split input pins it to one task; the clip projection
+    # below still runs over the ORIGINAL df, so output partitioning
+    # and row order are untouched
+    agg_src = df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if agg_src.rdd.getNumPartitions() < target:
+        agg_src = agg_src.repartition(target)
+    bounds_row = agg_src.agg(
         *[_pcts(c).alias(f"__qs_{c}") for c in columns]
     ).first()
     out = df
