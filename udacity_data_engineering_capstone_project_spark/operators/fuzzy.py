@@ -283,11 +283,19 @@ def fuzzy_join_reference(
     dim_keys = maybe_broadcast(
         dim_keys, max_bytes=DEFAULT_BROADCAST_MAX_BYTES // inflation
     )
-    dirty_keys = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        deletion_key_hashes(text_col, max_distance).alias("__ks"),
-    ).select("__id", "__t", F.explode("__ks").alias("__k"))
+    # spread a narrow corpus before the deletion-key explode and the
+    # broadcast-join probe (r12 single-split lesson): both are
+    # CPU-bound per row, and a one-split input would run them on one
+    # core. No-op at real scale (gated on partition count), and the
+    # "corpus never shuffles" scale claim is untouched there.
+    dirty_keys = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__id",
+    ).select(
+        "__id",
+        "__t",
+        F.explode(deletion_key_hashes("__t", max_distance)).alias("__k"),
+    )
     dist = F.levenshtein(F.col("__t"), F.col("__dt"), max_distance)
     cand = (
         dirty_keys.join(dim_keys, "__k")
