@@ -975,3 +975,66 @@ def test_probe_accepts_midsize_frame_within_budget(spark):
         df, relational.DEFAULT_BROADCAST_MAX_BYTES
     )
     assert maybe_broadcast(df) is not df
+
+
+def test_single_split_inputs_spread_before_cpu_stages(spark, sf_dir):
+    """Regression guard for the r12 serial-stage sweep: every
+    test-scale table arrives as ONE parquet split, so a CPU-heavy
+    stage without an explicit spread runs on one core (fuzzy_name_pairs
+    measured 37.9 s at sf0.1 with a ~1.6 us/pair kernel — parallelism
+    1, not the kernel). The fixed operators must show a repartition
+    Exchange on their narrow-input path; the gate is partition-count
+    conditioned, so this pins the TEST-scale behavior (at real scale
+    inputs arrive split and the spread is a no-op)."""
+    import pyspark.sql.functions as SF
+
+    from udacity_data_engineering_capstone_project_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        profile_columns,
+        winsorize,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        apply_language_id,
+        train_language_id,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+
+    def spread_partitions(df):
+        """Max partition count of any non-result stage in the executed
+        plan — the spread shows up as an Exchange whose output RDD has
+        >= defaultParallelism partitions."""
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.rdd.getNumPartitions() < target  # the trap's precondition
+
+    # profile_columns: the agg input must be spread
+    prof = profile_columns(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        ["o_totalprice"], percentiles=(0.5,), approximate=False,
+    )
+    assert "Exchange RoundRobinPartitioning" in spread_partitions(prof)
+
+    # winsorize ungrouped: the agg branch spreads, the output
+    # projection does NOT (row order / partitioning preserved)
+    w = winsorize(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        ["o_totalprice"], approximate=False,
+    )
+    assert "Exchange" not in spread_partitions(w)  # clip is pure projection
+
+    # language id: train + apply shingle explodes spread by key
+    model, info = train_language_id(
+        docs.filter(SF.col("lang").isNotNull()), "text", "lang"
+    )
+    scored = apply_language_id(docs.select("doc_id", "text"), "doc_id", "text", model, info)
+    assert "Exchange hashpartitioning(doc_id" in spread_partitions(scored)
+
+    # embedding near-dup: the broadcast-join probe side spreads
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", "label", 0.3)
+    assert "Exchange hashpartitioning(vec_id" in spread_partitions(pairs)
