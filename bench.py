@@ -181,6 +181,14 @@ VOLATILE_QUERIES = {
     "bpe_tokenize_q",
     "fuzzy_join",
     "dedup_simhash",
+    # r12: the iterative-graph rows joined the class — their walls are
+    # (rounds x per-round JIT/scheduling latency), so one unlucky
+    # placement multiplies across every round (ppr_q swung 7.3 -> 8.8 s
+    # between two same-code idle-host draws this round, dedup_clusters
+    # 3.2 -> 3.9)
+    "ppr_q",
+    "dedup_clusters",
+    "label_prop_q",
 }
 
 
