@@ -452,3 +452,139 @@ def test_hostile_successive_approximation_params_raise():
     pb[ahal_pos] = 0x0F  # Ah=0, Al=15
     with pytest.raises(ValueError, match="successive-approximation"):
         decode_jpeg(bytes(pb))
+
+
+# ---------------------------------------------------------------------------
+# Lossless (SOF3, Annex H) — r12
+
+
+def test_lossless_roundtrip_bit_exact_over_parameter_grid():
+    """Lossless means EQUALITY: decode(encode(x)) must reproduce the
+    samples bit-for-bit (after the declared point transform) for every
+    predictor, precision, component count, and restart interval — no
+    tolerance for a conjugate encoder/decoder bug to hide behind."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (8, (13, 17), 0, 0), (8, (13, 17, 3), 0, 0), (12, (9, 11), 0, 0),
+        (16, (8, 8, 2), 0, 0), (8, (10, 10), 2, 0), (8, (12, 7), 0, 5),
+        (16, (6, 6), 4, 4), (2, (5, 5), 0, 0),
+    ]
+    for prec, shape, pt, dri in cases:
+        for pred in range(1, 8):
+            img = rng.integers(0, 1 << prec, size=shape).astype(np.uint32)
+            b = encode_jpeg_lossless(
+                img, precision=prec, predictor=pred,
+                point_transform=pt, restart_interval=dri,
+            )
+            w, h, nc, p2, out = decode_jpeg_lossless(b)
+            want = (
+                (img.reshape(shape[0], shape[1], -1).astype(np.int64) >> pt)
+                << pt
+            ).astype(np.uint16)
+            assert (w, h, p2) == (shape[1], shape[0], prec)
+            assert (out == want).all(), (prec, shape, pred, pt, dri)
+
+
+def test_lossless_hand_built_stream_conformance():
+    """Hand-packed SOF3 stream decoded against hand-computed Annex H
+    arithmetic (predictor 1, default prediction 2^(P-1), category +
+    EXTEND coding) — a conjugate encoder/decoder bug cannot satisfy a
+    stream written from the standard by hand."""
+    import numpy as np
+
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+        LL_DIFF_BITS,
+        LL_DIFF_VALS,
+        decode_jpeg_lossless,
+    )
+
+    # canonical codes for the module's category table: len-3 codes
+    # 000..101 for categories 0-5, len-4 '1100' for 6, len-5 '11010'
+    # for 7, ...
+    # samples (2x2, P=8, predictor 1): 130, 127 / 130, 20
+    #  (0,0): pred 128 (default) diff +2   -> cat2 '010' + '10'
+    #  (0,1): pred Ra=130        diff -3   -> cat2 '010' + '00'
+    #  (1,0): pred Rb=130        diff  0   -> cat0 '000'
+    #  (1,1): pred Ra=130        diff -110 -> cat7 '11010' + 7 bits of
+    #         (-110 + 2^7 - 1 = 17) = '0010001'
+    bitstr = "010" "10" "010" "00" "000" "11010" "0010001"
+    bitstr += "1" * (-len(bitstr) % 8)  # 1-fill pad per T.81
+    data = bytearray()
+    for i in range(0, len(bitstr), 8):
+        byte = int(bitstr[i : i + 8], 2)
+        data.append(byte)
+        if byte == 0xFF:  # byte stuffing — the pad byte lands on 0xFF
+            data.append(0x00)
+    data = bytes(data)
+
+    n = sum(LL_DIFF_BITS)
+    dht = _seg(0xC4, bytes([0x00]) + bytes(LL_DIFF_BITS) + bytes(LL_DIFF_VALS[:n]))
+    sof = _seg(
+        0xC3, bytes([8]) + struct.pack(">HH", 2, 2) + bytes([1, 1, 0x11, 0x00])
+    )
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 1, 0x00, 0x00]))
+    stream = b"\xff\xd8" + dht + sof + sos + data + b"\xff\xd9"
+    w, h, nc, prec, out = decode_jpeg_lossless(stream)
+    assert (w, h, nc, prec) == (2, 2, 1, 8)
+    assert out[:, :, 0].tolist() == [[130, 127], [130, 20]]
+
+
+def test_lossless_dispatch_and_hostile_streams():
+    """decode_jpeg dispatches 8-bit SOF3 automatically; >8-bit directs
+    to the lossless entry point; hostile headers raise ValueError (the
+    mapInPandas totality contract), including the dimension bomb the
+    per-sample python loop cannot survive."""
+    import numpy as np
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 9)).astype(np.uint8)
+    w, h, nc, arr = decode_jpeg(encode_jpeg_lossless(img, precision=8))
+    assert (w, h, nc) == (9, 7, 1) and (arr[:, :, 0] == img).all()
+
+    img12 = rng.integers(0, 1 << 12, size=(4, 4)).astype(np.uint16)
+    with _pytest.raises(ValueError, match="decode_jpeg_lossless"):
+        decode_jpeg(encode_jpeg_lossless(img12, precision=12))
+
+    # dimension bomb: headers declaring 65535x65535 must raise, not
+    # allocate 34 GB of row buffers
+    bomb = (
+        b"\xff\xd8"
+        + _seg(0xC3, bytes([16]) + struct.pack(">HH", 65535, 65535)
+               + bytes([1, 1, 0x11, 0x00]))
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError, match="implausibly large"):
+        decode_jpeg_lossless(bomb)
+
+    # subsampled lossless: legal per the standard, outside this scope
+    sub = (
+        b"\xff\xd8"
+        + _seg(0xC3, bytes([8]) + struct.pack(">HH", 8, 8)
+               + bytes([2, 1, 0x22, 0x00, 2, 0x11, 0x00]))
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError, match="1x1 only"):
+        decode_jpeg_lossless(sub)
+
+    # a DCT frame through the lossless entry point must raise cleanly
+    with _pytest.raises(ValueError, match="not a lossless"):
+        decode_jpeg_lossless(
+            b"\xff\xd8"
+            + _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                   + bytes([1, 1, 0x11, 0x00]))
+            + b"\xff\xd9"
+        )

@@ -5,9 +5,13 @@ the honest gap that JPEG payloads were header-parse only
 Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
 spectral selection + successive approximation, multi-scan, AC
 refinement EOB runs), 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:0 /
-4:2:2 subsampling, restart markers, byte stuffing. Arithmetic coding,
-12-bit, lossless, and hierarchical modes are out of scope — they
-raise, and callers fall back to their null-on-garbage contract.
+4:2:2 subsampling, restart markers, byte stuffing; PLUS lossless
+DPCM (SOF3, T.81 Annex H — r12): predictors 1-7, point transform,
+2-16 bit precision, 1x1 sampling, restart markers
+(`decode_jpeg_lossless` / `encode_jpeg_lossless`; `decode_jpeg`
+dispatches 8-bit lossless streams automatically). Arithmetic coding,
+12-bit DCT, and hierarchical modes remain out of scope — they raise,
+and callers fall back to their null-on-garbage contract.
 
 Position in the decode stack (`multimodal._decode_pixels_array`):
 PIL when installed (libjpeg C loops — the production path at pixel
@@ -347,9 +351,16 @@ def decode_jpeg(b: bytes):
                 "progressive": marker == 0xC2,
             }
             _alloc_frame(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # SOF3 lossless (r12): delegate to Annex H path
+            lw, lh, lnc, lprec, larr = decode_jpeg_lossless(b)
+            if lprec != 8:
+                raise ValueError(
+                    "lossless JPEG precision > 8: use decode_jpeg_lossless"
+                )
+            return lw, lh, lnc, larr.astype(np.uint8)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "non-baseline JPEG (lossless/arithmetic/hierarchical) unsupported"
+                "non-baseline JPEG (arithmetic/hierarchical) unsupported"
             )
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
@@ -695,6 +706,196 @@ def _assemble(frame, qtables):
     bl = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, bl], axis=-1)
     return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H) — r12. Predictive DPCM, NOT DCT:
+# each sample is Huffman-coded as a category+extend difference from one
+# of the seven spatial predictors. Closes part of the documented
+# non-baseline boundary (12-bit/16-bit medical/DNG-style streams are
+# lossless-coded); arithmetic and hierarchical modes still raise.
+# Scope: 2-16 bit precision, 1-4 components at 1x1 sampling (subsampled
+# lossless is allowed by the standard but unused in practice — raises),
+# predictors 1-7, point transform, restart markers (prediction resets
+# to the default at each restart, the libjpeg behavior).
+
+
+def _lossless_predict(ra: int, rb: int, rc: int, sel: int) -> int:
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def decode_jpeg_lossless(b: bytes):
+    """Decode a lossless (SOF3) JPEG per T.81 Annex H.
+
+    Returns (w, h, ncomp, precision, np.uint16 array (h, w, ncomp)).
+    Raises ValueError outside the documented scope (see module
+    header). The returned samples carry the point transform undone
+    (value << Pt), as the standard specifies for the reconstruction.
+    """
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    huff: dict[int, dict] = {}
+    frame = None
+    planes = None
+    dri = 0
+    n_scans = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = b[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        if seg_len < 2:
+            raise ValueError("bad JPEG segment length")
+        seg = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xC4:  # DHT (DC class only is meaningful here)
+            i = 0
+            while i < len(seg):
+                if i + 17 > len(seg):
+                    raise ValueError("truncated JPEG huffman table")
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated JPEG huffman table")
+                if tc == 0:
+                    huff[th] = _build_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC3:  # SOF3
+            if frame is not None:
+                raise ValueError("multiple JPEG frames unsupported")
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG frame header")
+            precision = seg[0]
+            if not 2 <= precision <= 16:
+                raise ValueError("bad lossless JPEG precision")
+            h = struct.unpack(">H", seg[1:3])[0]
+            w = struct.unpack(">H", seg[3:5])[0]
+            ncomp = seg[5]
+            if w == 0 or h == 0 or ncomp == 0 or len(seg) < 6 + 3 * ncomp:
+                raise ValueError("bad JPEG frame header")
+            if w * h > (1 << 26):
+                # hostile-header guard: the per-sample python loop and
+                # the int64 row buffers make a 65535x65535 header an
+                # allocation bomb, not a decode (fixture-grade scope)
+                raise ValueError("lossless JPEG dimensions implausibly large")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, _tq = seg[6 + ci * 3 : 9 + ci * 3]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled lossless JPEG unsupported (1x1 only)"
+                    )
+                comps.append({"id": cid})
+            frame = {"w": w, "h": h, "comps": comps, "precision": precision}
+            planes = [
+                np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)
+            ]
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not a lossless (SOF3) JPEG")
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            dri = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            pos = _decode_lossless_sos(
+                b, pos, seg_len, seg, frame, planes, huff, dri
+            )
+            n_scans += 1
+            continue
+        pos += 2 + seg_len
+    if frame is None or n_scans == 0:
+        raise ValueError("JPEG has no SOS scan")
+    out = np.stack(planes, axis=-1).astype(np.uint16)
+    return frame["w"], frame["h"], len(planes), frame["precision"], out
+
+
+def _decode_lossless_sos(b, pos, seg_len, seg, frame, planes, huff, dri):
+    """One lossless scan (possibly a component subset); returns the
+    position of the next marker. Samples are reconstructed modulo
+    2^16 (T.81 H.1.2.3) and written << Pt."""
+    ns = seg[0]
+    if len(seg) < 1 + 2 * ns + 3:
+        raise ValueError("truncated JPEG scan header")
+    by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    scan = []
+    for i in range(ns):
+        cid, tsel = seg[1 + 2 * i], seg[2 + 2 * i]
+        if cid not in by_id:
+            raise ValueError("JPEG scan references unknown component")
+        td = tsel >> 4
+        if td not in huff:
+            raise ValueError("JPEG scan references missing huffman table")
+        scan.append((by_id[cid], huff[td]))
+    sel = seg[1 + 2 * ns]  # Ss = predictor selector
+    pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
+    if not 1 <= sel <= 7:
+        raise ValueError("bad lossless predictor selector")
+    w, h, precision = frame["w"], frame["h"], frame["precision"]
+    default = 1 << (precision - pt - 1)
+    m16 = (1 << 16) - 1
+    reader = _BitReader(b, pos + 2 + seg_len)
+    # rows of UNSHIFTED (pre-point-transform) samples per scan comp
+    rows = [np.zeros((h, w), dtype=np.int64) for _ in scan]
+    fresh = [True] * len(scan)  # default prediction pending (restart)
+    count = 0
+    for y in range(h):
+        for x in range(w):
+            for si, (ci, table) in enumerate(scan):
+                s = reader.decode_symbol(table)
+                if s == 16:
+                    diff = 32768
+                elif s == 0:
+                    diff = 0
+                else:
+                    if s > 16:
+                        raise ValueError("bad lossless category")
+                    diff = _extend(reader.read_bits(s), s)
+                r = rows[si]
+                if fresh[si]:
+                    pred = default
+                    fresh[si] = False
+                elif y == 0:
+                    pred = r[0, x - 1] if x else default
+                elif x == 0:
+                    pred = r[y - 1, 0]
+                else:
+                    pred = _lossless_predict(
+                        int(r[y, x - 1]), int(r[y - 1, x]),
+                        int(r[y - 1, x - 1]), sel,
+                    )
+                r[y, x] = (int(pred) + diff) & m16
+            count += 1
+            if dri and count % dri == 0 and (y, x) != (h - 1, w - 1):
+                reader.sync_restart()
+                fresh = [True] * len(scan)
+    for si, (ci, _t) in enumerate(scan):
+        planes[ci][:, :] = (rows[si] << pt) & m16
+    return _next_marker(b, reader.pos)
 
 
 # ---------------------------------------------------------------------------
@@ -1106,3 +1307,102 @@ def encode_progressive_jpeg(
                 _emit_prog_ac_refine(czz, 1, 63, 0, dri, enc_ac),
             )
     return out + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# Lossless encoder (fixture-grade twin of the Annex H decoder above).
+
+#: Difference-category Huffman table covering SSSS 0-16 (16-bit
+#: precision needs categories the Annex K DC tables stop short of):
+#: canonical lengths 3 for categories 0-5, then 4..14 for 6-16.
+LL_DIFF_BITS = [0, 0, 6, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+LL_DIFF_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    precision: int = 8,
+    predictor: int = 1,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w[, c]) unsigned samples to a lossless (SOF3) JPEG —
+    T.81 Annex H DPCM with the selected predictor, point transform and
+    optional restart markers. Fixture-grade: the conformance story is
+    that `decode_jpeg_lossless(encode_jpeg_lossless(x)) == x >> Pt << Pt`
+    must hold BIT-EXACTLY for every predictor/precision (lossless means
+    the roundtrip is equality, not an error bound — a conjugate
+    encoder/decoder bug cannot hide behind tolerance the way a DCT
+    roundtrip can), plus hand-decoded minimal streams.
+    """
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] > 4:
+        raise ValueError("expected (h, w) or (h, w, c<=4) samples")
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform must be < precision")
+    if arr.min() < 0 or arr.max() >= (1 << precision):
+        raise ValueError("samples out of range for declared precision")
+    h, w, ncomp = arr.shape
+    samples = (arr.astype(np.int64) >> point_transform)
+    default = 1 << (precision - point_transform - 1)
+    m16 = (1 << 16) - 1
+    enc = _build_encode_table(LL_DIFF_BITS, LL_DIFF_VALS)
+    sw = _ProgressiveScanWriter(restart_interval)
+
+    fresh = [True] * ncomp
+    for y in range(h):
+        for x in range(w):
+            if sw.unit():
+                fresh = [True] * ncomp
+            for ci in range(ncomp):
+                p = samples[:, :, ci]
+                if fresh[ci]:
+                    pred = default
+                    fresh[ci] = False
+                elif y == 0:
+                    pred = p[0, x - 1] if x else default
+                elif x == 0:
+                    pred = p[y - 1, 0]
+                else:
+                    pred = _lossless_predict(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]), predictor,
+                    )
+                diff = (int(p[y, x]) - int(pred) + 32768) & m16
+                diff -= 32768  # signed representative in [-32768, 32767]
+                if diff == -32768:
+                    s = 16  # category 16 carries no extra bits
+                else:
+                    s = abs(diff).bit_length()
+                length, code = enc[s]
+                sw.w.write(code, length)
+                if 0 < s < 16:
+                    sw.w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    data = sw.done()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    n = sum(LL_DIFF_BITS)
+    dht = seg(0xC4, bytes([0x00]) + bytes(LL_DIFF_BITS) + bytes(LL_DIFF_VALS[:n]))
+    sof = seg(
+        0xC3,
+        bytes([precision]) + struct.pack(">HH", h, w) + bytes([ncomp])
+        + b"".join(bytes([ci + 1, 0x11, 0x00]) for ci in range(ncomp)),
+    )
+    sos = seg(
+        0xDA,
+        bytes([ncomp])
+        + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+        + bytes([predictor, 0x00, point_transform]),
+    )
+    out = b"\xff\xd8" + dht + sof
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    return out + sos + data + b"\xff\xd9"
