@@ -586,6 +586,11 @@ def test_auto_lsh_family_bound_and_edges():
         auto_lsh_family(1.5)
     with _pytest.raises(ValueError, match="target_recall"):
         auto_lsh_family(0.8, target_recall=1.0)
+    # threshold -1.0 is admitted by validation but p == 0: no family
+    # has any recall, so it must route to the infeasible fallback
+    # instead of ZeroDivisionError in the log-ratio (ADVICE r12)
+    k_neg, L_neg = auto_lsh_family(-1.0)
+    assert 1 <= k_neg <= 24 and L_neg == 64
 
 
 def test_evaluate_near_dup_pairs_drops_null_id_rows(spark):

@@ -588,3 +588,81 @@ def test_lossless_dispatch_and_hostile_streams():
                    + bytes([1, 1, 0x11, 0x00]))
             + b"\xff\xd9"
         )
+
+
+def test_lossless_hostile_component_counts_and_truncation():
+    """r13 (ADVICE): the w*h cap alone left two allocation/hang paths
+    open — a SOF3 declaring ncomp=255 inside the w*h cap (137 GB of
+    int64 planes), and a truncated stream whose zero-fill EOF padding
+    decodes 'validly' forever via the all-zero category-0 code. Both
+    must raise ValueError (the mapInPandas totality contract)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from udacity_data_engineering_capstone_project_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    # ncomp bomb: 255 components, w*h well under the old cap
+    comp_specs = b"".join(bytes([i + 1, 0x11, 0x00]) for i in range(255))
+    bomb = (
+        b"\xff\xd8"
+        + _seg(0xC3, bytes([16]) + struct.pack(">HH", 4096, 4096)
+               + bytes([255]) + comp_specs)
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError, match="component count"):
+        decode_jpeg_lossless(bomb)
+
+    # total-sample bomb: ncomp=4 within scope, but w*h*ncomp over cap
+    four = b"".join(bytes([i + 1, 0x11, 0x00]) for i in range(4))
+    big = (
+        b"\xff\xd8"
+        + _seg(0xC3, bytes([16]) + struct.pack(">HH", 8192, 8192)
+               + bytes([4]) + four)
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError, match="implausibly large"):
+        decode_jpeg_lossless(big)
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+    good = encode_jpeg_lossless(img, precision=8)
+
+    # oversized scan: Ns=2 against a 1-component frame must hit the
+    # ns bound (it would double the per-sample loop past the SOF cap)
+    sos_at = good.find(b"\xff\xda")
+    assert sos_at > 0
+    wide_sos = _seg(0xDA, bytes([2, 1, 0x00, 1, 0x00, 1, 0x00, 0x00]))
+    sos_len = struct.unpack(">H", good[sos_at + 2 : sos_at + 4])[0]
+    wide = good[:sos_at] + wide_sos + good[sos_at + 2 + sos_len:]
+    with _pytest.raises(ValueError, match="scan component count"):
+        decode_jpeg_lossless(wide)
+
+    # duplicate scan component: Ns=2 both naming component 1 in a
+    # 2-component frame (passes the ns bound, must still raise)
+    img2 = rng.integers(0, 256, size=(8, 8, 2)).astype(np.uint8)
+    good2 = encode_jpeg_lossless(img2, precision=8)
+    sos2_at = good2.find(b"\xff\xda")
+    assert sos2_at > 0
+    dup_sos = _seg(0xDA, bytes([2, 1, 0x00, 1, 0x00, 1, 0x00, 0x00]))
+    sos2_len = struct.unpack(">H", good2[sos2_at + 2 : sos2_at + 4])[0]
+    dup = good2[:sos2_at] + dup_sos + good2[sos2_at + 2 + sos2_len:]
+    with _pytest.raises(ValueError, match="duplicate component"):
+        decode_jpeg_lossless(dup)
+
+    # truncation: chop the entropy stream mid-scan (keep headers).
+    # Without the EOF-pad check this loops the full h*w decoding
+    # zero diffs from fabricated bits instead of raising.
+    cut = good[: sos_at + 20]  # inside the entropy data, no EOI
+    assert len(cut) < len(good) - 8
+    with _pytest.raises(ValueError, match="truncated lossless"):
+        decode_jpeg_lossless(cut)
+
+    # sub-8-bit lossless dispatches through decode_jpeg (samples fit
+    # uint8; the old condition lprec != 8 wrongly rejected these)
+    img4 = rng.integers(0, 16, size=(6, 5)).astype(np.uint8)
+    w, h, nc, arr = decode_jpeg(encode_jpeg_lossless(img4, precision=4))
+    assert (w, h, nc) == (5, 6, 1) and (arr[:, :, 0] == img4).all()

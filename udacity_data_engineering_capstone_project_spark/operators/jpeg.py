@@ -176,12 +176,20 @@ class _BitReader:
         self.pos = pos
         self.buf = 0
         self.nbits = 0
+        # zero bytes synthesized because the DATA ran out (no marker
+        # terminated the stream). Marker padding is the normal scan-end
+        # shape and is NOT counted; EOF padding only ever happens on
+        # truncated input, and pads always sit at the buffer tail, so
+        # a caller observing pad_bits > nbits has CONSUMED fabricated
+        # bits (see _decode_lossless_sos's totality check).
+        self.pad_bits = 0
 
     def _fill(self):
         while self.nbits <= 24:
             if self.pos >= len(self.data):
                 self.buf = (self.buf << 8) | 0
                 self.nbits += 8
+                self.pad_bits += 8
                 continue
             byte = self.data[self.pos]
             if byte == 0xFF:
@@ -353,7 +361,9 @@ def decode_jpeg(b: bytes):
             _alloc_frame(frame)
         elif marker == 0xC3:  # SOF3 lossless (r12): delegate to Annex H path
             lw, lh, lnc, lprec, larr = decode_jpeg_lossless(b)
-            if lprec != 8:
+            if lprec > 8:
+                # 2-7 bit samples fit uint8 and dispatch fine (r13);
+                # only >8-bit needs the uint16 entry point
                 raise ValueError(
                     "lossless JPEG precision > 8: use decode_jpeg_lossless"
                 )
@@ -795,7 +805,12 @@ def decode_jpeg_lossless(b: bytes):
             ncomp = seg[5]
             if w == 0 or h == 0 or ncomp == 0 or len(seg) < 6 + 3 * ncomp:
                 raise ValueError("bad JPEG frame header")
-            if w * h > (1 << 26):
+            if ncomp > 4:
+                # encoder-scope bound (gray/RGB/RGBA); also the hostile
+                # -header guard: ncomp=255 inside the w*h cap would still
+                # allocate ncomp*(h,w) int64 planes (~137 GB worst case)
+                raise ValueError("lossless JPEG component count > 4")
+            if w * h * ncomp > (1 << 26):
                 # hostile-header guard: the per-sample python loop and
                 # the int64 row buffers make a 65535x65535 header an
                 # allocation bomb, not a decode (fixture-grade scope)
@@ -841,12 +856,20 @@ def _decode_lossless_sos(b, pos, seg_len, seg, frame, planes, huff, dri):
     ns = seg[0]
     if len(seg) < 1 + 2 * ns + 3:
         raise ValueError("truncated JPEG scan header")
+    if not 1 <= ns <= len(frame["comps"]):
+        # a hostile Ns (up to 255 duplicate components) would multiply
+        # the per-sample loop and the int64 row buffers past the SOF cap
+        raise ValueError("bad lossless JPEG scan component count")
     by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
     scan = []
+    seen_cids = set()
     for i in range(ns):
         cid, tsel = seg[1 + 2 * i], seg[2 + 2 * i]
         if cid not in by_id:
             raise ValueError("JPEG scan references unknown component")
+        if cid in seen_cids:
+            raise ValueError("duplicate component in JPEG scan")
+        seen_cids.add(cid)
         td = tsel >> 4
         if td not in huff:
             raise ValueError("JPEG scan references missing huffman table")
@@ -893,6 +916,13 @@ def _decode_lossless_sos(b, pos, seg_len, seg, frame, planes, huff, dri):
             if dri and count % dri == 0 and (y, x) != (h - 1, w - 1):
                 reader.sync_restart()
                 fresh = [True] * len(scan)
+        if reader.pad_bits > reader.nbits:
+            # consumed bits past the end of the DATA (not past a marker
+            # — that's normal scan end): the category-0 code is often
+            # all-zeros, so a truncated stream would otherwise decode
+            # 'validly' forever instead of honoring the totality
+            # contract. Checked per row to keep the sample loop hot.
+            raise ValueError("truncated lossless JPEG entropy stream")
     for si, (ci, _t) in enumerate(scan):
         planes[ci][:, :] = (rows[si] << pt) & m16
     return _next_marker(b, reader.pos)

@@ -285,6 +285,8 @@ def auto_lsh_family(
         pk = p**k
         if pk >= 1.0:  # threshold 1.0: any single table is exact
             return k, 1
+        if pk <= 0.0:  # threshold -1.0: p == 0, no family has recall;
+            continue  # fall through to the infeasible fallback
         L = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pk))
         if L > max_tables:
             continue

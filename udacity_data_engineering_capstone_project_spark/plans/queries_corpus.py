@@ -282,16 +282,28 @@ def _contamination_oracle(
         )
 
     corp_tables = "\n        UNION ALL\n        ".join(
-        f"SELECT vec_id, {t} AS t, {bucket_expr(t)} AS bk FROM corp"
+        f"SELECT vec_id, {t} AS t, {bucket_expr(t)} AS bk FROM corp_ok"
         for t in range(num_tables)
     )
     bench_tables = "\n        UNION ALL\n        ".join(
-        f"SELECT bench_id, {t} AS t, {bucket_expr(t)} AS bk FROM bench"
+        f"SELECT bench_id, {t} AS t, {bucket_expr(t)} AS bk FROM bench_ok"
         for t in range(num_tables)
     )
+    # r13 (ADVICE): the engine drops NULL-id/NULL-vector/NaN/zero-norm
+    # rows BEFORE the bucket histogram, while the cap threshold's
+    # n_bench is the RAW benchmark.count() — the *_ok CTEs mirror the
+    # filters (a NULL vector would otherwise hash to bucket 0 in the
+    # CASE chain and shift occupancy counts) and the cap subquery stays
+    # on the raw `bench` so both engines agree on dirty input too. The
+    # graded dataset is clean, so the hash is unchanged.
     return f"""
     WITH corp AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    corp_ok AS (
+        SELECT * FROM corp
+        WHERE v IS NOT NULL AND list_dot_product(v, v) > 0
+          AND NOT isnan(list_dot_product(v, v))
     ),
     bench AS (
         SELECT vec_id + 10000000 AS bench_id,
@@ -300,6 +312,12 @@ def _contamination_oracle(
         UNION ALL
         SELECT vec_id + 20000000 AS bench_id, embedding::DOUBLE[] AS v
         FROM embeddings WHERE vec_id % 11 = 5
+    ),
+    bench_ok AS (
+        SELECT * FROM bench
+        WHERE bench_id IS NOT NULL
+          AND v IS NOT NULL AND list_dot_product(v, v) > 0
+          AND NOT isnan(list_dot_product(v, v))
     ),
     cb AS (
         {corp_tables}
@@ -326,8 +344,8 @@ def _contamination_oracle(
                      (sqrt(list_dot_product(a.v, a.v)) *
                       sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
         FROM cand c
-        JOIN corp a ON c.vec_id = a.vec_id
-        JOIN bench b ON c.bench_id = b.bench_id
+        JOIN corp_ok a ON c.vec_id = a.vec_id
+        JOIN bench_ok b ON c.bench_id = b.bench_id
     ),
     best AS (
         SELECT *, row_number() OVER (
