@@ -166,6 +166,26 @@ BENCH_QUERIES = [
     "fuzzy_join_ref_left_q",
     "contamination_embedding_q",
     "contamination_embedding_lsh_q",
+    # round 13: the rotation promotions join the bench so every graded
+    # row carries a recorded baseline — the r2-r4 veterans returning
+    # to the driver window (relational/event shapes: grouped avgs,
+    # grouping sets, pivot/unpivot, JSON array explode, date parts,
+    # coordinate bucket join, HLL error contract, streaming user
+    # stats, SymSpell name pairs) plus the auto-LSH-family
+    # contamination twin, the one spec that had never held a driver
+    # row. top1_per_group already carries a row above.
+    "approx_distinct",
+    "avg_of_avgs",
+    "grouping_sets_sales",
+    "local_supplier_volume",
+    "shipping_priority",
+    "streaming_user_stats",
+    "bucket_join",
+    "date_parts_agg",
+    "events_json_arrays",
+    "fuzzy_name_pairs",
+    "pivot_unpivot",
+    "contamination_embedding_auto_q",
 ]
 
 # Rows that have swung 1.3-2x between same-code in-class runs every

@@ -101,8 +101,10 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "query search over a 1-probe corpus placement — the partition-"
     "pruned scale path, with multi-probe recovering boundary recall "
     "(corpus vectors live in exactly one cell, so probed candidate "
-    "sets are disjoint and need no dedup).",
-    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
+    "sets are disjoint and need no dedup)." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -385,7 +387,10 @@ def _contam_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recall, zero joins, zero shuffle; hash-checked against DuckDB's "
     "brute-force cross join. Planted x2-scaled copies verify at cos "
     "exactly 1.0. Promoted to a driver slot in round 11, the round "
-    "it landed (new surface gets a hard driver row).",
+    "it landed (new surface gets a hard driver row)." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def contamination_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -416,7 +421,10 @@ def contamination_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold-aware default (num_planes=None) would pick 5x38 at "
     "this 0.3 band; `tools/scale_probe_contamination.py --family` "
     "measures that path against the exact flags instead. Promoted to "
-    "a driver slot in round 11, the round it landed.",
+    "a driver slot in round 11, the round it landed." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def contamination_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -452,8 +460,8 @@ _AUTO_K, _AUTO_L = sim.auto_lsh_family(0.9, n_small_side=1024)
     "hot-bucket cap at 2^11 buckets — pins the family-sizing math "
     "into the oracle-hash contract, not just the probe. Planted "
     "x2-scaled copies still collide in all 15 tables (sign-preserving "
-    "scaling), so recall of the planted set is 1 by construction.",
-    registered=False,  # unregistered tier: identical DuckDB hash contract via the pytest parity gate
+    "scaling), so recall of the planted set is 1 by construction." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def contamination_embedding_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -650,8 +658,10 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a valid PNG and a valid RIFF/AVI are synthesized per row (dims/"
     "frame counts derived from doc_id); the stdlib header parsers and "
     "the seek-based frame sampler must recover exactly those values "
-    "from the bytes (oracle checks the closed forms).",
-    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
+    "from the bytes (oracle checks the closed forms)." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -885,8 +895,10 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(rms/peak/zero-crossing rate) must recover exactly the closed "
     "forms from the bytes. The amplitude family is odd-valued and the "
     "frame counts avoid power-of-two denominators so 6-decimal "
-    "rounding parity is exact (see synthesize_wav docstring).",
-    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
+    "rounding parity is exact (see synthesize_wav docstring)." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.audio import (

@@ -137,8 +137,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash(64) + LSH(8 bands x 8) candidates -> EXACT shingle-"
     "Jaccard verification >= 0.8: the O(n) two-phase near-dup scale "
     "path, hash-checked end-to-end against DuckDB's all-pairs truth "
-    "(est_jaccard screening stays available via minhash_dedup_pairs).",
-    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
+    "(est_jaccard screening stays available via minhash_dedup_pairs)." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_verified_pairs(
@@ -474,7 +476,10 @@ FUZZY_JOIN_REF_ORACLE = """
     "via one partial-aggregatable min-struct groupBy (no window). "
     "Hash-checked against DuckDB's brute-force cross-join best match. "
     "Promoted to a driver slot in round 11 (VERDICT r10 #1: the last "
-    "of the 101 specs without a hard driver row).",
+    "of the 101 specs without a hard driver row)." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def fuzzy_join_ref_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (
@@ -553,7 +558,10 @@ FUZZY_JOIN_REF_LEFT_ORACLE = """
     "reversed-and-padded slate built to miss the length bound. "
     "Hash-checked against DuckDB's brute-force LEFT JOIN best match. "
     "Promoted to a driver slot in round 11, the round it landed (new "
-    "surface gets a hard driver row).",
+    "surface gets a hard driver row)." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def fuzzy_join_ref_left_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.fuzzy import (

@@ -81,7 +81,10 @@ STREAMING_HOURLY_ORACLE = """
     "File-source stream -> watermark -> tumbling hourly window; oracle "
     "is the batch twin. Ceded its driver slot to scd2_history in "
     "round 3; re-promoted in round 11 (VERDICT r10 #7: give the "
-    "streaming tier a second hard driver row beside streaming_dedup).",
+    "streaming tier a second hard driver row beside streaming_dedup)." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: readStream -> watermark -> windowed agg ->
@@ -145,8 +148,8 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "availableNow + update mode the final emission per user equals "
     "the batch aggregate. Ceded its driver slot in round 4 (one of "
     "three graded streaming variants; sessionize + dedup remain); "
-    "hash-pinned locally.",
-    registered=False,
+    "hash-pinned locally." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.streaming.events import (
@@ -289,8 +292,8 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_count_distinct (HLL) per segment, graded on its error "
     "contract: exact cardinality hash-checked, HLL estimate verified "
     "within 3x rsd of it (the sketch's design promise — the only "
-    "cross-engine-checkable property of an engine-internal sketch).",
-    registered=False,
+    "cross-engine-checkable property of an engine-internal sketch)." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")

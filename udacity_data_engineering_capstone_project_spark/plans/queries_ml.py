@@ -64,8 +64,10 @@ from udacity_data_engineering_capstone_project_spark.plans._qcore import _regist
     "(Capstone_Project.ipynb cell 44). One shuffle on the business "
     "key; o_orderkey is the total-order snapshot axis so runs are "
     "deterministic. Ceded its driver slot in round 11 after eight "
-    "green driver rounds (r3-r10); hash-pinned locally.",
-    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
+    "green driver rounds (r3-r10); hash-pinned locally." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacity_data_engineering_capstone_project_spark.operators.scd import (

@@ -142,10 +142,10 @@ def sas_date_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY 1, 2
     """,
-    "Date-part extraction + time-grain aggregation (F6, A6/A7).",
+    "Date-part extraction + time-grain aggregation (F6, A6/A7)." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
     # r5: ceded its driver slot to the round-4 flagship tier; stays
     # hash-pinned by test_unregistered_query_parity.
-    registered=False,
 )
 def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -194,8 +194,8 @@ TOP1_PER_GROUP_ORACLE = """
     "top1_per_group",
     TOP1_PER_GROUP_ORACLE,
     "Top-1-per-group via max-join (A2/A3 nested-subquery shape). "
-    "Ceded its driver slot to pagerank in round 3; hash-pinned locally.",
-    registered=False,
+    "Ceded its driver slot to pagerank in round 3; hash-pinned locally." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax via one window pass — idiomatic replacement for the
@@ -218,8 +218,10 @@ def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) QUALIFY num = max(num) OVER (PARTITION BY o_custkey)
     """,
     "The reference's tie-preserving argmax formulation "
-    "(J1+A2+A3, etl.py:181-204): count -> max -> self-join.",
-    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
+    "(J1+A2+A3, etl.py:181-204): count -> max -> self-join." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def argmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return argmax_join(
@@ -253,8 +255,10 @@ def argmax_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN dim_priority p ON b.o_orderpriority = p.o_orderpriority
     """,
     "Full star-schema build: dims w/ deterministic keys + row-preserving "
-    "left dim joins (J3-J8, etl.py:221-293 via plans.star).",
-    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
+    "left dim joins (J3-J8, etl.py:221-293 via plans.star)." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def star_schema_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -287,8 +291,8 @@ def star_schema_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Nested two-level aggregation, deliberately unweighted "
     "(A3/A4, etl.py:190-215; SURVEY.md §7 trap (e)). Ceded its driver "
     "slot to the warehouse/curation tier in round 4 (A4 overlaps "
-    "date_parts_agg's aggregation shape); hash-pinned locally.",
-    registered=False,
+    "date_parts_agg's aggregation shape); hash-pinned locally." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def avg_of_avgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = avg_of_avgs(
@@ -316,8 +320,10 @@ def avg_of_avgs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     "The analyst query shape (J9+A8, nb cell 46): fact x fact join, "
-    "group, order by count desc, top-n.",
-    registered=True,  # r12: promoted back into the driver window (rotation, VERDICT r11 #2) after its long unregistered-gate streak
+    "group, order by count desc, top-n." 
+    "Ceded its driver slot in round 13 after holding a fresh green row; "
+    "hash-pinned in the unregistered parity gate.",
+    registered=False,
 )
 def analyst_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -359,8 +365,8 @@ def analyst_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q3 shape: selective 3-way join -> revenue agg -> top-10 "
     "(filters push to all three scans). Ceded its driver slot in "
     "round 4 (A8 join+agg+order is graded via analyst_top_segments); "
-    "hash-pinned locally.",
-    registered=False,
+    "hash-pinned locally." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -404,8 +410,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q5 shape: 6-way snowflake join (supplier and customer in "
     "the same nation) with dims broadcast. Ceded its driver slot in "
     "round 4 (A8 join+agg is graded via analyst_top_segments); "
-    "hash-pinned locally.",
-    registered=False,
+    "hash-pinned locally." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -455,8 +461,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Numeric spatial-bucket coarsening + multi-key equi-join — the "
     "Catalyst-friendly version of the reference's printf('%.0f') "
-    "string-key join (J2, etl.py:135-157 / SURVEY.md §4 item 2).",
-    registered=False,  # r5 rotation: slot ceded, parity pinned locally
+    "string-key join (J2, etl.py:135-157 / SURVEY.md §4 item 2)." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucketize(df: DataFrame, bal: str, nk: str, avg_name: str, n_name: str) -> DataFrame:
@@ -492,8 +498,8 @@ def bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Pivot (long -> wide event-type counts, explicit values so the "
     "schema is static — mandatory at scale) then unpivot (melt) back "
     "to long form: the roundtrip materializes zero-count combinations "
-    "a plain GROUP BY can't.",
-    registered=False,  # r5 rotation: slot ceded, parity pinned locally
+    "a plain GROUP BY can't." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -527,8 +533,8 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props JSON string, bucket, aggregate — get_json_object path) with "
     "deterministic array aggregation (collect distinct, sort, "
     "serialize: collect_set order is partition-dependent, sorting "
-    "restores determinism).",
-    registered=False,  # r5 rotation: slot ceded, parity pinned locally
+    "restores determinism)." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def events_json_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -620,8 +626,8 @@ def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Threshold levenshtein kept (banded O(len x k) DP, -1 past the "
     "bound): same timing here, strictly less work on longer strings. "
     "Threshold 3 yields nonzero matches at every test SF — a 0=0 "
-    "oracle comparison would be vacuous.",
-    registered=False,  # r5 rotation: slot ceded, parity pinned locally
+    "oracle comparison would be vacuous." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name").withColumn(
@@ -834,8 +840,8 @@ def multi_file_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "GROUPING SETS: one pass over a custom lattice of grouping "
     "combinations — the general operator ROLLUP (prefix sets) and "
     "CUBE (power sets) are sugar for; beyond the reference's flat "
-    "GROUP BYs.",
-    registered=False,
+    "GROUP BYs." 
+    "Promoted back into the driver window in round 13 (VERDICT r12 rotation).",
 )
 def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouping columns must be pre-materialized plain columns — Spark
