@@ -265,7 +265,6 @@ def minhash_verified_pairs(
     est_slack: float | None = None,
     verify: str = "arrow",
     lazy: bool = False,
-    dict_verify_max_docs: int = 200_000,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by EXACT shingle Jaccard — the
     standard THREE-phase near-dup pipeline: banded candidate
@@ -353,29 +352,6 @@ def minhash_verified_pairs(
         bids = ids  # plan-only: no checkpoint job, no plan-time hint
     else:
         ids = ids.localCheckpoint(eager=True)
-        if verify == "arrow":
-            # Dict-broadcast verify (r13): the streaming verify joins
-            # below ship each doc's shingle-hash ARRAY once per pair
-            # occurrence — ~500 MB of Arrow traffic for the sf0.1
-            # corpus's 107k screened pairs (~300 longs x 2 per pair),
-            # which dominated the whole query (verify 1.6 s of a 3.3 s
-            # wall). When the DISTINCT docs referenced by the screened
-            # pairs fit a broadcast (<= dict_verify_max_docs), build
-            # their arrays once, broadcast doc -> ndarray, and stream
-            # only the (id_a, id_b) pairs through Python: array bytes
-            # move once per executor instead of once per pair. Above
-            # the gate (a corpus whose candidate graph touches
-            # hundreds of thousands of docs) the pairs-proportional
-            # join path below runs unchanged.
-            pair_docs = (
-                ids.select(
-                    F.explode(F.array("id_a", "id_b")).alias(id_col)
-                ).distinct()
-            )
-            if pair_docs.count() <= dict_verify_max_docs:
-                return _dict_verify_pairs(
-                    df, id_col, text_col, shingle_k, ids, pair_docs, threshold
-                )
         from udacity_data_engineering_capstone_project_spark.operators.relational import (
             maybe_broadcast,
         )
@@ -428,84 +404,6 @@ def minhash_verified_pairs(
         F.size("__ha").alias("__na"),
         F.size("__hb").alias("__nb"),
     )
-    jac = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
-    return (
-        staged.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-
-
-def _dict_verify_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    shingle_k: int,
-    ids: DataFrame,
-    pair_docs: DataFrame,
-    threshold: float,
-) -> DataFrame:
-    """Exact-Jaccard verification against a BROADCAST doc -> shingle-
-    hash-set dict (see `minhash_verified_pairs`): the screened pair
-    ids stream through one `mapInPandas`; each referenced doc's sorted
-    distinct xxhash64 shingle set is built once (corpus semi-joined to
-    the pair docs), collected, and broadcast. Arithmetic is identical
-    to the join path — integer intersection / union sizes, the same
-    round-6 ratio — so the output hash is unchanged."""
-    import numpy as np
-
-    arr_small = (
-        df.join(pair_docs, id_col, "left_semi")
-        .select(
-            F.col(id_col).alias("__d"),
-            F.array_sort(
-                F.array_distinct(
-                    F.transform(
-                        char_shingles(text_col, shingle_k),
-                        lambda s: F.xxhash64(s),
-                    )
-                )
-            ).alias("__h"),
-        )
-    )
-    amap = {
-        r["__d"]: np.asarray(r["__h"] or (), dtype=np.int64)
-        for r in arr_small.collect()
-    }
-    bc = df.sparkSession.sparkContext.broadcast(amap)
-    id_fields = ids.schema.fields
-
-    def _verify_batches(batches):
-        import pandas as pd
-
-        m = bc.value
-        for pdf in batches:
-            n = len(pdf)
-            inter = np.empty(n, dtype=np.int64)
-            na = np.empty(n, dtype=np.int64)
-            nb = np.empty(n, dtype=np.int64)
-            ia, ib = pdf["id_a"], pdf["id_b"]
-            for i in range(n):
-                x, y = m[ia.iloc[i]], m[ib.iloc[i]]
-                inter[i] = np.intersect1d(x, y, assume_unique=True).size
-                na[i] = x.size
-                nb[i] = y.size
-            yield pd.DataFrame(
-                {"id_a": ia, "id_b": ib, "__i": inter, "__na": na, "__nb": nb}
-            )
-
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    schema = StructType(
-        [
-            StructField("id_a", id_fields[0].dataType),
-            StructField("id_b", id_fields[1].dataType),
-            StructField("__i", LongType()),
-            StructField("__na", LongType()),
-            StructField("__nb", LongType()),
-        ]
-    )
-    staged = ids.mapInPandas(_verify_batches, schema=schema)
     jac = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
     return (
         staged.withColumn("jaccard", F.round(jac, 6))
