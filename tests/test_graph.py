@@ -224,6 +224,60 @@ def test_personalized_pagerank_isolated_seed_and_locality(spark):
         personalized_pagerank(df, [])
 
 
+def test_ppr_dangling_fold_row_bound_falls_back_to_classic(spark):
+    """The dangling fold inflates the weight table by |dangling| x
+    n_seeds virtual rows; `dangling_fold_max_rows` must bound that
+    (VERDICT r13 #5). With the cap at 0 the classic per-round dangling
+    aggregate runs instead, and both paths agree on every rank (they
+    are algebraically equivalent; drift is last-ULP only)."""
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # chain with a dangling tail: 2 and 5 have no out-edges
+    edges = [(0, 1), (1, 2), (0, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    folded = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, [0], max_iter=20).collect()
+    }
+    classic = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            df, [0], max_iter=20, dangling_fold_max_rows=0
+        ).collect()
+    }
+    assert set(folded) == set(classic)
+    for n in folded:
+        assert folded[n] == pytest.approx(classic[n], abs=1e-12)
+    assert sum(classic.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_label_propagation_unroll_invariance(spark):
+    """Round chaining (r14) must be a pure execution-strategy change:
+    any unroll width returns byte-identical labels, including when the
+    batch boundary passes a converged fixed point."""
+    from udacity_data_engineering_capstone_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique(range(5)) + clique(range(10, 15)) + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, max_iter=7, unroll=1).collect()
+    }
+    for unroll in (2, 3, 7):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, max_iter=7, unroll=unroll).collect()
+        }
+        assert got == base, f"unroll={unroll} diverged"
+
+
 def test_label_propagation_splits_bridged_cliques(spark):
     from udacity_data_engineering_capstone_project_spark.operators.graph import (
         label_propagation,

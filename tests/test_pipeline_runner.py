@@ -150,6 +150,35 @@ def test_run_pipeline_prune_orphans(spark, tmp_path):
     assert orphaned_checkpoint_trees(spark, str(tmp_path / "nope"), "x") == []
 
 
+def test_crawl_pipeline_q_flags_match_composed_stages(spark, sf_dir):
+    """The single-pass flag form of crawl_pipeline_q (r14) must keep
+    the EXACT per-stage surviving doc set of the composed operator
+    chain it replaced — not just matching counts/id sums. Every stage
+    is a row filter, so the flag-restricted id sets and the composed
+    barriers' id sets must be equal stage by stage (robots verdict,
+    blocklist padded-contains contract, cascade conjunction,
+    fingerprint-window dedup, conditional-weight budget prefix sum)."""
+    from udacity_data_engineering_capstone_project_spark.plans.queries_crawl import (
+        crawl_pipeline_flags,
+        crawl_pipeline_stages,
+    )
+
+    flags = crawl_pipeline_flags(spark, sf_dir).select(
+        "doc_id", "__s1", "__s2", "__s3", "__s4", "__s5"
+    ).collect()
+    stage_sets = {}
+    for name, df in crawl_pipeline_stages(spark, sf_dir):
+        stage_sets[name] = {r["doc_id"] for r in df.select("doc_id").collect()}
+    for i, name in enumerate(
+        ["robots", "blocklist", "quality_cascade", "exact_dedup",
+         "token_budget"],
+        start=1,
+    ):
+        got = {r["doc_id"] for r in flags if r[f"__s{i}"]}
+        assert got == stage_sets[name], f"stage {name} diverged"
+    assert {r["doc_id"] for r in flags} == stage_sets["intake"]
+
+
 def test_crawl_pipeline_durable_resume(spark, sf_dir, tmp_path):
     """The graded 6-stage crawl pipeline, run DURABLY through
     run_pipeline's parquet checkpoints: (a) the durable path keeps the

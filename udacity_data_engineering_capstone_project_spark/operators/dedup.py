@@ -623,11 +623,22 @@ def connected_components(
     # (600k+ edges, where the same trick WON 1.3x) records the other
     # side of the crossover; callers clustering web-scale edge sets
     # should repartition the edges by ``v`` before calling.
+    # Symmetrize via canonical-form dedup (r14, guide §2.3): dedup the
+    # canonical (min, max) orientation — N rows through the distinct
+    # shuffle — then union the reversed copy, which is disjoint by
+    # construction (u < v vs u > v), so no second dedup over 2N rows.
+    # Self-loops keep ONE canonical copy (u = v reverses to itself),
+    # exactly what the old symmetric-union dedup kept; they only
+    # re-propagate a node's own label, so components are unchanged.
+    canon = edges_mat.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).dropDuplicates(["u", "v"])
     sym = (
-        edges_mat.unionByName(
-            edges_mat.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        canon.unionByName(
+            canon.filter(F.col("u") != F.col("v")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
         )
-        .dropDuplicates(["u", "v"])
         .localCheckpoint(eager=True)
     )
     labels = (

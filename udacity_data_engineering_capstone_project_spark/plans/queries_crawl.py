@@ -11,7 +11,7 @@ external imports are unchanged. Registry-wide contract notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from udacity_data_engineering_capstone_project_spark.operators import dedup as dd
 from udacity_data_engineering_capstone_project_spark.operators import textstats as ts
@@ -356,6 +356,10 @@ def crawl_pipeline_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CRAWL_BLOCKLIST_PHRASES = ["slow scan", "merge window", "customer data"]
 
+# per-lang token budget of the crawl pipeline's final stage — ONE
+# definition for the composed stage chain and the single-pass audit
+_CRAWL_TOKEN_BUDGET = 2000
+
 
 def crawl_cascade_rules():
     """The crawl pipeline's quality-cascade rule list — module-level so
@@ -420,7 +424,7 @@ def crawl_pipeline_stage_fns(spark: SparkSession):
 
     def token_budget(d: DataFrame) -> DataFrame:
         return cap_tokens_per_group(
-            d, ["lang"], "n_chars", budget=2000, key_col="doc_id"
+            d, ["lang"], "n_chars", budget=_CRAWL_TOKEN_BUDGET, key_col="doc_id"
         )
 
     return [
@@ -459,30 +463,161 @@ def crawl_pipeline_stages(spark: SparkSession, sf_dir: str):
     "runs; id_sum pins the exact surviving set at every stage.",
 )
 def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six-stage crawl curation composition. Each stage is eagerly
-    checkpointed so the audit union computes every stage ONCE (the
-    same phase-boundary-barrier pattern as the example pipeline);
-    at 100 TB each barrier is a persisted stage output — exactly how
-    an audited production pipeline runs. The stage chain itself lives
-    in `crawl_pipeline_stages` so the scale probe can time each
-    barrier without duplicating the pipeline."""
+    """Six-stage crawl curation AUDIT in ONE pass (r14 restructure,
+    guide §2.3/§2.4/§5): every stage of the pipeline is a pure row
+    FILTER, so the per-stage (rows, id_sum) audit never needs the five
+    eagerly-checkpointed corpus materializations the composed form
+    pays (the r13 plan was 5 full-text localCheckpoints + 6 aggregate
+    jobs; at 100 TB that is five corpus writes for four counters).
+    Instead each stage becomes a keep-FLAG on one lineage:
 
-    def audit(df: DataFrame, idx: int, name: str) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_id").alias("id_sum"),
-        ).select(
-            F.lit(idx).cast("int").alias("stage_index"),
-            F.lit(name).alias("stage"),
-            F.col("n_docs"),
-            F.col("id_sum"),
-        )
+    - s1 robots: `with_robots_verdict` (broadcast rules join) as a
+      boolean instead of a filter;
+    - s2 blocklist: padded-contains over the normalized phrase list —
+      the exact `screen_blocked_terms` match contract (whole-word
+      sequence == substring on both sides' \\W+ padded normalizations;
+      the operator's first-token prefilter/explode/join machinery is
+      an optimization for 100k-entry blocklists, not a semantic);
+      equality with the operator is pinned by
+      test_crawl_pipeline_q_flags_match_composed_stages;
+    - s3 quality cascade: conjunction of `crawl_cascade_rules`;
+    - s4 exact dedup: min(doc_id) over the md5(normalized text)
+      fingerprint WINDOW restricted to s3 survivors (min ignores the
+      non-survivors' NULLs) — the same keep set as
+      `exact_text_dedup` + semi-join;
+    - s5 token budget: `cap_tokens_per_group`'s distributed prefix sum
+      with s4-conditional weights — identical hash order (md5-prefix
+      range offsets + within-range running sum), kept iff the
+      cumulative spend of PRECEDING s4 survivors starts under budget.
 
-    stages = [
-        audit(df, idx, name)
-        for idx, (name, df) in enumerate(crawl_pipeline_stages(spark, sf_dir))
+    Text is projected away before the first exchange (only the flags,
+    fingerprint, lang, n_chars, doc_id shuffle — guide §2.3), and the
+    six audit rows come from ONE conditional aggregation unpivoted,
+    instead of six jobs over six barriers. The composed stage chain
+    itself (the operators wired end-to-end, with real barriers) lives
+    on in `crawl_pipeline_stages` for the durable/streaming twins and
+    the per-stage scale probe; flag-vs-composed equality is
+    test-pinned there too."""
+    names = ["intake", "robots", "blocklist", "quality_cascade",
+             "exact_dedup", "token_budget"]
+    spent = crawl_pipeline_flags(spark, sf_dir)
+    aggs = [
+        F.count(F.lit(1)).alias("__n_0"),
+        F.sum("doc_id").alias("__i_0"),
     ]
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s)
-    return out
+    for i in range(1, 6):
+        flag = F.col(f"__s{i}")
+        aggs.append(F.sum(flag.cast("long")).alias(f"__n_{i}"))
+        aggs.append(
+            F.sum(F.when(flag, F.col("doc_id")).otherwise(F.lit(0))).alias(
+                f"__i_{i}"
+            )
+        )
+    one = spent.agg(*aggs)
+    stack = ", ".join(
+        f"{i}, '{names[i]}', __n_{i}, __i_{i}" for i in range(6)
+    )
+    return one.select(
+        F.expr(
+            f"stack(6, {stack}) AS (stage_index, stage, n_docs, id_sum)"
+        )
+    ).select(
+        F.col("stage_index").cast("int").alias("stage_index"),
+        "stage",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("id_sum").cast("bigint").alias("id_sum"),
+    )
+
+
+def crawl_pipeline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl pipeline's five stages as cumulative keep-FLAGS
+    (``__s1`` .. ``__s5``) on one narrow lineage — the single-pass core
+    of `crawl_pipeline_q` (see its docstring for the stage-by-stage
+    equivalence argument). One row per intake document with
+    (doc_id, lang, n_chars) plus the flags; per-stage equality with the
+    composed operator chain (`crawl_pipeline_stages`) is pinned by
+    test_crawl_pipeline_q_flags_match_composed_stages."""
+    from udacity_data_engineering_capstone_project_spark.functions.robots import (
+        robots_rules_df,
+        with_robots_verdict,
+    )
+    from udacity_data_engineering_capstone_project_spark.functions.text import (
+        normalize_text,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from udacity_data_engineering_capstone_project_spark.operators.textstats import (
+        normalize_blocklist_phrase,
+        padded_norm_text,
+    )
+
+    docs = crawl_pipeline_intake(spark, sf_dir)
+    rules = robots_rules_df(spark, sorted(_ROBOTS_TXT.items()))
+    flagged = with_robots_verdict(docs, rules, "url", out_col="__s1")
+    nt = padded_norm_text("text")
+    blocked = None
+    for p in CRAWL_BLOCKLIST_PHRASES:
+        hit = nt.contains(F.lit(f" {normalize_blocklist_phrase(p)} "))
+        blocked = hit if blocked is None else (blocked | hit)
+    cascade = None
+    for _name, cond in crawl_cascade_rules():
+        cascade = cond if cascade is None else (cascade & cond)
+    narrow = flagged.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(normalize_text("text")).alias("__fp"),
+        F.col("__s1"),
+        (F.col("__s1") & ~blocked).alias("__s2"),
+        (F.col("__s1") & ~blocked & cascade).alias("__s3"),
+        # budget-order keys (cap_tokens_per_group's default hash order)
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("__b"),
+        hash_bucket("doc_id", 8).alias("__h8"),
+    )
+    # s4: exact dedup among s3 survivors — min ignores NULLs, so the
+    # conditional doc_id restricts the window to survivors
+    w_fp = Window.partitionBy("__fp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    min_id = F.min(F.when(F.col("__s3"), F.col("doc_id"))).over(w_fp)
+    s4 = narrow.withColumn(
+        "__s4", F.col("__s3") & (F.col("doc_id") == min_id)
+    )
+    # s5: per-lang token budget over s4 survivors, decomposed exactly
+    # like cap_tokens_per_group's scale path: per-(lang, md5-prefix)
+    # totals cumulate into range offsets (tiny frame, broadcast back),
+    # the within-range running sum runs 256-way parallel per lang
+    wgt = F.when(F.col("__s4"), F.coalesce(F.col("n_chars"), F.lit(0))).otherwise(
+        F.lit(0)
+    )
+    s4 = s4.withColumn("__w", wgt)
+    totals = s4.groupBy("lang", "__b").agg(F.sum("__w").alias("__bt"))
+    woff = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("__b").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        F.col("lang").alias("__gl"),
+        F.col("__b").alias("__b2"),
+        (F.sum("__bt").over(woff) - F.col("__bt")).alias("__off"),
+    )
+    win = (
+        Window.partitionBy("lang", "__b")
+        .orderBy(F.col("__h8"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = _CRAWL_TOKEN_BUDGET
+    return s4.join(
+        offsets,
+        on=[
+            F.col("lang").eqNullSafe(F.col("__gl")),
+            F.col("__b").eqNullSafe(F.col("__b2")),
+        ],
+        how="left",
+    ).withColumn(
+        "__s5",
+        F.col("__s4")
+        & ((F.col("__off") + F.sum("__w").over(win) - F.col("__w")) < budget),
+    )

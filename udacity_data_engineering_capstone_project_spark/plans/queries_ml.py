@@ -473,15 +473,31 @@ def ppr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # supplier -> part orientation: the seed suppliers HAVE
     # out-edges, so rank actually propagates (seeds -> their parts ->
-    # dangling mass back to seeds) instead of pooling on sink seeds
+    # dangling mass back to seeds) instead of pooling on sink seeds.
+    # The rounds run on LONG node ids (r14, guide §2.3 narrower
+    # types): suppliers ride as l_suppkey (>= 0), parts as
+    # -(l_partkey + 1) (< 0 — keys start at 0 in the testdata, so the
+    # +1 keeps part 0 out of supplier 0's slot) — every per-round
+    # join/shuffle/aggregation hashes an 8-byte long instead of a
+    # 6-8 char string (measured 4.0 -> 2.2 s for the 8-round job at
+    # sf0.1), and the graded string labels are restored by one
+    # end projection. Pure relabeling of an isomorphic graph: the
+    # per-edge weights and per-node sums are the same multisets, only
+    # hash-partition placement (and thus FP summation order) shifts —
+    # the same reordering class as the r13 dangling fold, re-gated
+    # against the 8dp oracle at sf0.001/0.01/0.1.
     edges = _t(spark, sf_dir, "lineitem").select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.col("l_suppkey").cast("long").alias("src"),
+        (-(F.col("l_partkey") + 1)).cast("long").alias("dst"),
     )
+    seeds = [int(s[1:]) for s in _PPR_SEEDS]
     ranks = personalized_pagerank(
-        edges, list(_PPR_SEEDS), max_iter=_PPR_ROUNDS, tol=0.0
+        edges, seeds, max_iter=_PPR_ROUNDS, tol=0.0
     )
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
+    label = F.when(
+        F.col("node") >= 0, F.concat(F.lit("s"), F.col("node").cast("string"))
+    ).otherwise(F.concat(F.lit("p"), (-(F.col("node") + 1)).cast("string")))
+    return ranks.select(label.alias("node"), F.round("rank", 8).alias("rank"))
 
 
 # Oracle twin for hashed_classifier — UNREGISTERED (50-slot window is
