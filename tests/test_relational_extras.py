@@ -306,6 +306,56 @@ def test_winsorize_clips_to_exact_quantiles(spark):
         winsorize(df, [], 0.1, 0.9)
 
 
+def test_winsorize_exact_bounds_bitwise_match_percentile(spark):
+    """The r14 distributed order-statistics exact path must reproduce
+    Spark's `percentile` aggregate BIT-FOR-BIT (same q*(n-1) position,
+    same (hi-pos)*lo + (pos-lo)*hi interpolation) — the winsorize
+    oracle compares clipped values against DuckDB quantile_cont before
+    rounding, so any drift here breaks the hash. Exercised on real
+    bench data (duplicates, interpolated cuts) plus edge shapes."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_engineering_capstone_project_spark.operators.quality import (
+        _exact_percentile_bounds,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_extendedprice", "l_quantity"
+    )
+    frames = {
+        "lineitem": (li, ["l_extendedprice", "l_quantity"]),
+        "tiny": (
+            spark.createDataFrame(
+                [(1.0,), (2.0,), (2.0,), (3.5,), (None,)], "x double"
+            ),
+            ["x"],
+        ),
+        "allnull": (
+            spark.createDataFrame([(None,), (None,)], "x double"),
+            ["x"],
+        ),
+        "single": (spark.createDataFrame([(7.25,)], "x double"), ["x"]),
+    }
+    for name, (df, cols) in frames.items():
+        for qs in [(0.01, 0.99), (0.05, 0.95), (0.0, 1.0), (0.5,)]:
+            got = _exact_percentile_bounds(df, cols, qs)
+            want_row = df.agg(
+                *[
+                    F.percentile(
+                        F.col(c).cast("double"),
+                        F.array(*[F.lit(q) for q in qs]),
+                    ).alias(c)
+                    for c in cols
+                ]
+            ).first()
+            for c in cols:
+                want = want_row[c]
+                if want is None:
+                    assert got[c] is None, (name, qs, c)
+                else:
+                    assert got[c] == list(want), (name, qs, c, got[c], want)
+
+
 def test_winsorize_per_group_cuts(spark):
     import numpy as np
 

@@ -611,10 +611,12 @@ def connected_components(
     # exponentially and OOMs the DRIVER during analysis (measured: a
     # 1g driver died planning iteration ~6 over a 37-edge graph whose
     # upstream was the LSH pipeline). localCheckpoint materializes the
-    # rows and replaces the plan with a scan of them.
-    edges_mat = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
+    # rows and replaces the plan with a scan of them. The caller's
+    # edge plan itself is NOT checkpointed separately (r14 job-count
+    # cut): the canonical projection below references it exactly once,
+    # so the sym checkpoint is the single materialization of the
+    # upstream pair pipeline.
+    edges_mat = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # NOT pre-partitioned (r10 A/B): near-dup pair graphs are TINY
     # relative to the corpus (bounded by dup density), and forcing
     # co-partitioning by the join key regressed dedup_clusters 5.4 ->
@@ -671,18 +673,18 @@ def connected_components(
         ptr = propagated.select(
             F.col("node").alias("c_node"), F.col("component").alias("c_comp")
         )
-        # ONE job per round (r10): the convergence aggregate
-        # MATERIALIZES the lazily-checkpointed labels (was two jobs —
-        # eager checkpoint, then the sum collect re-reading it).
-        labels = (
-            propagated.join(ptr, propagated["component"] == ptr["c_node"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=False)
+        # NOT checkpointed (r14 job-count cut): labels is a single join
+        # of two reads of the ALREADY-checkpointed `propagated` frame —
+        # component-count-sized — so the next round's two references
+        # (and the sum aggregate) re-run only that cheap join, not the
+        # heavy propagate; lineage stays truncated at `propagated`.
+        labels = propagated.join(
+            ptr, propagated["component"] == ptr["c_node"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
+            ).alias("component"),
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if on_round:

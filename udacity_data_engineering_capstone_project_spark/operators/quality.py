@@ -7,6 +7,7 @@ the reference's write-up wished for (Capstone_Project.ipynb cell 44).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -482,6 +483,68 @@ def numeric_drift(
     )
 
 
+def _exact_percentile_bounds(
+    df: DataFrame, columns: Sequence[str], qs: tuple
+) -> dict:
+    """Exact interpolated percentiles as TAIL ORDER STATISTICS (r14,
+    guide §5): Spark's `percentile` aggregate buffers EVERY value of a
+    column in one final aggregation state and sorts it single-threaded
+    — the stage the r9 note measured as "the whole cost", and a
+    corpus-sized-state hazard besides. Winsorize's quantiles are tail
+    quantiles, so each cut is an order statistic within
+    K = n * min(q, 1-q) + 2 of one end: `orderBy(...).limit(K)` plans
+    TakeOrderedAndProject — a per-partition bounded top-K heap merged
+    on the driver, no full sort, no corpus-sized aggregation state.
+    One count aggregate serves every column; one top-K job per
+    (column, tail). The interpolation is Spark Percentile's own
+    formula — `(higher - pos) * lower_val + (pos - lower) *
+    higher_val` over `pos = q * (n - 1)` — so results are
+    bit-identical to `F.percentile` (pinned by
+    test_winsorize_exact_bounds_bitwise_match_percentile). Driver
+    traffic is bounded by K, which the exact path's upstream size gate
+    (APPROX_DRIFT_MIN_BYTES) keeps small; above the gate winsorize
+    uses the mergeable sketch instead.
+
+    Returns {column: [q_0 value, q_1 value, ...] | None} (None = the
+    column is all-NULL), matching the percentile-array contract.
+    """
+    counts_row = df.agg(
+        *[F.count(F.col(c).cast("double")).alias(c) for c in columns]
+    ).first()
+    out: dict = {}
+    for c in columns:
+        n = counts_row[c]
+        if n == 0:
+            out[c] = None  # all-NULL column
+            continue
+        vals = []
+        col = F.col(c).cast("double")
+        base = df.select(col.alias("__v")).filter(F.col("__v").isNotNull())
+        for q in qs:
+            pos = float(q) * float(n - 1)
+            lo_idx, hi_idx = math.floor(pos), math.ceil(pos)
+            if pos <= (n - 1) / 2.0:
+                # rank from the bottom: ascending top-K
+                k = hi_idx + 1
+                rows = base.orderBy(F.col("__v").asc()).limit(k).collect()
+                ordered = sorted(r["__v"] for r in rows)
+                lo_v, hi_v = ordered[lo_idx], ordered[hi_idx]
+            else:
+                # rank from the top: descending top-K
+                k = n - lo_idx
+                rows = base.orderBy(F.col("__v").desc()).limit(k).collect()
+                ordered = sorted((r["__v"] for r in rows), reverse=True)
+                lo_v, hi_v = ordered[n - 1 - lo_idx], ordered[n - 1 - hi_idx]
+            if hi_idx == lo_idx:
+                vals.append(lo_v)
+            else:
+                # Spark Percentile.getPercentile's interpolation, kept
+                # verbatim for bit-equality
+                vals.append((hi_idx - pos) * lo_v + (pos - lo_idx) * hi_v)
+        out[c] = vals
+    return out
+
+
 def winsorize(
     df: DataFrame,
     columns: Sequence[str],
@@ -583,21 +646,32 @@ def winsorize(
             *[f"__lo_{c}" for c in columns], *[f"__hi_{c}" for c in columns]
         )
 
-    # spread the aggregation branch only (see profile_columns):
-    # exact-percentile partial buffering is per-partition, and a
-    # single-split input pins it to one task; the clip projection
-    # below still runs over the ORIGINAL df, so output partitioning
-    # and row order are untouched
-    agg_src = df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if agg_src.rdd.getNumPartitions() < target:
-        agg_src = agg_src.repartition(target)
-    bounds_row = agg_src.agg(
-        *[_pcts(c).alias(f"__qs_{c}") for c in columns]
-    ).first()
+    if approximate:
+        # spread the aggregation branch only (see profile_columns):
+        # sketch partial work is per-partition, and a single-split
+        # input pins it to one task; the clip projection below still
+        # runs over the ORIGINAL df, so output partitioning and row
+        # order are untouched. Only the value columns ride the spread
+        # (guide §2.3).
+        agg_src = df.select(*columns)
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if agg_src.rdd.getNumPartitions() < target:
+            agg_src = agg_src.repartition(target)
+        bounds_row = agg_src.agg(
+            *[_pcts(c).alias(f"__qs_{c}") for c in columns]
+        ).first()
+        bounds = {c: bounds_row[f"__qs_{c}"] for c in columns}
+    else:
+        # the exact path is per-partition bounded-heap top-K: no
+        # spread needed (the heap does no per-row work worth
+        # parallelising, and a repartition would be re-paid by every
+        # order-statistic job since exchange reuse is per-job)
+        bounds = _exact_percentile_bounds(
+            df.select(*columns), columns, (lower_q, upper_q)
+        )
     out = df
     for c in columns:
-        qs = bounds_row[f"__qs_{c}"]
+        qs = bounds[c]
         lo, hi = (qs[0], qs[1]) if qs is not None else (None, None)
         if lo is None or hi is None:  # all-null column: nothing to clip
             continue
