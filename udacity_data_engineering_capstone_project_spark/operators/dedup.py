@@ -263,7 +263,7 @@ def minhash_verified_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     est_slack: float | None = None,
-    verify: str = "arrow",
+    verify: str = "expr",
     lazy: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by EXACT shingle Jaccard — the
@@ -297,11 +297,17 @@ def minhash_verified_pairs(
     O(pairs) rows through the join instead of the O(pairs x
     shingles_per_doc) row fan-out of a shingle equi-join. Two
     equal-output kernels (cross-pinned by
-    test_minhash_verify_kernels_agree): ``verify="arrow"`` (default)
-    counts intersections with numpy over Arrow batches — measured
-    1.6x faster than ``verify="expr"`` (pure-JVM ``array_intersect``,
-    whose per-row hash-set build dominates at ~40 us/pair; kept as
-    the dependency-free twin and the plan-shape exhibit). Hash-set
+    test_minhash_verify_kernels_agree): ``verify="expr"`` (default
+    since r14) keeps the whole verify inside the JVM with
+    ``array_intersect`` — re-measured this round at 2.28 s vs 2.81 s
+    full-query for the Arrow kernel (and 0.38 vs 0.67-0.75 s on a
+    materialized verify input): the numpy kernel's per-pair math is
+    cheap, but every pair's TWO shingle-hash arrays must cross the
+    JVM->Arrow->Python boundary to reach it (guide §4.1 — you cannot
+    remove that cost, only avoid it), which at ~300 longs x 2 x 107k
+    screened pairs outweighs the hash-set build ``array_intersect``
+    pays per row. ``verify="arrow"`` (the r12-r13 default) is kept as
+    the cross-pinned twin. Hash-set
     Jaccard == string-set Jaccard absent 64-bit collisions
     (P ~ shingles^2 / 2^64 per pair; the DuckDB oracle recomputes
     from raw text, so a collision would fail the driver hash).
